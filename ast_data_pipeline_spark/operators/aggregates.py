@@ -1,0 +1,92 @@
+"""Aggregation operators (SURVEY.md §2.5).
+
+- ``pricing_summary``      — A8-style multi-aggregate scan (TPC-H Q1 shape).
+- ``crosstab_with_margins`` — A3: the reference's ``pd.crosstab(margins=True)``
+  (ref: distribution_by_county_state.py:32-48) as groupBy().pivot() + margin
+  column + margin row; optional grand-total normalization.
+
+Scale notes: both are single-shuffle partial aggregations (map-side
+combine); the pivot values are declared explicitly so Catalyst skips the
+extra distinct-values job and the pivot stays one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary.
+
+    Doubles are rounded at the end so results hash-match the DuckDB
+    oracle (summation order differs between engines).
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def crosstab_with_margins(
+    df: DataFrame,
+    row_key: str,
+    col_key: str,
+    col_values: list[str],
+    normalize: bool = False,
+    total_label: str = "Total",
+) -> DataFrame:
+    """``pd.crosstab(df[row_key], df[col_key], margins=True)`` in Spark.
+
+    One shuffle for the pivot; the margin row is a cheap second
+    aggregate over the (tiny) pivoted result unioned back, mirroring
+    pandas' ``All`` row/column. ``normalize`` divides every cell by the
+    grand total (ref: distribution_by_county_state.py:38,44 uses
+    ``normalize=True``). Output sorted by Total desc then row key, with
+    the margin row last (as in the reference CSVs).
+    """
+    sanitized = {v: v for v in col_values}
+    pivoted = (
+        df.groupBy(row_key)
+        .pivot(col_key, col_values)
+        .count()
+        .na.fill(0, list(sanitized))
+    )
+    total_col = None
+    for v in col_values:
+        c = F.col(f"`{v}`")
+        total_col = c if total_col is None else total_col + c
+    pivoted = pivoted.withColumn(total_label, total_col)
+
+    # Margin row: sums of every column with row_key = total_label.
+    margin = pivoted.groupBy().agg(
+        *[F.sum(F.col(f"`{v}`")).alias(v) for v in [*col_values, total_label]]
+    ).withColumn(row_key, F.lit(total_label))
+    out = pivoted.unionByName(margin)
+
+    if normalize:
+        # grand total = value of the margin row's Total column
+        grand = F.max(
+            F.when(F.col(row_key) == total_label, F.col(total_label))
+        ).over(Window.partitionBy())
+        for v in [*col_values, total_label]:
+            out = out.withColumn(v, F.round(F.col(f"`{v}`") / grand, 6))
+
+    return out.orderBy(
+        F.col(row_key) == total_label,  # margin row last
+        F.col(total_label).desc(),
+        F.col(row_key),
+    )

@@ -1,0 +1,77 @@
+"""DuckDB oracle runner + frame comparison (mirrors the driver's t2 gate).
+
+The driver compares row-count + schema (column names, sorted) +
+order-insensitive value hash. ``compare_frames`` reproduces that
+locally so every registered query is continuously verified at
+sf0.001/sf0.01 before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+import pandas as pd
+
+from .sources.catalog import TABLES, table_path
+
+
+def run_oracle_sql(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+        return con.execute(sql).fetch_df()
+    finally:
+        con.close()
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(bool(v))
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon(v.item())
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    sub = df[cols]
+    rows = [tuple(_canon(v) for v in row) for row in sub.itertuples(index=False, name=None)]
+    rows.sort()
+    return rows
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions; empty list == parity."""
+    problems: list[str] = []
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"schema mismatch: spark={sc} oracle={oc}")
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    a, b = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    if a != b:
+        sa, sb = set(a), set(b)
+        only_a = list(sa - sb)[:5]
+        only_b = list(sb - sa)[:5]
+        problems.append(
+            f"value mismatch (cols={sc}): spark-only={only_a} oracle-only={only_b}"
+        )
+    return problems

@@ -1,0 +1,192 @@
+"""Aggregation query surface (SURVEY.md §2.5: A2-A8).
+
+Each query = a DataFrame-first implementation + a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import crosstab_with_margins, pricing_summary
+from ..registry import register
+from ..sources.catalog import load
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_Q01_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)::BIGINT                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "a8_pricing_summary",
+    oracle=_Q01_ORACLE,
+    doc="A8 counters/running totals as a TPC-H Q1-shaped multi-aggregate "
+    "(ref: make-complete-dataset.py:50-61 counting pattern, generalized).",
+    tags=("aggregate", "bench"),
+)
+def a8_pricing_summary(spark, sf_dir):
+    return pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+def _crosstab_oracle(normalize: bool) -> str:
+    cells = ",\n       ".join(
+        f"""sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)::BIGINT AS "{p}" """
+        for p in PRIORITIES
+    )
+    sums = ",\n       ".join(f'sum("{p}")::BIGINT AS "{p}"' for p in PRIORITIES)
+    base = f"""
+WITH j AS (
+  SELECT n_name, o_orderpriority
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+),
+p AS (
+  SELECT n_name,
+       {cells},
+       count(*)::BIGINT AS "Total"
+  FROM j GROUP BY n_name
+),
+m AS (
+  SELECT 'Total' AS n_name,
+       {sums},
+       sum("Total")::BIGINT AS "Total"
+  FROM p
+),
+u AS (SELECT * FROM p UNION ALL SELECT * FROM m)
+"""
+    if not normalize:
+        return base + 'SELECT * FROM u ORDER BY (n_name = \'Total\'), "Total" DESC, n_name'
+    cols = [*PRIORITIES, "Total"]
+    norm = ",\n       ".join(
+        f'round("{c}" / g.grand, 6) AS "{c}"' for c in cols
+    )
+    return (
+        base
+        + f""",
+g AS (SELECT "Total" AS grand FROM u WHERE n_name = 'Total')
+SELECT u.n_name,
+       {norm}
+FROM u, g
+ORDER BY (u.n_name = 'Total'), "{cols[-1]}" DESC, u.n_name
+"""
+    )
+
+
+def _orders_by_nation(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority")
+    )
+
+
+@register(
+    "a3_crosstab_margins",
+    oracle=_crosstab_oracle(False),
+    doc="A3 crosstab with Total margins (ref: distribution_by_county_state.py:32-48 "
+    "pd.crosstab(margins=True)) as groupBy().pivot() + margin union.",
+    tags=("aggregate", "pivot", "bench"),
+)
+def a3_crosstab_margins(spark, sf_dir):
+    return crosstab_with_margins(
+        _orders_by_nation(spark, sf_dir), "n_name", "o_orderpriority", PRIORITIES
+    )
+
+
+@register(
+    "a3_crosstab_normalized",
+    oracle=_crosstab_oracle(True),
+    doc="A3 crosstab normalize=True variant (ref: distribution_by_county_state.py:38,44): "
+    "every cell divided by the grand total.",
+    tags=("aggregate", "pivot"),
+)
+def a3_crosstab_normalized(spark, sf_dir):
+    return crosstab_with_margins(
+        _orders_by_nation(spark, sf_dir), "n_name", "o_orderpriority", PRIORITIES, normalize=True
+    )
+
+
+@register(
+    "a4_distinct_profile",
+    oracle="""
+SELECT count(DISTINCT o_orderstatus)::BIGINT   AS n_status,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_priority,
+       count(DISTINCT o_custkey)::BIGINT       AS n_custkeys,
+       count(*)::BIGINT                        AS n_rows
+FROM orders
+""",
+    doc="A4 distinct + cardinality profiling (ref: src/az_proc.py:349-389 "
+    "unique states/years/resolutions).",
+    tags=("aggregate",),
+)
+def a4_distinct_profile(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderpriority").alias("n_priority"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "a5_dedup_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+    doc="A5 dedup (ref: src/az_proc.py:251,293 drop_duplicates / np.unique) "
+    "as dropDuplicates on a projection.",
+    tags=("aggregate", "dedup"),
+)
+def a5_dedup_rows(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .dropDuplicates()
+    )
+
+
+@register(
+    "a6_distinct_by_key_first",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey AS first_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    doc="A6 distinct-by-key keeping first row (ref: src/form_calcs.py:105-116 "
+    "np.unique(return_index=True)) as row_number()==1.",
+    tags=("aggregate", "window"),
+)
+def a6_distinct_by_key_first(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Query registry — the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) a DuckDB oracle SQL string over the same parquet
+tables.  ``__spark_entry__.py`` exposes this registry to the driver.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules that register queries on import.
+_QUERY_MODULES = [
+    "ast_data_pipeline_spark.queries.aggregates",
+    "ast_data_pipeline_spark.queries.joins",
+    "ast_data_pipeline_spark.queries.projections",
+    "ast_data_pipeline_spark.queries.setops_windows",
+    "ast_data_pipeline_spark.queries.domain",
+    "ast_data_pipeline_spark.queries.merge",
+    "ast_data_pipeline_spark.queries.spatial",
+    "ast_data_pipeline_spark.queries.dedup",
+    "ast_data_pipeline_spark.queries.similarity",
+    "ast_data_pipeline_spark.queries.text",
+    "ast_data_pipeline_spark.queries.events",
+    "ast_data_pipeline_spark.queries.pipelines",
+    "ast_data_pipeline_spark.queries.multimodal",
+]
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Allow partially-built surface during development; only
+            # swallow "module itself missing", not errors inside it.
+            if e.name != mod:
+                raise
+    return dict(_REGISTRY)

@@ -1,0 +1,35 @@
+"""Differential oracle tests: every registered query with an oracle is
+run through Spark AND DuckDB and compared the way the driver's t2 gate
+does (row count + schema + order-insensitive canonical values).
+
+Queries without an oracle still get a smoke run (executes, stable schema).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ast_data_pipeline_spark.oracle import compare_frames, run_oracle_sql
+from ast_data_pipeline_spark.registry import load_all
+
+SPECS = load_all()
+WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+NO_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, name):
+    spec = SPECS[name]
+    got = spec.fn(spark, sf_dir).toPandas()
+    want = run_oracle_sql(spec.oracle, sf_dir)
+    problems = compare_frames(got, want)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_smoke(spark, sf_dir, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
