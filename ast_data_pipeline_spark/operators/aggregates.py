@@ -15,12 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import davg, dsum
+
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shaped pricing summary.
 
-    Doubles are rounded at the end so results hash-match the DuckDB
-    oracle (summation order differs between engines).
+    Aggregates go through exact decimal (functions/exact.py) so the
+    result doubles are bit-identical to the DuckDB oracle regardless of
+    summation order.
     """
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -28,13 +31,13 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -82,8 +85,10 @@ def crosstab_with_margins(
         grand = F.max(
             F.when(F.col(row_key) == total_label, F.col(total_label))
         ).over(Window.partitionBy())
+        # integer/integer division of identical operands -> identical
+        # doubles in every engine; no rounding needed or wanted.
         for v in [*col_values, total_label]:
-            out = out.withColumn(v, F.round(F.col(f"`{v}`") / grand, 6))
+            out = out.withColumn(v, F.col(f"`{v}`") / grand)
 
     return out.orderBy(
         F.col(row_key) == total_label,  # margin row last

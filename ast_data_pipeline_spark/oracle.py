@@ -35,7 +35,9 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.12g}"
+        # exact shortest-roundtrip repr: queries are designed to produce
+        # bit-identical doubles in both engines (see functions/exact.py)
+        return repr(v)
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

@@ -7,22 +7,23 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.exact import davg_sql, dsum_sql
 from ..operators.aggregates import crosstab_with_margins, pricing_summary
 from ..registry import register
 from ..sources.catalog import load
 
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
-_Q01_ORACLE = """
+_Q01_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)::BIGINT                                                 AS count_order
+       {dsum_sql('l_quantity')}      AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')}      AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')}      AS avg_disc,
+       count(*)::BIGINT              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -70,9 +71,7 @@ u AS (SELECT * FROM p UNION ALL SELECT * FROM m)
     if not normalize:
         return base + 'SELECT * FROM u ORDER BY (n_name = \'Total\'), "Total" DESC, n_name'
     cols = [*PRIORITIES, "Total"]
-    norm = ",\n       ".join(
-        f'round("{c}" / g.grand, 6) AS "{c}"' for c in cols
-    )
+    norm = ",\n       ".join(f'"{c}" / g.grand AS "{c}"' for c in cols)
     return (
         base
         + f""",

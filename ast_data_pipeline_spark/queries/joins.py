@@ -1,0 +1,223 @@
+"""Join query surface (SURVEY.md §2.4: J1-J5; J9 lives in queries/domain.py).
+
+The reference implements all of these as Python loops / set lookups
+(nested-loop semi joins at src/az_proc.py:528-561, set-membership at
+make-complete-dataset.py:43-47, lookup-update at src/az_proc.py:674-706,
+disambiguation at src/form_calcs.py:226-239). Here each is declared as a
+DataFrame join and Catalyst picks broadcast/sort-merge; small sides are
+broadcast explicitly so the 100 TB plan shuffles only the big fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, dsum_sql
+from ..registry import register
+from ..sources.catalog import load
+
+
+@register(
+    "j1_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+    doc="J1 equi semi join on key (ref: src/az_proc.py:528-542 nested-loop "
+    "chip-has-xml scan) as left_semi.",
+    tags=("join",),
+)
+def j1_semi_join(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "j2_anti_join",
+    oracle="""
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+)
+""",
+    doc="J2 equi anti join (ref: src/az_proc.py:544-561 negatives = chips "
+    "minus positives) as left_anti: parts with no recent shipment.",
+    tags=("join",),
+)
+def j2_anti_join(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    recent = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        part.join(recent, part.p_partkey == recent.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "j3_broadcast_semi",
+    oracle=f"""
+WITH topparts AS (
+  SELECT p_partkey FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+)
+SELECT l_partkey,
+       count(*)::BIGINT AS n_lines,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM topparts)
+GROUP BY l_partkey
+""",
+    doc="J3 broadcast-set semi join (ref: make-complete-dataset.py:43-47 "
+    "Python-set membership; tile-level-annotation.py:108,115 isin). The "
+    "20-key side is broadcast — no shuffle of the fact table.",
+    tags=("join", "broadcast"),
+)
+def j3_broadcast_semi(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    topparts = (
+        part.orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(20)
+        .select("p_partkey")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(topparts), lineitem.l_partkey == topparts.p_partkey, "left_semi"
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "j4_lookup_update_join",
+    oracle="""
+WITH tracking AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status
+  FROM orders
+),
+patch AS (
+  SELECT o_orderkey, o_orderstatus AS patch_status
+  FROM orders WHERE o_orderkey % 14 = 0
+)
+SELECT t.o_orderkey,
+       coalesce(p.patch_status, t.status) AS status_repaired
+FROM tracking t LEFT JOIN patch p ON t.o_orderkey = p.o_orderkey
+""",
+    doc="J4 lookup/update join (ref: src/az_proc.py:674-706 chip-pathway "
+    "repair): left join + coalesce(new, old) — the pure-DataFrame form of "
+    "an in-place mutate.",
+    tags=("join",),
+)
+def j4_lookup_update_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    tracking = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("status"),
+    )
+    patch = (
+        orders.filter(F.col("o_orderkey") % 14 == 0)
+        .select("o_orderkey", F.col("o_orderstatus").alias("patch_status"))
+    )
+    return (
+        tracking.alias("t")
+        .join(F.broadcast(patch.alias("p")), "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("p.patch_status"), F.col("t.status")).alias("status_repaired"),
+        )
+    )
+
+
+@register(
+    "j5_disambiguating_join",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey AS picked_orderkey,
+       n_candidates
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_custkey)::BIGINT AS n_candidates
+  FROM orders
+)
+WHERE rn = CASE WHEN n_candidates > 1 THEN 2 ELSE 1 END
+""",
+    doc="J5 disambiguating lookup (ref: src/form_calcs.py:226-239 tile→url "
+    "pick-first-or-second): row_number over a per-key window + rank pick.",
+    tags=("join", "window"),
+)
+def j5_disambiguating_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("rn") == F.when(F.col("n_candidates") > 1, F.lit(2)).otherwise(F.lit(1))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("picked_orderkey"),
+            "n_candidates",
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT o_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: selective dim filter + two joins + top-10 by "
+    "aggregate. Customer side broadcast; lineitem never shuffled twice.",
+    tags=("join", "bench"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        lineitem.join(
+            orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )

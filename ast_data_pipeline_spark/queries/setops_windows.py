@@ -1,0 +1,242 @@
+"""Set operations (SURVEY.md §2.7), sorts/limits (§2.6) and the four
+window patterns (§2.8) the reference implements with numpy tricks.
+
+The work-queue allocation (O3/U2/U4, ref: src/az_proc.py:408-445) is the
+reference's closest thing to state: allocate = head-N of a deterministic
+order; remaining = anti join; invariant allocated + remaining == total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, dsum_over, dsum_over_sql, dsum_sql
+from ..registry import register
+from ..sources.catalog import load
+
+ALLOC_N = 100
+
+
+@register(
+    "u1_union_append",
+    oracle="""
+SELECT o_orderkey, 'old' AS src FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01'
+UNION ALL
+SELECT o_orderkey, 'new' AS src FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+""",
+    doc="U1 union/append (ref: src/az_proc.py:281-288,345 pd.concat / "
+    "np.vstack) as unionByName.",
+    tags=("setop",),
+)
+def u1_union_append(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    old = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", F.lit("old").alias("src")
+    )
+    new = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", F.lit("new").alias("src")
+    )
+    return old.unionByName(new)
+
+
+@register(
+    "u2_except_difference",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+    doc="U2 except/difference (ref: src/az_proc.py:437-438 remaining = "
+    "unlabeled - allocated).",
+    tags=("setop",),
+)
+def u2_except_difference(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.select("c_custkey").exceptAll(urgent).distinct()
+
+
+@register(
+    "u3_intersect3",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="U3 3-way intersection (ref: src/form_calcs.py:1069-1084 "
+    "set.intersection chain).",
+    tags=("setop",),
+)
+def u3_intersect3(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b).intersect(c)
+
+
+@register(
+    "o3_allocation_head",
+    oracle=f"""
+SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT {ALLOC_N}
+""",
+    doc="O3 head-N allocation slice (ref: src/az_proc.py:417-421): "
+    "deterministic order + limit. Order-stability comes from the explicit "
+    "sort key, as the SURVEY requires.",
+    tags=("limit",),
+)
+def o3_allocation_head(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.orderBy("o_orderkey").limit(ALLOC_N).select("o_orderkey")
+
+
+@register(
+    "u4_integrity_check",
+    oracle=f"""
+WITH alloc AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT {ALLOC_N}),
+rem AS (SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM alloc))
+SELECT (SELECT count(*) FROM alloc)::BIGINT AS n_allocated,
+       (SELECT count(*) FROM rem)::BIGINT   AS n_remaining,
+       (SELECT count(*) FROM orders)::BIGINT AS n_total,
+       ((SELECT count(*) FROM alloc) + (SELECT count(*) FROM rem)
+         = (SELECT count(*) FROM orders)) AS ok
+""",
+    doc="U4 integrity assertion (ref: src/az_proc.py:442-445 "
+    "allocated + remaining == unlabeled): limit slice + anti join + "
+    "declarative count check.",
+    tags=("setop", "limit"),
+)
+def u4_integrity_check(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    alloc = orders.orderBy("o_orderkey").limit(ALLOC_N).select("o_orderkey")
+    rem = orders.join(alloc, "o_orderkey", "left_anti")
+    na = alloc.agg(F.count(F.lit(1)).alias("n_allocated"))
+    nr = rem.agg(F.count(F.lit(1)).alias("n_remaining"))
+    nt = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        na.crossJoin(nr)
+        .crossJoin(nt)
+        .withColumn("ok", F.col("n_allocated") + F.col("n_remaining") == F.col("n_total"))
+    )
+
+
+@register(
+    "w_topk_per_group",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+""",
+    doc="Window pattern: top-K per group (SURVEY §2.8; subsumes the "
+    "reference's pick-first patterns A6/J5).",
+    tags=("window",),
+)
+def w_topk_per_group(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+@register(
+    "w_percent_of_total",
+    oracle=f"""
+WITH rev AS (
+  SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey  = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       revenue / {dsum_over_sql('revenue', '')} AS pct_of_total
+FROM rev
+""",
+    doc="Window pattern: percent-of-total (SURVEY §2.8; ref A3's "
+    "normalize=True): sum().over(Window.partitionBy()). Shares are ratios "
+    "of exact-decimal sums, so doubles are bit-identical across engines.",
+    tags=("window", "bench"),
+)
+def w_percent_of_total(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return rev.withColumn(
+        "pct_of_total",
+        F.col("revenue") / dsum_over("revenue", Window.partitionBy()),
+    )
+
+
+@register(
+    "w_running_sum",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {dsum_over_sql('o_totalprice',
+                      'PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING')}
+         AS running_spend
+FROM orders
+""",
+    doc="Window pattern: running total per key in event order (O2 analog).",
+    tags=("window",),
+)
+def w_running_sum(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        dsum_over("o_totalprice", w).alias("running_spend"),
+    )
+
+
+@register(
+    "w_rank_dense",
+    oracle="""
+SELECT p_brand, p_partkey, p_size,
+       rank()       OVER (PARTITION BY p_brand ORDER BY p_size)::BIGINT AS size_rank,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size)::BIGINT AS size_dense_rank
+FROM part
+""",
+    doc="Window pattern: rank/dense_rank with ties (SURVEY §2.8).",
+    tags=("window",),
+)
+def w_rank_dense(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).cast("long").alias("size_rank"),
+        F.dense_rank().over(w).cast("long").alias("size_dense_rank"),
+    )
