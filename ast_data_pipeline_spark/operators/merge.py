@@ -1,0 +1,220 @@
+"""A1 — per-tile bounding-box merge as connected components
+(SURVEY.md §2.5 A1; ref: src/form_calcs.py:753-792 merge_algo +
+driver 812-985).
+
+The reference runs a greedy single pass with in-loop deletes, which is
+order-dependent and not a fixpoint. Per SURVEY §7 the engine computes
+the deterministic fixpoint instead: connected components over the P14
+adjacency graph (J7 edges), then one aggregate per component — a
+superset of every greedy result and idempotent (property-tested).
+
+Class conflicts inside a component yield ``undefined_object`` — the
+reference *intends* this (src/form_calcs.py:782-783) but immediately
+overwrites it with the first box's class (latent bug, :784); we
+implement the intended rule.
+
+Execution shape: ``groupBy(tile_name).applyInPandas`` — one shuffle on
+tile_name; components are tiny (objects per tile), so the O(n^2)
+adjacency test is per-group local work. At 100 TB this scales linearly
+with tiles across executors; a pathological mega-tile would be handled
+by AQE skew splitting failing over to... nothing automatic for grouped
+maps — so the operator asserts a sane group size rather than silently
+thrashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERGE_SCHEMA = (
+    "tile_key long, tile_name string, component_id long, object_class string, "
+    "image_names array<string>, gxmin int, gymin int, gxmax int, gymax int, "
+    "n_members long, merged_bbox boolean"
+)
+
+MAX_GROUP = 100_000  # defensive bound for one tile's candidate count
+
+
+def _adjacency_matrix(b: np.ndarray, dist_limit: int) -> np.ndarray:
+    """Vectorized P14 over all pairs: b is (n,4) [xmin,ymin,xmax,ymax]."""
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    # pairwise, a = rows (i), b = cols (j)
+    x_dist = np.minimum(
+        np.abs(x0[None, :] - x1[:, None]), np.abs(x1[None, :] - x0[:, None])
+    )
+    y_dist = np.minimum(
+        np.abs(y0[None, :] - y1[:, None]), np.abs(y1[None, :] - y0[:, None])
+    )
+    a_in_b = (
+        (x0[None, :] <= x0[:, None]) & (y0[None, :] <= y0[:, None])
+        & (x1[None, :] >= x1[:, None]) & (y1[None, :] >= y1[:, None])
+    )
+    b_in_a = a_in_b.T
+    x_close_a_covers = (x_dist <= dist_limit) & (
+        (y0[:, None] <= y0[None, :]) & (y1[:, None] >= y1[None, :])
+    )
+    y_close_a_covers = (y_dist <= dist_limit) & (
+        (x0[:, None] <= x0[None, :]) & (x1[:, None] >= x1[None, :])
+    )
+    adj = (
+        a_in_b | b_in_a
+        | x_close_a_covers | x_close_a_covers.T
+        | y_close_a_covers | y_close_a_covers.T
+    )
+    np.fill_diagonal(adj, False)
+    return adj
+
+
+def _components(adj: np.ndarray) -> np.ndarray:
+    """Union-find over a boolean adjacency matrix -> root label per node."""
+    n = adj.shape[0]
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    rows, cols = np.nonzero(adj)
+    for i, j in zip(rows.tolist(), cols.tolist()):
+        if i < j:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    return np.array([find(i) for i in range(n)])
+
+
+_OUT_COLS = (
+    "tile_key", "tile_name", "component_id", "object_class", "image_names",
+    "gxmin", "gymin", "gxmax", "gymax", "n_members", "merged_bbox",
+)
+
+
+def _merge_partition(batches, dist_limit: int):
+    """mapInPandas body: all tiles hash-assigned to this partition.
+
+    One Python/Arrow round trip per partition (not per tile) — the
+    per-tile work is a numpy adjacency + union-find over n_tile boxes.
+    Memory bound: one shuffle partition of candidate rows.
+    """
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    pdf = pdf.sort_values(["tile_key", "annot_id"], kind="mergesort").reset_index(drop=True)
+    tk = pdf["tile_key"].to_numpy()
+    bounds = np.flatnonzero(np.r_[True, tk[1:] != tk[:-1], True])
+    boxes_all = pdf[["gxmin", "gymin", "gxmax", "gymax"]].to_numpy(np.int64)
+    ids = pdf["annot_id"].to_numpy()
+    names = pdf["image_name"].to_numpy()
+    classes = pdf["object_class"].to_numpy()
+    tnames = pdf["tile_name"].to_numpy()
+    out: dict[str, list] = {c: [] for c in _OUT_COLS}
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        n = e - s
+        if n > MAX_GROUP:
+            raise ValueError(
+                f"tile {tnames[s]!r} has {n} merge candidates (> {MAX_GROUP}); "
+                "pre-aggregate or split this tile"
+            )
+        comp = _components(_adjacency_matrix(boxes_all[s:e], dist_limit))
+        for c in np.unique(comp):
+            m = s + np.flatnonzero(comp == c)
+            cls = set(classes[m])
+            out["tile_key"].append(int(tk[s]))
+            out["tile_name"].append(tnames[s])
+            out["component_id"].append(int(ids[m].min()))
+            out["object_class"].append(cls.pop() if len(cls) == 1 else "undefined_object")
+            out["image_names"].append(sorted(set(names[m])))
+            out["gxmin"].append(int(boxes_all[m, 0].min()))
+            out["gymin"].append(int(boxes_all[m, 1].min()))
+            out["gxmax"].append(int(boxes_all[m, 2].max()))
+            out["gymax"].append(int(boxes_all[m, 3].max()))
+            out["n_members"].append(int(len(m)))
+            out["merged_bbox"].append(bool(len(m) > 1))
+    yield pd.DataFrame(out)
+
+
+def merge_tile_annotations(gann: DataFrame, dist_limit: int = 5) -> DataFrame:
+    """Merge trunc/difficult candidate boxes per tile (A1); pass clean
+    boxes through unmerged (F5 partition, one scan two branches).
+
+    Input needs: annot_id, tile_key, tile_name, image_name,
+    object_class, truncated, difficult, gxmin/gymin/gxmax/gymax.
+    """
+    is_candidate = (F.col("truncated") == 1) | (F.col("difficult") == 1)
+    base = gann.select(
+        "annot_id", "tile_key", "tile_name", "image_name", "object_class",
+        "truncated", "difficult", "gxmin", "gymin", "gxmax", "gymax",
+    )
+    cand = base.filter(is_candidate)
+    clean = base.filter(~is_candidate)
+
+    merged = cand.repartition("tile_key").mapInPandas(
+        lambda it: _merge_partition(it, dist_limit), schema=MERGE_SCHEMA
+    )
+    passthrough = clean.select(
+        "tile_key",
+        "tile_name",
+        F.col("annot_id").alias("component_id"),
+        "object_class",
+        F.array("image_name").alias("image_names"),
+        "gxmin", "gymin", "gxmax", "gymax",
+        F.lit(1).cast("long").alias("n_members"),
+        F.lit(False).alias("merged_bbox"),
+    )
+    return merged.unionByName(passthrough)
+
+
+# DuckDB oracle for the merge: recursive-CTE connected components over
+# the same P14 edges, aggregated identically. ``cand_sql`` must select
+# annot_id, tile_name, image_name, object_class, gxmin/gymin/gxmax/gymax.
+# ``extra_ctes`` (e.g. the domain views) are folded into the same
+# WITH RECURSIVE list.
+def merge_oracle_sql(
+    cand_sql: str, clean_sql: str, adjacency_sql: str, extra_ctes: str = ""
+) -> str:
+    prefix = f"{extra_ctes}," if extra_ctes else ""
+    return f"""
+WITH RECURSIVE
+{prefix}
+cand AS ({cand_sql}),
+edges(src, dst) AS (
+  SELECT a.annot_id, b.annot_id
+  FROM cand a JOIN cand b
+    ON a.tile_key = b.tile_key AND a.annot_id <> b.annot_id
+  WHERE {adjacency_sql}
+),
+cc(id, comp) AS (
+  SELECT annot_id, annot_id FROM cand
+  UNION
+  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src WHERE cc.comp < e.dst
+),
+lbl AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+merged AS (
+  SELECT c.tile_key AS tile_key,
+         min(c.tile_name) AS tile_name,
+         min(c.annot_id)::BIGINT AS component_id,
+         (CASE WHEN count(DISTINCT c.object_class) = 1 THEN min(c.object_class)
+               ELSE 'undefined_object' END) AS object_class,
+         list_sort(list(DISTINCT c.image_name)) AS image_names,
+         min(c.gxmin)::INT AS gxmin, min(c.gymin)::INT AS gymin,
+         max(c.gxmax)::INT AS gxmax, max(c.gymax)::INT AS gymax,
+         count(*)::BIGINT AS n_members,
+         (count(*) > 1) AS merged_bbox
+  FROM cand c JOIN lbl ON c.annot_id = lbl.id
+  GROUP BY c.tile_key, lbl.comp
+),
+clean AS ({clean_sql})
+SELECT * FROM merged
+UNION ALL
+SELECT tile_key, tile_name, annot_id::BIGINT AS component_id, object_class,
+       [image_name] AS image_names,
+       gxmin::INT, gymin::INT, gxmax::INT, gymax::INT,
+       1::BIGINT AS n_members, false AS merged_bbox
+FROM clean
+"""

@@ -1,0 +1,112 @@
+"""Spatial join operators (SURVEY.md §2.4 J6/J7/J8, §2.2 P13/P14).
+
+All reference geometry is axis-aligned rectangles (SURVEY §1.2), so
+the engine represents geometry as bbox columns and implements the
+spatial joins as range-predicate joins — no geometry library needed.
+The small polygon side (counties: ~3.2k rows in the reference) is
+broadcast, so the fact side never shuffles (ref's versions are
+O(n*m) Python loops: src/az_proc.py:161-191, src/form_calcs.py:
+992-1037, 753-760).
+
+At 100 TB the county/tile dimension stays broadcastable (counties
+~3.2k, NAIP tiles ~220k rows of plain floats); if the polygon side
+ever outgrew broadcast, the standard upgrade is a grid-cell
+(space-partitioned) equi-join on cell id + refine, which composes
+from the same predicates below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def adjacency_predicate(a: str, b: str, dist_limit: int) -> Column:
+    """P14 (ref: src/form_calcs.py:716-750 calc_sim): true iff one bbox
+    contains the other, or they are within ``dist_limit`` in one axis
+    and fully covered in the other axis.
+
+    ``a``/``b`` are DataFrame aliases with gxmin/gymin/gxmax/gymax.
+    """
+    ax0, ay0, ax1, ay1 = (F.col(f"{a}.g{c}") for c in ("xmin", "ymin", "xmax", "ymax"))
+    bx0, by0, bx1, by1 = (F.col(f"{b}.g{c}") for c in ("xmin", "ymin", "xmax", "ymax"))
+    x_dist = F.least(F.abs(bx0 - ax1), F.abs(bx1 - ax0))
+    y_dist = F.least(F.abs(by0 - ay1), F.abs(by1 - ay0))
+    a_in_b = (bx0 <= ax0) & (by0 <= ay0) & (bx1 >= ax1) & (by1 >= ay1)
+    b_in_a = (ax0 <= bx0) & (ay0 <= by0) & (ax1 >= bx1) & (ay1 >= by1)
+    x_close_a_covers = (x_dist <= dist_limit) & (ay0 <= by0) & (ay1 >= by1)
+    x_close_b_covers = (x_dist <= dist_limit) & (by0 <= ay0) & (by1 >= ay1)
+    y_close_a_covers = (y_dist <= dist_limit) & (ax0 <= bx0) & (ax1 >= bx1)
+    y_close_b_covers = (y_dist <= dist_limit) & (bx0 <= ax0) & (bx1 >= ax1)
+    return (
+        a_in_b | b_in_a
+        | x_close_a_covers | x_close_b_covers
+        | y_close_a_covers | y_close_b_covers
+    )
+
+
+def adjacency_predicate_sql(a: str, b: str, dist_limit: int) -> str:
+    """DuckDB oracle text for ``adjacency_predicate``."""
+    return f"""(
+    ({b}.gxmin <= {a}.gxmin AND {b}.gymin <= {a}.gymin
+      AND {b}.gxmax >= {a}.gxmax AND {b}.gymax >= {a}.gymax)
+ OR ({a}.gxmin <= {b}.gxmin AND {a}.gymin <= {b}.gymin
+      AND {a}.gxmax >= {b}.gxmax AND {a}.gymax >= {b}.gymax)
+ OR (least(abs({b}.gxmin - {a}.gxmax), abs({b}.gxmax - {a}.gxmin)) <= {dist_limit}
+      AND {a}.gymin <= {b}.gymin AND {a}.gymax >= {b}.gymax)
+ OR (least(abs({b}.gxmin - {a}.gxmax), abs({b}.gxmax - {a}.gxmin)) <= {dist_limit}
+      AND {b}.gymin <= {a}.gymin AND {b}.gymax >= {a}.gymax)
+ OR (least(abs({b}.gymin - {a}.gymax), abs({b}.gymax - {a}.gymin)) <= {dist_limit}
+      AND {a}.gxmin <= {b}.gxmin AND {a}.gxmax >= {b}.gxmax)
+ OR (least(abs({b}.gymin - {a}.gymax), abs({b}.gymax - {a}.gymin)) <= {dist_limit}
+      AND {b}.gxmin <= {a}.gxmin AND {b}.gxmax >= {a}.gxmax)
+)"""
+
+
+def assign_county_argmax(tanks: DataFrame, counties_df: DataFrame) -> DataFrame:
+    """J8 (ref: src/form_calcs.py:992-1037): tank bbox x county polygon
+    intersect join; on multi-county overlap keep the county with max
+    intersection-area / tank-area. Counties broadcast; argmax via
+    row_number over (tank, overlap desc).
+
+    Expects tanks with utm_minx/miny/maxx/maxy and a unique key column
+    ``annot_id``; counties with c_minx/c_miny/c_maxx/c_maxy + fips.
+    """
+    t, c = tanks.alias("t"), F.broadcast(counties_df).alias("c")
+    inter_w = F.least(F.col("t.utm_maxx"), F.col("c.c_maxx")) - F.greatest(
+        F.col("t.utm_minx"), F.col("c.c_minx")
+    )
+    inter_h = F.least(F.col("t.utm_maxy"), F.col("c.c_maxy")) - F.greatest(
+        F.col("t.utm_miny"), F.col("c.c_miny")
+    )
+    tank_area = (F.col("t.utm_maxx") - F.col("t.utm_minx")) * (
+        F.col("t.utm_maxy") - F.col("t.utm_miny")
+    )
+    joined = t.join(c, (inter_w > 0) & (inter_h > 0)).withColumn(
+        "overlap_frac", inter_w * inter_h / tank_area
+    )
+    county_id = F.concat(F.col("c.state_fips"), F.col("c.county_fips"))
+    w = Window.partitionBy("t.annot_id").orderBy(
+        F.col("overlap_frac").desc(), county_id
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+ARGMAX_COUNTY_SQL_BODY = """
+  SELECT *, row_number() OVER (
+           PARTITION BY annot_id
+           ORDER BY overlap_frac DESC, state_fips || county_fips) AS rn
+  FROM (
+    SELECT t.*, c.county_name, c.state_fips, c.county_fips,
+           (least(t.utm_maxx, c.c_maxx) - greatest(t.utm_minx, c.c_minx))
+           * (least(t.utm_maxy, c.c_maxy) - greatest(t.utm_miny, c.c_miny))
+           / ((t.utm_maxx - t.utm_minx) * (t.utm_maxy - t.utm_miny)) AS overlap_frac
+    FROM gann t JOIN counties c
+      ON least(t.utm_maxx, c.c_maxx) > greatest(t.utm_minx, c.c_minx)
+     AND least(t.utm_maxy, c.c_maxy) > greatest(t.utm_miny, c.c_miny)
+  )
+"""

@@ -12,6 +12,7 @@ import datetime as _dt
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from .sources.catalog import TABLES, table_path
@@ -40,7 +41,7 @@ def _canon(v) -> str:
         return repr(v)
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, bool):
         return str(bool(v))
