@@ -1,0 +1,130 @@
+"""P9 — UTM <-> WGS84 reprojection as a vectorized pandas UDF.
+
+The reference calls pyproj per point (src/form_calcs.py:288-307,
+re-constructing the Transformer inside the loop — an anti-pattern the
+SURVEY flags). pyproj is not available in this environment, so the
+engine implements the standard Snyder/USGS transverse-Mercator series
+(public-domain formulas, USGS Professional Paper 1395) vectorized in
+numpy: one Arrow batch per partition, all zones handled in one pass
+via per-row central meridians.
+
+EPSG:269xx (NAD83 / UTM zone xx N) uses the GRS80 ellipsoid; NAD83
+and WGS84 agree to well under the 0.6 m pixel size, so the engine
+treats the output as WGS84 lon/lat like the reference does. Series
+accuracy is < 1e-9 rad within a UTM zone — far below pixel scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+# GRS80 ellipsoid (EPSG:269xx)
+_A = 6378137.0
+_F = 1.0 / 298.257222101
+_K0 = 0.9996
+_E2 = _F * (2 - _F)
+_EP2 = _E2 / (1 - _E2)
+_FALSE_EASTING = 500000.0
+
+
+def utm_to_lonlat_np(easting: np.ndarray, northing: np.ndarray, zone: np.ndarray):
+    """Inverse transverse Mercator (Snyder 1987, eqs. 8-17..8-25),
+    vectorized; northern hemisphere."""
+    e1 = (1 - np.sqrt(1 - _E2)) / (1 + np.sqrt(1 - _E2))
+    x = easting - _FALSE_EASTING
+    m = northing / _K0
+    mu = m / (_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    c1 = _EP2 * cos1**2
+    t1 = tan1**2
+    n1 = _A / np.sqrt(1 - _E2 * sin1**2)
+    r1 = _A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
+    d = x / (n1 * _K0)
+    lat = phi1 - (n1 * tan1 / r1) * (
+        d**2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * _EP2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * _EP2 - 3 * c1**2) * d**6 / 720
+    )
+    lon0 = np.deg2rad(zone.astype(np.float64) * 6.0 - 183.0)
+    lon = lon0 + (
+        d
+        - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * _EP2 + 24 * t1**2) * d**5 / 120
+    ) / cos1
+    return np.rad2deg(lon), np.rad2deg(lat)
+
+
+def lonlat_to_utm_np(lon: np.ndarray, lat: np.ndarray, zone: np.ndarray):
+    """Forward transverse Mercator (Snyder 1987, eqs. 8-9..8-15) —
+    used by tests to validate the inverse via round-trip."""
+    phi = np.deg2rad(lat)
+    lam = np.deg2rad(lon)
+    lam0 = np.deg2rad(zone.astype(np.float64) * 6.0 - 183.0)
+    sinp, cosp, tanp = np.sin(phi), np.cos(phi), np.tan(phi)
+    n = _A / np.sqrt(1 - _E2 * sinp**2)
+    t = tanp**2
+    c = _EP2 * cosp**2
+    a_ = cosp * (lam - lam0)
+    m = _A * (
+        (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256) * phi
+        - (3 * _E2 / 8 + 3 * _E2**2 / 32 + 45 * _E2**3 / 1024) * np.sin(2 * phi)
+        + (15 * _E2**2 / 256 + 45 * _E2**3 / 1024) * np.sin(4 * phi)
+        - (35 * _E2**3 / 3072) * np.sin(6 * phi)
+    )
+    easting = _FALSE_EASTING + _K0 * n * (
+        a_
+        + (1 - t + c) * a_**3 / 6
+        + (5 - 18 * t + t**2 + 72 * c - 58 * _EP2) * a_**5 / 120
+    )
+    northing = _K0 * (
+        m
+        + n * tanp * (
+            a_**2 / 2
+            + (5 - t + 9 * c + 4 * c**2) * a_**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * _EP2) * a_**6 / 720
+        )
+    )
+    return easting, northing
+
+
+_LONLAT_SCHEMA = StructType(
+    [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+)
+
+
+@F.pandas_udf(_LONLAT_SCHEMA)
+def utm_to_lonlat_udf(easting: pd.Series, northing: pd.Series, zone: pd.Series) -> pd.DataFrame:
+    lon, lat = utm_to_lonlat_np(
+        easting.to_numpy(np.float64), northing.to_numpy(np.float64),
+        zone.to_numpy(np.float64),
+    )
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+def zone_from_epsg(utm_projection):
+    """'EPSG:26916' -> 16 (NAD83 northern zones are 269xx)."""
+    return F.substring(utm_projection, 9, 2).cast("int")
+
+
+def bbox_wkt(minx, miny, maxx, maxy):
+    """P11: axis-aligned bbox -> rectangle POLYGON WKT (5-point ring,
+    ref src/form_calcs.py:919-920 builds the same 4-corner polygon)."""
+    c = lambda v: F.format_string("%.9f", v)
+    return F.concat(
+        F.lit("POLYGON (("),
+        c(minx), F.lit(" "), c(miny), F.lit(", "),
+        c(maxx), F.lit(" "), c(miny), F.lit(", "),
+        c(maxx), F.lit(" "), c(maxy), F.lit(", "),
+        c(minx), F.lit(" "), c(maxy), F.lit(", "),
+        c(minx), F.lit(" "), c(miny), F.lit("))"),
+    )

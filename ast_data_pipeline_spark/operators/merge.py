@@ -172,16 +172,12 @@ def merge_tile_annotations(gann: DataFrame, dist_limit: int = 5) -> DataFrame:
 
 # DuckDB oracle for the merge: recursive-CTE connected components over
 # the same P14 edges, aggregated identically. ``cand_sql`` must select
-# annot_id, tile_name, image_name, object_class, gxmin/gymin/gxmax/gymax.
-# ``extra_ctes`` (e.g. the domain views) are folded into the same
-# WITH RECURSIVE list.
-def merge_oracle_sql(
-    cand_sql: str, clean_sql: str, adjacency_sql: str, extra_ctes: str = ""
-) -> str:
-    prefix = f"{extra_ctes}," if extra_ctes else ""
+# annot_id, tile_key, tile_name, image_name, object_class,
+# gxmin/gymin/gxmax/gymax. ``merge_oracle_ctes`` returns the CTE list
+# (ending with ``merged_all``) so callers can extend the same
+# WITH RECURSIVE scope; ``merge_oracle_sql`` is the standalone query.
+def merge_oracle_ctes(cand_sql: str, clean_sql: str, adjacency_sql: str) -> str:
     return f"""
-WITH RECURSIVE
-{prefix}
 cand AS ({cand_sql}),
 edges(src, dst) AS (
   SELECT a.annot_id, b.annot_id
@@ -209,12 +205,26 @@ merged AS (
   FROM cand c JOIN lbl ON c.annot_id = lbl.id
   GROUP BY c.tile_key, lbl.comp
 ),
-clean AS ({clean_sql})
-SELECT * FROM merged
-UNION ALL
-SELECT tile_key, tile_name, annot_id::BIGINT AS component_id, object_class,
-       [image_name] AS image_names,
-       gxmin::INT, gymin::INT, gxmax::INT, gymax::INT,
-       1::BIGINT AS n_members, false AS merged_bbox
-FROM clean
+clean AS ({clean_sql}),
+merged_all AS (
+  SELECT * FROM merged
+  UNION ALL
+  SELECT tile_key, tile_name, annot_id::BIGINT AS component_id, object_class,
+         [image_name] AS image_names,
+         gxmin::INT, gymin::INT, gxmax::INT, gymax::INT,
+         1::BIGINT AS n_members, false AS merged_bbox
+  FROM clean
+)
 """
+
+
+def merge_oracle_sql(
+    cand_sql: str, clean_sql: str, adjacency_sql: str, extra_ctes: str = ""
+) -> str:
+    prefix = f"{extra_ctes}," if extra_ctes else ""
+    return (
+        "WITH RECURSIVE\n"
+        + prefix
+        + merge_oracle_ctes(cand_sql, clean_sql, adjacency_sql)
+        + "\nSELECT * FROM merged_all"
+    )

@@ -1,0 +1,115 @@
+"""Pipeline query surface — the flagship tank inventory (SURVEY §3.1)
+and its fully-oracled UTM variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.labels import (
+    propagate_flags_sql,
+    reclassify_by_size_sql,
+    standardize_label_sql,
+)
+from ..operators.merge import merge_oracle_ctes
+from ..operators.spatial import adjacency_predicate_sql
+from ..plans.tank_inventory import DIST_LIMIT, tank_inventory
+from ..registry import register
+from ..sources.domain_views import domain_ctes
+
+_STD = standardize_label_sql("raw_label", "undefined_object")
+_RECLASS = reclassify_by_size_sql(
+    "cls", "truncated", "difficult", "(gxmax - gxmin)", "(gymax - gymin)"
+)
+
+# candidates keep the standardized label (P17 touches clean boxes only);
+# clean boxes get the sequential-if reclassification.
+_CAND_SQL = f"""
+  SELECT annot_id, tile_key, tile_name, image_name, cls AS object_class,
+         gxmin, gymin, gxmax, gymax
+  FROM (SELECT *, {_STD} AS cls FROM gann)
+  WHERE truncated = 1 OR difficult = 1
+"""
+_CLEAN_SQL = f"""
+  SELECT annot_id, tile_key, tile_name, image_name,
+         {_RECLASS} AS object_class,
+         gxmin, gymin, gxmax, gymax
+  FROM (SELECT *, {_STD} AS cls FROM gann)
+  WHERE NOT (truncated = 1 OR difficult = 1)
+"""
+
+_CTES = (
+    domain_ctes("gann", "counties")
+    + ","
+    + merge_oracle_ctes(_CAND_SQL, _CLEAN_SQL, adjacency_predicate_sql("a", "b", DIST_LIMIT))
+)
+
+_INVENTORY_UTM_ORACLE = f"""
+WITH RECURSIVE
+{_CTES}
+SELECT tank_id, object_class, tile_name, image_names,
+       bbox_xmin_px, bbox_ymin_px, bbox_xmax_px, bbox_ymax_px,
+       utm_projection, utm_minx, utm_miny, utm_maxx, utm_maxy,
+       diameter, merged_bbox,
+       county, state_fips, county_fips, quad_id, capture_date
+FROM (
+  SELECT inv.*, c.county_name AS county, c.state_fips, c.county_fips,
+         row_number() OVER (
+           PARTITION BY inv.tank_id
+           ORDER BY (least(inv.utm_maxx, c.c_maxx) - greatest(inv.utm_minx, c.c_minx))
+                  * (least(inv.utm_maxy, c.c_maxy) - greatest(inv.utm_miny, c.c_miny))
+                  / ((inv.utm_maxx - inv.utm_minx) * (inv.utm_maxy - inv.utm_miny)) DESC,
+                  c.state_fips || c.county_fips) AS rn
+  FROM (
+    SELECT m.component_id AS tank_id, m.object_class, m.tile_name, m.image_names,
+           m.gxmin AS bbox_xmin_px, m.gymin AS bbox_ymin_px,
+           m.gxmax AS bbox_xmax_px, m.gymax AS bbox_ymax_px,
+           t.utm_projection,
+           t.nw_x_utm + m.gxmin::DOUBLE * (t.se_x_utm - t.nw_x_utm) / (t.tile_width::DOUBLE - 1)  AS utm_minx,
+           t.nw_y_utm + m.gymax::DOUBLE * (t.se_y_utm - t.nw_y_utm) / (t.tile_height::DOUBLE - 1) AS utm_miny,
+           t.nw_x_utm + m.gxmax::DOUBLE * (t.se_x_utm - t.nw_x_utm) / (t.tile_width::DOUBLE - 1)  AS utm_maxx,
+           t.nw_y_utm + m.gymin::DOUBLE * (t.se_y_utm - t.nw_y_utm) / (t.tile_height::DOUBLE - 1) AS utm_maxy,
+           least(m.gxmax - m.gxmin, m.gymax - m.gymin)::DOUBLE * 0.6 AS diameter,
+           m.merged_bbox,
+           substr(m.tile_name, 3, 10) AS quad_id,
+           string_split(m.tile_name, '_')[-1] AS capture_date
+    FROM merged_all m JOIN tiles t ON m.tile_key = t.tile_key
+  ) inv
+  JOIN counties c
+    ON least(inv.utm_maxx, c.c_maxx) > greatest(inv.utm_minx, c.c_minx)
+   AND least(inv.utm_maxy, c.c_maxy) > greatest(inv.utm_miny, c.c_miny)
+)
+WHERE rn = 1
+"""
+
+
+@register(
+    "flagship_tank_inventory",
+    oracle=None,  # includes the P9 reprojection UDF + WKT (not SQL-expressible)
+    doc="SURVEY §3.1 flagship: chip annotations -> label pipeline "
+    "(P15-P17) -> per-tile CC merge (A1) -> UTM coords/centroid/diameter "
+    "(P8/P10/P12) -> WGS84 reprojection (P9 pandas UDF) -> county argmax "
+    "join (J8) -> P19 derivations + P11 WKT. One job, ~4 shuffles.",
+    tags=("domain", "pipeline", "bench"),
+)
+def flagship_tank_inventory(spark, sf_dir):
+    return tank_inventory(spark, sf_dir)
+
+
+@register(
+    "d_inventory_utm",
+    oracle=_INVENTORY_UTM_ORACLE,
+    doc="The flagship pipeline minus the P9/P11 reprojection stage — "
+    "every remaining stage (label pipeline, CC merge, coordinate math, "
+    "county argmax, derivations) verified end-to-end against DuckDB.",
+    tags=("domain", "pipeline"),
+)
+def d_inventory_utm(spark, sf_dir):
+    inv = tank_inventory(spark, sf_dir)
+    return inv.select(
+        "tank_id", "object_class", "tile_name", "image_names",
+        "bbox_xmin_px", "bbox_ymin_px", "bbox_xmax_px", "bbox_ymax_px",
+        "utm_projection", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy",
+        "diameter", "merged_bbox",
+        "county", "state_fips", "county_fips", "quad_id", "capture_date",
+    )
