@@ -1,0 +1,80 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Cosine arithmetic runs element-wise in doubles (bit-identical in any
+engine) with the reduction as a sequential left fold in a fixed
+order, so scores — not just rankings — reproduce across engines and
+partitionings.
+
+Scale paths:
+- brute-force top-k: queries broadcast, one pass over the corpus —
+  the correct baseline when queries are few.
+- IVF-style bucketed top-k: restrict the search to the query's
+  cluster (here: the precomputed ``label`` column as the coarse
+  assignment) — the corpus side shuffles once on the bucket key.
+- near-dup pairs: all-pairs within a bucket; at scale this composes
+  with LSH banding exactly like the text near-dup path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# dot product as a sequential left fold over per-element double
+# products. Both Spark's ``aggregate`` and DuckDB's ``list_reduce``
+# fold left-to-right, so the summation order — and therefore every
+# bit of the result — is identical across engines. (Decimal casting
+# is NOT usable here: Spark's double->decimal goes through the
+# shortest string repr, which rounds differently than DuckDB's exact
+# binary expansion.)
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "cast(x as double) * cast(y as double)), "
+    "cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), i -> "
+        f"({a}[i]::DOUBLE) * ({b}[i]::DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, bucket: str | None = None
+) -> DataFrame:
+    """Top-k cosine neighbors per query (excluding self).
+
+    ``queries``: (q_id, q_vec [, bucket]); ``corpus``: (vec_id,
+    embedding [, bucket]). Queries are broadcast — the corpus is
+    scanned once, ranked per query via a window.
+    """
+    cond = F.col("q_id") != F.col("vec_id")
+    if bucket is not None:
+        cond = cond & (F.col(f"q_{bucket}") == F.col(bucket))
+        q = queries.select("q_id", "q_vec", F.col(bucket).alias(f"q_{bucket}"))
+    else:
+        q = queries.select("q_id", "q_vec")
+    j = corpus.join(F.broadcast(q), cond)
+    sim = dot("q_vec", "embedding") / (norm("q_vec") * norm("embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        j.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("int").alias("rank"), "sim")
+    )

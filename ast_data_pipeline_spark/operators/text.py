@@ -1,0 +1,81 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension): language-ID heuristic, quality scoring, token counting,
+document fingerprinting. All native column expressions — the hot path
+stays inside whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "zh": ["de", "le", "shi", "wo", "zai", "you", "he"],
+}
+
+EN_STOPWORDS = STOPWORDS["en"]
+
+BPE_ISH = r"\w+|[^\w\s]"  # word pieces + standalone punctuation
+
+
+def _arr(vals: list[str]) -> str:
+    return "array(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+def _list_sql(vals: list[str]) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+
+def hit_ratio(words: str, vals: list[str]) -> Column:
+    """Fraction of tokens (with multiplicity) in ``vals``."""
+    return F.expr(
+        f"size(filter({words}, w -> array_contains({_arr(vals)}, w)))"
+    ).cast("double") / F.expr(f"size({words})").cast("double")
+
+
+def hit_ratio_sql(words: str, vals: list[str]) -> str:
+    return (
+        f"len(list_filter({words}, w -> list_contains({_list_sql(vals)}, w)))::DOUBLE"
+        f" / len({words})::DOUBLE"
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double") / F.length(
+        text
+    ).cast("double")
+
+
+def punct_ratio_sql(text: str) -> str:
+    return (
+        f"length(regexp_replace({text}, '[^.,;:!?]', '', 'g'))::DOUBLE"
+        f" / length({text})::DOUBLE"
+    )
+
+
+def token_counts(text: Column) -> tuple[Column, Column]:
+    ws = F.size(F.split(text, r"\s+"))
+    bpe = F.regexp_count(text, F.lit(BPE_ISH))
+    return ws, bpe
+
+
+def winnow_fingerprint(words: str, k: int = 5) -> Column:
+    """Document fingerprint: min md5 over word k-grams (the winnowing
+    min-hash flavor of rolling-hash fingerprinting)."""
+    joined = " || ' ' || ".join(f"{words}[i + {j}]" for j in range(k))
+    return F.expr(
+        f"array_min(transform(sequence(0, size({words}) - {k}), i -> md5({joined})))"
+    )
+
+
+def winnow_fingerprint_sql(words: str, k: int = 5) -> str:
+    joined = " || ' ' || ".join(f"{words}[i + {j}]" for j in range(k))
+    return (
+        f"list_min(list_transform(generate_series(1, len({words}) - {k - 1}),"
+        f" i -> md5({joined})))"
+    )

@@ -1,0 +1,213 @@
+"""Deduplication query surface (north-star extensions): exact,
+MinHash+LSH, SimHash, n-gram Jaccard — each oracle-replayed in DuckDB
+with the same md5-based hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    candidate_pairs,
+    char_ngrams,
+    char_ngrams_sql,
+    jaccard_verify,
+    lsh_bands,
+    minhash_signatures,
+    simhash32,
+    simhash_pairs,
+    token_hash32,
+    word_shingles,
+    word_shingles_sql,
+    words_col,
+)
+from ..registry import register
+from ..sources.catalog import load
+
+NUM_HASHES = 12
+ROWS_PER_BAND = 2  # -> 6 bands
+JACCARD_T = 0.35
+MAX_HAMMING = 3
+NGRAM_N = 3
+NGRAM_T = 0.55
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+SELECT min(doc_id)::BIGINT AS canonical_doc_id,
+       count(*)::BIGINT AS n_copies,
+       md5(lower(text)) AS content_hash
+FROM documents
+GROUP BY md5(lower(text))
+""",
+    doc="Exact dedup: hash(normalized text) groupBy; canonical row = min "
+    "doc_id. One shuffle on the 128-bit hash — at 100 TB this is the "
+    "standard first dedup pass.",
+    tags=("dedup", "bench"),
+)
+def x_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_doc_id", "n_copies", "content_hash")
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    band_exprs = ", ".join(
+        "(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH docsets AS (
+  SELECT doc_id, {word_shingles_sql('text', 2)} AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM docsets),
+sig AS (SELECT doc_id, {mins} FROM exploded GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band_id - 1 AS band_id, bandvals[band_id] AS band_val
+  FROM (SELECT doc_id, [{band_exprs}] AS bandvals FROM sig),
+       unnest(generate_series(1, {n_bands})) t(band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+       / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE AS jaccard
+FROM cand JOIN docsets sa ON cand.doc_a = sa.doc_id
+          JOIN docsets sb ON cand.doc_b = sb.doc_id
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= {JACCARD_T}
+"""
+
+
+@register(
+    "x_minhash_lsh_neardup",
+    oracle=_minhash_oracle(),
+    doc="MinHash+LSH near-dup: word-bigram shingles -> 12 md5 minhashes "
+    "-> 6 bands of 2 -> bucket self-join candidates -> exact-Jaccard "
+    "verify on candidates only. Shuffles: shingle agg, band join, two "
+    "set joins — never the full O(n^2) pair space.",
+    tags=("dedup", "bench"),
+)
+def x_minhash_lsh_neardup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    docsets = (
+        docs.filter(F.size("w") >= 2)
+        .select("doc_id", word_shingles(F.col("text"), 2))
+    )
+    exploded = docsets.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = minhash_signatures(exploded, NUM_HASHES)
+    bands = lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND)
+    cand = candidate_pairs(bands)
+    return jaccard_verify(cand, docsets, JACCARD_T)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, ({sig_expr})::BIGINT AS simhash FROM sums),
+banded AS (
+  SELECT doc_id, simhash, b AS byte_id, (simhash >> (8 * b)) & 255 AS byte_val
+  FROM sig, unnest([0, 1, 2, 3]) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b
+    ON a.byte_id = b.byte_id AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {MAX_HAMMING}
+"""
+
+
+@register(
+    "x_simhash_neardup",
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dup: 32-bit per-token md5 hash -> per-bit majority "
+    "vote -> byte banding (pigeonhole: hamming<=3 pairs share a byte) -> "
+    "bit_count(xor) verify.",
+    tags=("dedup",),
+)
+def x_simhash_neardup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    sig = simhash32(toks)
+    return simhash_pairs(sig, MAX_HAMMING).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+@register(
+    "x_ngram_jaccard",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, lang, source, {char_ngrams_sql(NGRAM_N)} AS grams
+  FROM (SELECT doc_id, lang, source, lower(text) AS t FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.grams, b.grams))::DOUBLE
+       / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= {NGRAM_T}
+""",
+    doc="Character 3-gram Jaccard near-dup within (lang, source) buckets "
+    "— the bucketing keys the self-join so the pair space is per-bucket, "
+    "not global.",
+    tags=("dedup",),
+)
+def x_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn("t", F.lower("text"))
+    g = docs.select("doc_id", "lang", "source", char_ngrams(F.col("t"), NGRAM_N).alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    jac = F.size(F.array_intersect("a.grams", "b.grams")).cast("double") / F.size(
+        F.array_union("a.grams", "b.grams")
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_T)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+    )

@@ -1,0 +1,55 @@
+"""Streaming query surface — streaming executions checked against the
+SAME DuckDB oracles as their batch twins (exactly-once file-source
+semantics make the results identical).
+"""
+
+from __future__ import annotations
+
+from ..functions.exact import dsum_sql
+from ..registry import register
+from ..streaming.workqueue import (
+    streaming_tumbling_agg,
+    streaming_workqueue_snapshot,
+)
+
+
+@register(
+    "s_stream_tumbling_agg",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Structured Streaming tumbling-window aggregate (file source -> "
+    "window(ts, 1h) -> memory sink, availableNow trigger) — verified "
+    "against the same oracle as the batch twin: streaming and batch "
+    "must agree exactly.",
+    tags=("streaming",),
+)
+def s_stream_tumbling_agg(spark, sf_dir):
+    return streaming_tumbling_agg(spark, sf_dir)
+
+
+@register(
+    "s_stream_workqueue",
+    oracle="""
+SELECT queue, count(*)::BIGINT AS n,
+       min(event_id)::BIGINT AS min_event_id,
+       max(event_id)::BIGINT AS max_event_id
+FROM (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'labeled' ELSE 'remaining' END AS queue
+  FROM events
+)
+GROUP BY queue
+""",
+    doc="The reference's remaining/labeled work-queue (src/az_proc.py:"
+    "423-445) as an append-only stream: per-record routing in streaming "
+    "mode, snapshot aggregated after completion.",
+    tags=("streaming",),
+)
+def s_stream_workqueue(spark, sf_dir):
+    return streaming_workqueue_snapshot(spark, sf_dir)

@@ -1,0 +1,57 @@
+"""Multimodal query surface: binary payloads + metadata structs.
+
+JVM-side metadata ops keep a DuckDB oracle; the mapInPandas feature
+extraction is rows-only checked by the driver and shape-tested in
+tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import extract_features, with_multimodal_columns
+from ..registry import register
+from ..sources.catalog import load
+
+
+@register(
+    "x_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpg'
+            ELSE 'wav' END AS format,
+       (64 + (doc_id % 16) * 32)::INT AS width,
+       (64 + (doc_id % 9) * 48)::INT AS height,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+""",
+    doc="Multimodal metadata surface: binary payload + typed metadata "
+    "struct; JVM-side ops (octet_length, md5) on the binary column — no "
+    "Python in the path.",
+    tags=("multimodal",),
+)
+def x_multimodal_meta(spark, sf_dir):
+    docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.octet_length("payload").cast("long").alias("byte_len"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+@register(
+    "x_multimodal_features",
+    oracle=None,  # mapInPandas feature extraction; shape-tested in pytest
+    doc="Binary feature extraction via mapInPandas (Arrow binary batches "
+    "in, fixed-schema features out) — deterministic fake decode standing "
+    "in for a real codec (see operators/multimodal.decode_image stub).",
+    tags=("multimodal",),
+)
+def x_multimodal_features(spark, sf_dir):
+    docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
+    return extract_features(docs)

@@ -1,0 +1,125 @@
+"""Similarity-search query surface over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk, dot_sql, norm_sql
+from ..registry import register
+from ..sources.catalog import load
+
+TOPK = 5
+IVF_TOPK = 3
+NEARDUP_T = 0.99
+QUERY_MOD = 97  # vec_id % 97 == 0 -> query set
+
+
+def _queries(spark, sf_dir, with_label: bool):
+    emb = load(spark, sf_dir, "embeddings")
+    cols = [
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    ]
+    if with_label:
+        cols.append(F.col("label"))
+    return emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(*cols)
+
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {dot_sql('q.q_vec', 'e.embedding')}
+           / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) AS sim
+  FROM embeddings e JOIN q ON q.q_id <> e.vec_id
+)
+SELECT q_id, vec_id,
+       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)::INT AS rank,
+       sim
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+@register(
+    "x_cosine_topk",
+    oracle=_TOPK_ORACLE,
+    doc="Brute-force cosine top-k (the ANN baseline): queries broadcast, "
+    "one corpus scan, per-query window rank. Exact-decimal dot products "
+    "make scores bit-identical across engines.",
+    tags=("similarity", "bench"),
+)
+def x_cosine_topk(spark, sf_dir):
+    return cosine_topk(_queries(spark, sf_dir, False), load(spark, sf_dir, "embeddings"), TOPK)
+
+
+_IVF_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {dot_sql('q.q_vec', 'e.embedding')}
+           / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) AS sim
+  FROM embeddings e JOIN q ON q.q_id <> e.vec_id AND q.label = e.label
+)
+SELECT q_id, vec_id,
+       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)::INT AS rank,
+       sim
+FROM scored
+QUALIFY rank <= {IVF_TOPK}
+"""
+
+
+@register(
+    "x_cosine_topk_ivf",
+    oracle=_IVF_ORACLE,
+    doc="IVF-style bucketed top-k: search restricted to the query's "
+    "coarse cluster (the ``label`` column as the precomputed assignment) "
+    "— the 100 TB path where brute force is off the table.",
+    tags=("similarity",),
+)
+def x_cosine_topk_ivf(spark, sf_dir):
+    return cosine_topk(
+        _queries(spark, sf_dir, True),
+        load(spark, sf_dir, "embeddings"),
+        IVF_TOPK,
+        bucket="label",
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {dot_sql('a.embedding', 'b.embedding')}
+         / ({norm_sql('a.embedding')} * {norm_sql('b.embedding')}) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {dot_sql('a.embedding', 'b.embedding')}
+        / ({norm_sql('a.embedding')} * {norm_sql('b.embedding')}) >= {NEARDUP_T}
+"""
+
+
+@register(
+    "x_embedding_neardup",
+    oracle=_NEARDUP_ORACLE,
+    doc="Embedding-cosine near-dup pairs within label buckets (the "
+    "semantic-dedup pass of a training-data pipeline).",
+    tags=("similarity", "dedup"),
+)
+def x_embedding_neardup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    from ..operators.similarity import dot, norm
+
+    sim = dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b"))
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_T)
+        .select("vec_a", "vec_b", "sim")
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis query surface over ``documents``."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    EN_STOPWORDS,
+    STOPWORDS,
+    hit_ratio,
+    hit_ratio_sql,
+    punct_ratio,
+    punct_ratio_sql,
+    token_counts,
+    winnow_fingerprint,
+    winnow_fingerprint_sql,
+)
+from ..registry import register
+from ..sources.catalog import load
+
+_LANGS = sorted(STOPWORDS)  # de, en, es, fr, zh
+
+
+def _langid_pred_sql() -> str:
+    # argmax with lexicographic tie-break == nested CASE over sorted langs
+    best = f"greatest({', '.join(f'score_{l}' for l in _LANGS)})"
+    whens = "\n       ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in _LANGS
+    )
+    return f"(CASE {whens} END)"
+
+
+_SCORES_SQL = ",\n         ".join(
+    f"{hit_ratio_sql('w', STOPWORDS[l])} AS score_{l}" for l in _LANGS
+)
+_SCORE_COLS = ", ".join(f"score_{l}" for l in _LANGS)
+
+
+@register(
+    "x_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_SCORES_SQL}
+  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)
+)
+SELECT doc_id, lang AS actual_lang,
+       {_SCORE_COLS},
+       {_langid_pred_sql()} AS predicted_lang,
+       ({_langid_pred_sql()} = lang) AS correct
+FROM scored
+""",
+    doc="Language-ID heuristic: per-language stopword hit-ratio scores, "
+    "argmax with lexicographic tie-break. (The synthetic corpus is "
+    "language-agnostic word salad — the operator's mechanics, not its "
+    "accuracy, are under test.)",
+    tags=("text",),
+)
+def x_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[hit_ratio("w", STOPWORDS[l]).alias(f"score_{l}") for l in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in _LANGS])
+    # argmax with lexicographic tie-break: first lang (sorted) whose
+    # score equals the max wins — mirrors the oracle's CASE order
+    pred_expr = None
+    for l in _LANGS:
+        cond = F.col(f"score_{l}") == best
+        pred_expr = F.when(cond, F.lit(l)) if pred_expr is None else pred_expr.when(cond, F.lit(l))
+    return scored.select(
+        "doc_id", "actual_lang",
+        *[f"score_{l}" for l in _LANGS],
+        pred_expr.alias("predicted_lang"),
+        (pred_expr == F.col("actual_lang")).alias("correct"),
+    )
+
+
+@register(
+    "x_text_quality",
+    oracle=f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_measured,
+       len(w)::BIGINT AS n_tokens,
+       (length(text)::DOUBLE / len(w)::DOUBLE) AS chars_per_token,
+       {punct_ratio_sql('text')} AS punct_ratio,
+       {hit_ratio_sql('w', EN_STOPWORDS)} AS stopword_ratio,
+       (CASE WHEN len(w) >= 20 AND len(w) <= 400 THEN 1.0 ELSE 0.0 END) * 0.4
+         + least({hit_ratio_sql('w', EN_STOPWORDS)} * 2.0, 1.0) * 0.4
+         + (1.0 - least({punct_ratio_sql('text')} * 10.0, 1.0)) * 0.2 AS quality_score
+FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
+""",
+    doc="Quality scoring: length/punctuation/stopword-ratio heuristics "
+    "composed into a [0,1] score — the standard pre-training filter "
+    "features (Gopher/C4-style rules), all codegen'd expressions.",
+    tags=("text", "bench"),
+)
+def x_text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    n_tok = F.size("w").cast("long")
+    stop = hit_ratio("w", EN_STOPWORDS)
+    punct = punct_ratio(F.col("text"))
+    length_ok = F.when((n_tok >= 20) & (n_tok <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = (
+        length_ok * 0.4
+        + F.least(stop * 2.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct * 10.0, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        (F.length("text").cast("double") / F.size("w").cast("double")).alias(
+            "chars_per_token"
+        ),
+        punct.alias("punct_ratio"),
+        stop.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+@register(
+    "x_token_count",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+'))::INT AS n_ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]'))::INT AS n_bpe_tokens,
+       (n_chars = length(text)) AS n_chars_consistent
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + a BPE-ish regex (word "
+    "pieces and standalone punctuation) — the cost-estimation pass of "
+    "a data pipeline.",
+    tags=("text",),
+)
+def x_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ws, bpe = token_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws.cast("int").alias("n_ws_tokens"),
+        bpe.cast("int").alias("n_bpe_tokens"),
+        (F.col("n_chars") == F.length("text")).alias("n_chars_consistent"),
+    )
+
+
+@register(
+    "x_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_full,
+       {winnow_fingerprint_sql('w')} AS fp_winnow
+FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
+WHERE len(w) >= 5
+""",
+    doc="Document fingerprinting: md5 of whitespace-normalized text "
+    "(exact) + min-hash over word 5-grams (winnowing-style rolling "
+    "fingerprint, robust to local edits).",
+    tags=("text",),
+)
+def x_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    return (
+        docs.filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp_full"),
+            winnow_fingerprint("w").alias("fp_winnow"),
+        )
+    )

@@ -1,0 +1,46 @@
+"""Ship this package to Spark's Python workers.
+
+The engine's pandas-UDF operators (merge, reprojection, multimodal
+features) are module-level functions, so cloudpickle serializes them
+by reference — workers must be able to ``import
+ast_data_pipeline_spark``. When the driver process runs from outside
+the repo (exactly what the verification driver does), the package is
+not on the workers' path. ``ensure_shipped`` zips the package once
+per process and registers it with ``sc.addPyFile``, which puts it on
+every worker's sys.path — the same mechanism used to ship job code to
+a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)

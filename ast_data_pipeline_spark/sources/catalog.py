@@ -34,6 +34,10 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    # make the package importable on Python workers (pandas-UDF ops)
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
         # vectorized reader rejects; read nanos as long and convert to a

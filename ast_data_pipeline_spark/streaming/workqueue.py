@@ -1,0 +1,95 @@
+"""Structured Streaming faces of the engine (SURVEY §2.9).
+
+The reference is batch-only; its incremental flavor is the
+remaining/labeled work-queue updated per allocation round
+(src/az_proc.py:423-445). These operators give that pattern a real
+streaming execution: a file source drives the same declarative
+transforms, and ``run_stream_to_batch`` runs the stream to completion
+synchronously (memory sink + processAllAvailable) so streaming
+results can be compared against the batch oracles — same answers,
+different execution mode.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table_path
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet stores ts as TIMESTAMP(NANOS): stream it as long
+    # nanos (schema must match the legacy-nanos read) and convert.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # the file source needs a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def run_stream_to_batch(agg: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming variant of the tumbling-window aggregate — same output
+    as the batch e_tumbling_window_agg (and the same DuckDB oracle)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_dec"),
+        )
+    )
+    out = run_stream_to_batch(agg, spark, "complete")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
+    )
+
+
+def streaming_workqueue_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The work-queue pattern as a stream: events arrive append-only;
+    each is routed to remaining/labeled by a deterministic predicate
+    (the allocation rule), producing the queue-state snapshot the
+    reference maintains with np.save (src/az_proc.py:423-445)."""
+    ev = _events_stream(spark, sf_dir)
+    routed = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, "labeled")
+        .otherwise("remaining")
+        .alias("queue"),
+    )
+    out = run_stream_to_batch(routed, spark, "append")
+    return out.groupBy("queue").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
