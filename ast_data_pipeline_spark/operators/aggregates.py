@@ -61,24 +61,19 @@ def crosstab_with_margins(
     ``normalize=True``). Output sorted by Total desc then row key, with
     the margin row last (as in the reference CSVs).
     """
-    sanitized = {v: v for v in col_values}
-    pivoted = (
-        df.groupBy(row_key)
-        .pivot(col_key, col_values)
-        .count()
-        .na.fill(0, list(sanitized))
+    # rollup produces the per-key rows AND the grand-total row in ONE
+    # aggregation pass (no margin-union that would re-execute the whole
+    # upstream plan); the NULL rollup key becomes the margin label.
+    # Pivot is spelled as conditional aggregation (rollup().pivot() is
+    # unsupported), which also yields the Total column for free.
+    cells = [
+        F.sum(F.when(F.col(col_key) == v, 1).otherwise(0)).alias(v) for v in col_values
+    ]
+    out = (
+        df.rollup(row_key)
+        .agg(*cells, F.count(F.lit(1)).alias(total_label))
+        .withColumn(row_key, F.coalesce(F.col(row_key), F.lit(total_label)))
     )
-    total_col = None
-    for v in col_values:
-        c = F.col(f"`{v}`")
-        total_col = c if total_col is None else total_col + c
-    pivoted = pivoted.withColumn(total_label, total_col)
-
-    # Margin row: sums of every column with row_key = total_label.
-    margin = pivoted.groupBy().agg(
-        *[F.sum(F.col(f"`{v}`")).alias(v) for v in [*col_values, total_label]]
-    ).withColumn(row_key, F.lit(total_label))
-    out = pivoted.unionByName(margin)
 
     if normalize:
         # grand total = value of the margin row's Total column

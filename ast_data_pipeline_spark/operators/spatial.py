@@ -85,14 +85,28 @@ def assign_county_argmax(tanks: DataFrame, counties_df: DataFrame) -> DataFrame:
     joined = t.join(c, (inter_w > 0) & (inter_h > 0)).withColumn(
         "overlap_frac", inter_w * inter_h / tank_area
     )
-    county_id = F.concat(F.col("c.state_fips"), F.col("c.county_fips"))
-    w = Window.partitionBy("t.annot_id").orderBy(
-        F.col("overlap_frac").desc(), county_id
+    # argmax via max_by hash aggregate (no per-key sort window): max
+    # overlap_frac, ties -> smallest county_id, matching the oracle's
+    # row_number(ORDER BY frac DESC, county_id) exactly.
+    county_num = F.concat(F.col("c.state_fips"), F.col("c.county_fips")).cast("int")
+    payload = F.struct(
+        F.col("c.county_name").alias("county_name"),
+        F.col("c.state_fips").alias("state_fips"),
+        F.col("c.county_fips").alias("county_fips"),
+        F.col("overlap_frac").alias("overlap_frac"),
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    # single pass: group by the full tank row (functionally dependent
+    # on annot_id) so the tank plan is not recomputed for a re-join.
+    group_cols = [F.col(f"t.{name}") for name in tanks.columns]
+    best = joined.groupBy(*group_cols).agg(
+        F.max_by(payload, F.struct(F.col("overlap_frac"), -county_num)).alias("c")
+    )
+    return best.select(
+        *[F.col(name) for name in tanks.columns],
+        F.col("c.county_name").alias("county_name"),
+        F.col("c.state_fips").alias("state_fips"),
+        F.col("c.county_fips").alias("county_fips"),
+        F.col("c.overlap_frac").alias("overlap_frac"),
     )
 
 

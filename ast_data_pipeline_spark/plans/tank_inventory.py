@@ -101,33 +101,33 @@ def tank_inventory(spark: SparkSession, sf_dir: str, dist_limit: int = DIST_LIMI
 
     # 7. P19 derivations + P11 WKT + final projection
     return located.select(
-        F.col("t.component_id").alias("tank_id"),
-        F.col("t.object_class").alias("object_class"),
-        F.col("t.tile_name").alias("tile_name"),
-        F.col("t.image_names").alias("image_names"),
-        F.col("t.gxmin").alias("bbox_xmin_px"),
-        F.col("t.gymin").alias("bbox_ymin_px"),
-        F.col("t.gxmax").alias("bbox_xmax_px"),
-        F.col("t.gymax").alias("bbox_ymax_px"),
-        F.col("t.utm_projection").alias("utm_projection"),
-        F.col("t.utm_minx").alias("utm_minx"),
-        F.col("t.utm_miny").alias("utm_miny"),
-        F.col("t.utm_maxx").alias("utm_maxx"),
-        F.col("t.utm_maxy").alias("utm_maxy"),
-        F.col("t.nw_lon").alias("nw_lon"),
-        F.col("t.nw_lat").alias("nw_lat"),
-        F.col("t.se_lon").alias("se_lon"),
-        F.col("t.se_lat").alias("se_lat"),
-        F.col("t.centroid_lon").alias("centroid_lon"),
-        F.col("t.centroid_lat").alias("centroid_lat"),
+        F.col("component_id").alias("tank_id"),
+        F.col("object_class").alias("object_class"),
+        F.col("tile_name").alias("tile_name"),
+        F.col("image_names").alias("image_names"),
+        F.col("gxmin").alias("bbox_xmin_px"),
+        F.col("gymin").alias("bbox_ymin_px"),
+        F.col("gxmax").alias("bbox_xmax_px"),
+        F.col("gymax").alias("bbox_ymax_px"),
+        F.col("utm_projection").alias("utm_projection"),
+        F.col("utm_minx").alias("utm_minx"),
+        F.col("utm_miny").alias("utm_miny"),
+        F.col("utm_maxx").alias("utm_maxx"),
+        F.col("utm_maxy").alias("utm_maxy"),
+        F.col("nw_lon").alias("nw_lon"),
+        F.col("nw_lat").alias("nw_lat"),
+        F.col("se_lon").alias("se_lon"),
+        F.col("se_lat").alias("se_lat"),
+        F.col("centroid_lon").alias("centroid_lon"),
+        F.col("centroid_lat").alias("centroid_lat"),
         bbox_wkt(
-            F.col("t.nw_lon"), F.col("t.se_lat"), F.col("t.se_lon"), F.col("t.nw_lat")
+            F.col("nw_lon"), F.col("se_lat"), F.col("se_lon"), F.col("nw_lat")
         ).alias("geometry_wkt"),
-        F.col("t.diameter").alias("diameter"),
-        F.col("t.merged_bbox").alias("merged_bbox"),
-        F.col("c.county_name").alias("county"),
-        F.col("c.state_fips").alias("state_fips"),
-        F.col("c.county_fips").alias("county_fips"),
-        F.substring(F.col("t.tile_name"), 3, 10).alias("quad_id"),
-        F.element_at(F.split(F.col("t.tile_name"), "_"), -1).alias("capture_date"),
+        F.col("diameter").alias("diameter"),
+        F.col("merged_bbox").alias("merged_bbox"),
+        F.col("county_name").alias("county"),
+        F.col("state_fips").alias("state_fips"),
+        F.col("county_fips").alias("county_fips"),
+        F.substring(F.col("tile_name"), 3, 10).alias("quad_id"),
+        F.element_at(F.split(F.col("tile_name"), "_"), -1).alias("capture_date"),
     )

@@ -123,7 +123,11 @@ WHERE rn = 1
     tags=("domain", "spatial", "join", "bench"),
 )
 def d_j8_county_argmax(spark, sf_dir):
-    g = g_annotations(spark, sf_dir)
+    # slim the tank side before the join: the argmax groups by the full
+    # tank row, so carrying only the needed columns keeps the shuffle narrow
+    g = g_annotations(spark, sf_dir).select(
+        "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy"
+    )
     c = counties(spark, sf_dir)
     out = assign_county_argmax(g, c)
     return out.select(
@@ -181,8 +185,9 @@ SELECT * FROM (
     tags=("domain", "spatial", "pivot", "bench"),
 )
 def d_distribution_by_county(spark, sf_dir):
-    g = g_annotations(spark, sf_dir).withColumn(
-        "object_class", standardize_label(F.col("raw_label"), "undefined_object")
+    g = g_annotations(spark, sf_dir).select(
+        "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy",
+        standardize_label(F.col("raw_label"), "undefined_object").alias("object_class"),
     )
     located = assign_county_argmax(g, counties(spark, sf_dir)).select(
         F.concat("state_fips", "county_fips").alias("county_id"), "object_class"

@@ -95,7 +95,14 @@ def images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # every derived column is a function of these four keys, so dedup
+    # happens BEFORE the join on the narrowest possible projection —
+    # at scale this is a 4-int-column shuffle instead of a wide-row one.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .dropDuplicates()
+    )
     t = tiles(spark, sf_dir)
     j = li.join(t, li.l_partkey == t.tile_key)
     ok, ln, sk = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_suppkey")
@@ -133,7 +140,7 @@ def annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ymin.alias("ymin"),
         F.least(xmin + w, F.lit(CHIP)).alias("xmax"),
         F.least(ymin + h, F.lit(CHIP)).alias("ymax"),
-    ).distinct()
+    )
 
 
 def g_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,8 +249,7 @@ SQL: dict[str, str] = {
   )
 """,
     "annotations": f"""
-  SELECT DISTINCT
-         ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 10000 + l_suppkey
+  SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 10000 + l_suppkey
            AS annot_id,
          tile_name || '_' ||
            lpad(((l_orderkey * 13 + l_linenumber) % (((tile_height + {CHIP - 1}) // {CHIP})::INT))::VARCHAR, 2, '0')
@@ -260,7 +266,8 @@ SQL: dict[str, str] = {
          (1 + (l_orderkey * 53 + l_suppkey * 29) % 450)::INT AS ymin,
          least((1 + (l_partkey * 37 + l_linenumber * 91) % 450) + 4 + l_orderkey % 60, {CHIP})::INT AS xmax,
          least((1 + (l_orderkey * 53 + l_suppkey * 29) % 450) + 4 + l_suppkey % 60, {CHIP})::INT AS ymax
-  FROM lineitem JOIN tiles ON l_partkey = tile_key
+  FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem)
+       JOIN tiles ON l_partkey = tile_key
 """,
     "gann": f"""
   SELECT annot_id, image_name, a.tile_name, a.tile_key, raw_label,
