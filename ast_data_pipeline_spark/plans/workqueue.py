@@ -1,0 +1,61 @@
+"""Work-queue allocation plan (SURVEY.md §3.2; ref: src/az_proc.py:
+408-445 + download_distribution.py:49-60).
+
+The reference keeps two npy arrays (remaining / labeled) and each
+round: slices the head of remaining, appends it to labeled, asserts
+allocated + remaining == unlabeled. Here the queue is a DataFrame and
+one round is pure transforms: deterministic-order ``limit`` (O3),
+``left_anti`` for the remainder (U2), ``unionByName`` append (U1),
+and a declarative integrity check (U4) that raises like the
+reference does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def allocate_round(
+    remaining: DataFrame, n: int, key: str
+) -> tuple[DataFrame, DataFrame]:
+    """One allocation round: (allocated head-N, new remaining).
+
+    Order stability comes from the explicit sort key — the reference
+    relies on array order, which a distributed table does not have.
+    """
+    allocated = remaining.orderBy(key).limit(n)
+    rest = remaining.join(allocated, key, "left_anti")
+    return allocated, rest
+
+
+def check_integrity(allocated: DataFrame, remaining: DataFrame, total: int) -> None:
+    """U4 (ref: src/az_proc.py:442-445): raise if the split lost rows."""
+    n_a, n_r = allocated.count(), remaining.count()
+    if n_a + n_r != total:
+        raise AssertionError(
+            f"queue integrity violated: allocated={n_a} + remaining={n_r} != {total}"
+        )
+
+
+def run_rounds(queue: DataFrame, key: str, n: int, rounds: int) -> DataFrame:
+    """Run ``rounds`` allocation rounds; returns the per-round summary
+    (round, n_allocated) plus the final queue state."""
+    pool = queue.count()
+    labeled: DataFrame | None = None
+    remaining = queue
+    summaries: list[tuple[int, int]] = []
+    for r in range(1, rounds + 1):
+        allocated, remaining = allocate_round(remaining, n, key)
+        check_integrity(allocated, remaining, pool)
+        n_alloc = allocated.count()
+        pool -= n_alloc
+        labeled = allocated if labeled is None else labeled.unionByName(allocated)
+        summaries.append((r, n_alloc))
+    spark = queue.sparkSession
+    out = spark.createDataFrame(summaries, "round int, n_allocated long")
+    remaining_n = remaining.count()
+    labeled_n = labeled.count() if labeled is not None else 0
+    return out.withColumn("n_remaining_final", F.lit(remaining_n)).withColumn(
+        "n_labeled_final", F.lit(labeled_n)
+    )

@@ -1,0 +1,229 @@
+"""Source/sink query surface (SURVEY.md §2.1) + work-queue / tracking
+pipelines (§3.2, honorable mentions).
+
+The XML and GeoJSON readers are verified by ROUND-TRIP: the engine
+renders documents from a domain view, parses them back with the
+JVM-side reader, and the oracle is the view projection itself — the
+render+parse pair must be the identity.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..plans.workqueue import run_rounds
+from ..registry import register
+from ..sources.catalog import load
+from ..sources.domain_views import annotations, counties, domain_ctes, images, with_domain
+from ..sources.readers import (
+    flatten_geojson_features,
+    parse_voc_xml,
+    read_points_csv,
+    voc_object_fragment,
+    voc_xml_doc,
+)
+
+
+@register(
+    "s3_voc_xml_roundtrip",
+    oracle=with_domain(
+        """
+SELECT image_name, raw_label, truncated, difficult, xmin, ymin, xmax, ymax
+FROM annotations
+""",
+        "annotations",
+    ),
+    doc="S3/K3 Pascal-VOC XML: render per-image documents from the "
+    "annotations view (K3 sink format, ref src/form_calcs.py:552-637), "
+    "parse them back with JVM xpath functions (S3, ref src/az_proc.py:"
+    "793-819). Oracle = the original view: render+parse is the identity.",
+    tags=("source", "domain"),
+)
+def s3_voc_xml_roundtrip(spark, sf_dir):
+    a = annotations(spark, sf_dir)
+    frag = voc_object_fragment(
+        F.col("raw_label"), F.col("truncated"), F.col("difficult"),
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+    )
+    docs = (
+        a.withColumn("frag", frag)
+        .groupBy("image_name")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("frag"))).alias("objects_xml"))
+        .select(voc_xml_doc(F.col("image_name"), F.col("objects_xml")).alias("xml"))
+    )
+    return parse_voc_xml(docs)
+
+
+@register(
+    "s5_geojson_flatten",
+    oracle=with_domain(
+        """
+SELECT county_name, state_fips, county_fips, c_minx, c_miny, c_maxx, c_maxy
+FROM counties
+""",
+        "counties",
+    ),
+    doc="S5 GeoJSON feature scan: render Feature JSON from the counties "
+    "view, parse with from_json + flatten (ref: "
+    "distribution_by_county_state.py:27). Oracle = the view itself.",
+    tags=("source", "domain"),
+)
+def s5_geojson_flatten(spark, sf_dir):
+    c = counties(spark, sf_dir)
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct("county_name", "state_fips", "county_fips").alias("properties"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.array("c_minx", "c_miny", "c_maxx", "c_maxy").alias("bbox"),
+            ).alias("geometry"),
+        )
+    )
+    return flatten_geojson_features(c.select(feature.alias("feature_json")))
+
+
+@register(
+    "s1_csv_variant_schema",
+    oracle="""
+SELECT c_custkey,
+       (c_custkey * 7 % 360 - 180)::DOUBLE AS lon,
+       (c_custkey * 13 % 180 - 90)::DOUBLE AS lat,
+       CASE WHEN c_custkey % 2 = 0 THEN 'xy' ELSE 'lonlat' END AS variant
+FROM customer
+""",
+    doc="S1/F3 CSV scan with variant-schema resolution (ref: "
+    "src/az_proc.py:275-290): two CSVs are written with X,Y vs "
+    "LONGITUDE,LATITUDE headers, read back through the resolver, and "
+    "normalized to lon/lat.",
+    tags=("source",),
+)
+def s1_csv_variant_schema(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") * 7 % 360 - 180).cast("double").alias("lon"),
+        (F.col("c_custkey") * 13 % 180 - 90).cast("double").alias("lat"),
+    )
+    tmp = os.path.join(tempfile.gettempdir(), "ast_csv_variants", os.path.basename(sf_dir.rstrip("/")))
+    xy_path, ll_path = f"{tmp}/xy", f"{tmp}/lonlat"
+    base.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", F.col("lon").alias("X"), F.col("lat").alias("Y")
+    ).write.mode("overwrite").option("header", True).csv(xy_path)
+    base.filter(F.col("c_custkey") % 2 != 0).select(
+        "c_custkey", F.col("lon").alias("LONGITUDE"), F.col("lat").alias("LATITUDE")
+    ).write.mode("overwrite").option("header", True).csv(ll_path)
+    xy = read_points_csv(spark, xy_path).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "lon", "lat",
+        F.lit("xy").alias("variant"),
+    )
+    ll = read_points_csv(spark, ll_path).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "lon", "lat",
+        F.lit("lonlat").alias("variant"),
+    )
+    return xy.unionByName(ll)
+
+
+@register(
+    "d_workqueue_rounds",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS total
+  FROM orders
+)
+SELECT r AS round,
+       (SELECT count(*) FROM ranked WHERE rn > (r - 1) * 200 AND rn <= r * 200)::BIGINT
+         AS n_allocated,
+       (SELECT (max(total) - 600) FROM ranked)::BIGINT AS n_remaining_final,
+       600::BIGINT AS n_labeled_final
+FROM unnest([1, 2, 3]) t(r)
+""",
+    doc="SURVEY §3.2 work-queue: three allocation rounds of 200 over the "
+    "orders queue (O3 limit + U2 anti + U1 append + U4 integrity raise), "
+    "driver-looped like the reference's per-round np.save cycle.",
+    tags=("pipeline", "limit"),
+)
+def d_workqueue_rounds(spark, sf_dir):
+    queue = load(spark, sf_dir, "orders").select("o_orderkey")
+    return run_rounds(queue, "o_orderkey", 200, 3)
+
+
+@register(
+    "d_tracking_pipeline",
+    oracle=f"""
+WITH {domain_ctes('images', 'annotations')},
+tracking AS (
+  SELECT i.image_name, i.tile_name,
+         (a.image_name IS NOT NULL) AS has_annotation,
+         CASE WHEN i.tile_key % 9 = 0 THEN NULL
+              ELSE 'chips/' || i.image_name || '.jpg' END AS pathway
+  FROM images i LEFT JOIN (SELECT DISTINCT image_name FROM annotations) a
+    ON i.image_name = a.image_name
+),
+repaired AS (
+  SELECT image_name, tile_name, has_annotation,
+         coalesce(pathway, 'restored/' || image_name || '.jpg') AS pathway
+  FROM tracking
+),
+alloc AS (
+  SELECT image_name,
+         row_number() OVER (ORDER BY image_name) AS rn
+  FROM repaired WHERE NOT has_annotation
+)
+SELECT r.image_name, r.tile_name, r.has_annotation, r.pathway,
+       (CASE WHEN a.rn IS NOT NULL AND a.rn <= 150
+             THEN (['amy', 'bob', 'cat'])[((a.rn - 1) % 3 + 1)::INT] END) AS verify_coverage
+FROM repaired r LEFT JOIN alloc a ON r.image_name = a.image_name
+""",
+    doc="Tracking-table pipeline (ref: track_annotator_draw.py:22-36 J9 "
+    "build; src/az_proc.py:674-706 J4 pathway repair; :731-758 F7 "
+    "verification allocation) composed as one DataFrame job.",
+    tags=("pipeline", "domain"),
+)
+def d_tracking_pipeline(spark, sf_dir):
+    im = images(spark, sf_dir)
+    ann = annotations(spark, sf_dir).select("image_name").distinct().withColumn(
+        "has", F.lit(True)
+    )
+    tracking = (
+        im.join(ann, "image_name", "left")
+        .select(
+            "image_name",
+            "tile_name",
+            F.coalesce(F.col("has"), F.lit(False)).alias("has_annotation"),
+            F.when(
+                F.col("tile_key") % 9 == 0, F.lit(None)
+            ).otherwise(
+                F.concat(F.lit("chips/"), F.col("image_name"), F.lit(".jpg"))
+            ).alias("pathway"),
+        )
+    )
+    repaired = tracking.withColumn(
+        "pathway",
+        F.coalesce(
+            F.col("pathway"),
+            F.concat(F.lit("restored/"), F.col("image_name"), F.lit(".jpg")),
+        ),
+    )
+    from pyspark.sql import Window
+
+    alloc = (
+        repaired.filter(~F.col("has_annotation"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("image_name")))
+        .select("image_name", "rn")
+    )
+    verifiers = F.array(F.lit("amy"), F.lit("bob"), F.lit("cat"))
+    return (
+        repaired.join(alloc, "image_name", "left")
+        .select(
+            "image_name", "tile_name", "has_annotation", "pathway",
+            F.when(
+                F.col("rn").isNotNull() & (F.col("rn") <= 150),
+                F.element_at(verifiers, ((F.col("rn") - 1) % 3 + 1).cast("int")),
+            ).alias("verify_coverage"),
+        )
+    )

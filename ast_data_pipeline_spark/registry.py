@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "ast_data_pipeline_spark.queries.events_streaming",
     "ast_data_pipeline_spark.queries.pipelines",
     "ast_data_pipeline_spark.queries.multimodal",
+    "ast_data_pipeline_spark.queries.sources_sinks",
 ]
 
 

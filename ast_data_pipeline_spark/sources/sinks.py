@@ -1,0 +1,68 @@
+"""Sinks (SURVEY.md §2.1 K1/K2/K4/K5).
+
+- K1 CSV report sink: tiny report tables -> single CSV (the reference
+  writes pandas .to_csv; we coalesce(1) since reports are small by
+  construction — never used for large outputs).
+- K2 queue snapshot: parquet overwrite keyed by round (replaces the
+  reference's np.save, src/az_proc.py:408-445).
+- K4 inventory export: JSON with geometry as WKT, plus the
+  shapefile-compatible variant with 10-char truncated column names —
+  the reference's ESRI shapefile sink truncates ``object_class`` ->
+  ``object_cla`` etc. (seen at distribution_by_county_state.py:29,32);
+  emitted as a documented legacy-compat artifact.
+- K5 JSON list sink (ref: src/form_calcs.py:54-65).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+
+def write_csv_report(df: DataFrame, path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_queue_snapshot(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def shapefile_compat_columns(df: DataFrame) -> DataFrame:
+    """Truncate column names to the DBF 10-char limit, deduplicating
+    with numeric suffixes the way ESRI writers do; drops list-typed
+    columns (shapefiles cannot carry them — the reference's shp sink
+    drops ``image_name`` the same way)."""
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype.startswith("array"):
+            out = out.drop(name)
+    seen: dict[str, int] = {}
+    renames = []
+    for name in out.columns:
+        short = name[:10]
+        if short in seen:
+            seen[short] += 1
+            suffix = str(seen[short])
+            short = short[: 10 - len(suffix)] + suffix
+        else:
+            seen[short] = 0
+        renames.append((name, short))
+    for old, new in renames:
+        if old != new:
+            out = out.withColumnRenamed(old, new)
+    return out
+
+
+def write_inventory_json(inv: DataFrame, path: str, shp_compat_path: str | None = None) -> None:
+    """K4: full-fidelity JSON (WKT geometry, list columns intact); and
+    optionally the shapefile-compatible truncated flavor."""
+    inv.write.mode("overwrite").json(path)
+    if shp_compat_path:
+        shapefile_compat_columns(inv).write.mode("overwrite").json(shp_compat_path)
+
+
+def write_json_list(values: list, path: str) -> None:
+    """K5: a plain JSON list (driver-side tiny artifact)."""
+    with open(path, "w") as f:
+        json.dump(values, f)

@@ -1,0 +1,70 @@
+"""Sink round-trip tests (SURVEY §2.1 K1/K2/K4/K5)."""
+
+from __future__ import annotations
+
+import json
+
+from ast_data_pipeline_spark.plans.tank_inventory import tank_inventory
+from ast_data_pipeline_spark.sources.sinks import (
+    shapefile_compat_columns,
+    write_csv_report,
+    write_inventory_json,
+    write_json_list,
+    write_queue_snapshot,
+)
+
+
+def test_k4_inventory_json_roundtrip(spark, sf_dir, tmp_path):
+    inv = tank_inventory(spark, sf_dir).limit(200)
+    full, compat = str(tmp_path / "inv"), str(tmp_path / "inv_shp")
+    write_inventory_json(inv, full, shp_compat_path=compat)
+    back = spark.read.json(full)
+    assert back.count() == inv.count()
+    assert "geometry_wkt" in back.columns and "image_names" in back.columns
+    assert back.selectExpr("max(geometry_wkt like 'POLYGON ((%')").collect()[0][0]
+
+    shp = spark.read.json(compat)
+    # DBF 10-char truncation; list column dropped (K4 legacy artifact)
+    assert all(len(c) <= 10 for c in shp.columns)
+    assert "image_names" not in shp.columns
+    assert "object_cla" in shp.columns  # object_class -> object_cla
+
+
+def test_shapefile_compat_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3)], "object_class_a long, object_class_b long, ok long"
+    )
+    out = shapefile_compat_columns(df)
+    assert out.columns == ["object_cla", "object_cl1", "ok"]
+
+
+def test_k1_csv_report_roundtrip(spark, sf_dir, tmp_path):
+    from ast_data_pipeline_spark.registry import load_all
+
+    rep = load_all()["a3_crosstab_margins"].fn(spark, sf_dir)
+    path = str(tmp_path / "report")
+    write_csv_report(rep, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == rep.count()
+    assert set(back.columns) == set(rep.columns)
+
+
+def test_k2_queue_snapshot_overwrite(spark, sf_dir, tmp_path):
+    from ast_data_pipeline_spark.plans.workqueue import allocate_round
+    from ast_data_pipeline_spark.sources.catalog import load
+
+    q = load(spark, sf_dir, "orders").select("o_orderkey")
+    path = str(tmp_path / "queue")
+    alloc, rest = allocate_round(q, 100, "o_orderkey")
+    write_queue_snapshot(rest, path)
+    n1 = spark.read.parquet(path).count()
+    alloc2, rest2 = allocate_round(spark.read.parquet(path), 100, "o_orderkey")
+    write_queue_snapshot(rest2, str(tmp_path / "queue2"))
+    n2 = spark.read.parquet(str(tmp_path / "queue2")).count()
+    assert n1 - n2 == 100
+
+
+def test_k5_json_list(tmp_path):
+    p = str(tmp_path / "list.json")
+    write_json_list(["a", "b"], p)
+    assert json.load(open(p)) == ["a", "b"]
