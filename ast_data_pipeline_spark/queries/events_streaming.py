@@ -34,6 +34,27 @@ def s_stream_tumbling_agg(spark, sf_dir):
 
 
 @register(
+    "s_stream_stateful_counter",
+    oracle="""
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+FROM events
+GROUP BY user_id
+""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user GroupState counter over the event stream; the final "
+    "update-mode emission must equal the batch aggregate (integer "
+    "state -> exact parity).",
+    tags=("streaming", "stateful"),
+)
+def s_stream_stateful_counter(spark, sf_dir):
+    from ..streaming.stateful import streaming_user_counters
+
+    return streaming_user_counters(spark, sf_dir)
+
+
+@register(
     "s_stream_workqueue",
     oracle="""
 SELECT queue, count(*)::BIGINT AS n,
