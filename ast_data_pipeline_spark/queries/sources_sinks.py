@@ -127,6 +127,41 @@ def s1_csv_variant_schema(spark, sf_dir):
     return xy.unionByName(ll)
 
 
+def _s8_oracle() -> str:
+    from ..sources.catalog import TABLES
+
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}.parquet' AS file_name, count(*)::BIGINT AS n_rows FROM {t}"
+        for t in TABLES
+    )
+
+
+@register(
+    "s8_file_catalog",
+    oracle=_s8_oracle(),
+    doc="S8 directory-listing source (ref: src/az_proc.py:61-106 dir "
+    "enumeration; src/form_calcs.py:1058-1066): file catalog via "
+    "input_file_name() — one row per data file with its row count.",
+    tags=("source",),
+)
+def s8_file_catalog(spark, sf_dir):
+    # schemas differ per file, so the catalog is a union of per-file
+    # scans keyed by input_file_name() (the manifest-table pattern)
+    from ..sources.catalog import TABLES
+    from ..sources.catalog import load as _load
+
+    parts = [
+        _load(spark, sf_dir, t).select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name")
+        )
+        for t in TABLES
+    ]
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    return allf.groupBy("file_name").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 @register(
     "d_workqueue_rounds",
     oracle="""
