@@ -16,7 +16,6 @@ from ..operators.dedup import (
     minhash_signatures,
     simhash32,
     simhash_pairs,
-    token_hash32,
     word_shingles,
     word_shingles_sql,
     words_col,

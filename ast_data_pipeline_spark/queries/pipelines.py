@@ -7,7 +7,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.labels import (
-    propagate_flags_sql,
     reclassify_by_size_sql,
     standardize_label_sql,
 )
