@@ -1,0 +1,71 @@
+"""Scale-mechanics tests backing SCALING.md's claims: partition
+pruning on partitioned writes, bucketed co-located joins, salted skew
+joins, AQE availability."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ast_data_pipeline_spark.operators.skew import salted_join
+from ast_data_pipeline_spark.sources.catalog import load
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.date_format("o_orderdate", "yyyy")
+    )
+    path = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == "1998")
+    plan = _plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1), plan[:800]
+    assert back.count() == orders.filter(F.col("o_year") == "1998").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # tables land in ./spark-warehouse (gitignored); dropped on exit
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    lineitem.withColumnRenamed("l_orderkey", "o_orderkey").write.mode("overwrite").bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("lineitem_b")
+    # disable broadcast so the join strategy depends on bucketing alone
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
+        plan = _plan(j)
+        # co-located bucketed join: SMJ without any shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:1200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, "l_orderkey").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4).groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
