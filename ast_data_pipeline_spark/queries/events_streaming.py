@@ -8,9 +8,23 @@ from __future__ import annotations
 from ..functions.exact import dsum_sql
 from ..registry import register
 from ..streaming.workqueue import (
+    streaming_sessionize,
     streaming_tumbling_agg,
     streaming_workqueue_snapshot,
 )
+
+
+@register(
+    "s_stream_sessionize",
+    oracle=None,  # append mode withholds watermark-open tail sessions;
+    # containment vs the batch twin is pytest-checked (test_streaming.py)
+    doc="Gap-based streaming sessionization via session_window(ts, 30m) "
+    "with a 10m watermark, append mode: emits only finalized sessions — "
+    "a strict subset of the batch e_sessionize result by design.",
+    tags=("streaming", "window"),
+)
+def s_stream_sessionize(spark, sf_dir):
+    return streaming_sessionize(spark, sf_dir)
 
 
 @register(

@@ -74,6 +74,30 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """Gap-based sessionization with ``session_window`` in append mode.
+
+    Append emits only watermark-finalized sessions: sessions still
+    open within ``delay`` of the max event time are withheld when the
+    availableNow run terminates — correct streaming semantics, so the
+    result is a SUBSET of the batch sessionization (contained-in
+    checked by tests/test_streaming.py; rows-only at the driver gate).
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", delay)
+    agg = ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_stream_to_batch(agg, spark, "append")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def streaming_workqueue_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The work-queue pattern as a stream: events arrive append-only;
     each is routed to remaining/labeled by a deterministic predicate
