@@ -54,6 +54,37 @@ def norm_sql(a: str) -> str:
     return f"sqrt({dot_sql(a, a)})"
 
 
+def rh_lsh_bucket(vec_col: str, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern over ``n_planes``
+    deterministic pseudo-random hyperplanes).
+
+    Plane coefficients derive from md5 of (plane, coord) — identical in
+    any engine, no RNG state to ship. Cosine-similar vectors land in
+    the same bucket with probability (1 - theta/pi)^n_planes.
+    """
+    bits = []
+    for p in range(n_planes):
+        coeffs = " + ".join(
+            f"((cast(conv(substring(md5('{p}|{i}'), 1, 6), 16, 10) as bigint) % 2001) - 1000)"
+            f" * cast({vec_col}[{i}] as double)"
+            for i in range(dim)
+        )
+        bits.append(f"(case when ({coeffs}) >= 0 then {2**p} else 0 end)")
+    return F.expr("cast(" + " + ".join(bits) + " as int)")
+
+
+def rh_lsh_bucket_sql(vec_col: str, n_planes: int, dim: int) -> str:
+    bits = []
+    for p in range(n_planes):
+        coeffs = " + ".join(
+            f"((('0x' || substr(md5('{p}|{i}'), 1, 6))::BIGINT % 2001) - 1000)"
+            f" * ({vec_col}[{i + 1}]::DOUBLE)"
+            for i in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({coeffs}) >= 0 THEN {2**p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")::INT"
+
+
 def cosine_topk(
     queries: DataFrame, corpus: DataFrame, k: int, bucket: str | None = None
 ) -> DataFrame:

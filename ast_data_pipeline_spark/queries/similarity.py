@@ -4,7 +4,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk, dot_sql, norm_sql
+from ..operators.similarity import (
+    cosine_topk,
+    dot_sql,
+    norm_sql,
+    rh_lsh_bucket,
+    rh_lsh_bucket_sql,
+)
 from ..registry import register
 from ..sources.catalog import load
 
@@ -12,6 +18,8 @@ TOPK = 5
 IVF_TOPK = 3
 NEARDUP_T = 0.99
 QUERY_MOD = 97  # vec_id % 97 == 0 -> query set
+LSH_PLANES = 6
+EMB_DIM = 64
 
 
 def _queries(spark, sf_dir, with_label: bool):
@@ -83,6 +91,49 @@ def x_cosine_topk_ivf(spark, sf_dir):
         load(spark, sf_dir, "embeddings"),
         IVF_TOPK,
         bucket="label",
+    )
+
+
+_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {rh_lsh_bucket_sql('embedding', LSH_PLANES, EMB_DIM)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {dot_sql('q.q_vec', 'e.embedding')}
+           / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) AS sim
+  FROM b e JOIN q ON q.q_id <> e.vec_id AND q.bucket = e.bucket
+)
+SELECT q_id, vec_id,
+       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)::INT AS rank,
+       sim
+FROM scored
+QUALIFY rank <= {IVF_TOPK}
+"""
+
+
+@register(
+    "x_cosine_topk_lsh",
+    oracle=_LSH_ORACLE,
+    doc="Random-hyperplane LSH top-k: 6 deterministic md5-derived "
+    "hyperplanes hash every vector to a sign-pattern bucket; search is "
+    "restricted to the query's bucket (approximate by design, exact "
+    "within the candidate set). The other ANN scale path next to IVF.",
+    tags=("similarity",),
+)
+def x_cosine_topk_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", rh_lsh_bucket("embedding", LSH_PLANES, EMB_DIM)
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    return cosine_topk(
+        q.withColumnRenamed("q_bucket", "bucket"), emb, IVF_TOPK, bucket="bucket"
     )
 
 
