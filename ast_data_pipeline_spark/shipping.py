@@ -22,7 +22,22 @@ from pyspark.sql import SparkSession
 _SHIPPED: set[int] = set()
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Correctness-critical runtime confs, set defensively because the
+    verification driver runs queries on its own SparkSession:
+    - UTC session TZ (timestamp formatting must match the DuckDB oracle)
+    - nanos-as-long legacy read (events.parquet is TIMESTAMP(NANOS))
+    - AQE on (safe, runtime-settable; performance only)
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def ensure_shipped(spark: SparkSession) -> None:
+    # confs are per-SESSION (a driver may hand us a sibling session on
+    # the same context) — set them on every call; they're cheap.
+    ensure_session_confs(spark)
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
