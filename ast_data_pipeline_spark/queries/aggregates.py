@@ -145,6 +145,25 @@ def a4_distinct_profile(spark, sf_dir):
 
 
 @register(
+    "a4_approx_profile",
+    oracle=None,  # HLL/KLL sketches are engine-specific; bounds pytest-checked
+    doc="Approximate profiling: approx_count_distinct (HyperLogLog++) and "
+    "percentile_approx over lineitem — the sketch-based face of A4 for "
+    "cardinalities where exact distinct is too expensive at 100 TB. "
+    "Accuracy bounds asserted in tests/test_approx.py.",
+    tags=("aggregate", "approx"),
+)
+def a4_approx_profile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+        F.percentile_approx("l_quantity", [0.25, 0.75], 10000).alias("qty_quartiles"),
+    )
+
+
+@register(
     "a5_dedup_rows",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
     doc="A5 dedup (ref: src/az_proc.py:251,293 drop_duplicates / np.unique) "
