@@ -141,7 +141,12 @@ def _merge_partition(batches, dist_limit: int):
 
 def merge_tile_annotations(gann: DataFrame, dist_limit: int = 5) -> DataFrame:
     """Merge trunc/difficult candidate boxes per tile (A1); pass clean
-    boxes through unmerged (F5 partition, one scan two branches).
+    boxes through unmerged (F5 partition).
+
+    Physical shape: two pushed-filter scans of the source (candidates /
+    clean) — only the candidate subset shuffles (repartition on
+    tile_key); the clean majority streams through narrow ops. Cheaper
+    at scale than one scan + shuffling every row through the grouped map.
 
     Input needs: annot_id, tile_key, tile_name, image_name,
     object_class, truncated, difficult, gxmin/gymin/gxmax/gymax.
