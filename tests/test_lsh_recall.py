@@ -1,0 +1,35 @@
+"""LSH recall against brute force (deterministic for the fixed corpus
+and fixed md5 hash family): every pair with true Jaccard >= 0.7 must
+be surfaced by the banded MinHash candidates. Measured recall at
+sf0.001 is 1.0; the assertion allows one stray miss so a future
+corpus regen doesn't hard-fail on probabilistic grounds."""
+
+from __future__ import annotations
+
+from ast_data_pipeline_spark.oracle import run_oracle_sql
+from ast_data_pipeline_spark.registry import load_all
+
+_BRUTE = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.7
+"""
+
+
+def test_minhash_recall_on_high_jaccard(spark, sf_dir):
+    truth = {
+        (r.a, r.b) for r in run_oracle_sql(_BRUTE, sf_dir).itertuples()
+    }
+    lsh = load_all()["x_minhash_lsh_neardup"].fn(spark, sf_dir).toPandas()
+    found = {(r.doc_a, r.doc_b) for r in lsh.itertuples()}
+    assert len(truth) > 0
+    missed = truth - found
+    assert len(missed) <= 1, f"LSH missed high-jaccard pairs: {sorted(missed)[:5]}"
