@@ -98,6 +98,72 @@ def e_sessionize(spark, sf_dir):
 
 
 @register(
+    "e_topk_users_by_value",
+    oracle=f"""
+SELECT user_id, total_value, n_events, rank
+FROM (
+  SELECT user_id,
+         {dsum_sql('value')} AS total_value,
+         count(*)::BIGINT AS n_events,
+         row_number() OVER (ORDER BY {dsum_sql('value')} DESC, user_id)::INT AS rank
+  FROM events GROUP BY user_id
+)
+WHERE rank <= 25
+""",
+    doc="Top-K entities by aggregate over the event stream — partial "
+    "agg + a single top-k (TakeOrderedAndProject), no global sort.",
+    tags=("events", "window"),
+)
+def e_topk_users_by_value(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        dsum("value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("total_value").desc(), "user_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 25)
+    )
+
+
+@register(
+    "p_date_functions",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       year(o_orderdate)::INT AS y,
+       month(o_orderdate)::INT AS m,
+       day(o_orderdate)::INT AS d,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate)::INT AS days_since_epoch0
+FROM orders
+""",
+    doc="Date/time function surface: extraction, truncation, interval "
+    "arithmetic, datediff — engine-portable date semantics.",
+    tags=("projection", "dates"),
+)
+def p_date_functions(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+    )
+
+
+@register(
     "e_json_props_extract",
     oracle=f"""
 SELECT event_type,
