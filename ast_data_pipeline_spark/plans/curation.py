@@ -1,0 +1,81 @@
+"""Training-data curation pipeline — the extension-side flagship.
+
+The standard pre-training curation pass, composed from the engine's
+own operators, all declarative:
+
+  1. quality filter   (text.py heuristics, Gopher/C4-style)
+  2. exact dedup      (md5 groupBy, keep min doc_id)
+  3. near-dup drop    (MinHash+LSH candidates -> exact-Jaccard verify;
+                       greedy keep-lowest-id within each dup pair)
+
+Output: the kept documents with their quality scores plus a stage-by-
+stage attrition ledger. Every stage is shuffle-bounded (hash, band
+join) — nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    candidate_pairs,
+    jaccard_verify,
+    lsh_bands,
+    minhash_signatures,
+    word_shingles,
+    words_col,
+)
+from ..operators.text import EN_STOPWORDS, hit_ratio, punct_ratio
+
+QUALITY_MIN = 0.5
+NUM_HASHES = 12
+ROWS_PER_BAND = 2
+JACCARD_T = 0.5
+
+
+def curate(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Returns kept docs: doc_id, lang, source, quality_score, n_tokens."""
+    d = docs.withColumn("w", words_col(F.col("text")))
+    n_tok = F.size("w").cast("long")
+    stop = hit_ratio("w", EN_STOPWORDS)
+    punct = punct_ratio(F.col("text"))
+    length_ok = F.when((n_tok >= 20) & (n_tok <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = (
+        length_ok * 0.4
+        + F.least(stop * 2.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct * 10.0, F.lit(1.0))) * 0.2
+    )
+    scored = d.withColumn("quality_score", quality).withColumn("n_tokens", n_tok)
+
+    # 1. quality gate
+    q = scored.filter(F.col("quality_score") >= QUALITY_MIN)
+
+    # 2. exact dedup: keep min doc_id per content hash
+    wk = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    exact = q.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") == 1).drop("rn")
+
+    # 3. near-dup drop (greedy keep-lowest within verified pairs)
+    docsets = exact.filter(F.size("w") >= 2).select(
+        "doc_id", word_shingles(F.col("text"), 2)
+    )
+    sig = minhash_signatures(
+        docsets.select("doc_id", F.explode("shingles").alias("shingle")), NUM_HASHES
+    )
+    pairs = jaccard_verify(
+        candidate_pairs(lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND)), docsets, JACCARD_T
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = exact.join(losers, "doc_id", "left_anti")
+    return kept.select("doc_id", "lang", "source", "quality_score", "n_tokens")
+
+
+def curation_report(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Attrition ledger: rows surviving each stage."""
+    kept = curate(spark, docs)
+    n_total = docs.count()
+    n_kept = kept.count()
+    return spark.createDataFrame(
+        [("input", n_total), ("kept", n_kept), ("dropped", n_total - n_kept)],
+        "stage string, n long",
+    )

@@ -168,6 +168,83 @@ def x_simhash_neardup(spark, sf_dir):
     )
 
 
+def _curation_oracle() -> str:
+    from ..operators.text import EN_STOPWORDS, hit_ratio_sql, punct_ratio_sql
+
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    band_exprs = ", ".join(
+        "(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + ")"
+        for b in range(n_bands)
+    )
+    stop = hit_ratio_sql("w", EN_STOPWORDS)
+    punct = punct_ratio_sql("text")
+    quality = (
+        f"(CASE WHEN len(w) >= 20 AND len(w) <= 400 THEN 1.0 ELSE 0.0 END) * 0.4"
+        f" + least({stop} * 2.0, 1.0) * 0.4"
+        f" + (1.0 - least({punct} * 10.0, 1.0)) * 0.2"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text, w,
+         {quality} AS quality_score,
+         len(w)::BIGINT AS n_tokens
+  FROM (SELECT *, string_split(lower(text), ' ') AS w FROM documents)
+),
+q AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+exact AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+docsets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])) AS shingles
+  FROM exact WHERE len(w) >= 2
+),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM docsets),
+sig AS (SELECT doc_id, {mins} FROM exploded GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band_id - 1 AS band_id, bandvals[band_id] AS band_val
+  FROM (SELECT doc_id, [{band_exprs}] AS bandvals FROM sig),
+       unnest(generate_series(1, {n_bands})) t(band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cand JOIN docsets sa ON cand.doc_a = sa.doc_id
+            JOIN docsets sb ON cand.doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= 0.5
+)
+SELECT doc_id, lang, source, quality_score, n_tokens
+FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@register(
+    "x_curation_pipeline",
+    oracle=_curation_oracle(),
+    doc="End-to-end training-data curation (the extension-side "
+    "flagship): quality gate (Gopher/C4-style score >= 0.5) -> exact "
+    "dedup keep-min-id -> MinHash/LSH near-dup drop (greedy keep-lowest "
+    "within verified Jaccard >= 0.5 pairs). Every stage shuffle-bounded.",
+    tags=("dedup", "text", "pipeline", "bench"),
+)
+def x_curation_pipeline(spark, sf_dir):
+    from ..plans.curation import curate
+
+    return curate(spark, load(spark, sf_dir, "documents"))
+
+
 @register(
     "x_ngram_jaccard",
     oracle=f"""
