@@ -128,6 +128,60 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def minhash_neardup_compact(
+    docsets: DataFrame,
+    num_hashes: int,
+    rows_per_band: int,
+    threshold: float,
+    doc_col: str = "doc_id",
+    set_col: str = "shingles",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs in one compact flow.
+
+    The shingle set rides along through the signature aggregation and
+    the band self-join, so verification needs no re-join of the doc-set
+    table: one agg shuffle + one band-join shuffle + a final dedup. The
+    classic 3-join layout (see ``jaccard_verify``) shuffles the arrays
+    twice anyway — carrying them once through the band join moves the
+    same bytes in fewer stages.
+    """
+    exploded = docsets.select(doc_col, set_col, F.explode(set_col).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(doc_col).agg(F.first(set_col).alias(set_col), *aggs)
+    n_bands = num_hashes // rows_per_band
+    bands_arr = F.array(
+        *[
+            F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        doc_col, set_col, F.posexplode(bands_arr).alias("band_id", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    jac = F.size(F.array_intersect(f"a.{set_col}", f"b.{set_col}")).cast(
+        "double"
+    ) / F.size(F.array_union(f"a.{set_col}", f"b.{set_col}")).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{doc_col}") < F.col(f"b.{doc_col}")),
+        )
+        .select(
+            F.col(f"a.{doc_col}").alias("doc_a"),
+            F.col(f"b.{doc_col}").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
 # ---- simhash -----------------------------------------------------------
 
 def token_hash32(tok: Column) -> Column:

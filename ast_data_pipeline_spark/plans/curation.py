@@ -19,10 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    candidate_pairs,
-    jaccard_verify,
-    lsh_bands,
-    minhash_signatures,
+    minhash_neardup_compact,
     word_shingles,
     words_col,
 )
@@ -59,12 +56,7 @@ def curate(spark: SparkSession, docs: DataFrame) -> DataFrame:
     docsets = exact.filter(F.size("w") >= 2).select(
         "doc_id", word_shingles(F.col("text"), 2)
     )
-    sig = minhash_signatures(
-        docsets.select("doc_id", F.explode("shingles").alias("shingle")), NUM_HASHES
-    )
-    pairs = jaccard_verify(
-        candidate_pairs(lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND)), docsets, JACCARD_T
-    )
+    pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = exact.join(losers, "doc_id", "left_anti")
     return kept.select("doc_id", "lang", "source", "quality_score", "n_tokens")

@@ -8,12 +8,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    candidate_pairs,
     char_ngrams,
     char_ngrams_sql,
-    jaccard_verify,
-    lsh_bands,
-    minhash_signatures,
+    minhash_neardup_compact,
     simhash32,
     simhash_pairs,
     word_shingles,
@@ -109,11 +106,7 @@ def x_minhash_lsh_neardup(spark, sf_dir):
         docs.filter(F.size("w") >= 2)
         .select("doc_id", word_shingles(F.col("text"), 2))
     )
-    exploded = docsets.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = minhash_signatures(exploded, NUM_HASHES)
-    bands = lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND)
-    cand = candidate_pairs(bands)
-    return jaccard_verify(cand, docsets, JACCARD_T)
+    return minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
 
 
 def _simhash_oracle() -> str:
