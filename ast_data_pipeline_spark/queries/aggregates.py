@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dsum_sql
+from ..functions.exact import davg_sql, dsum, dsum_sql
 from ..operators.aggregates import crosstab_with_margins, pricing_summary
 from ..registry import register
 from ..sources.catalog import load
@@ -141,6 +141,35 @@ def a4_distinct_profile(spark, sf_dir):
         F.countDistinct("o_orderpriority").alias("n_priority"),
         F.countDistinct("o_custkey").alias("n_custkeys"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey,
+       {dsum_sql('l_quantity')} AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey
+HAVING round(sum((l_quantity)::DECIMAL(30,10)), 4)::DOUBLE > 150
+ORDER BY total_qty DESC, o_orderkey
+""",
+    doc="TPC-H Q18 shape: aggregate-with-HAVING over a join — the "
+    "post-aggregation filter face (HAVING == filter after groupBy).",
+    tags=("aggregate", "join"),
+)
+def q18_large_volume_customers(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
     )
 
 
