@@ -1,0 +1,117 @@
+"""Temporal-join queries over ``events``: as-of join and interval
+(range) join.  Not present in the reference (its pipelines are
+file-batch; see SURVEY §2.9) — added as first-class engine surface for
+event-time analytics, with DuckDB ``ASOF JOIN`` / theta-join oracles
+as independent formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, dsum_sql
+from ..operators.temporal import asof_join, range_join_binned
+from ..registry import register
+from ..sources.catalog import load
+
+
+@register(
+    "t_asof_join",
+    oracle="""
+SELECT a.event_id,
+       a.user_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       b.event_id AS purchase_event_id,
+       b.value    AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+""",
+    doc="Backward as-of join: each click picks the user's most recent "
+    "purchase at-or-before it. Spark side is the union+window plan "
+    "(one shuffle on user_id, no pair explosion); the oracle is "
+    "DuckDB's native ASOF JOIN — an independent engine formulation.",
+    tags=("temporal", "join", "bench"),
+)
+def t_asof_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["p_event_id", "value"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("p_event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
+@register(
+    "t_range_join",
+    oracle=f"""
+WITH days AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                TIMESTAMP '2024-01-30',
+                                INTERVAL '1 day')) AS day
+),
+iv AS (
+  SELECT day, day + INTERVAL '9 hours' AS start_ts,
+              day + INTERVAL '17 hours' AS end_ts
+  FROM days
+)
+SELECT strftime(iv.day, '%Y-%m-%d') AS window_day,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT e.user_id)::BIGINT AS n_users,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e
+JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY 1
+""",
+    doc="Point-in-interval range join: events falling inside each day's "
+    "09:00-17:00 business window. Spark side bins both sides to hour "
+    "buckets and equi-joins on bucket (hash shuffle, no "
+    "BroadcastNestedLoopJoin) + residual range filter; the oracle is a "
+    "plain theta join.",
+    tags=("temporal", "join"),
+)
+def t_range_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    iv = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(timestamp'2024-01-01 00:00:00',"
+                    " timestamp'2024-01-30 00:00:00', interval 1 day)"
+                )
+            ).alias("day")
+        )
+        .select(
+            "day",
+            F.expr("day + interval 9 hours").alias("start_ts"),
+            F.expr("day + interval 17 hours").alias("end_ts"),
+        )
+    )
+    joined = range_join_binned(
+        ev, iv, ts_col="ts", start_col="start_ts", end_col="end_ts",
+        bucket="1 hour",
+    )
+    return joined.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("window_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+    )
