@@ -237,3 +237,145 @@ def a6_distinct_by_key_first(spark, sf_dir):
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
         )
     )
+
+
+# ---- multi-level aggregation (ROLLUP / CUBE / GROUPING SETS) -----------
+# Not in the reference (its crosstab A3 hand-builds one margin level;
+# src/volume_estimation.py pd.crosstab margins=True) — ROLLUP/CUBE
+# generalize that to the full lattice, computed in ONE pass: Spark
+# expands grouping sets inside a single hash-aggregate + one shuffle,
+# not one job per level.
+
+_GID_SQL = (
+    "(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus))::BIGINT AS gid"
+)
+
+
+@register(
+    "a_rollup_priority_status",
+    oracle=f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')  AS status,
+       {_GID_SQL},
+       count(*)::BIGINT AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    doc="Hierarchical subtotals: (priority, status) -> (priority) -> "
+    "grand total, one hash-aggregate pass. grouping_id() disambiguates "
+    "subtotal rows from real NULL groups.",
+    tags=("aggregate", "rollup"),
+)
+def a_rollup_priority_status(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+@register(
+    "a_cube_priority_status",
+    oracle=f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')  AS status,
+       {_GID_SQL},
+       count(*)::BIGINT AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    doc="Full lattice: every subset of {priority, status} in one pass.",
+    tags=("aggregate", "rollup"),
+)
+def a_cube_priority_status(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+@register(
+    "a_grouping_sets",
+    oracle=f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(strftime(date_trunc('month', o_orderdate), '%Y-%m'), 'ALL') AS month,
+       count(*)::BIGINT AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (date_trunc('month', o_orderdate)))
+""",
+    doc="Explicit GROUPING SETS: per-priority totals and per-month "
+    "totals from one scan (SQL face; Spark expands both sets in a "
+    "single Expand + hash-aggregate).",
+    tags=("aggregate", "rollup"),
+)
+def a_grouping_sets(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(date_format(date_trunc('month', o_orderdate), 'yyyy-MM'), 'ALL') AS month,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders_gs
+GROUP BY GROUPING SETS ((o_orderpriority), (date_trunc('month', o_orderdate)))
+"""
+    )
+
+
+@register(
+    "a_unpivot_measures",
+    oracle=f"""
+SELECT o_orderpriority, metric, value
+FROM (
+  SELECT o_orderpriority,
+         count(*)::DOUBLE AS n_orders,
+         {dsum_sql('o_totalprice')} AS sum_total,
+         {davg_sql('o_totalprice')} AS avg_total
+  FROM orders GROUP BY 1
+) UNPIVOT (value FOR metric IN (n_orders, sum_total, avg_total))
+""",
+    doc="Wide->long reshape (melt): per-priority measure matrix "
+    "unpivoted to (priority, metric, value) rows. Spark unpivot == "
+    "DuckDB UNPIVOT.",
+    tags=("aggregate", "reshape"),
+)
+def a_unpivot_measures(spark, sf_dir):
+    from ..functions.exact import davg
+
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+        davg("o_totalprice").alias("avg_total"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_orders", "sum_total", "avg_total"],
+        "metric", "value",
+    )
