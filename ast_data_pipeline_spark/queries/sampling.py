@@ -1,0 +1,90 @@
+"""Deterministic sampling for training-data pipelines.
+
+At 100 TB you never sample with ``rand()`` — re-runs must select the
+same rows (resumable jobs, reproducible ablations), and sampling must
+be a pushdown-friendly filter, not a shuffle.  The standard trick is a
+*hash gate*: keep a row iff ``md5(key)`` falls below a threshold.
+md5's hex digits are uniform, the filter is embarrassingly parallel,
+needs no state, and both engines compute the identical digest, so the
+DuckDB oracle replays the exact row selection.
+
+Threshold arithmetic: the first two hex chars are uniform over 256
+values, so a lexicographic cutoff ``< '40'`` keeps 64/256 = 25%,
+``< '80'`` keeps 50%, ``< '1a'`` keeps ~10.2%.
+
+The reference has no sampling operator (it slices dataframes by
+position, e.g. verification-set allocation src/az_proc.py:760-781);
+the hash gate is its scalable replacement and also powers the F7-style
+allocation split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load
+
+
+def hash_gate(key_col, threshold_hex: str):
+    """True iff the row is inside the sample: first 2 md5 hex chars of
+    the key are below ``threshold_hex`` (2 lowercase hex digits)."""
+    return F.substring(F.md5(key_col.cast("string")), 1, 2) < threshold_hex
+
+
+def hash_gate_sql(key_expr: str, threshold_hex: str) -> str:
+    return f"substr(md5(({key_expr})::VARCHAR), 1, 2) < '{threshold_hex}'"
+
+
+@register(
+    "x_hash_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {hash_gate_sql('doc_id', '1a')}
+""",
+    doc="Deterministic ~10% sample of documents via md5 hash gate — "
+    "stateless, re-runnable, pushes down as a plain filter.",
+    tags=("sampling", "extension"),
+)
+def x_hash_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(hash_gate(F.col("doc_id"), "1a")).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "x_stratified_sample",
+    oracle=f"""
+WITH rates AS (
+  SELECT source, CASE WHEN (substr(source, 4)::INT) % 2 = 0
+                      THEN '40' ELSE '80' END AS cutoff
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN rates r USING (source)
+WHERE substr(md5(d.doc_id::VARCHAR), 1, 2) < r.cutoff
+""",
+    doc="Stratified deterministic sample: per-stratum rates (25% for "
+    "even-numbered sources, 50% for odd) via a broadcast-joined rates "
+    "dim + hash gate — the reproducible form of df.sampleBy().",
+    tags=("sampling", "extension"),
+)
+def x_stratified_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    rates = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "cutoff",
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit("40")
+            ).otherwise(F.lit("80")),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.col("cutoff"))
+        .select("doc_id", "source", "lang")
+    )

@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "ast_data_pipeline_spark.queries.events",
     "ast_data_pipeline_spark.queries.temporal",
     "ast_data_pipeline_spark.queries.sampling",
+    "ast_data_pipeline_spark.queries.tpch_shapes",
     "ast_data_pipeline_spark.queries.events_streaming",
     "ast_data_pipeline_spark.queries.pipelines",
     "ast_data_pipeline_spark.queries.multimodal",
