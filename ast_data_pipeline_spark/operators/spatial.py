@@ -124,3 +124,63 @@ ARGMAX_COUNTY_SQL_BODY = """
      AND least(t.utm_maxy, c.c_maxy) > greatest(t.utm_miny, c.c_miny)
   )
 """
+
+
+def grid_cell_intersect_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_box: tuple[str, str, str, str],
+    b_box: tuple[str, str, str, str],
+    cell: float,
+) -> DataFrame:
+    """Rectangle-intersect join WITHOUT broadcasting either side — the
+    scale path for when the polygon side outgrows a broadcast (the
+    module docstring's promised upgrade).
+
+    PBSM-style grid partitioning: both sides explode into the grid
+    cells their bbox covers, an equi-join on (cx, cy) shuffles matched
+    cells together, an exact intersect predicate refines, and the
+    *reference-point rule* keeps each pair only in the cell containing
+    the intersection's min corner — duplicate elimination without a
+    ``distinct`` shuffle.  Cost: one hash shuffle of each side sized by
+    its cell fan-out (pick ``cell`` near the median rectangle size).
+
+    Returns all columns of ``a`` then ``b`` for strictly-overlapping
+    pairs (zero-area touches excluded, matching J8's ``inter_w > 0``).
+    """
+
+    def cells(box: tuple[str, str, str, str]) -> Column:
+        minx, miny, maxx, maxy = box
+        return F.explode(
+            F.expr(
+                f"flatten(transform(sequence(floor({minx} / {cell}), floor({maxx} / {cell})), "
+                f"cx -> transform(sequence(floor({miny} / {cell}), floor({maxy} / {cell})), "
+                f"cy -> struct(cx, cy))))"
+            )
+        )
+
+    ea = a.withColumn("__cell", cells(a_box)).select(
+        "*", F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy")
+    ).drop("__cell")
+    eb = b.withColumn("__cell", cells(b_box)).select(
+        "*", F.col("__cell.cx").alias("__bcx"), F.col("__cell.cy").alias("__bcy")
+    ).drop("__cell")
+
+    aminx, aminy, amaxx, amaxy = (F.col(c) for c in a_box)
+    bminx, bminy, bmaxx, bmaxy = (F.col(c) for c in b_box)
+    inter_minx = F.greatest(aminx, bminx)
+    inter_miny = F.greatest(aminy, bminy)
+    overlap = (F.least(amaxx, bmaxx) > inter_minx) & (
+        F.least(amaxy, bmaxy) > inter_miny
+    )
+    ref_point_here = (F.floor(inter_minx / cell) == F.col("__cx")) & (
+        F.floor(inter_miny / cell) == F.col("__cy")
+    )
+    return (
+        ea.join(
+            eb,
+            (F.col("__cx") == F.col("__bcx")) & (F.col("__cy") == F.col("__bcy")),
+        )
+        .where(overlap & ref_point_here)
+        .drop("__cx", "__cy", "__bcx", "__bcy")
+    )

@@ -195,3 +195,45 @@ def d_distribution_by_county(spark, sf_dir):
     return crosstab_with_margins(
         located, "county_id", "object_class", list(CANONICAL_CLASSES)
     )
+
+
+@register(
+    "d_j8_grid_cell_pairs",
+    oracle=with_domain(
+        """
+SELECT g.annot_id, c.county_name,
+       c.state_fips || c.county_fips AS fips
+FROM gann g JOIN counties c
+  ON least(g.utm_maxx, c.c_maxx) > greatest(g.utm_minx, c.c_minx)
+ AND least(g.utm_maxy, c.c_maxy) > greatest(g.utm_miny, c.c_miny)
+""",
+        "gann",
+        "counties",
+    ),
+    doc="J8's intersect join re-planned for a NON-broadcastable polygon "
+    "side: PBSM grid-cell equi-join (operators/spatial."
+    "grid_cell_intersect_join) with reference-point dedup — no "
+    "BroadcastNestedLoopJoin, no distinct. Oracle is the plain theta "
+    "join; results must be identical to the broadcast path.",
+    tags=("domain", "spatial", "join", "scale"),
+)
+def d_j8_grid_cell_pairs(spark, sf_dir):
+    from ..operators.spatial import grid_cell_intersect_join
+    from ..sources.domain_views import g_annotations
+
+    tanks = g_annotations(spark, sf_dir).select(
+        "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy"
+    )
+    cts = counties(spark, sf_dir)
+    pairs = grid_cell_intersect_join(
+        tanks,
+        cts,
+        ("utm_minx", "utm_miny", "utm_maxx", "utm_maxy"),
+        ("c_minx", "c_miny", "c_maxx", "c_maxy"),
+        cell=10000.0,
+    )
+    return pairs.select(
+        "annot_id",
+        "county_name",
+        F.concat("state_fips", "county_fips").alias("fips"),
+    )

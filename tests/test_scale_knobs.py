@@ -69,3 +69,33 @@ def test_salted_join_equivalence(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_grid_cell_join_equals_broadcast_theta(spark, sf_dir):
+    from ast_data_pipeline_spark.operators.spatial import grid_cell_intersect_join
+    from ast_data_pipeline_spark.sources.domain_views import counties, g_annotations
+
+    tanks = g_annotations(spark, sf_dir).select(
+        "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy"
+    )
+    cts = counties(spark, sf_dir)
+    grid = grid_cell_intersect_join(
+        tanks, cts,
+        ("utm_minx", "utm_miny", "utm_maxx", "utm_maxy"),
+        ("c_minx", "c_miny", "c_maxx", "c_maxy"),
+        cell=10000.0,
+    ).select("annot_id", "state_fips", "county_fips")
+
+    t, c = tanks.alias("t"), F.broadcast(cts).alias("c")
+    theta = t.join(
+        c,
+        (F.least(F.col("t.utm_maxx"), F.col("c.c_maxx"))
+         > F.greatest(F.col("t.utm_minx"), F.col("c.c_minx")))
+        & (F.least(F.col("t.utm_maxy"), F.col("c.c_maxy"))
+           > F.greatest(F.col("t.utm_miny"), F.col("c.c_miny"))),
+    ).select("annot_id", "state_fips", "county_fips")
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(grid) == key(theta)
+    plan = _plan(grid)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
