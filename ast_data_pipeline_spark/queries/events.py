@@ -189,3 +189,141 @@ def e_json_props_extract(spark, sf_dir):
             davg("k").alias("avg_k"),
         )
     )
+
+
+@register(
+    "e_funnel_stages",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+)
+SELECT s1.user_id,
+       (1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT)::BIGINT AS stage,
+       strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS first_click_ts,
+       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS first_purchase_ts
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+    doc="Ordered funnel (signup -> click -> purchase): stage thresholds "
+    "computed as nested conditional-min WINDOW functions over ONE "
+    "user_id partition — a single shuffle, vs the oracle's 3-join "
+    "formulation. The standard sequential-conversion analytics shape.",
+    tags=("events", "window", "bench"),
+)
+def e_funnel_stages(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    with_t1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")), F.col("ts"))
+    ).over(w)
+    with_t2 = with_t1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")), F.col("ts"))
+    ).over(w)
+    per_user = (
+        with_t2.withColumn("t3", t3)
+        .filter(F.col("t1").isNotNull())
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    ).cast("long")
+    return per_user.select(
+        "user_id",
+        stage.alias("stage"),
+        F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("first_click_ts"),
+        F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("first_purchase_ts"),
+    )
+
+
+@register(
+    "e_activity_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - (row_number() OVER (PARTITION BY user_id ORDER BY day))::INT AS anchor
+  FROM days
+)
+SELECT user_id,
+       strftime(min(day), '%Y-%m-%d') AS island_start,
+       strftime(max(day), '%Y-%m-%d') AS island_end,
+       count(*)::BIGINT AS n_days
+FROM grp GROUP BY user_id, anchor
+""",
+    doc="Gaps-and-islands: consecutive active days collapse to one "
+    "island via the day - row_number() anchor trick; one shuffle on "
+    "user_id shared by the window and the groupBy.",
+    tags=("events", "window"),
+)
+def e_activity_islands(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("anchor")
+    )
+
+
+@register(
+    "e_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7)::BIGINT AS week_offset,
+       count(DISTINCT e.user_id)::BIGINT AS n_active
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+""",
+    doc="Cohort retention matrix: users bucketed by first-seen week, "
+    "activity counted per week offset. first-seen agg + re-join on "
+    "user_id; both shuffles on the same key so AQE coalesces them.",
+    tags=("events",),
+)
+def e_cohort_retention(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(firsts, "user_id")
+    week_offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        joined.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            week_offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
