@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     cosine_topk,
+    dot,
     dot_sql,
+    norm,
     norm_sql,
     rh_lsh_bucket,
     rh_lsh_bucket_sql,
@@ -173,4 +175,56 @@ def x_embedding_neardup(spark, sf_dir):
         .withColumn("sim", sim)
         .filter(F.col("sim") >= NEARDUP_T)
         .select("vec_a", "vec_b", "sim")
+    )
+
+
+K_CENTROIDS = 8  # deterministic seed centroids: vec_id < 8
+
+
+@register(
+    "x_kmeans_assign",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < {K_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {dot_sql('e.embedding', 'c.cvec')}
+           / ({norm_sql('e.embedding')} * {norm_sql('c.cvec')}) AS sim
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cid AS centroid_id, sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+""",
+    doc="Vector-quantization / k-means assignment step: every embedding "
+    "goes to its nearest of K deterministic seed centroids (vec_id<8 "
+    "stands in for a kmeans|| init). Centroids broadcast; one "
+    "map-side pass + hash-aggregate argmax, no shuffle of the vector "
+    "side beyond the agg. Full Lloyd iterations would repeat this "
+    "assignment with recomputed means (float-sum order makes iterated "
+    "centroids non-bit-reproducible, so the oracle pins the "
+    "assignment step).",
+    tags=("similarity", "extension"),
+)
+def x_kmeans_assign(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (
+            dot("embedding", "cvec") / (norm("embedding") * norm("cvec"))
+        ).alias("sim"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cid"), F.col("sim")), F.struct(F.col("sim"), -F.col("cid"))
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id", F.col("b.cid").alias("centroid_id"), F.col("b.sim").alias("sim")
     )
