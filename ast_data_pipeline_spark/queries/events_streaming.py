@@ -88,3 +88,38 @@ GROUP BY queue
 )
 def s_stream_workqueue(spark, sf_dir):
     return streaming_workqueue_snapshot(spark, sf_dir)
+
+
+@register(
+    "s_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming deduplication: dropDuplicates(user_id, event_type) "
+    "over the event stream (state-store keyed dedup, append mode); "
+    "emitting only key columns makes the result order-insensitive and "
+    "exactly equal to batch SELECT DISTINCT.",
+    tags=("streaming",),
+)
+def s_stream_dedup(spark, sf_dir):
+    from ..streaming.workqueue import streaming_distinct_pairs
+
+    return streaming_distinct_pairs(spark, sf_dir)
+
+
+@register(
+    "s_stream_static_join",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_events,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+GROUP BY 1
+""",
+    doc="Stream-static join: per-micro-batch broadcast of the customer "
+    "dim onto the event stream, aggregated per market segment in "
+    "complete mode — equals the batch join exactly.",
+    tags=("streaming", "join"),
+)
+def s_stream_static_join(spark, sf_dir):
+    from ..streaming.workqueue import streaming_static_join_agg
+
+    return streaming_static_join_agg(spark, sf_dir)

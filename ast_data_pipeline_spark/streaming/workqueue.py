@@ -117,3 +117,45 @@ def streaming_workqueue_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` over the event stream
+    keyed on (user_id, event_type).
+
+    Only the key columns are emitted, so the result is insensitive to
+    WHICH physical row the state store saw first (micro-batch file
+    order is not deterministic across partitions) — output equals
+    ``SELECT DISTINCT`` exactly.  Unbounded key state is fine under an
+    availableNow replay; a live 100 TB deployment would switch to
+    ``dropDuplicatesWithinWatermark`` to bound the state store at the
+    cost of re-emitting keys that fall silent past the watermark.
+    """
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_stream_to_batch(dedup, spark, "append")
+
+
+def streaming_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriches against the static
+    customer dimension (broadcast per micro-batch, no stream-side
+    state), then aggregates per market segment in complete mode."""
+    ev = _events_stream(spark, sf_dir)
+    cust = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id + 1 == cust.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_dec"),
+    )
+    out = run_stream_to_batch(agg, spark, "complete")
+    return out.select(
+        "c_mktsegment",
+        "n_events",
+        F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
+    )
