@@ -379,3 +379,74 @@ def a_unpivot_measures(spark, sf_dir):
         ["o_orderpriority"], ["n_orders", "sum_total", "avg_total"],
         "metric", "value",
     )
+
+
+@register(
+    "a_mode_median",
+    oracle="""
+WITH cnt AS (
+  SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+  FROM orders GROUP BY 1, 2
+),
+mode_t AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority
+  FROM cnt
+  QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY n DESC, o_orderpriority) = 1
+),
+ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+),
+med AS (
+  SELECT o_orderstatus, avg(o_totalprice) AS median_total
+  FROM ranked
+  WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+  GROUP BY 1
+)
+SELECT m.o_orderstatus AS status, m.mode_priority, d.median_total
+FROM mode_t m JOIN med d USING (o_orderstatus)
+""",
+    doc="Exact mode (count argmax, deterministic tiebreak) and exact "
+    "median (middle-element pick; even counts average the two middle "
+    "doubles — a 2-value avg is order-insensitive, so no decimal dance "
+    "needed) per order status.",
+    tags=("aggregate",),
+)
+def a_mode_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mode_t = cnt.groupBy("o_orderstatus").agg(
+        F.min_by(
+            "o_orderpriority", F.struct(-F.col("n"), F.col("o_orderpriority"))
+        ).alias("mode_priority")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.avg("o_totalprice").alias("median_total"))
+    )
+    return (
+        mode_t.join(med, "o_orderstatus")
+        .select(
+            F.col("o_orderstatus").alias("status"), "mode_priority", "median_total"
+        )
+    )

@@ -280,3 +280,39 @@ def x_ngram_jaccard(spark, sf_dir):
             "jaccard",
         )
     )
+
+
+@register(
+    "x_fuzzy_match",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30))::INT AS dist
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) <= 12
+""",
+    doc="Blocked fuzzy matching: candidate pairs blocked on source "
+    "(the standard record-linkage blocking step bounding the pair "
+    "space), verified by edit distance on a 30-char prefix key. "
+    "levenshtein is the classic DP in both engines -> identical ints.",
+    tags=("dedup", "extension"),
+)
+def x_fuzzy_match(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 30).alias("pfx")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 12)
+    )

@@ -327,3 +327,33 @@ def e_cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "e_scd2_intervals",
+    oracle="""
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                         '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to
+FROM events
+""",
+    doc="SCD2-style validity intervals: each event opens a version "
+    "closed by the user's next event (lead window; open tail -> "
+    "sentinel high date). The warehouse changelog -> dimension shape, "
+    "one shuffle on user_id.",
+    tags=("events", "window"),
+)
+def e_scd2_intervals(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+    )
