@@ -212,3 +212,38 @@ def f8_suffix_filter(spark, sf_dir):
         docs.select(F.concat(path, ext).alias("path"))
         .filter(F.col("path").endswith(".jpg") | F.col("path").endswith(".xml"))
     )
+
+
+@register(
+    "p_array_functions",
+    oracle="""
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+       list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(embedding, x -> abs(x)::DOUBLE)),
+         (acc, x) -> CASE WHEN x > acc THEN x ELSE acc END) AS max_abs,
+       list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(embedding, x -> abs(x)::DOUBLE)),
+         (acc, x) -> acc + x) AS l1_norm
+FROM embeddings
+""",
+    doc="Higher-order array function surface (filter/transform/"
+    "aggregate): per-vector positive-component count, max-abs via "
+    "left-fold max, L1 norm via sequential left fold (bit-identical "
+    "to DuckDB list_reduce; see functions/exact.py rationale).",
+    tags=("projection", "array"),
+)
+def p_array_functions(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    absarr = "transform(embedding, x -> abs(cast(x as double)))"
+    return emb.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0))").cast("int").alias("n_pos"),
+        F.expr(
+            f"aggregate({absarr}, cast(0.0 as double),"
+            " (acc, x) -> if(x > acc, x, acc))"
+        ).alias("max_abs"),
+        F.expr(
+            f"aggregate({absarr}, cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("l1_norm"),
+    )

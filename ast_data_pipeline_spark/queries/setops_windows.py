@@ -240,3 +240,73 @@ def w_rank_dense(spark, sf_dir):
         F.rank().over(w).cast("long").alias("size_rank"),
         F.dense_rank().over(w).cast("long").alias("size_dense_rank"),
     )
+
+
+@register(
+    "w_moving_sum_7d",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, ts::DATE AS day,
+         round(sum((value)::DECIMAL(30,10)), 4)::DOUBLE AS day_value,
+         round(sum(sum((value)::DECIMAL(30,10)))
+               OVER (PARTITION BY user_id ORDER BY epoch(ts::DATE) // 86400
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4)::DOUBLE
+           AS sum_7d
+  FROM events
+  GROUP BY user_id, ts::DATE
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_value, sum_7d
+FROM daily
+""",
+    doc="Sliding 7-day windowed sum per user: daily pre-aggregation, "
+    "then a RANGE frame over day numbers — the range frame sees real "
+    "calendar gaps (unlike ROWS 6 PRECEDING). One shuffle on user_id "
+    "shared by the groupBy and the window. Decimal-exact inner and "
+    "outer sums keep both engines bit-identical.",
+    tags=("window", "events"),
+)
+def w_moving_sum_7d(spark, sf_dir):
+    from ..functions.exact import DEC
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("day_dec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("day_dec"), 4).cast("double").alias("day_value"),
+        F.round(F.sum("day_dec").over(w), 4).cast("double").alias("sum_7d"),
+    )
+
+
+@register(
+    "w_percentile_rank",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       ntile(4) OVER w::BIGINT AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="Distribution-position window functions: percent_rank, "
+    "cume_dist, ntile over a unique-keyed order (rank arithmetic on "
+    "ints -> identical doubles in both engines).",
+    tags=("window",),
+)
+def w_percentile_rank(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
