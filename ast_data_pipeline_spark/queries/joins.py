@@ -277,3 +277,36 @@ def q3_shipping_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "j_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (
+  SELECT round(sum((o_totalprice)::DECIMAL(30,10)), 4)::DOUBLE
+           / count(o_totalprice)
+  FROM orders
+)
+""",
+    doc="Uncorrelated scalar subquery: orders above the global average "
+    "price. Catalyst plans the subquery as a one-row broadcast "
+    "(ReusedSubquery/Scalar subquery in the plan) — no driver-side "
+    "two-phase collect. Decimal-exact average on both sides.",
+    tags=("join", "subquery"),
+)
+def j_scalar_subquery(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+SELECT o_orderkey, o_totalprice
+FROM orders_sq
+WHERE o_totalprice > (
+  SELECT cast(round(sum(cast(o_totalprice as decimal(30,10))), 4) as double)
+           / count(o_totalprice)
+  FROM orders_sq
+)
+"""
+    )
