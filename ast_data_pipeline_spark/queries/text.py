@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.text import (
@@ -175,4 +176,83 @@ def x_fingerprint(spark, sf_dir):
             F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp_full"),
             winnow_fingerprint("w").alias("fp_winnow"),
         )
+    )
+
+
+@register(
+    "x_heavy_hitters",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+counted AS (
+  SELECT tok, count(*)::BIGINT AS n FROM toks
+  WHERE tok <> '' GROUP BY tok
+)
+SELECT tok, n,
+       row_number() OVER (ORDER BY n DESC, tok)::INT AS rank
+FROM counted
+ORDER BY n DESC, tok
+LIMIT 50
+""",
+    doc="Corpus heavy hitters: top-50 most frequent tokens. explode -> "
+    "count (map-side partial agg absorbs the zipf head) -> global "
+    "top-k via TakeOrderedAndProject, not a full sort. The vocabulary/"
+    "stopword-discovery pass of a text pipeline.",
+    tags=("text", "extension"),
+)
+def x_heavy_hitters(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("tok")
+    ).filter(F.col("tok") != "")
+    counted = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), "tok")
+    return (
+        counted.orderBy(F.desc("n"), "tok")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+CHUNK_LEN = 120
+CHUNK_STRIDE = 90  # 30-char overlap
+
+
+@register(
+    "x_doc_chunking",
+    oracle=f"""
+SELECT doc_id, chunk_idx,
+       substr(text, (chunk_idx * {CHUNK_STRIDE}) + 1, {CHUNK_LEN}) AS chunk,
+       length(substr(text, (chunk_idx * {CHUNK_STRIDE}) + 1, {CHUNK_LEN}))::INT AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           greatest(0, ((length(text) - 1) // {CHUNK_STRIDE})::INT))) AS chunk_idx
+  FROM documents
+)
+WHERE chunk_idx * {CHUNK_STRIDE} < length(text)
+""",
+    doc="Fixed-window document chunking with overlap (len 120, stride "
+    "90): explode(sequence) fan-out + substring — the context-window "
+    "splitting pass of a training-data pipeline, zero Python. Row "
+    "explosion is bounded by ceil(len/stride) per doc.",
+    tags=("text", "extension"),
+)
+def x_doc_chunking(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n_chunks_minus1 = F.greatest(
+        F.lit(0), F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("int")
+    )
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx") * CHUNK_STRIDE < F.length("text"))
+    chunk = F.expr(f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_LEN})")
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.length(chunk).cast("int").alias("chunk_len"),
     )
