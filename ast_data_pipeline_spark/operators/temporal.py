@@ -117,3 +117,64 @@ def range_join_binned(
     return p.join(iv, "__bucket").where(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     ).drop("__bucket")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` + ``pandas.merge_asof``
+    — the co-grouped-map formulation of :func:`asof_join`.
+
+    Same semantics (backward, inclusive).  This is the Python-boundary
+    alternative: one shuffle of each side on the keys, then an Arrow
+    round-trip per key-group batch.  The union+window plan stays
+    JVM-side and is the production path; this form exists for
+    cross-validation and as the template for as-of logic that needs
+    real pandas (e.g. tolerance windows with irregular calendars).
+    """
+    import pandas as pd  # local: only the UDF path needs it
+
+    from pyspark.sql.types import StructType
+
+    out_fields = list(left.schema.fields) + [
+        type(f)(f"{f.name}{suffix}", f.dataType, True)
+        for f in right.select(*payload_cols).schema.fields
+    ]
+    out_schema = StructType(out_fields)
+    left_cols = list(left.columns)
+
+    # when left and right share lineage (e.g. two filters of one table)
+    # their ts attributes are the same Catalyst attribute; cogroup
+    # dedupes it out of the right-side pandas frame. A rename forces a
+    # fresh attribute so both frames keep their timestamp.
+    rts = f"__{ts_col}_r"
+    right2 = right.select(
+        *on, F.col(ts_col).alias(rts), *[F.col(c) for c in payload_cols]
+    )
+
+    def merge(lt: pd.DataFrame, rt: pd.DataFrame) -> pd.DataFrame:
+        if lt.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lt = lt.sort_values(ts_col, kind="mergesort")
+        if rt.empty:
+            for c in payload_cols:
+                lt[f"{c}{suffix}"] = None
+            return lt
+        rt = rt[[rts] + payload_cols].rename(
+            columns={c: f"{c}{suffix}" for c in payload_cols}
+        ).sort_values(rts, kind="mergesort")
+        out = pd.merge_asof(
+            lt, rt, left_on=ts_col, right_on=rts, direction="backward"
+        )
+        return out[left_cols + [f"{c}{suffix}" for c in payload_cols]]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right2.groupBy(*on))
+        .applyInPandas(merge, out_schema)
+    )

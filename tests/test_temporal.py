@@ -85,3 +85,17 @@ def test_range_join_binned_equals_theta(spark, sf_dir):
     # and the binned plan is a hash join, not a nested-loop join
     plan = _plan(binned)
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_asof_cogrouped_equals_window(spark, sf_dir):
+    from ast_data_pipeline_spark.operators.temporal import asof_join_cogrouped
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts", "value"
+    )
+    kwargs = dict(on=["user_id"], ts_col="ts", payload_cols=["p_event_id", "value"], suffix="")
+    a = asof_join(clicks, purch, **kwargs).select("event_id", "p_event_id", "value")
+    b = asof_join_cogrouped(clicks, purch, **kwargs).select("event_id", "p_event_id", "value")
+    assert _rows(a) == _rows(b)
