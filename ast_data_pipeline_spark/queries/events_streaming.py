@@ -123,3 +123,27 @@ def s_stream_static_join(spark, sf_dir):
     from ..streaming.workqueue import streaming_static_join_agg
 
     return streaming_static_join_agg(spark, sf_dir)
+
+
+@register(
+    "s_stream_stream_join",
+    oracle="""
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.event_id AS p_event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts - INTERVAL '1 hour' AND p.ts <= c.ts
+""",
+    doc="Stream-stream inner join with dual watermarks and a 1-hour "
+    "event-time range condition (bounded join state). availableNow "
+    "replay must emit exactly the batch theta-join result.",
+    tags=("streaming", "join"),
+)
+def s_stream_stream_join(spark, sf_dir):
+    from ..streaming.workqueue import streaming_stream_stream_join
+
+    return streaming_stream_stream_join(spark, sf_dir)

@@ -159,3 +159,46 @@ def streaming_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
     )
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: click events join purchase events of
+    the same user within the preceding hour.
+
+    Both sides carry watermarks so the state store can evict: the
+    time-range condition bounds how long a purchase row must be
+    retained (1h + watermark delay). Inner join + availableNow replay
+    emits exactly the batch join result.
+    """
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "p_ts >= ts - interval 1 hour AND p_ts <= ts"
+        ),
+    )
+    out = run_stream_to_batch(joined, spark, "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "p_event_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "value",
+    )
