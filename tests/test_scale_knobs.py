@@ -99,3 +99,23 @@ def test_grid_cell_join_equals_broadcast_theta(spark, sf_dir):
     assert key(grid) == key(theta)
     plan = _plan(grid)
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_heavy_hitters_uses_topk_not_full_sort(spark, sf_dir):
+    from ast_data_pipeline_spark.registry import load_all
+
+    df = load_all()["x_heavy_hitters"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_q14_q19_broadcast_part_and_push_dates(spark, sf_dir):
+    from ast_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    for name in ("q14_promo_revenue", "q19_disjunctive_join"):
+        plan = _plan(specs[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (name, plan[:1200])
+        assert "SortMergeJoin" not in plan, (name, plan[:1200])
+    q14 = _plan(specs["q14_promo_revenue"].fn(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in q14, q14[:1500]
