@@ -14,6 +14,7 @@ from ..operators.merge import merge_oracle_ctes
 from ..operators.spatial import adjacency_predicate_sql
 from ..plans.tank_inventory import DIST_LIMIT, tank_inventory
 from ..registry import register
+from ..sources.catalog import load
 from ..sources.domain_views import domain_ctes
 
 _STD = standardize_label_sql("raw_label", "undefined_object")
@@ -111,4 +112,83 @@ def d_inventory_utm(spark, sf_dir):
         "utm_projection", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy",
         "diameter", "merged_bbox",
         "county", "state_fips", "county_fips", "quad_id", "capture_date",
+    )
+
+
+@register(
+    "x_data_quality_report",
+    oracle="""
+SELECT 'orders_pk_unique' AS rule,
+       (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations
+FROM orders
+UNION ALL
+SELECT 'orders_totalprice_nonneg',
+       count(*) FILTER (WHERE o_totalprice < 0)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'orders_priority_domain',
+       count(*) FILTER (WHERE o_orderpriority NOT IN
+         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))::BIGINT
+FROM orders
+UNION ALL
+SELECT 'lineitem_qty_in_1_50',
+       count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_in_0_1',
+       count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+""",
+    doc="Deequ-style data-quality audit: uniqueness, null/domain/range "
+    "rules and referential integrity evaluated in one pass per table "
+    "(conditional-count aggregates; the FK rule is a left-anti join). "
+    "Each rule emits (rule, violations) — the expectations report a "
+    "100 TB ingest gate runs before publishing a partition. "
+    "Generalizes u4_integrity_check (ref: make-complete-dataset.py "
+    "asserts) to a rule catalog.",
+    tags=("pipeline", "quality"),
+)
+def x_data_quality_report(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o_rules = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "orders_pk_unique"
+        ),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias(
+            "orders_totalprice_nonneg"
+        ),
+        F.count(F.when(~F.col("o_orderpriority").isin(prio), 1)).alias(
+            "orders_priority_domain"
+        ),
+    )
+    l_rules = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("lineitem_qty_in_1_50"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("lineitem_discount_in_0_1"),
+    )
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_fk_orders"))
+    )
+    wide = o_rules.crossJoin(l_rules).crossJoin(orphans)
+    cols = [
+        "orders_pk_unique",
+        "orders_totalprice_nonneg",
+        "orders_priority_domain",
+        "lineitem_qty_in_1_50",
+        "lineitem_discount_in_0_1",
+        "lineitem_fk_orders",
+    ]
+    return wide.unpivot([], cols, "rule", "violations").select(
+        "rule", F.col("violations").cast("long").alias("violations")
     )

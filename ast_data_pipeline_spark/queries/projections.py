@@ -247,3 +247,33 @@ def p_array_functions(spark, sf_dir):
             f"aggregate({absarr}, cast(0.0 as double), (acc, x) -> acc + x)"
         ).alias("l1_norm"),
     )
+
+
+@register(
+    "p_try_functions",
+    oracle="""
+SELECT event_id,
+       TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-number'
+                     ELSE json_extract_string(props, '$.k') END AS INT)
+         AS k_or_null,
+       CASE WHEN (event_id % 5) = 0 THEN NULL
+            ELSE value / (event_id % 5) END AS safe_div
+FROM events
+""",
+    doc="Robust-ingestion surface: try_cast swallows malformed values "
+    "to NULL instead of failing the job (every 7th value corrupted "
+    "deterministically); try_divide maps div-by-zero to NULL. The "
+    "fail-soft semantics a 100 TB ingest needs — one bad record must "
+    "not kill a 6-hour job.",
+    tags=("projection", "quality"),
+)
+def p_try_functions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 7 == 0, F.lit("not-a-number")).otherwise(
+        F.get_json_object("props", "$.k")
+    )
+    return ev.select(
+        "event_id",
+        raw.try_cast("int").alias("k_or_null"),
+        F.try_divide("value", F.col("event_id") % 5).alias("safe_div"),
+    )

@@ -37,12 +37,13 @@ def main() -> None:
     spark = get_spark("ast-bench")
     timings: dict[str, float] = {}
 
-    # two timed runs per query, keep the min — the bench box shows
-    # co-tenant jitter (2-5x outliers on single queries); min-of-2 is
-    # a fairer steady-state estimate than a single sample.
+    # three timed runs per query, keep the min — the bench box shows
+    # co-tenant jitter (2-5x outliers on single queries); a single
+    # outlier-free sample needs min-of-3 when back-to-back samples can
+    # both land inside one noisy burst.
     for name in bench_names:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             df = specs[name].fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
