@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, dsum_sql
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 from ..sources.catalog import load
 
@@ -163,4 +163,166 @@ def q19_disjunctive_join(spark, sf_dir):
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.filter(cond).agg(
         dsum(disc).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: pure scan-aggregate with three pushable "
+    "predicates and no join. The canonical pushdown probe — every "
+    "predicate reaches the parquet scan (row-group pruning on "
+    "l_shipdate min/max at scale) and the whole query is one "
+    "WholeStageCodegen pass with a partial+final agg, no shuffle of "
+    "data rows (one exchange of a single partial-agg row per task).",
+    tags=("tpch", "scan", "bench"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'N'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H Q12 shape: fact-to-fact join feeding per-group "
+    "conditional counts (synthetic schema has no l_shipmode; "
+    "l_linestatus plays its role and l_returnflag the receipt-window "
+    "predicate). The lineitem filter lands before the shuffle so only "
+    "matching lines move; the CASE counts fold into one partial agg.",
+    tags=("tpch", "join"),
+)
+def q12_priority_by_linestatus(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_returnflag") == "N")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH pa AS (
+  SELECT l.l_partkey, {davg_sql('l.l_quantity')} AS avg_qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23'
+  GROUP BY l.l_partkey
+)
+SELECT {dsum_sql('l.l_extendedprice')} / 7.0 AS avg_yearly,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < 0.2 * pa.avg_qty
+""",
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+    "quantity) de-correlated into an aggregate-then-rejoin. The brand "
+    "filter broadcasts, the per-part averages are computed once on the "
+    "filtered lines and broadcast back — no second scan of the full "
+    "fact. davg on both sides keeps the 0.2*avg threshold bit-exact "
+    "so borderline rows filter identically in both engines.",
+    tags=("tpch", "join", "subquery"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem")
+    brand_lines = li.join(
+        F.broadcast(part), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    pa = brand_lines.groupBy("l_partkey").agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    small = brand_lines.alias("l").join(
+        F.broadcast(pa).alias("pa"),
+        F.col("l.l_partkey") == F.col("pa.l_partkey"),
+    ).filter(F.col("l.l_quantity") < 0.2 * F.col("pa.avg_qty"))
+    return small.agg(
+        (dsum(F.col("l.l_extendedprice")) / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle=f"""
+WITH threshold AS (
+  SELECT {davg_sql('c_acctbal')} AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS numcust,
+       {dsum_sql('c.c_acctbal')} AS totacctbal
+FROM customer c, threshold t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+""",
+    doc="TPC-H Q22 shape: global-average scalar subquery gates the "
+    "scan, then an anti join drops customers with any urgent order, "
+    "grouped per segment (synthetic schema has no c_phone, and every "
+    "customer has orders, so the anti side is urgent orders and "
+    "c_mktsegment plays cntrycode's role). The one-row threshold "
+    "cross-joins as a broadcast; the anti join ships only the filtered "
+    "minority of customers. davg keeps the > threshold bit-exact.",
+    tags=("tpch", "join", "subquery"),
+)
+def q22_dormant_customers(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    dormant = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
     )
