@@ -1,0 +1,126 @@
+"""Iterative Lloyd k-means over an embedding column.
+
+Reference behavior: the reference's vector-quantization path
+(clustering of chip embeddings) assigns each vector to its nearest
+centroid and refines centroids by the cluster mean until stable.
+
+Spark-first design (the same loop structure MLlib's KMeans uses):
+only the K x dim centroid matrix ever crosses the driver boundary.
+
+- **Assignment is literal-folded, not joined.** Centroids are inlined
+  as array literals, so each iteration's assignment is a single
+  narrow map stage in WholeStageCodegen: per row, K squared-distance
+  folds (``aggregate(zip_with(...))``) and an ``array_min`` over
+  (dist, cid) structs for the argmin. No broadcast exchange, no
+  shuffle, no Python in the loop.
+- **Update is one partial-agg shuffle.** ``groupBy(cid)`` with
+  dim per-element ``avg`` columns; map-side combine reduces each
+  task's contribution to <= K x dim doubles before the exchange, so
+  shuffle volume is O(tasks * K * dim) regardless of row count.
+- **Driver holds K x dim floats only** — at 100 TB the fact table is
+  scanned once per iteration (cacheable) while driver traffic stays
+  kilobytes. Convergence = max centroid L2 shift < tol.
+
+Float-sum reduction order makes iterated centroids non-bit-
+reproducible across engines, so this operator is pytest-verified
+(inertia monotonicity, convergence, determinism on a fixed frame)
+rather than DuckDB-oracled; the single assignment step IS oracled as
+``x_kmeans_assign``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _sq_dist(vec_col: str, centroid: list[float]) -> Column:
+    """Squared Euclidean distance as a sequential left fold (JVM-side)."""
+    diffs = F.zip_with(
+        F.col(vec_col), _lit_vec(centroid), lambda a, b: (a - b) * (a - b)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_to_centroids(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``cid`` (nearest centroid, ties -> lowest id) and ``sq_dist``.
+
+    Pure expression code: array_min over (dist, cid) structs compares
+    dist first, then cid — a deterministic argmin with no shuffle.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                _sq_dist(vec_col, c).alias("d"), F.lit(i).alias("cid")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(pairs)
+    return df.withColumn("_best", best).withColumn(
+        "cid", F.col("_best.cid")
+    ).withColumn("sq_dist", F.col("_best.d")).drop("_best")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[list[float]], int]:
+    """Lloyd's algorithm; returns (assignments, centroids, iterations).
+
+    Seeding is deterministic: the K rows with the lowest ``id_col``
+    (a stand-in for kmeans|| — at scale you'd seed from
+    ``x_hash_sample``'s md5 gate instead of an orderBy+limit).
+    """
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = [list(r[vec_col]) for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(f"need >= {k} rows to seed {k} centroids")
+
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        assigned = assign_to_centroids(df, centroids, vec_col)
+        # One partial-agg shuffle: K rows x (dim means + count) out.
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for row in stats:  # empty clusters keep their old centroid
+            new_centroids[row["cid"]] = [row[f"m{i}"] for i in range(dim)]
+        shift = max(
+            math.sqrt(sum((a - b) * (a - b) for a, b in zip(old, new)))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+
+    return assign_to_centroids(df, centroids, vec_col), centroids, iters
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Sum of squared distances to assigned centroids (the Lloyd loss)."""
+    return assigned.agg(F.sum("sq_dist").alias("i")).collect()[0]["i"]

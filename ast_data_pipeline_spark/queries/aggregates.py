@@ -450,3 +450,50 @@ def a_mode_median(spark, sf_dir):
             F.col("o_orderstatus").alias("status"), "mode_priority", "median_total"
         )
     )
+
+
+N_BINS = 20
+
+
+@register(
+    "a_histogram_equiwidth",
+    oracle=f"""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT least(floor(((o.o_totalprice - b.lo) / (b.hi - b.lo)) * {N_BINS}),
+             {N_BINS - 1})::BIGINT AS bin,
+       count(*)::BIGINT AS n_orders,
+       {dsum_sql('o.o_totalprice')} AS bin_total
+FROM orders o, b
+GROUP BY 1
+""",
+    doc="Equal-width histogram over o_totalprice: pass 1 computes "
+    "exact min/max (partial-agg, one row), which broadcasts back for "
+    "a single binning scan — floor(((x-lo)/(hi-lo))*N) clamped to "
+    "N-1. min/max and per-row IEEE arithmetic are order-insensitive, "
+    "so bins are bit-exact across engines; only the per-bin totals "
+    "need decimal summation. At 100 TB: two fact scans, each a "
+    "map-side partial agg; the one-row bounds frame is a broadcast "
+    "nested-loop of cardinality 1.",
+    tags=("aggregate", "extension"),
+)
+def a_histogram_equiwidth(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                ((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+                * N_BINS
+            ),
+            F.lit(N_BINS - 1),
+        ).alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("bin_total"),
+    )

@@ -228,3 +228,29 @@ def x_kmeans_assign(spark, sf_dir):
     return best.select(
         "vec_id", F.col("b.cid").alias("centroid_id"), F.col("b.sim").alias("sim")
     )
+
+
+@register(
+    "x_kmeans_lloyd",
+    doc="Full Lloyd k-means (iterative): literal-folded assignment "
+    "(no shuffle, no UDF) + one partial-agg shuffle per iteration; "
+    "only the K x dim centroid matrix crosses the driver. Output is "
+    "the converged cluster census (cid, n). Iterated float means are "
+    "not bit-reproducible across engines, so this is rows-only; the "
+    "single assignment step is oracled as x_kmeans_assign, and "
+    "tests/test_clustering.py pins inertia monotonicity, convergence "
+    "and determinism.",
+    tags=("similarity", "extension", "iterative"),
+)
+def x_kmeans_lloyd(spark, sf_dir):
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _cents, _iters = kmeans_lloyd(
+        emb, k=K_CENTROIDS, dim=EMB_DIM, max_iter=5
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cid")
+    )

@@ -1,0 +1,76 @@
+"""Lloyd k-means: convergence, monotone inertia, determinism, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ast_data_pipeline_spark.operators.clustering import (
+    assign_to_centroids,
+    inertia,
+    kmeans_lloyd,
+)
+from ast_data_pipeline_spark.sources.catalog import load
+
+K, DIM = 4, 64
+
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def test_assignment_is_valid_partition(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    assigned, cents, iters = kmeans_lloyd(emb, k=K, dim=DIM, max_iter=3)
+    assert len(cents) == K and all(len(c) == DIM for c in cents)
+    assert 1 <= iters <= 3
+    n_in = emb.count()
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cid").alias("lo"),
+        F.max("cid").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == n_in  # every vector assigned exactly once
+    assert 0 <= stats["lo"] and stats["hi"] < K
+
+
+def test_inertia_monotone_nonincreasing(spark, sf_dir):
+    """Each Lloyd step must not increase the loss (textbook invariant)."""
+    emb = _emb(spark, sf_dir)
+    seed = [list(r["embedding"]) for r in emb.orderBy("vec_id").limit(K).collect()]
+    losses = []
+    cents = seed
+    for _ in range(4):
+        assigned = assign_to_centroids(emb, cents)
+        losses.append(inertia(assigned))
+        rows = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}") for i in range(DIM)])
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in rows:
+            nxt[r["cid"]] = [r[f"m{i}"] for i in range(DIM)]
+        cents = nxt
+    for a, b in zip(losses, losses[1:]):
+        assert b <= a + 1e-9, losses
+
+
+def test_deterministic_given_seed(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a1, c1, _ = kmeans_lloyd(emb, k=K, dim=DIM, max_iter=2)
+    a2, c2, _ = kmeans_lloyd(emb, k=K, dim=DIM, max_iter=2)
+    assert c1 == c2
+    census = lambda a: sorted(  # noqa: E731
+        (r["cid"], r["n"])
+        for r in a.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert census(a1) == census(a2)
+
+
+def test_assignment_plan_has_no_shuffle_or_python(spark, sf_dir):
+    """Assignment must be a narrow JVM-only stage: literals, no exchange."""
+    emb = _emb(spark, sf_dir)
+    cents = [[0.0] * DIM, [1.0] * DIM]
+    plan = assign_to_centroids(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

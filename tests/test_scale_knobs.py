@@ -119,3 +119,42 @@ def test_q14_q19_broadcast_part_and_push_dates(spark, sf_dir):
         assert "SortMergeJoin" not in plan, (name, plan[:1200])
     q14 = _plan(specs["q14_promo_revenue"].fn(spark, sf_dir))
     assert "GreaterThanOrEqual(l_shipdate" in q14, q14[:1500]
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With a selective build side, Spark should inject a runtime
+    bloom filter into the probe-side scan of a shuffle join (the
+    semi-join-reduction SCALING.md relies on to cut probe shuffle
+    volume at 100 TB). Thresholds are lowered so the tiny local
+    tables qualify; assert the bloom probe lands in the plan AND the
+    result is unchanged."""
+    lowered = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    for k, v in lowered.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        urgent = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:1500]
+        n = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n == load(spark, sf_dir, "lineitem").join(
+        load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).count()
