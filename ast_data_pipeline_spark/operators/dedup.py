@@ -61,26 +61,67 @@ def char_ngrams_sql(n: int) -> str:
 
 # ---- minhash -----------------------------------------------------------
 
+MOD32 = 4294967296  # 2^32: keeps i*(2*h2+1)+h1 far below 2^63
+
+
+def minhash_base_cols(shingle_col: str = "shingle") -> tuple[Column, Column]:
+    """ONE md5 per shingle, split into two 32-bit halves.
+
+    All ``num_hashes`` permutations derive from (h1, h2) by
+    Kirsch-Mitzenmacher double hashing — hash_i = h1 + i*(2*h2+1)
+    mod 2^32 — so signature cost is one digest + k multiply-adds
+    instead of k digests (the md5 was ~all of the signature stage's
+    CPU). 2*h2+1 forces the stride odd, so each permutation is a
+    bijection mod 2^32.
+    """
+    m = F.md5(F.col(shingle_col))
+    h1 = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return h1, h2
+
+
+def minhash_hash_i(i: int) -> Column:
+    """Permutation i over pre-projected (_mh1, _mh2) base columns."""
+    return (F.col("_mh1") + i * (2 * F.col("_mh2") + 1)) % MOD32
+
+
+def minhash_base_sql(shingle_expr: str) -> tuple[str, str]:
+    """DuckDB mirror of :func:`minhash_base_cols` (bit-exact)."""
+    return (
+        f"('0x' || substr(md5({shingle_expr}), 1, 8))::BIGINT",
+        f"('0x' || substr(md5({shingle_expr}), 9, 8))::BIGINT",
+    )
+
+
+def minhash_hash_i_sql(i: int) -> str:
+    return f"(_mh1 + {i} * (2 * _mh2 + 1)) % {MOD32}"
+
+
 def minhash_signatures(
     exploded: DataFrame, num_hashes: int, doc_col: str = "doc_id", shingle_col: str = "shingle"
 ) -> DataFrame:
-    """One shuffle: ``num_hashes`` min-aggregates over md5(i|shingle).
-
-    md5 hex compares lexicographically == comparing the 128-bit value.
-    """
+    """One shuffle: ``num_hashes`` min-aggregates over double-hashed
+    32-bit permutations (one md5 per shingle, see minhash_base_cols)."""
+    h1, h2 = minhash_base_cols(shingle_col)
+    based = exploded.withColumn("_mh1", h1).withColumn("_mh2", h2)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col(shingle_col)))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(minhash_hash_i(i)).alias(f"h{i}") for i in range(num_hashes)
     ]
-    return exploded.groupBy(doc_col).agg(*aggs)
+    return based.groupBy(doc_col).agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, num_hashes: int, rows_per_band: int, doc_col: str = "doc_id") -> DataFrame:
     n_bands = num_hashes // rows_per_band
+    # '|' delimiter: integer renderings are ambiguous under bare concat
+    # ("1"+"23" == "12"+"3"); delimited they collide only on equality.
     bands = F.array(
         *[
-            F.concat(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(n_bands)
         ]
@@ -144,17 +185,42 @@ def minhash_neardup_compact(
     classic 3-join layout (see ``jaccard_verify``) shuffles the arrays
     twice anyway — carrying them once through the band join moves the
     same bytes in fewer stages.
+
+    Two physical guards that dominated wall-clock in practice:
+
+    - ``repartition(doc_col)`` before the explode: a source that
+      arrives in few splits (one parquet file locally; a skewed
+      upstream at scale) would otherwise run the whole
+      explode+hash+agg map side on those few cores. The shuffle moves
+      only the compact (doc, set) rows, and hash-partitioning on
+      ``doc_col`` already satisfies the groupBy distribution, so the
+      signature agg needs no second exchange.
+    - lazy ``localCheckpoint`` on the signature frame: both sides of
+      the band self-join otherwise recompute the entire
+      scan->shingle->hash->agg lineage (Spark's exchange reuse does
+      not fire across the posexplode). Checkpointing materializes
+      signatures once; the join reads the cached partitions twice.
+      Same trick MLlib uses inside iterative algorithms.
     """
+    docsets = docsets.repartition(doc_col)
     exploded = docsets.select(doc_col, set_col, F.explode(set_col).alias("shingle"))
+    h1, h2 = minhash_base_cols("shingle")
+    based = exploded.withColumn("_mh1", h1).withColumn("_mh2", h2)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(minhash_hash_i(i)).alias(f"h{i}") for i in range(num_hashes)
     ]
-    sig = exploded.groupBy(doc_col).agg(F.first(set_col).alias(set_col), *aggs)
+    sig = based.groupBy(doc_col).agg(F.first(set_col).alias(set_col), *aggs)
+    sig = sig.localCheckpoint(eager=False)
     n_bands = num_hashes // rows_per_band
     bands_arr = F.array(
         *[
-            F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
             for b in range(n_bands)
         ]
     )
@@ -208,7 +274,13 @@ def simhash32(tokens_exploded: DataFrame, doc_col: str = "doc_id", tok_col: str 
 
 def simhash_pairs(sig: DataFrame, max_hamming: int, doc_col: str = "doc_id") -> DataFrame:
     """Byte-banding: pairs within hamming<=3 of a 32-bit sig share at
-    least one of 4 bytes (pigeonhole); verify with bit_count(xor)."""
+    least one of 4 bytes (pigeonhole); verify with bit_count(xor).
+
+    The signature frame is lazily localCheckpoint-ed: both sides of
+    the byte-band self-join would otherwise recompute the per-bit
+    majority-vote aggregation lineage (see minhash_neardup_compact).
+    """
+    sig = sig.localCheckpoint(eager=False)
     bytes_arr = F.array(
         *[F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)) for b in range(4)]
     )

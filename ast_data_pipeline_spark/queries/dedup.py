@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     char_ngrams,
     char_ngrams_sql,
+    minhash_base_sql,
+    minhash_hash_i_sql,
     minhash_neardup_compact,
     simhash32,
     simhash_pairs,
@@ -55,12 +57,17 @@ def x_dedup_exact(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
+    b1, b2 = minhash_base_sql("shingle")
     mins = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+        f"min({minhash_hash_i_sql(i)}) AS h{i}" for i in range(NUM_HASHES)
     )
     n_bands = NUM_HASHES // ROWS_PER_BAND
     band_exprs = ", ".join(
-        "(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + ")"
+        "("
+        + " || '|' || ".join(
+            f"h{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + ")"
         for b in range(n_bands)
     )
     return f"""
@@ -69,7 +76,10 @@ WITH docsets AS (
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
   WHERE len(w) >= 2
 ),
-exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM docsets),
+exploded AS (
+  SELECT doc_id, {b1} AS _mh1, {b2} AS _mh2
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM docsets)
+),
 sig AS (SELECT doc_id, {mins} FROM exploded GROUP BY doc_id),
 bands AS (
   SELECT doc_id, band_id - 1 AS band_id, bandvals[band_id] AS band_val
@@ -94,10 +104,11 @@ WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
 @register(
     "x_minhash_lsh_neardup",
     oracle=_minhash_oracle(),
-    doc="MinHash+LSH near-dup: word-bigram shingles -> 12 md5 minhashes "
-    "-> 6 bands of 2 -> bucket self-join candidates -> exact-Jaccard "
-    "verify on candidates only. Shuffles: shingle agg, band join, two "
-    "set joins — never the full O(n^2) pair space.",
+    doc="MinHash+LSH near-dup: word-bigram shingles -> 12 double-hashed "
+    "32-bit minhashes (ONE md5 per shingle, Kirsch-Mitzenmacher "
+    "h1+i*(2*h2+1) strides) -> 6 bands of 2 -> bucket self-join "
+    "candidates -> exact-Jaccard verify on candidates only. Shuffles: "
+    "shingle agg + band join — never the full O(n^2) pair space.",
     tags=("dedup", "bench"),
 )
 def x_minhash_lsh_neardup(spark, sf_dir):
