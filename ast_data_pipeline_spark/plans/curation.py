@@ -51,6 +51,13 @@ def curate(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # 2. exact dedup: keep min doc_id per content hash
     wk = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
     exact = q.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") == 1).drop("rn")
+    # exact feeds BOTH the minhash branch and the final anti-join; without
+    # a checkpoint the regex-heavy scoring lineage runs twice. Project
+    # away `text` (the widest column — shingling reads pre-split `w`)
+    # before materializing so the cached partitions stay narrow.
+    exact = exact.select(
+        "doc_id", "lang", "source", "quality_score", "n_tokens", "w"
+    ).localCheckpoint(eager=False)
 
     # 3. near-dup drop (greedy keep-lowest within verified pairs)
     docsets = exact.filter(F.size("w") >= 2).select(

@@ -175,12 +175,17 @@ def x_simhash_neardup(spark, sf_dir):
 def _curation_oracle() -> str:
     from ..operators.text import EN_STOPWORDS, hit_ratio_sql, punct_ratio_sql
 
+    b1, b2 = minhash_base_sql("shingle")
     mins = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+        f"min({minhash_hash_i_sql(i)}) AS h{i}" for i in range(NUM_HASHES)
     )
     n_bands = NUM_HASHES // ROWS_PER_BAND
     band_exprs = ", ".join(
-        "(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + ")"
+        "("
+        + " || '|' || ".join(
+            f"h{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + ")"
         for b in range(n_bands)
     )
     stop = hit_ratio_sql("w", EN_STOPWORDS)
@@ -210,7 +215,10 @@ docsets AS (
                                       i -> w[i] || ' ' || w[i+1])) AS shingles
   FROM exact WHERE len(w) >= 2
 ),
-exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM docsets),
+exploded AS (
+  SELECT doc_id, {b1} AS _mh1, {b2} AS _mh2
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM docsets)
+),
 sig AS (SELECT doc_id, {mins} FROM exploded GROUP BY doc_id),
 bands AS (
   SELECT doc_id, band_id - 1 AS band_id, bandvals[band_id] AS band_val
