@@ -188,13 +188,18 @@ def minhash_neardup_compact(
 
     Two physical guards that dominated wall-clock in practice:
 
-    - ``repartition(doc_col)`` before the explode: a source that
+    - ``repartition(N, doc_col)`` before the explode: a source that
       arrives in few splits (one parquet file locally; a skewed
       upstream at scale) would otherwise run the whole
       explode+hash+agg map side on those few cores. The shuffle moves
       only the compact (doc, set) rows, and hash-partitioning on
       ``doc_col`` already satisfies the groupBy distribution, so the
-      signature agg needs no second exchange.
+      signature agg needs no second exchange. The partition count is
+      EXPLICIT (from ``spark.sql.shuffle.partitions``): a bare
+      ``repartition(col)`` is fair game for AQE coalescing, which
+      sizes partitions by shuffle BYTES — tiny here, ~50 shingle
+      hashes of CPU per row — and collapsed the whole stage to one
+      task (observed 4s single-core vs sub-second wide).
     - lazy ``localCheckpoint`` on the signature frame: both sides of
       the band self-join otherwise recompute the entire
       scan->shingle->hash->agg lineage (Spark's exchange reuse does
@@ -202,7 +207,8 @@ def minhash_neardup_compact(
       signatures once; the join reads the cached partitions twice.
       Same trick MLlib uses inside iterative algorithms.
     """
-    docsets = docsets.repartition(doc_col)
+    n_part = int(docsets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docsets = docsets.repartition(n_part, doc_col)
     exploded = docsets.select(doc_col, set_col, F.explode(set_col).alias("shingle"))
     h1, h2 = minhash_base_cols("shingle")
     based = exploded.withColumn("_mh1", h1).withColumn("_mh2", h2)

@@ -159,7 +159,11 @@ def merge_tile_annotations(gann: DataFrame, dist_limit: int = 5) -> DataFrame:
     cand = base.filter(is_candidate)
     clean = base.filter(~is_candidate)
 
-    merged = cand.repartition("tile_key").mapInPandas(
+    # Explicit partition count: bare repartition(col) lets AQE coalesce
+    # by shuffle bytes, which serializes the CPU-bound per-tile merge
+    # onto one task when candidate rows are few-but-expensive.
+    n_part = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    merged = cand.repartition(n_part, "tile_key").mapInPandas(
         lambda it: _merge_partition(it, dist_limit), schema=MERGE_SCHEMA
     )
     passthrough = clean.select(
