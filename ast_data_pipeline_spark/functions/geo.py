@@ -16,6 +16,8 @@ accuracy is < 1e-9 rad within a UTM zone — far below pixel scale.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -95,6 +97,118 @@ def lonlat_to_utm_np(lon: np.ndarray, lat: np.ndarray, zone: np.ndarray):
         )
     )
     return easting, northing
+
+
+def utm_to_lonlat_cols(easting, northing, zone):
+    """Inverse transverse Mercator as NATIVE column expressions — the
+    same Snyder series as :func:`utm_to_lonlat_np`, but built from
+    ``pyspark.sql.functions`` so the reprojection runs inside
+    whole-stage codegen: no Python worker, no Arrow hop, and Catalyst
+    can pipeline it with the surrounding projections.
+
+    Returns ``(lon_col, lat_col)`` in degrees as one self-contained
+    expression pair. NOTE: inlining these into a wide projection
+    duplicates the whole series per consumer (observed 4x slowdown in
+    the flagship when six lon/lat outputs each re-derived phi1/d) —
+    DataFrame callers should use :func:`with_utm_lonlat`, which stages
+    the shared subterms as named columns so each is computed once.
+    Double-precision math
+    throughout; JVM Math.sin/cos are 1-ulp, so agreement with the
+    numpy path is far below the 0.6 m pixel scale.
+    """
+    sqrt1e2 = math.sqrt(1 - _E2)
+    e1 = (1 - sqrt1e2) / (1 + sqrt1e2)
+    x = easting - F.lit(_FALSE_EASTING)
+    m = northing / F.lit(_K0)
+    mu = m / F.lit(_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    phi1 = (
+        mu
+        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(mu * 2)
+        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(mu * 4)
+        + F.lit(151 * e1**3 / 96) * F.sin(mu * 6)
+        + F.lit(1097 * e1**4 / 512) * F.sin(mu * 8)
+    )
+    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = F.lit(_EP2) * cos1 * cos1
+    t1 = tan1 * tan1
+    one_m_e2sin2 = F.lit(1.0) - F.lit(_E2) * sin1 * sin1
+    n1 = F.lit(_A) / F.sqrt(one_m_e2sin2)
+    r1 = F.lit(_A * (1 - _E2)) / F.pow(one_m_e2sin2, F.lit(1.5))
+    d = x / (n1 * F.lit(_K0))
+    d2 = d * d
+    d4 = d2 * d2
+    lat = phi1 - (n1 * tan1 / r1) * (
+        d2 / 2
+        - (F.lit(5.0) + 3 * t1 + 10 * c1 - 4 * c1 * c1 - F.lit(9 * _EP2)) * d4 / 24
+        + (F.lit(61.0) + 90 * t1 + 298 * c1 + 45 * t1 * t1 - F.lit(252 * _EP2) - 3 * c1 * c1)
+        * (d4 * d2) / 720
+    )
+    lon0 = F.radians(zone.cast("double") * 6.0 - 183.0)
+    lon = lon0 + (
+        d
+        - (F.lit(1.0) + 2 * t1 + c1) * (d2 * d) / 6
+        + (F.lit(5.0) - 2 * c1 + 28 * t1 - 3 * c1 * c1 + F.lit(8 * _EP2) + 24 * t1 * t1)
+        * (d4 * d) / 120
+    ) / cos1
+    return F.degrees(lon), F.degrees(lat)
+
+
+def with_utm_lonlat(df, out_lon: str, out_lat: str, easting, northing, zone):
+    """Append ``out_lon``/``out_lat`` (degrees) to ``df`` from UTM
+    coordinates, staging the Snyder-series subterms (phi1, trig, d, …)
+    as intermediate columns so each is evaluated ONCE inside codegen.
+
+    CollapseProject inlines an alias into its consumer only when the
+    alias is cheap or used once; every staged term below is non-cheap
+    and multi-use, so Catalyst keeps the staging and the generated code
+    matches the numpy dataflow — unlike the naive inlined form, whose
+    duplicated series blew the generated method past JIT limits.
+    """
+    p = f"_tm_{out_lon}_"  # unique temp prefix per call site
+    mu, phi1, sin1, cos1, tan1, c1, t1, n1, d = (p + s for s in
+        ("mu", "phi1", "sin1", "cos1", "tan1", "c1", "t1", "n1", "d"))
+    sqrt1e2 = math.sqrt(1 - _E2)
+    e1 = (1 - sqrt1e2) / (1 + sqrt1e2)
+    C = F.col
+    df = df.withColumn(mu, northing / F.lit(_K0 * _A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256)))
+    df = df.withColumn(
+        phi1,
+        C(mu)
+        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(C(mu) * 2)
+        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(C(mu) * 4)
+        + F.lit(151 * e1**3 / 96) * F.sin(C(mu) * 6)
+        + F.lit(1097 * e1**4 / 512) * F.sin(C(mu) * 8),
+    )
+    df = (
+        df.withColumn(sin1, F.sin(C(phi1)))
+        .withColumn(cos1, F.cos(C(phi1)))
+        .withColumn(tan1, F.tan(C(phi1)))
+    )
+    df = (
+        df.withColumn(c1, F.lit(_EP2) * C(cos1) * C(cos1))
+        .withColumn(t1, C(tan1) * C(tan1))
+        .withColumn(n1, F.lit(_A) / F.sqrt(F.lit(1.0) - F.lit(_E2) * C(sin1) * C(sin1)))
+    )
+    df = df.withColumn(d, (easting - F.lit(_FALSE_EASTING)) / (C(n1) * F.lit(_K0)))
+    d2 = C(d) * C(d)
+    d4 = d2 * d2
+    # r1 is single-use -> safe to inline into lat
+    r1 = F.lit(_A * (1 - _E2)) / F.pow(F.lit(1.0) - F.lit(_E2) * C(sin1) * C(sin1), F.lit(1.5))
+    lat = C(phi1) - (C(n1) * C(tan1) / r1) * (
+        d2 / 2
+        - (F.lit(5.0) + 3 * C(t1) + 10 * C(c1) - 4 * C(c1) * C(c1) - F.lit(9 * _EP2)) * d4 / 24
+        + (F.lit(61.0) + 90 * C(t1) + 298 * C(c1) + 45 * C(t1) * C(t1) - F.lit(252 * _EP2) - 3 * C(c1) * C(c1))
+        * (d4 * d2) / 720
+    )
+    lon0 = F.radians(zone.cast("double") * 6.0 - 183.0)
+    lon = lon0 + (
+        C(d)
+        - (F.lit(1.0) + 2 * C(t1) + C(c1)) * (d2 * C(d)) / 6
+        + (F.lit(5.0) - 2 * C(c1) + 28 * C(t1) - 3 * C(c1) * C(c1) + F.lit(8 * _EP2) + 24 * C(t1) * C(t1))
+        * (d4 * C(d)) / 120
+    ) / C(cos1)
+    df = df.withColumn(out_lon, F.degrees(lon)).withColumn(out_lat, F.degrees(lat))
+    return df.drop(mu, phi1, sin1, cos1, tan1, c1, t1, n1, d)
 
 
 _LONLAT_SCHEMA = StructType(

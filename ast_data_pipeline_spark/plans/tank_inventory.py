@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.geo import bbox_wkt, utm_to_lonlat_udf, zone_from_epsg
+from ..functions.geo import bbox_wkt, with_utm_lonlat, zone_from_epsg
 from ..functions.labels import (
     propagate_flags,
     reclassify_by_size,
@@ -81,20 +81,14 @@ def tank_inventory(spark: SparkSession, sf_dir: str, dist_limit: int = DIST_LIMI
         .withColumn("annot_id", F.col("component_id"))  # key for the county join
     )
 
-    # 5. WGS84 (P9): one vectorized UDF call for centroid + both corners
+    # 5. WGS84 (P9): native-column Snyder series for centroid + both
+    #    corners — stays inside whole-stage codegen (no Python/Arrow
+    #    hop). Staged form: each point's series subterms are computed
+    #    once (utm_to_lonlat_udf remains for callers needing a struct).
     zone = zone_from_epsg(F.col("utm_projection"))
-    j = (
-        j.withColumn("c_ll", utm_to_lonlat_udf(F.col("centroid_x"), F.col("centroid_y"), zone))
-        .withColumn("nw_ll", utm_to_lonlat_udf(F.col("utm_minx"), F.col("utm_maxy"), zone))
-        .withColumn("se_ll", utm_to_lonlat_udf(F.col("utm_maxx"), F.col("utm_miny"), zone))
-        .withColumn("centroid_lon", F.col("c_ll.lon"))
-        .withColumn("centroid_lat", F.col("c_ll.lat"))
-        .withColumn("nw_lon", F.col("nw_ll.lon"))
-        .withColumn("nw_lat", F.col("nw_ll.lat"))
-        .withColumn("se_lon", F.col("se_ll.lon"))
-        .withColumn("se_lat", F.col("se_ll.lat"))
-        .drop("c_ll", "nw_ll", "se_ll")
-    )
+    j = with_utm_lonlat(j, "centroid_lon", "centroid_lat", F.col("centroid_x"), F.col("centroid_y"), zone)
+    j = with_utm_lonlat(j, "nw_lon", "nw_lat", F.col("utm_minx"), F.col("utm_maxy"), zone)
+    j = with_utm_lonlat(j, "se_lon", "se_lat", F.col("utm_maxx"), F.col("utm_miny"), zone)
 
     # 6. county assignment (J8 argmax overlap, counties broadcast)
     located = assign_county_argmax(j, counties(spark, sf_dir))

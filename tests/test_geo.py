@@ -34,6 +34,34 @@ def test_roundtrip_inverse_forward():
     assert np.abs(n2 - n).max() < 1e-3
 
 
+def test_native_cols_match_numpy(spark):
+    # the codegen'd column form must agree with the numpy reference
+    # far below pixel scale (both are double; JVM trig is 1-ulp)
+    rng = np.random.RandomState(11)
+    e = 400000.0 + rng.rand(300) * 200000.0
+    n = 3300000.0 + rng.rand(300) * 1500000.0
+    z = np.where(rng.rand(300) < 0.5, 16, 17).astype(np.int64)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.functions.geo import utm_to_lonlat_cols
+
+    df = spark.createDataFrame(pd.DataFrame({"e": e, "n": n, "z": z}))
+    lon_c, lat_c = utm_to_lonlat_cols(F.col("e"), F.col("n"), F.col("z"))
+    got = df.select(lon_c.alias("lon"), lat_c.alias("lat")).toPandas()
+    lon, lat = utm_to_lonlat_np(e, n, z)
+    assert np.abs(got["lon"].to_numpy() - lon).max() < 1e-12
+    assert np.abs(got["lat"].to_numpy() - lat).max() < 1e-12
+
+    from ast_data_pipeline_spark.functions.geo import with_utm_lonlat
+
+    staged = with_utm_lonlat(df, "lon", "lat", F.col("e"), F.col("n"), F.col("z"))
+    got2 = staged.select("lon", "lat").toPandas()
+    assert list(staged.columns) == ["e", "n", "z", "lon", "lat"]  # temps dropped
+    assert np.abs(got2["lon"].to_numpy() - lon).max() < 1e-12
+    assert np.abs(got2["lat"].to_numpy() - lat).max() < 1e-12
+
+
 def test_known_point():
     # zone 16, a point ~1 degree east of the central meridian at ~35N:
     # forward-project a known lon/lat and invert back
