@@ -89,25 +89,22 @@ def assign_county_argmax(tanks: DataFrame, counties_df: DataFrame) -> DataFrame:
     # overlap_frac, ties -> smallest county_id, matching the oracle's
     # row_number(ORDER BY frac DESC, county_id) exactly.
     county_num = F.concat(F.col("c.state_fips"), F.col("c.county_fips")).cast("int")
-    payload = F.struct(
+    # single pass, grouped on the narrow unique key only: hashing the
+    # full tank row (wide strings/arrays) as the group key cost ~3x the
+    # whole join at sf0.1, so the tank columns ride inside the max_by
+    # payload instead — the buffer copies them only on a new max, ~1.07
+    # candidate rows per tank.
+    row_payload = F.struct(
+        *[F.col(f"t.{name}").alias(name) for name in tanks.columns],
         F.col("c.county_name").alias("county_name"),
         F.col("c.state_fips").alias("state_fips"),
         F.col("c.county_fips").alias("county_fips"),
         F.col("overlap_frac").alias("overlap_frac"),
     )
-    # single pass: group by the full tank row (functionally dependent
-    # on annot_id) so the tank plan is not recomputed for a re-join.
-    group_cols = [F.col(f"t.{name}") for name in tanks.columns]
-    best = joined.groupBy(*group_cols).agg(
-        F.max_by(payload, F.struct(F.col("overlap_frac"), -county_num)).alias("c")
+    best = joined.groupBy(F.col("t.annot_id")).agg(
+        F.max_by(row_payload, F.struct(F.col("overlap_frac"), -county_num)).alias("r")
     )
-    return best.select(
-        *[F.col(name) for name in tanks.columns],
-        F.col("c.county_name").alias("county_name"),
-        F.col("c.state_fips").alias("state_fips"),
-        F.col("c.county_fips").alias("county_fips"),
-        F.col("c.overlap_frac").alias("overlap_frac"),
-    )
+    return best.select("r.*")
 
 
 ARGMAX_COUNTY_SQL_BODY = """

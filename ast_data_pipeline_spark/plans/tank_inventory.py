@@ -81,17 +81,24 @@ def tank_inventory(spark: SparkSession, sf_dir: str, dist_limit: int = DIST_LIMI
         .withColumn("annot_id", F.col("component_id"))  # key for the county join
     )
 
-    # 5. WGS84 (P9): native-column Snyder series for centroid + both
-    #    corners — stays inside whole-stage codegen (no Python/Arrow
-    #    hop). Staged form: each point's series subterms are computed
-    #    once (utm_to_lonlat_udf remains for callers needing a struct).
-    zone = zone_from_epsg(F.col("utm_projection"))
-    j = with_utm_lonlat(j, "centroid_lon", "centroid_lat", F.col("centroid_x"), F.col("centroid_y"), zone)
-    j = with_utm_lonlat(j, "nw_lon", "nw_lat", F.col("utm_minx"), F.col("utm_maxy"), zone)
-    j = with_utm_lonlat(j, "se_lon", "se_lat", F.col("utm_maxx"), F.col("utm_miny"), zone)
-
-    # 6. county assignment (J8 argmax overlap, counties broadcast)
+    # 6. county assignment (J8 argmax overlap, counties broadcast).
+    #    Runs BEFORE the reprojection on purpose: the argmax groupBy is
+    #    the pipeline's one row-shuffle, so every column added here
+    #    rides through the exchange and the max_by buffer. Reprojecting
+    #    first added 9 staged lon/lat columns to that shuffle and cost
+    #    2.3x end-to-end at sf0.1; county assignment needs only the UTM
+    #    bbox, and reprojection is a pure per-row map, so order is free.
     located = assign_county_argmax(j, counties(spark, sf_dir))
+
+    # 5. WGS84 (P9) on the post-argmax rows: native-column Snyder
+    #    series for centroid + both corners — stays inside whole-stage
+    #    codegen (no Python/Arrow hop). Staged form: each point's
+    #    series subterms are computed once (utm_to_lonlat_udf remains
+    #    for callers needing a struct).
+    zone = zone_from_epsg(F.col("utm_projection"))
+    located = with_utm_lonlat(located, "centroid_lon", "centroid_lat", F.col("centroid_x"), F.col("centroid_y"), zone)
+    located = with_utm_lonlat(located, "nw_lon", "nw_lat", F.col("utm_minx"), F.col("utm_maxy"), zone)
+    located = with_utm_lonlat(located, "se_lon", "se_lat", F.col("utm_maxx"), F.col("utm_miny"), zone)
 
     # 7. P19 derivations + P11 WKT + final projection
     return located.select(
