@@ -85,11 +85,12 @@ WHERE rn = 1
 
 @register(
     "flagship_tank_inventory",
-    oracle=None,  # includes the P9 reprojection UDF + WKT (not SQL-expressible)
+    oracle=None,  # includes the P9 Snyder-series reprojection + WKT (not SQL-expressible)
     doc="SURVEY §3.1 flagship: chip annotations -> label pipeline "
     "(P15-P17) -> per-tile CC merge (A1) -> UTM coords/centroid/diameter "
-    "(P8/P10/P12) -> WGS84 reprojection (P9 pandas UDF) -> county argmax "
-    "join (J8) -> P19 derivations + P11 WKT. One job, ~4 shuffles.",
+    "(P8/P10/P12) -> county argmax join (J8) -> WGS84 reprojection "
+    "(P9, native codegen columns) -> P19 derivations + P11 WKT. "
+    "One job, ~4 shuffles.",
     tags=("domain", "pipeline", "bench"),
 )
 def flagship_tank_inventory(spark, sf_dir):

@@ -158,3 +158,18 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).count()
+
+
+def test_flagship_python_boundary_and_shuffles(spark, sf_dir):
+    # SCALING.md "Python boundary": the only Python/Arrow hop in the
+    # flagship is the A1 merge (applyInPandas); the P9 reprojection is
+    # native codegen columns, so no scalar Python UDF node may appear.
+    from ast_data_pipeline_spark.plans.tank_inventory import tank_inventory
+
+    plan = _plan(tank_inventory(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1, plan[:1500]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan[:1500]
+    # healthy shape = 4 row-shuffles: county argmax (annot_id), merge
+    # repartition (tile_key), and one annot-dedup per union branch of
+    # the gann view — any extra exchange is a regression
+    assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
