@@ -181,3 +181,43 @@ def grid_cell_intersect_join(
         .where(overlap & ref_point_here)
         .drop("__cx", "__cy", "__bcx", "__bcy")
     )
+
+
+# Morton (Z-order) layout key — the data-layout tool for spatial
+# locality at scale: sorting/range-partitioning a 100 TB inventory by
+# this key clusters spatially-near rows into the same parquet files,
+# so a bbox query prunes to O(touched cells) files via min/max file
+# skipping instead of scanning the world. Pure bit arithmetic
+# (portable: the oracle mirrors it literally), 16 bits per axis.
+
+_SPREAD_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def morton_key(cx: Column, cy: Column) -> Column:
+    """Interleave the low 16 bits of two non-negative cell coords into
+    a 32-bit Z-order key (x in even bits, y in odd). Columns must be
+    integral and < 2^16."""
+
+    def spread(v: Column) -> Column:
+        v = v.cast("long")
+        for shift, mask in _SPREAD_MASKS:
+            v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+        return v
+
+    return spread(cx).bitwiseOR(F.shiftleft(spread(cy), 1))
+
+
+def morton_key_sql(cx: str, cy: str) -> str:
+    """DuckDB oracle text mirroring :func:`morton_key` bit-for-bit."""
+
+    def spread(v: str) -> str:
+        for shift, mask in _SPREAD_MASKS:
+            v = f"((({v}) | (({v}) << {shift})) & {mask})"
+        return v
+
+    return f"({spread(f'({cx})::BIGINT')} | ({spread(f'({cy})::BIGINT')} << 1))"

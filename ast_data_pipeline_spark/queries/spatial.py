@@ -13,6 +13,8 @@ from ..operators.spatial import (
     adjacency_predicate,
     adjacency_predicate_sql,
     assign_county_argmax,
+    morton_key,
+    morton_key_sql,
 )
 from ..registry import register
 from ..sources.catalog import load
@@ -236,4 +238,39 @@ def d_j8_grid_cell_pairs(spark, sf_dir):
         "annot_id",
         "county_name",
         F.concat("state_fips", "county_fips").alias("fips"),
+    )
+
+
+ZCELL = 1000.0  # m; 16-bit cell coords hold for any UTM zone extent
+
+
+@register(
+    "d_zorder_layout",
+    oracle=with_domain(
+        f"""
+SELECT annot_id,
+       floor(centroid_x / {ZCELL})::BIGINT AS cx,
+       floor(centroid_y / {ZCELL})::BIGINT AS cy,
+       {morton_key_sql(f'floor(centroid_x / {ZCELL})::BIGINT', f'floor(centroid_y / {ZCELL})::BIGINT')} AS zkey
+FROM gann
+""",
+        "gann",
+    ),
+    doc="Z-order (Morton) layout key over the annotation centroids — "
+    "the write-side clustering key for 100 TB spatial locality: sort or "
+    "range-partition by zkey before writing and a bbox query prunes to "
+    "the touched cells via parquet min/max file skipping. Pure bit "
+    "interleave (operators/spatial.morton_key), oracle mirrors it "
+    "bit-for-bit.",
+    tags=("domain", "spatial", "layout"),
+)
+def d_zorder_layout(spark, sf_dir):
+    g = g_annotations(spark, sf_dir)
+    cx = F.floor(F.col("centroid_x") / ZCELL)
+    cy = F.floor(F.col("centroid_y") / ZCELL)
+    return g.select(
+        "annot_id",
+        cx.alias("cx"),
+        cy.alias("cy"),
+        morton_key(cx, cy).alias("zkey"),
     )

@@ -173,3 +173,26 @@ def test_flagship_python_boundary_and_shuffles(spark, sf_dir):
     # repartition (tile_key), and one annot-dedup per union branch of
     # the gann view — any extra exchange is a regression
     assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
+
+
+def test_morton_key_bits_and_locality(spark, sf_dir):
+    from ast_data_pipeline_spark.operators.spatial import morton_key
+    from ast_data_pipeline_spark.registry import load_all
+
+    # known interleaves: (x, y) -> x in even bits, y in odd
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (0xFFFF, 0), (0, 0xFFFF), (0b101, 0b011)],
+        "cx int, cy int",
+    ).select(morton_key(F.col("cx"), F.col("cy")).alias("z")).collect()
+    # (5, 3): x=0b101 -> even bits 1+16, y=0b011 -> odd bits 2+8 => 27
+    assert [r.z for r in rows] == [0, 1, 2, 0x55555555, 0xAAAAAAAA, 27]
+
+    # locality: sorting by zkey puts spatially-near centroids adjacent —
+    # mean consecutive cell distance must beat the id-sorted layout by >5x
+    df = load_all()["d_zorder_layout"].fn(spark, sf_dir).toPandas()
+
+    def mean_step(frame, key):
+        s = frame.sort_values(key)
+        return (s.cx.diff().abs() + s.cy.diff().abs()).iloc[1:].mean()
+
+    assert mean_step(df, "zkey") * 5 < mean_step(df, "annot_id")
