@@ -65,7 +65,9 @@ def standardize_label(raw: Column, unknown_to: str | None = None) -> Column:
     engine's guard for the reference's KeyError behavior.
     """
     mapping = F.create_map(*[F.lit(x) for kv in OBJECT_DICT.items() for x in kv])
-    out = mapping.getItem(raw)
+    # column-keyed lookup; try_element_at is NULL-on-missing under ANSI
+    # (getItem(col) is deprecated, element_at may throw in future ANSI)
+    out = F.try_element_at(mapping, raw)
     if unknown_to is not None:
         out = F.coalesce(out, F.lit(unknown_to))
     return out

@@ -196,3 +196,25 @@ def test_morton_key_bits_and_locality(spark, sf_dir):
         return (s.cx.diff().abs() + s.cy.diff().abs()).iloc[1:].mean()
 
     assert mean_step(df, "zkey") * 5 < mean_step(df, "annot_id")
+
+
+def test_morton_key_matches_python_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from ast_data_pipeline_spark.operators.spatial import morton_key
+
+    def py_morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF)),
+                    min_size=1, max_size=50))
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "cx int, cy int")
+        got = [r.z for r in df.select(morton_key(F.col("cx"), F.col("cy")).alias("z")).collect()]
+        assert got == [py_morton(x, y) for x, y in pairs]
+
+    check()
