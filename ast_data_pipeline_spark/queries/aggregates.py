@@ -188,7 +188,10 @@ def a4_approx_profile(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
-        F.percentile_approx("l_quantity", [0.25, 0.75], 10000).alias("qty_quartiles"),
+        # Scalar columns, not an array: the driver canonicalizer sorts the
+        # pandas frame and cannot hash list cells.
+        F.percentile_approx("l_quantity", 0.25, 10000).alias("qty_p25"),
+        F.percentile_approx("l_quantity", 0.75, 10000).alias("qty_p75"),
     )
 
 

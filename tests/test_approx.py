@@ -22,5 +22,4 @@ def test_approx_profile_bounds(spark, sf_dir):
     assert abs(row.approx_orders - exact.o) <= max(3, 0.1 * exact.o)
     # percentile_approx with accuracy 10000 is near-exact at this scale
     assert abs(row.median_price_approx - exact.m) <= 0.05 * exact.m
-    q25, q75 = row.qty_quartiles
-    assert q25 <= q75
+    assert row.qty_p25 <= row.qty_p75
