@@ -16,10 +16,14 @@ implement the intended rule.
 Execution shape: ``groupBy(tile_name).applyInPandas`` — one shuffle on
 tile_name; components are tiny (objects per tile), so the O(n^2)
 adjacency test is per-group local work. At 100 TB this scales linearly
-with tiles across executors; a pathological mega-tile would be handled
-by AQE skew splitting failing over to... nothing automatic for grouped
-maps — so the operator asserts a sane group size rather than silently
-thrashing.
+with tiles across executors. A mega-tile (one tile with far more
+candidates than its peers) gets no automatic AQE skew split inside a
+grouped map, so past SPLIT_THRESHOLD the operator switches to
+``_components_gridded``: PBSM grid cells bound the per-chunk adjacency
+matrix and one union-find stitches components across cell borders —
+same fixpoint, memory linear in cell occupancy instead of quadratic in
+tile size. Only a genuinely dense single-cell clique still errors
+(MAX_GROUP).
 """
 
 from __future__ import annotations
@@ -35,7 +39,12 @@ MERGE_SCHEMA = (
     "n_members long, merged_bbox boolean"
 )
 
-MAX_GROUP = 100_000  # defensive bound for one tile's candidate count
+MAX_GROUP = 100_000  # defensive bound for one grid cell's candidate count
+# Above this many candidates in one tile, the O(n^2) full adjacency
+# matrix (n^2 bytes) is replaced by the grid-partitioned edge build
+# (_components_gridded): same components, memory bounded per cell.
+SPLIT_THRESHOLD = 4096
+GRID_CELL_PX = 1024
 
 
 def _adjacency_matrix(b: np.ndarray, dist_limit: int) -> np.ndarray:
@@ -88,6 +97,66 @@ def _components(adj: np.ndarray) -> np.ndarray:
     return np.array([find(i) for i in range(n)])
 
 
+def _components_gridded(
+    b: np.ndarray, dist_limit: int, cell: int = GRID_CELL_PX
+) -> np.ndarray:
+    """Mega-tile fallback: same components as
+    ``_components(_adjacency_matrix(b))`` without the O(n^2) matrix.
+
+    PBSM-style (like operators/spatial.grid_cell_intersect_join, the
+    J8 non-broadcast path): every P14-adjacent pair either intersects
+    (containment arm) or sits within ``dist_limit`` on one axis and
+    overlaps on the other (closeness arms), so the two boxes' bboxes
+    expanded by ``dist_limit`` always intersect — meaning the pair
+    co-occurs in at least one grid cell when each box registers in
+    every cell its expanded bbox overlaps. Adjacency then runs per
+    cell (bounded memory), and a single union-find over the union of
+    per-cell edges stitches components across cell borders.
+
+    A cell that still exceeds MAX_GROUP is a genuine ~dense clique in
+    one 1024-px neighborhood — that is an input pathology, not a
+    partitioning failure, and raises as before.
+    """
+    n = len(b)
+    cx0 = (b[:, 0] - dist_limit) // cell
+    cx1 = (b[:, 2] + dist_limit) // cell
+    cy0 = (b[:, 1] - dist_limit) // cell
+    cy1 = (b[:, 3] + dist_limit) // cell
+
+    cells: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        for gx in range(int(cx0[i]), int(cx1[i]) + 1):
+            for gy in range(int(cy0[i]), int(cy1[i]) + 1):
+                cells.setdefault((gx, gy), []).append(i)
+
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for members in cells.values():
+        m = len(members)
+        if m < 2:
+            continue
+        if m > MAX_GROUP:
+            raise ValueError(
+                f"grid cell holds {m} merge candidates (> {MAX_GROUP}); "
+                "input is a dense clique — pre-aggregate this tile"
+            )
+        idx = np.asarray(members)
+        adj = _adjacency_matrix(b[idx], dist_limit)
+        rows, cols = np.nonzero(adj)
+        for a, c in zip(idx[rows].tolist(), idx[cols].tolist()):
+            if a < c:
+                ra, rc = find(a), find(c)
+                if ra != rc:
+                    parent[max(ra, rc)] = min(ra, rc)
+    return np.array([find(i) for i in range(n)])
+
+
 _OUT_COLS = (
     "tile_key", "tile_name", "component_id", "object_class", "image_names",
     "gxmin", "gymin", "gxmax", "gymax", "n_members", "merged_bbox",
@@ -126,15 +195,14 @@ def _merge_partition(batches, dist_limit: int):
     comp_global = np.empty(len(pdf), dtype=np.int64)
     for s, e in zip(bounds[:-1], bounds[1:]):
         n = e - s
-        if n > MAX_GROUP:
-            raise ValueError(
-                f"tile {tnames[s]!r} has {n} merge candidates (> {MAX_GROUP}); "
-                "pre-aggregate or split this tile"
-            )
         if n == 1:
             comp_global[s] = s
             continue
-        comp = _components(_adjacency_matrix(boxes_all[s:e], dist_limit))
+        if n > SPLIT_THRESHOLD:
+            # mega-tile: grid-partitioned edge build, bounded memory
+            comp = _components_gridded(boxes_all[s:e], dist_limit)
+        else:
+            comp = _components(_adjacency_matrix(boxes_all[s:e], dist_limit))
         comp_global[s:e] = s + comp
 
     _, inverse, counts = np.unique(comp_global, return_inverse=True, return_counts=True)

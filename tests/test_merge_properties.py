@@ -126,3 +126,59 @@ def test_class_conflict_yields_undefined():
     assert out["object_class"].iat[0] == "undefined_object"
     assert out["merged_bbox"].iat[0]
     assert out["image_names"].iat[0] == ["t_00_00", "t_00_01"]
+
+
+def _canon(labels: np.ndarray) -> list[int]:
+    """Canonicalize component labels to first-occurrence ids so two
+    labelings can be compared for identical partitions."""
+    seen: dict[int, int] = {}
+    return [seen.setdefault(int(l), len(seen)) for l in labels]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000), st.integers(2, 200))
+def test_gridded_components_match_full_matrix(seed, n):
+    # mega-tile fallback must produce the exact same partition as the
+    # O(n^2) path, including boxes straddling grid-cell borders
+    from ast_data_pipeline_spark.operators.merge import _components_gridded
+
+    rng = np.random.RandomState(seed)
+    # spread over several 1024-px grid cells so cross-border stitching
+    # is actually exercised (borders at 1024, 2048, 3072)
+    x0 = rng.randint(0, 4000, n)
+    y0 = rng.randint(0, 4000, n)
+    w = rng.randint(1, 80, n)
+    h = rng.randint(1, 80, n)
+    b = np.stack([x0, y0, x0 + w, y0 + h], axis=1).astype(np.int64)
+    full = _components(_adjacency_matrix(b, DIST))
+    grid = _components_gridded(b, DIST)
+    assert _canon(full) == _canon(grid)
+
+
+def test_mega_tile_does_not_trip_max_group(monkeypatch):
+    # one tile far bigger than its peers: the gridded path must engage
+    # (SPLIT_THRESHOLD lowered) and return the same merge as the full
+    # matrix, with no MAX_GROUP error
+    import ast_data_pipeline_spark.operators.merge as M
+
+    rng = np.random.RandomState(7)
+    n = 600
+    x0 = rng.randint(0, 3000, n)
+    y0 = rng.randint(0, 3000, n)
+    b = np.stack([x0, y0, x0 + rng.randint(1, 60, n), y0 + rng.randint(1, 60, n)], axis=1)
+
+    def run():
+        pdf = pd.DataFrame({
+            "annot_id": np.arange(n),
+            "tile_key": np.r_[np.zeros(n - 3, dtype=int), [1, 1, 2]],
+            "tile_name": ["mega"] * (n - 3) + ["small", "small", "tiny"],
+            "image_name": [f"img{i % 9}" for i in range(n)],
+            "object_class": ["closed_roof_tank"] * n,
+            "gxmin": b[:, 0], "gymin": b[:, 1], "gxmax": b[:, 2], "gymax": b[:, 3],
+        })
+        out = list(_merge_partition(iter([pdf]), DIST))[0]
+        return sorted(map(tuple, out[["tile_key", "component_id", "n_members"]].values))
+
+    baseline = run()                                   # full-matrix path
+    monkeypatch.setattr(M, "SPLIT_THRESHOLD", 50)      # force gridded path
+    assert run() == baseline
