@@ -1,0 +1,172 @@
+"""Minimal binary ESRI shapefile sink (.shp/.shx/.dbf/.prj) — K4.
+
+The reference exports tile-level annotations as JSON + GeoJSON + an
+ESRI shapefile via geopandas (``/root/reference/src/form_calcs.py:
+1040-1055``: ``write_gdf`` drops the list-typed ``image_name`` column,
+then ``to_file(... .shp)``). geopandas/shapefile libs aren't available
+here, so this module emits the three mandatory files directly from the
+public ESRI Shapefile Technical Description (ESRI whitepaper, July
+1998) and the dBase III header layout:
+
+- ``.shp``  — 100-byte header + polygon (type 5) records,
+- ``.shx``  — 100-byte header + (offset, length) index records,
+- ``.dbf``  — dBase III: 10-char field names (truncated + deduped the
+  way ESRI writers do, see ``sinks.shapefile_compat_columns``), C/N/L
+  field types,
+- ``.prj``  — WKT for EPSG:4326, matching the reference's
+  ``gdf.crs = "EPSG:4326"``.
+
+This is a driver-side REPORT sink like ``write_csv_report`` — a
+shapefile is a single sequential file with 32-bit offsets (hard 2 GB
+format cap), so it is bounded by ``MAX_REPORT_ROWS`` and is never the
+path for fact-scale data. At 100 TB the inventory stays in parquet;
+the shapefile is the last-mile GIS hand-off of an already-aggregated
+result, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+from pyspark.sql import DataFrame
+
+_WGS84_WKT = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+)
+
+_POLY_RE = re.compile(r"POLYGON\s*\(\(\s*(.*?)\s*\)\)", re.IGNORECASE | re.DOTALL)
+
+
+def parse_polygon_wkt(wkt: str) -> list[tuple[float, float]]:
+    """'POLYGON ((x y, x y, ...))' -> ring as [(x, y), ...] (closed)."""
+    m = _POLY_RE.match(wkt.strip())
+    if not m:
+        raise ValueError(f"not a single-ring POLYGON WKT: {wkt[:80]!r}")
+    pts = []
+    for pair in m.group(1).split(","):
+        xs, ys = pair.split()
+        pts.append((float(xs), float(ys)))
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    return pts
+
+
+def _ring_clockwise(pts: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    # shoelace: ESRI outer rings are clockwise (negative signed area)
+    area2 = sum((x2 - x1) * (y2 + y1) for (x1, y1), (x2, y2) in zip(pts, pts[1:]))
+    return pts if area2 > 0 else pts[::-1]
+
+
+def _shp_records(rings: list[list[tuple[float, float]]]) -> tuple[bytes, bytes, tuple]:
+    """Build .shp record stream + .shx index stream + global bbox."""
+    shp, shx = bytearray(), bytearray()
+    gxmin = gymin = float("inf")
+    gxmax = gymax = float("-inf")
+    offset_words = 50  # records start after the 100-byte header
+    for i, ring in enumerate(rings):
+        ring = _ring_clockwise(ring)
+        xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+        bbox = (min(xs), min(ys), max(xs), max(ys))
+        gxmin, gymin = min(gxmin, bbox[0]), min(gymin, bbox[1])
+        gxmax, gymax = max(gxmax, bbox[2]), max(gymax, bbox[3])
+        content = struct.pack("<i4d", 5, *bbox)          # type 5 + bbox
+        content += struct.pack("<iii", 1, len(ring), 0)  # 1 part at index 0
+        for x, y in ring:
+            content += struct.pack("<2d", x, y)
+        words = len(content) // 2
+        shp += struct.pack(">ii", i + 1, words) + content
+        shx += struct.pack(">ii", offset_words, words)
+        offset_words += 4 + words  # 8-byte record header + content
+    return bytes(shp), bytes(shx), (gxmin, gymin, gxmax, gymax)
+
+
+def _main_header(total_words: int, bbox: tuple) -> bytes:
+    h = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    h += struct.pack(">i", total_words)
+    h += struct.pack("<ii", 1000, 5)  # version, polygon
+    h += struct.pack("<4d", *bbox)
+    h += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # z/m ranges unused
+    return h
+
+
+def _dbf_field_spec(pdf) -> list[tuple[str, str, int, int]]:
+    """(name, type, length, decimals) per column, dBase III flavors."""
+    spec = []
+    for col in pdf.columns:
+        s = pdf[col]
+        kind = s.dtype.kind
+        if kind in "iu":
+            spec.append((col, "N", 18, 0))
+        elif kind == "f":
+            spec.append((col, "N", 19, 8))
+        elif kind == "b":
+            spec.append((col, "L", 1, 0))
+        else:
+            width = int(max([1] + [len(str(v)) for v in s])) if len(s) else 1
+            spec.append((col, "C", min(width, 254), 0))
+    return spec
+
+
+def _dbf_bytes(pdf) -> bytes:
+    spec = _dbf_field_spec(pdf)
+    record_len = 1 + sum(w for _, _, w, _ in spec)
+    header_len = 32 + 32 * len(spec) + 1
+    out = bytearray()
+    out += struct.pack(
+        "<BBBBIHH20x", 0x03, 99, 1, 1, len(pdf), header_len, record_len
+    )
+    for name, ftype, width, dec in spec:
+        out += struct.pack(
+            "<11sc4xBB14x", name.encode("ascii")[:10], ftype.encode(), width, dec
+        )
+    out += b"\x0d"
+    for _, row in pdf.iterrows():
+        out += b" "  # not-deleted flag
+        for name, ftype, width, dec in spec:
+            v = row[name]
+            if ftype == "N":
+                txt = ("" if v != v else (f"{v:.{dec}f}" if dec else str(int(v))))
+                out += txt[:width].rjust(width).encode("ascii")
+            elif ftype == "L":
+                out += (b"T" if v else b"F")
+            else:
+                out += str(v).encode("utf-8", "replace")[:width].ljust(width)
+    out += b"\x1a"
+    return bytes(out)
+
+
+def write_shapefile(df: DataFrame, path_base: str, geometry: str = "geometry_wkt") -> int:
+    """Write ``{path_base}.shp/.shx/.dbf/.prj`` from a DataFrame with a
+    single-ring POLYGON WKT column. Attribute columns follow the
+    reference's shapefile constraints: list columns dropped, names
+    truncated to 10 chars (``shapefile_compat_columns``). Returns the
+    record count. Bounded by ``MAX_REPORT_ROWS`` (format caps at 2 GB)."""
+    from .sinks import MAX_REPORT_ROWS, shapefile_compat_columns
+
+    compat = shapefile_compat_columns(df)
+    geom10 = geometry[:10]
+    pdf = compat.limit(MAX_REPORT_ROWS + 1).toPandas()
+    if len(pdf) > MAX_REPORT_ROWS:
+        raise ValueError(
+            f"write_shapefile: >{MAX_REPORT_ROWS} rows; shapefiles are a "
+            "report-scale GIS hand-off, keep fact-scale data in parquet"
+        )
+    rings = [parse_polygon_wkt(w) for w in pdf[geom10]]
+    attrs = pdf.drop(columns=[geom10])
+    shp_recs, shx_recs, bbox = _shp_records(rings)
+    if not rings:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+    with open(path_base + ".shp", "wb") as f:
+        f.write(_main_header((100 + len(shp_recs)) // 2, bbox))
+        f.write(shp_recs)
+    with open(path_base + ".shx", "wb") as f:
+        f.write(_main_header((100 + len(shx_recs)) // 2, bbox))
+        f.write(shx_recs)
+    with open(path_base + ".dbf", "wb") as f:
+        f.write(_dbf_bytes(attrs))
+    with open(path_base + ".prj", "w") as f:
+        f.write(_WGS84_WKT)
+    return len(pdf)

@@ -20,7 +20,22 @@ import json
 from pyspark.sql import DataFrame
 
 
+# Hard bound on what the single-file CSV path will serialize through one
+# task. Reports here are group-by summaries (tens to thousands of rows);
+# anything bigger indicates a caller routing a fact table at a report
+# sink, which at 100 TB would funnel the job through one executor —
+# fail fast instead.
+MAX_REPORT_ROWS = 1_000_000
+
+
 def write_csv_report(df: DataFrame, path: str) -> None:
+    n = df.limit(MAX_REPORT_ROWS + 1).count()
+    if n > MAX_REPORT_ROWS:
+        raise ValueError(
+            f"write_csv_report: {n}+ rows exceeds MAX_REPORT_ROWS="
+            f"{MAX_REPORT_ROWS}; use write_queue_snapshot (parquet, "
+            "parallel) for large outputs"
+        )
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from ast_data_pipeline_spark.plans.tank_inventory import tank_inventory
 from ast_data_pipeline_spark.sources.sinks import (
     shapefile_compat_columns,
@@ -68,3 +70,12 @@ def test_k5_json_list(tmp_path):
     p = str(tmp_path / "list.json")
     write_json_list(["a", "b"], p)
     assert json.load(open(p)) == ["a", "b"]
+
+
+def test_k1_csv_report_row_bound(spark, tmp_path, monkeypatch):
+    import ast_data_pipeline_spark.sources.sinks as sinks
+
+    monkeypatch.setattr(sinks, "MAX_REPORT_ROWS", 10)
+    big = spark.range(100).selectExpr("id", "id * 2 AS v")
+    with pytest.raises(ValueError, match="MAX_REPORT_ROWS"):
+        sinks.write_csv_report(big, str(tmp_path / "big_report"))
