@@ -225,6 +225,23 @@ def utm_to_lonlat_udf(easting: pd.Series, northing: pd.Series, zone: pd.Series) 
     return pd.DataFrame({"lon": lon, "lat": lat})
 
 
+_UTM_SCHEMA = StructType(
+    [StructField("easting", DoubleType()), StructField("northing", DoubleType())]
+)
+
+
+@F.pandas_udf(_UTM_SCHEMA)
+def lonlat_to_utm_udf(lon: pd.Series, lat: pd.Series, zone: pd.Series) -> pd.DataFrame:
+    """Forward transverse Mercator (lonlat -> UTM) as an Arrow-batched
+    pandas UDF over :func:`lonlat_to_utm_np` — the verification leg of
+    the P9 roundtrip (d_reproject_roundtrip)."""
+    easting, northing = lonlat_to_utm_np(
+        lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+        zone.to_numpy(np.float64),
+    )
+    return pd.DataFrame({"easting": easting, "northing": northing})
+
+
 def zone_from_epsg(utm_projection):
     """'EPSG:26916' -> 16 (NAD83 northern zones are 269xx)."""
     return F.substring(utm_projection, 9, 2).cast("int")

@@ -416,3 +416,56 @@ def d_a7_per_tile_stats(spark, sf_dir):
         F.min("diameter").alias("min_diameter_m"),
         F.max("diameter").alias("max_diameter_m"),
     )
+
+
+@register(
+    "d_reproject_roundtrip",
+    oracle=with_domain(
+        """
+SELECT count(*)::BIGINT AS n_points,
+       count(*)::BIGINT AS n_within_tol,
+       TRUE AS roundtrip_ok
+FROM gann
+""",
+        "gann",
+    ),
+    doc="P9 reprojection validation (ref: src/form_calcs.py:288-307 "
+    "pyproj Transformer per point): every annotation centroid goes "
+    "UTM->WGS84 through the codegen Snyder inverse (with_utm_lonlat), "
+    "then back through the numpy forward series (lonlat_to_utm_udf, one "
+    "Arrow hop), and the query asserts max |roundtrip - original| < 1 mm "
+    "per point. Measured series-truncation bound is ~7e-5 m at zone "
+    "edges (easting 300-700 km), so the 1e-3 m tolerance is tight yet "
+    "safe — and 600x below the 0.6 m/px pixel scale the reference "
+    "operates at. The oracle asserts the invariant (all points within "
+    "tolerance), not the float intermediates.",
+    tags=("domain", "geo"),
+)
+def d_reproject_roundtrip(spark, sf_dir):
+    from ..functions.geo import (
+        lonlat_to_utm_udf,
+        with_utm_lonlat,
+        zone_from_epsg,
+    )
+
+    g = g_annotations(spark, sf_dir).select(
+        "centroid_x",
+        "centroid_y",
+        zone_from_epsg(F.col("utm_projection")).alias("zone"),
+    )
+    g = with_utm_lonlat(
+        g, "lon", "lat", F.col("centroid_x"), F.col("centroid_y"), F.col("zone")
+    )
+    rt = g.withColumn(
+        "rt", lonlat_to_utm_udf(F.col("lon"), F.col("lat"), F.col("zone"))
+    ).withColumn(
+        "err_m",
+        F.sqrt(
+            F.pow(F.col("rt.easting") - F.col("centroid_x"), 2)
+            + F.pow(F.col("rt.northing") - F.col("centroid_y"), 2)
+        ),
+    )
+    return rt.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count(F.when(F.col("err_m") < 1e-3, 1)).alias("n_within_tol"),
+    ).withColumn("roundtrip_ok", F.col("n_points") == F.col("n_within_tol"))
