@@ -39,17 +39,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_shipped(spark)
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read nanos as long and convert to a
-        # microsecond timestamp (runtime-settable SQL conf).
+        # events.parquet's ts encoding varies by generator version:
+        # TIMESTAMP(NANOS) (vectorized reader rejects it — read nanos as
+        # long via the legacy conf and convert), or tz-naive micros
+        # (arrives as TIMESTAMP_NTZ, which Spark 4 bars from long casts
+        # and epoch arithmetic). Normalize both to session-TZ
+        # TimestampType (session TZ is pinned UTC in session.py; DuckDB
+        # reads the same column as a naive UTC wall clock) so every
+        # downstream query/window/watermark sees one stable type.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -32,10 +32,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":
+        # tz-naive micros encoding (see sources/catalog.py): normalize
+        # to session-TZ TimestampType so watermarks/windows behave
+        # identically across generator versions.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
