@@ -29,12 +29,22 @@ from ..functions.labels import (
 )
 from ..operators.merge import merge_tile_annotations
 from ..operators.spatial import assign_county_argmax
-from ..sources.domain_views import counties, g_annotations, tiles
+from ..sources.domain_views import counties, g_annotations, tiles, uncached_views
 
 DIST_LIMIT = 5  # px (ref tile-level-annotation.py:53-54)
 
 
 def tank_inventory(spark: SparkSession, sf_dir: str, dist_limit: int = DIST_LIMIT) -> DataFrame:
+    # The flagship derives the domain views with raw lineage (no
+    # session cache): an InMemoryRelation is an optimization barrier,
+    # and this plan's pinned 4-exchange shape depends on Catalyst
+    # collapsing exchanges across the view boundary (see
+    # sources/domain_views.uncached_views).
+    with uncached_views():
+        return _tank_inventory_plan(spark, sf_dir, dist_limit)
+
+
+def _tank_inventory_plan(spark: SparkSession, sf_dir: str, dist_limit: int) -> DataFrame:
     g = g_annotations(spark, sf_dir)
 
     # 1. label pipeline (P15 -> P16 -> P17)

@@ -23,6 +23,10 @@ Shapes (FIXTURES.md):
 
 from __future__ import annotations
 
+import os
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -329,6 +333,98 @@ def with_domain(body: str, *needed: str) -> str:
     """Compose a DuckDB query: WITH tiles AS (...), ... <body>."""
     return f"WITH {domain_ctes(*needed)}\n{body}"
 
+
+# ---------------------------------------------------------------------------
+# Per-session view memoization.
+#
+# A correctness sweep runs ~25 domain queries back-to-back in one
+# SparkSession; without caching, each re-derives annotations (a
+# distinct + join over lineitem) and gann (another join + the UTM
+# arithmetic) from parquet. Memoizing the DataFrame per
+# (application, sf_dir) and marking it .cache() (MEMORY_AND_DISK)
+# makes every query after the first read the already-computed columnar
+# cache — the whole 119-query sweep then fits the driver's time budget.
+#
+# Scale note: this is a SESSION-sweep optimization, sized for the
+# derived views (sf0.1 gann ≈ 600k rows ≈ tens of MB, spills to disk
+# past memory). On a 100 TB cluster the same role is played by
+# materializing the views once as bucketed parquet (SCALING.md) — not
+# by executor-memory caching of a fact-scale table. Disable with
+# SPARK_GRAFT_CACHE_VIEWS=0 to benchmark the uncached path.
+# ---------------------------------------------------------------------------
+
+_VIEW_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CACHED_HANDLES: list[DataFrame] = []
+
+
+def clear_view_cache() -> None:
+    for df in _CACHED_HANDLES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _CACHED_HANDLES.clear()
+    _VIEW_CACHE.clear()
+
+
+def _memo(name: str, fn):
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if getattr(_BYPASS, "on", False) or (
+            os.environ.get("SPARK_GRAFT_CACHE_VIEWS", "1") == "0"
+        ):
+            return fn(spark, sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        df = _VIEW_CACHE.get(key)
+        if df is None:
+            # Cache a marker-projected variant, not the raw plan:
+            # Spark's CacheManager substitutes ANY analyzed subtree
+            # that matches a cached plan with the InMemoryRelation, so
+            # caching fn's exact output would silently rewrite even
+            # uncached_views() lineage (the flagship's). The marker
+            # column makes the cached plan match nothing but itself;
+            # memoized callers still read the cache through the drop()
+            # projection below.
+            marked = fn(spark, sf_dir).withColumn("__view_cache_marker", F.lit(1)).cache()
+            _CACHED_HANDLES.append(marked)
+            df = marked.drop("__view_cache_marker")
+            _VIEW_CACHE[key] = df
+        return df
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
+# An InMemoryRelation is an optimization barrier: scan-partitioned, no
+# pushdown or exchange-sharing through it. Consumers that want the
+# fully-collapsible lineage — the flagship derives the views inline so
+# Catalyst can share exchanges and push partial aggregation across the
+# view boundary (the 4-exchange shape pinned by
+# tests/test_scale_knobs.py) — opt out with ``uncached_views()``; the
+# flag is honored by every nested builder call, so the whole dependency
+# chain stays raw.
+_BYPASS = threading.local()
+
+
+@contextmanager
+def uncached_views():
+    """Build domain views with raw (uncached) lineage inside this block."""
+    prev = getattr(_BYPASS, "on", False)
+    _BYPASS.on = True
+    try:
+        yield
+    finally:
+        _BYPASS.on = prev
+
+
+# Rebinding the module-level names routes internal callers (annotations
+# -> tiles, g_annotations -> annotations) through the cache too, so the
+# dependency chain materializes each stage exactly once per session.
+tiles = _memo("tiles", tiles)
+images = _memo("images", images)
+annotations = _memo("annotations", annotations)
+g_annotations = _memo("gann", g_annotations)
+counties = _memo("counties", counties)
 
 BUILDERS = {
     "tiles": tiles,

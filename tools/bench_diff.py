@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Bench regression guard: diff a fresh bench run against the last
+recorded round.
+
+The driver records ``BENCH_r{N}.json`` per round (either the raw
+``bench.py`` JSON line, or a wrapper with the parsed line under
+``"parsed"``). Run-to-run JVM/JIT jitter on sub-second queries looks
+identical to a real regression in a single number — this tool makes the
+comparison mechanical: per-query ratios against the newest committed
+round, flagged past a threshold, with small absolute deltas ignored so
+100 ms of JIT noise on a 150 ms query doesn't page anyone.
+
+Usage:
+    python tools/bench_diff.py                      # run bench.py now, diff vs newest BENCH_r*.json
+    python tools/bench_diff.py new.json             # diff a saved bench line vs newest round
+    python tools/bench_diff.py new.json old.json    # explicit pair
+    python tools/bench_diff.py --threshold 2.0 ...
+
+Exit code 1 iff any query regressed more than ``--threshold`` (default
+1.5x) AND by more than ``--min-abs-delta`` seconds (default 0.3 s).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _extract(doc: dict) -> dict:
+    """Accept either a raw bench line or the driver's {'parsed': ...} wrapper."""
+    if "queries" in doc:
+        return doc
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        return doc["parsed"]
+    raise SystemExit(f"no 'queries' dict found in bench JSON (keys: {list(doc)})")
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as f:
+        return _extract(json.load(f))
+
+
+def newest_round_bench() -> str:
+    paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    if not paths:
+        raise SystemExit("no BENCH_r*.json found — nothing to diff against")
+    return max(paths, key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)))
+
+
+def run_bench_now() -> dict:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, check=False,
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return _extract(json.loads(line))
+    raise SystemExit(f"bench.py produced no JSON line (rc={out.returncode}):\n{out.stderr[-2000:]}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("new", nargs="?", help="bench JSON to grade (default: run bench.py now)")
+    ap.add_argument("old", nargs="?", help="baseline bench JSON (default: newest BENCH_r*.json)")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="flag ratio above this (default 1.5)")
+    ap.add_argument("--min-abs-delta", type=float, default=0.3,
+                    help="ignore regressions smaller than this many seconds (default 0.3)")
+    a = ap.parse_args()
+
+    old_path = a.old or newest_round_bench()
+    old = load_bench(old_path)
+    new = load_bench(a.new) if a.new else run_bench_now()
+
+    oq, nq = old["queries"], new["queries"]
+    rows, regressions = [], []
+    for name in sorted(set(oq) | set(nq)):
+        if name not in oq:
+            rows.append((name, None, nq[name], None, "NEW"))
+            continue
+        if name not in nq:
+            rows.append((name, oq[name], None, None, "DROPPED"))
+            continue
+        ratio = nq[name] / oq[name] if oq[name] > 0 else float("inf")
+        flag = ""
+        if ratio > a.threshold and (nq[name] - oq[name]) > a.min_abs_delta:
+            flag = "REGRESSION"
+            regressions.append(name)
+        elif ratio > a.threshold:
+            flag = "noise"  # ratio tripped but absolute delta is jitter-scale
+        rows.append((name, oq[name], nq[name], ratio, flag))
+
+    w = max(len(r[0]) for r in rows)
+    print(f"baseline: {old_path}")
+    print(f"{'query'.ljust(w)}  {'old':>7}  {'new':>7}  {'ratio':>6}  flag")
+    for name, o, n, ratio, flag in rows:
+        os_ = f"{o:.3f}" if o is not None else "-"
+        ns_ = f"{n:.3f}" if n is not None else "-"
+        rs = f"{ratio:.2f}" if ratio is not None else "-"
+        print(f"{name.ljust(w)}  {os_:>7}  {ns_:>7}  {rs:>6}  {flag}")
+    tot_o = sum(v for v in oq.values())
+    tot_n = sum(v for v in nq.values())
+    print(f"{'TOTAL'.ljust(w)}  {tot_o:>7.3f}  {tot_n:>7.3f}  {tot_n / tot_o:>6.2f}")
+    if regressions:
+        print(f"\nFAIL: {len(regressions)} regression(s): {', '.join(regressions)}")
+        return 1
+    print("\nOK: no per-query regression above "
+          f"{a.threshold}x (+{a.min_abs_delta}s abs)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
