@@ -184,14 +184,22 @@ def q18_large_volume_customers(spark, sf_dir):
 )
 def a4_approx_profile(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
+    # One KLL sketch for both quantity quantiles (array form), unpacked
+    # to scalar columns: the driver canonicalizer sorts the pandas frame
+    # and cannot hash list cells, and two separate percentile_approx
+    # calls would build two sketches over the same column.
+    qq = F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.75)), 10000)
     return li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
-        # Scalar columns, not an array: the driver canonicalizer sorts the
-        # pandas frame and cannot hash list cells.
-        F.percentile_approx("l_quantity", 0.25, 10000).alias("qty_p25"),
-        F.percentile_approx("l_quantity", 0.75, 10000).alias("qty_p75"),
+        qq.alias("_qq"),
+    ).select(
+        "approx_parts",
+        "approx_orders",
+        "median_price_approx",
+        F.element_at("_qq", 1).alias("qty_p25"),
+        F.element_at("_qq", 2).alias("qty_p75"),
     )
 
 
