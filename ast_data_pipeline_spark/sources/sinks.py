@@ -81,3 +81,66 @@ def write_json_list(values: list, path: str) -> None:
     """K5: a plain JSON list (driver-side tiny artifact)."""
     with open(path, "w") as f:
         json.dump(values, f)
+
+
+def write_geojson(df: DataFrame, path: str, geometry: str = "geometry_wkt") -> int:
+    """GeoJSON FeatureCollection from a DataFrame with a single-ring
+    POLYGON WKT column — the reference emits its inventory as
+    ``gdf.to_json()`` (a FeatureCollection) under BOTH the ``.json``
+    and ``.geojson`` names (ref: src/form_calcs.py:1040-1052). All
+    non-geometry columns become feature properties; list columns ride
+    along intact (GeoJSON, unlike DBF, can carry them). Driver-side
+    report sink, bounded by MAX_REPORT_ROWS. Returns feature count."""
+    from .shapefile import parse_polygon_wkt
+
+    pdf = df.limit(MAX_REPORT_ROWS + 1).toPandas()
+    if len(pdf) > MAX_REPORT_ROWS:
+        raise ValueError(
+            f"write_geojson: >{MAX_REPORT_ROWS} rows; GeoJSON is a "
+            "report-scale hand-off, keep fact-scale data in parquet"
+        )
+    props = [c for c in pdf.columns if c != geometry]
+    features = [
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [[x, y] for x, y in parse_polygon_wkt(row[geometry])]
+                ],
+            },
+            "properties": {
+                c: (row[c].tolist() if hasattr(row[c], "tolist") else row[c])
+                for c in props
+            },
+        }
+        for _, row in pdf.iterrows()
+    ]
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+    return len(features)
+
+
+def export_inventory(
+    inv: DataFrame,
+    output_dir: str,
+    name: str = "tile_level_annotations",
+    geometry: str = "geometry_wkt",
+) -> dict[str, int]:
+    """K4 complete hand-off, mirroring the reference's ``write_gdf``
+    (src/form_calcs.py:1040-1055): ``{name}.json`` and
+    ``{name}.geojson`` (both the GeoJSON FeatureCollection, as
+    ``gdf.to_json()`` writes), and ``{name}.shp/.shx/.dbf/.prj`` (list
+    columns dropped, 10-char DBF names — the constraints the
+    reference's geopandas ``to_file`` applies). Returns per-artifact
+    row counts."""
+    import os
+
+    from .shapefile import write_shapefile
+
+    os.makedirs(output_dir, exist_ok=True)
+    base = os.path.join(output_dir, name)
+    n_json = write_geojson(inv, base + ".json", geometry)
+    n_geo = write_geojson(inv, base + ".geojson", geometry)
+    n_shp = write_shapefile(inv, base, geometry)
+    return {"json": n_json, "geojson": n_geo, "shp": n_shp}

@@ -79,3 +79,30 @@ def test_k1_csv_report_row_bound(spark, tmp_path, monkeypatch):
     big = spark.range(100).selectExpr("id", "id * 2 AS v")
     with pytest.raises(ValueError, match="MAX_REPORT_ROWS"):
         sinks.write_csv_report(big, str(tmp_path / "big_report"))
+
+
+def test_k4_export_inventory_trio(spark, sf_dir, tmp_path):
+    import os
+
+    from ast_data_pipeline_spark.sources.sinks import export_inventory
+
+    inv = tank_inventory(spark, sf_dir).select(
+        "tank_id", "object_class", "image_names", "geometry_wkt",
+        "diameter", "county",
+    )
+    counts = export_inventory(inv, str(tmp_path), name="tla")
+    n = inv.count()
+    assert counts == {"json": n, "geojson": n, "shp": n}
+    # the reference writes the FeatureCollection under BOTH names
+    fc = json.load(open(tmp_path / "tla.json"))
+    assert fc == json.load(open(tmp_path / "tla.geojson"))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == n
+    f0 = fc["features"][0]
+    assert f0["geometry"]["type"] == "Polygon"
+    ring = f0["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) >= 4
+    # GeoJSON keeps list columns; the shapefile flavor drops them
+    assert isinstance(f0["properties"]["image_names"], list)
+    assert "geometry_wkt" not in f0["properties"]
+    for ext in (".shp", ".shx", ".dbf", ".prj"):
+        assert os.path.exists(tmp_path / ("tla" + ext))
