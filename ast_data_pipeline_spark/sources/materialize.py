@@ -1,0 +1,65 @@
+"""Materialize the shared domain views as bucketed parquet tables.
+
+The session-scope cache in ``domain_views._memo`` is the batch-sweep
+optimization; THIS is the cluster-scale counterpart promised in
+SCALING.md: write each derived view once, bucketed (and sorted) by
+``tile_key``, so every downstream groupBy/join on the tile key — the
+merge (A1), per-tile stats (A7), tracking joins (J9), the flagship —
+reads pre-partitioned data and runs shuffle-free (verified by plan
+assertion in tests/test_materialize.py).
+
+The reference re-derives its tile-level frames per script run
+(src/form_calcs.py builds the tile_level_annotations GeoDataFrame from
+scratch each time); at 100 TB that re-derivation is the dominant cost,
+and a one-time bucketed materialization amortizes it across every
+consumer. Bucket count is a knob: ~(fact size / 128 MB) at the target
+scale; the local default keeps test tables small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import domain_views as DV
+
+# Views keyed (and therefore bucketed) by tile_key. counties is a
+# 25-row dimension locally (~3.2k real-world) — always broadcast-size,
+# never worth bucketing.
+_BUCKETED = ("tiles", "images", "annotations", "gann")
+
+
+def materialize_domain_views(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    buckets: int = 8,
+    prefix: str = "mat_",
+) -> dict[str, str]:
+    """Write tiles/images/annotations/gann as bucketed+sorted tables
+    (``{prefix}{view}`` in the session catalog). Returns view -> table
+    name. Raw (uncached) lineage is used for the writes so the job
+    plans the full pipeline once instead of reading a session cache."""
+    out: dict[str, str] = {}
+    with DV.uncached_views():
+        for view in _BUCKETED:
+            table = f"{prefix}{view}"
+            (
+                DV.BUILDERS[view](spark, sf_dir)
+                .write.mode("overwrite")
+                .bucketBy(buckets, "tile_key")
+                .sortBy("tile_key")
+                .saveAsTable(table)
+            )
+            out[view] = table
+    return out
+
+
+def read_materialized(spark: SparkSession, view: str, prefix: str = "mat_") -> DataFrame:
+    """Read a materialized view; carries the bucketing spec, so joins
+    and aggregations on tile_key skip their shuffle."""
+    return spark.table(f"{prefix}{view}")
+
+
+def drop_materialized(spark: SparkSession, prefix: str = "mat_") -> None:
+    for view in _BUCKETED:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{view}")
