@@ -88,3 +88,34 @@ def x_stratified_sample(spark, sf_dir):
         .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.col("cutoff"))
         .select("doc_id", "source", "lang")
     )
+
+
+@register(
+    "x_train_split",
+    oracle="""
+SELECT source,
+       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY source, split
+""",
+    doc="Deterministic train/val/test assignment via md5 hash ranges "
+    "(~80/10/10: cc=204, e6=230 of 256) — the reproducible split every "
+    "training pipeline needs: stateless, leakage-free (a doc's split "
+    "never depends on the rest of the corpus), identical on re-runs "
+    "and across engines. Reported as per-source split counts.",
+    tags=("sampling", "extension"),
+)
+def x_train_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -256,3 +256,64 @@ def x_doc_chunking(spark, sf_dir):
         chunk.alias("chunk"),
         F.length(chunk).cast("int").alias("chunk_len"),
     )
+
+
+PACK_BUDGET = 2048  # tokens per training sequence / context window
+
+
+@register(
+    "x_sequence_packing",
+    oracle=rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}.0)::BIGINT AS pack_id
+  FROM toks
+)
+SELECT source, pack_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens,
+       min(doc_id)::BIGINT AS first_doc_id,
+       max(doc_id)::BIGINT AS last_doc_id
+FROM packed
+GROUP BY source, pack_id
+""",
+    doc="Sequence packing for LLM training: contiguous token-budget "
+    "binning — docs ordered by doc_id within source, a doc opens pack "
+    "k when the tokens BEFORE it fill k budgets (exclusive running "
+    "sum, one window pass; integer token counts keep the oracle "
+    "bit-exact). The deterministic streaming-friendly flavor of "
+    "greedy packing: at 100 TB each source packs independently (the "
+    "window partitions parallelize) and pack ids are stable across "
+    "re-runs, so shards can be built incrementally.",
+    tags=("text", "extension"),
+)
+def x_sequence_packing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    _, bpe = token_counts(F.col("text"))
+    toks = docs.select(
+        "source", "doc_id", bpe.cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
