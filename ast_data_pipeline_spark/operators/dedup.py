@@ -313,3 +313,69 @@ def simhash_pairs(sig: DataFrame, max_hamming: int, doc_col: str = "doc_id") -> 
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> one cluster id per
+    doc (min doc_id reachable), the canonical-representative step that
+    turns pairwise near-dup detection into an actual dedup decision
+    (keep ``is_canonical``, drop the rest) — the corpus-dedup final
+    pass in C4/RefinedWeb-style pipelines.
+
+    Distributed hash-min label propagation (the textbook MapReduce CC
+    algorithm): every doc starts labeled with itself; each round takes
+    the min label over neighbors; fixpoint in O(component diameter)
+    rounds. Near-dup components are shallow (dense cliques of
+    mutations of one document), so the loop converges in a few rounds;
+    a pathological chain is bounded by ``max_iters``. Per round: one
+    join + one agg shuffle on the edge list; ``localCheckpoint`` cuts
+    the lineage so round k does not recompute rounds 1..k-1 (the same
+    guard MLlib uses in iterative algorithms). Convergence is detected
+    from ``sum(lbl)`` — labels only ever decrease, so an unchanged sum
+    is a fixpoint; the per-round driver traffic is that single scalar.
+    At 100 TB the same loop runs with the edge list hash-partitioned
+    on src (the join and the groupBy share that partitioning); the
+    large-star/small-star variant would bound rounds at O(log n) if
+    diameters ever grew.
+    """
+    sym = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iters):
+        nmin = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nmin, labels["id"] == nmin["src"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n_cluster_docs"))
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "n_cluster_docs",
+        (F.col("id") == F.col("lbl")).alias("is_canonical"),
+    )

@@ -13,6 +13,7 @@ from ..operators.dedup import (
     minhash_base_sql,
     minhash_hash_i_sql,
     minhash_neardup_compact,
+    neardup_clusters,
     simhash32,
     simhash_pairs,
     word_shingles,
@@ -56,7 +57,7 @@ def x_dedup_exact(spark, sf_dir):
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
     b1, b2 = minhash_base_sql("shingle")
     mins = ",\n         ".join(
         f"min({minhash_hash_i_sql(i)}) AS h{i}" for i in range(NUM_HASHES)
@@ -70,8 +71,7 @@ def _minhash_oracle() -> str:
         + ")"
         for b in range(n_bands)
     )
-    return f"""
-WITH docsets AS (
+    return f"""docsets AS (
   SELECT doc_id, {word_shingles_sql('text', 2)} AS shingles
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
   WHERE len(w) >= 2
@@ -90,15 +90,20 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-       / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE AS jaccard
-FROM cand JOIN docsets sa ON cand.doc_a = sa.doc_id
-          JOIN docsets sb ON cand.doc_b = sb.doc_id
-WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= {JACCARD_T}
-"""
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE AS jaccard
+  FROM cand JOIN docsets sa ON cand.doc_a = sa.doc_id
+            JOIN docsets sb ON cand.doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= {JACCARD_T}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()}\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
 
 @register(
@@ -118,6 +123,47 @@ def x_minhash_lsh_neardup(spark, sf_dir):
         .select("doc_id", word_shingles(F.col("text"), 2))
     )
     return minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
+
+
+def _clusters_oracle() -> str:
+    return f"""WITH RECURSIVE {_minhash_ctes()},
+nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+cc(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src WHERE cc.comp < e.dst
+),
+lbl AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+sizes AS (SELECT comp, count(*) AS n FROM lbl GROUP BY comp)
+SELECT lbl.id::BIGINT AS doc_id, lbl.comp::BIGINT AS cluster_id,
+       sizes.n::BIGINT AS n_cluster_docs, (lbl.id = lbl.comp) AS is_canonical
+FROM lbl JOIN sizes ON lbl.comp = sizes.comp"""
+
+
+@register(
+    "x_dedup_clusters",
+    oracle=_clusters_oracle(),
+    doc="Near-dup clustering: connected components over the MinHash+LSH "
+    "pair graph via distributed hash-min label propagation "
+    "(operators/dedup.neardup_clusters) -> cluster id = min reachable "
+    "doc_id, cluster sizes, and the canonical-representative flag that "
+    "turns pairwise detection into a dedup decision. Oracle: the same "
+    "pair CTEs extended with a recursive-CTE transitive closure.",
+    tags=("dedup", "extension"),
+)
+def x_dedup_clusters(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    docsets = (
+        docs.filter(F.size("w") >= 2)
+        .select("doc_id", word_shingles(F.col("text"), 2))
+    )
+    pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
+    return neardup_clusters(pairs)
 
 
 def _simhash_oracle() -> str:

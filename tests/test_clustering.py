@@ -74,3 +74,27 @@ def test_assignment_plan_has_no_shuffle_or_python(spark, sf_dir):
     plan = assign_to_centroids(emb, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_neardup_clusters_chain_and_clique(spark):
+    # chain 1-2-3-4-5 needs several hash-min rounds (diameter 4);
+    # clique 10-11-12 converges in one; pair 20-21 trivially
+    from ast_data_pipeline_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.n_cluster_docs, r.is_canonical)
+        for r in neardup_clusters(pairs).collect()
+    }
+    assert {d: c for d, (c, _, _) in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+    assert all(n == 5 for d, (_, n, _) in out.items() if d <= 5)
+    assert sorted(d for d, (_, _, canon) in out.items() if canon) == [1, 10, 20]
