@@ -103,6 +103,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_cosine_topk_lsh",
     "x_embedding_neardup",
     "x_kmeans_assign",
+    "x_dedup_clusters",
+    "x_train_split",
+    "x_sequence_packing",
     "s_stream_sessionize",
     "s_stream_tumbling_agg",
     "s_stream_stateful_counter",
