@@ -93,3 +93,95 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", "payload", F.col("media_meta.format").alias("fmt")
     ).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, "
+    "src_width int, src_height int"
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Nearest-neighbor resize over the binary image column.
+
+    The resampling kernel is REAL (numpy integer index mapping — the
+    same arithmetic a production nearest-neighbor pass runs after
+    decode); only the decode is faked: the payload is treated as a
+    row-major uint8 (height, width) plane, deterministically padded /
+    truncated to width*height bytes where the synthetic payload length
+    differs. Arrow batches in, fixed-schema rows with the resized
+    payload + updated dims out — the exact plumbing a Pillow-backed
+    decode would slot into (see ``decode_image``).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                "doc_id": [], "payload": [], "width": [], "height": [],
+                "src_width": [], "src_height": [],
+            }
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                b = np.frombuffer(payload, dtype=np.uint8)
+                b = np.resize(b, w * h).reshape(h, w)  # deterministic pad/trunc
+                xs = (np.arange(target_w) * w) // target_w
+                ys = (np.arange(target_h) * h) // target_h
+                resized = b[np.ix_(ys, xs)]
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(resized.tobytes())
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "doc_id", "payload",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    ).mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_index int, n_frames int, frame_len int, "
+    "frame_mean_byte double"
+)
+
+
+def sample_frames(df: DataFrame, frame_len: int = 64, every: int = 4) -> DataFrame:
+    """Frame sampling over the binary video column: the payload is a
+    concatenation of fixed-length frames (the container-parse step a
+    real ffmpeg probe would do is faked by the fixed ``frame_len``);
+    every ``every``-th frame is selected and summarized. One input row
+    fans out to one output row per sampled frame — the mapInPandas
+    iterator shape for 1->N extraction (same pattern a real
+    frame-decoder would use, yielding pixel tensors instead of byte
+    means)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                "doc_id": [], "frame_index": [], "n_frames": [],
+                "frame_len": [], "frame_mean_byte": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = max(1, len(b) // frame_len)
+                frames = np.resize(b, n_frames * frame_len).reshape(
+                    n_frames, frame_len
+                )
+                for idx in range(0, n_frames, every):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_index"].append(idx)
+                    out["n_frames"].append(int(n_frames))
+                    out["frame_len"].append(frame_len)
+                    out["frame_mean_byte"].append(float(frames[idx].mean()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import extract_features, with_multimodal_columns
+from ..operators.multimodal import (
+    extract_features,
+    sample_frames,
+    with_multimodal_columns,
+)
 from ..registry import register
 from ..sources.catalog import load
 
@@ -55,3 +59,17 @@ def x_multimodal_meta(spark, sf_dir):
 def x_multimodal_features(spark, sf_dir):
     docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
     return extract_features(docs)
+
+
+@register(
+    "x_multimodal_frames",
+    oracle=None,  # 1->N mapInPandas frame fan-out; shape-tested in pytest
+    doc="Video-style frame sampling: the binary payload parsed as "
+    "fixed-length frames, every 4th selected, one output row per "
+    "sampled frame (the mapInPandas 1->N iterator shape a real ffmpeg "
+    "frame-decoder slots into; see operators/multimodal.sample_frames).",
+    tags=("multimodal",),
+)
+def x_multimodal_frames(spark, sf_dir):
+    docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
+    return sample_frames(docs)

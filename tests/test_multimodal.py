@@ -32,3 +32,39 @@ def test_feature_extraction_shapes(spark, sf_dir):
     # payload bytes are ascii text -> mean byte in printable range
     assert (feats["mean_byte"] > 32).all() and (feats["mean_byte"] < 127).all()
     assert (feats["byte_len"] > 0).all()
+
+
+def test_resize_nearest_neighbor(spark):
+    import numpy as np
+
+    from ast_data_pipeline_spark.operators.multimodal import resize_images
+
+    # a 4x4 row-major plane with distinct bytes; nearest-neighbor to 2x2
+    # must pick rows/cols 0 and 2 (floor index mapping)
+    plane = bytes(range(16))
+    df = spark.createDataFrame(
+        [(1, plane, {"format": "png", "width": 4, "height": 4, "is_audio": False})],
+        "doc_id long, payload binary, media_meta struct<format:string,width:int,height:int,is_audio:boolean>",
+    )
+    row = resize_images(df, 2, 2).collect()[0]
+    got = np.frombuffer(row.payload, dtype=np.uint8).reshape(2, 2)
+    assert got.tolist() == [[0, 2], [8, 10]]
+    assert (row.width, row.height, row.src_width, row.src_height) == (2, 2, 4, 4)
+
+
+def test_frame_sampling_shape(spark, sf_dir):
+    from ast_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        with_multimodal_columns,
+    )
+    from ast_data_pipeline_spark.sources.catalog import load
+
+    docs = with_multimodal_columns(load(spark, sf_dir, "documents")).limit(50)
+    out = sample_frames(docs, frame_len=64, every=4).toPandas()
+    assert len(out) > 0
+    # every doc's sampled indices are 0, 4, 8, ... within its n_frames
+    for doc_id, g in out.groupby("doc_id"):
+        n = g["n_frames"].iat[0]
+        assert sorted(g["frame_index"]) == list(range(0, n, 4))
+    assert (out["frame_len"] == 64).all()
+    assert out["frame_mean_byte"].between(0, 255).all()
