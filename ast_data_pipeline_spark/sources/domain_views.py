@@ -369,6 +369,14 @@ def clear_view_cache() -> None:
 
 def _memo(name: str, fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Highest precedence: a materialized warehouse (bucketed
+        # parquet via sources/materialize) — the cluster-scale input
+        # shape. Applies even inside uncached_views(): bucketed table
+        # scans ARE the fully-optimizable lineage (bucket-pruned joins,
+        # no InMemoryRelation barrier).
+        prefix = getattr(_MATERIALIZED, "prefix", None)
+        if prefix is not None and spark.catalog.tableExists(f"{prefix}{name}"):
+            return spark.table(f"{prefix}{name}")
         if getattr(_BYPASS, "on", False) or (
             os.environ.get("SPARK_GRAFT_CACHE_VIEWS", "1") == "0"
         ):
@@ -415,6 +423,27 @@ def uncached_views():
         yield
     finally:
         _BYPASS.on = prev
+
+
+# Materialized-warehouse mode: view builders resolve to the bucketed
+# tables written by sources/materialize.materialize_domain_views —
+# the 100 TB input shape, where the derivation ran once and every
+# consumer (including the flagship) reads bucket-pruned parquet.
+# Views without a table under the prefix (e.g. counties, a
+# broadcast-size dim) fall through to their builders.
+_MATERIALIZED = threading.local()
+
+
+@contextmanager
+def materialized_views(prefix: str = "mat_"):
+    """Resolve domain views from materialized bucketed tables inside
+    this block (tables written by ``materialize_domain_views``)."""
+    prev = getattr(_MATERIALIZED, "prefix", None)
+    _MATERIALIZED.prefix = prefix
+    try:
+        yield
+    finally:
+        _MATERIALIZED.prefix = prev
 
 
 # Rebinding the module-level names routes internal callers (annotations

@@ -58,3 +58,21 @@ def test_bucketed_tile_join_and_agg_skip_shuffle(spark, mat):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_flagship_runs_off_materialized_warehouse(spark, sf_dir, mat):
+    # the 100 TB input shape: the flagship reads the bucketed tables
+    # instead of re-deriving the views, and produces the identical
+    # inventory
+    from ast_data_pipeline_spark.plans.tank_inventory import tank_inventory
+    from ast_data_pipeline_spark.sources.domain_views import materialized_views
+
+    raw = tank_inventory(spark, sf_dir).select(
+        "tank_id", "object_class", "county", "diameter"
+    ).toPandas().sort_values("tank_id").reset_index(drop=True)
+    with materialized_views("tmat_"):
+        mat_out = tank_inventory(spark, sf_dir).select(
+            "tank_id", "object_class", "county", "diameter"
+        ).toPandas().sort_values("tank_id").reset_index(drop=True)
+    assert len(raw) > 0
+    assert raw.equals(mat_out)
