@@ -326,3 +326,103 @@ def q22_dormant_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         dsum("c_acctbal").alias("totacctbal"),
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: outer-join count distribution — customers "
+    "LEFT OUTER JOIN orders with a join-side-only predicate (the "
+    "filter must NOT drop customerless rows, so it lives in the join "
+    "condition, not a WHERE), per-customer order counts, then the "
+    "histogram of counts. Two hash aggregates, each with map-side "
+    "partial aggregation; the second groups on a tiny int domain.",
+    tags=("tpch", "join",),
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").alias("c")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .alias("o")
+    )
+    per_cust = (
+        c.join(o, F.col("c.c_custkey") == F.col("o.o_custkey"), "left_outer")
+        .groupBy("c.c_custkey")
+        .agg(F.count("o.o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q21_suppliers_who_kept_waiting",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL '45 days'
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey AND s.s_nationkey = 3
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s.s_name
+""",
+    doc="TPC-H Q21 shape: the multi-correlated existential stack — a "
+    "supplier's late lineitem on a finished multi-supplier order where "
+    "NO other supplier was also late. late-shipment analogue: "
+    "l_shipdate > o_orderdate + 45 days (the synthetic schema has no "
+    "commit/receipt dates). Spark: the late set computed once, then "
+    "LEFT SEMI (exists, other-supplier lineitem) and LEFT ANTI "
+    "(not-exists, other late supplier) joins on l_orderkey — both "
+    "shuffle on the same key, no correlated re-execution per row.",
+    tags=("tpch", "join",),
+)
+def q21_suppliers_who_kept_waiting(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 45 days"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    l1 = late.alias("l1").join(
+        s, F.col("l1.l_suppkey") == F.col("s_suppkey")
+    )
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    l3 = late.alias("l3")
+    sole_late = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return sole_late.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
