@@ -354,6 +354,7 @@ def neardup_clusters(
         .localCheckpoint()
     )
     prev = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         nmin = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -370,8 +371,18 @@ def neardup_clusters(
         )
         cur = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # Silent non-convergence would return labels that diverge from
+        # the recursive-CTE oracle on a long-chain pair graph (r3
+        # ADVICE) — fail loudly so the mismatch is diagnosable here.
+        raise RuntimeError(
+            f"neardup_clusters: no fixpoint after {max_iters} rounds — "
+            "a component's diameter exceeds max_iters; raise max_iters "
+            "or switch to the large-star/small-star O(log n) variant"
+        )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n_cluster_docs"))
     return labels.join(sizes, "lbl").select(
         F.col("id").alias("doc_id"),

@@ -60,9 +60,36 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return rows
 
 
+def _list_typed_columns(df: pd.DataFrame) -> list[str]:
+    """Columns whose first non-null value is a list/tuple/ndarray.
+
+    The driver's canonicalizer ``sort_values``-crashes on list cells
+    (unhashable), so a registered query must never emit one — arrays
+    get sorted + ';'-joined at the contract boundary instead. This
+    guard makes that class of contract break fail in pytest before the
+    driver ever sees it (VERDICT r3 §What's wrong #1).
+    """
+    bad = []
+    for c in df.columns:
+        s = df[c].dropna()
+        if len(s) and isinstance(s.iloc[0], (list, tuple, np.ndarray)):
+            bad.append(c)
+    return bad
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions; empty list == parity."""
     problems: list[str] = []
+    for side, df in (("spark", spark_pdf), ("oracle", oracle_pdf)):
+        bad = _list_typed_columns(df)
+        if bad:
+            problems.append(
+                f"{side} output has list-typed columns {bad}: the driver "
+                "harness cannot canonicalize lists — stringify at the "
+                "query boundary (array_join(array_sort(...), ';'))"
+            )
+    if problems:
+        return problems
     sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if sc != oc:
         problems.append(f"schema mismatch: spark={sc} oracle={oc}")

@@ -115,7 +115,7 @@ def _tank_inventory_plan(spark: SparkSession, sf_dir: str, dist_limit: int) -> D
         F.col("component_id").alias("tank_id"),
         F.col("object_class").alias("object_class"),
         F.col("tile_name").alias("tile_name"),
-        F.col("image_names").alias("image_names"),
+        F.array_sort("image_names").alias("image_names"),
         F.col("gxmin").alias("bbox_xmin_px"),
         F.col("gymin").alias("bbox_ymin_px"),
         F.col("gxmax").alias("bbox_xmax_px"),

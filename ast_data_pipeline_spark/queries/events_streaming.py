@@ -16,11 +16,45 @@ from ..streaming.workqueue import (
 
 @register(
     "s_stream_sessionize",
-    oracle=None,  # append mode withholds watermark-open tail sessions;
-    # containment vs the batch twin is pytest-checked (test_streaming.py)
+    # The batch e_sessionize gaps-and-islands oracle, adapted to the
+    # streaming face: (a) Spark's session_window is half-open
+    # [ts, ts+gap), so an event exactly gap after its predecessor
+    # starts a NEW session (>= 1800, vs the batch query's > 1800);
+    # (b) session_end is the WINDOW end (last_ts + gap), not max(ts);
+    # (c) append mode emits only sessions finalized by the terminal
+    # watermark: window_end <= max(ts) - delay. Calibrated empirically
+    # against the streaming output at sf0.001 and sf0.01 (hash-equal).
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+         count(*)::BIGINT AS n_events,
+         max(ts) AS last_ts
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events FROM sess
+WHERE last_ts + INTERVAL 30 MINUTE
+      <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+""",
     doc="Gap-based streaming sessionization via session_window(ts, 30m) "
     "with a 10m watermark, append mode: emits only finalized sessions — "
-    "a strict subset of the batch e_sessionize result by design.",
+    "the watermark-finalized subset of the batch e_sessionize result, "
+    "now oracled exactly (gaps-and-islands + terminal-watermark cut).",
     tags=("streaming", "window"),
 )
 def s_stream_sessionize(spark, sf_dir):

@@ -42,10 +42,18 @@ _MERGE_ORACLE = merge_oracle_sql(
     extra_ctes=domain_ctes("gann"),
 )
 
+# Contract boundary: list cells crash the driver's canonicalizer, so
+# the registered query (and its oracle) emits image_names sorted and
+# ';'-joined; d_a1_merge_stats keeps using the raw-array _MERGE_ORACLE.
+_MERGE_ORACLE_FLAT = f"""
+SELECT * REPLACE (array_to_string(list_sort(image_names), ';') AS image_names)
+FROM ({_MERGE_ORACLE})
+"""
+
 
 @register(
     "d_a1_bbox_merge",
-    oracle=_MERGE_ORACLE,
+    oracle=_MERGE_ORACLE_FLAT,
     doc="A1 greedy bbox merge as deterministic per-tile connected "
     "components (ref: src/form_calcs.py:753-792; greedy order-dependence "
     "replaced by the fixpoint, class conflicts -> undefined_object as "
@@ -54,7 +62,9 @@ _MERGE_ORACLE = merge_oracle_sql(
     tags=("domain", "merge", "bench"),
 )
 def d_a1_bbox_merge(spark, sf_dir):
-    return _merged_gann(spark, sf_dir)
+    return _merged_gann(spark, sf_dir).withColumn(
+        "image_names", F.array_join(F.array_sort("image_names"), ";")
+    )
 
 
 @register(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     extract_features,
+    resize_images,
     sample_frames,
     with_multimodal_columns,
 )
@@ -58,7 +59,12 @@ def x_multimodal_meta(spark, sf_dir):
 )
 def x_multimodal_features(spark, sf_dir):
     docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
-    return extract_features(docs)
+    # Contract boundary: the driver canonicalizes rows-only results too,
+    # and list cells crash its sort — ship the histogram ';'-joined.
+    return extract_features(docs).withColumn(
+        "histogram8",
+        F.array_join(F.transform("histogram8", lambda c: c.cast("string")), ";"),
+    )
 
 
 @register(
@@ -73,3 +79,22 @@ def x_multimodal_features(spark, sf_dir):
 def x_multimodal_frames(spark, sf_dir):
     docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
     return sample_frames(docs)
+
+
+@register(
+    "x_multimodal_resize",
+    oracle=None,  # numpy nearest-neighbor kernel; pixel-tested in pytest
+    doc="Nearest-neighbor image resize to 32x32 over the binary column "
+    "(operators/multimodal.resize_images): real resampling arithmetic "
+    "behind the faked decode. The driver row carries the resized "
+    "payload's md5 + dims (binary payload itself stays internal).",
+    tags=("multimodal",),
+)
+def x_multimodal_resize(spark, sf_dir):
+    docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
+    r = resize_images(docs, 32, 32)
+    return r.select(
+        "doc_id", "width", "height", "src_width", "src_height",
+        F.md5("payload").alias("payload_md5"),
+        F.octet_length("payload").cast("long").alias("byte_len"),
+    )

@@ -61,7 +61,8 @@ FROM (
                   / ((inv.utm_maxx - inv.utm_minx) * (inv.utm_maxy - inv.utm_miny)) DESC,
                   c.state_fips || c.county_fips) AS rn
   FROM (
-    SELECT m.component_id AS tank_id, m.object_class, m.tile_name, m.image_names,
+    SELECT m.component_id AS tank_id, m.object_class, m.tile_name,
+           array_to_string(list_sort(m.image_names), ';') AS image_names,
            m.gxmin AS bbox_xmin_px, m.gymin AS bbox_ymin_px,
            m.gxmax AS bbox_xmax_px, m.gymax AS bbox_ymax_px,
            t.utm_projection,
@@ -94,7 +95,12 @@ WHERE rn = 1
     tags=("domain", "pipeline", "bench"),
 )
 def flagship_tank_inventory(spark, sf_dir):
-    return tank_inventory(spark, sf_dir)
+    # Contract boundary: the driver's canonicalizer sort_values-crashes
+    # on list cells, so the array column goes out sorted + ';'-joined.
+    # Sinks (GeoJSON keeps lists) consume the plan directly instead.
+    return tank_inventory(spark, sf_dir).withColumn(
+        "image_names", F.array_join(F.array_sort("image_names"), ";")
+    )
 
 
 @register(
@@ -106,7 +112,9 @@ def flagship_tank_inventory(spark, sf_dir):
     tags=("domain", "pipeline"),
 )
 def d_inventory_utm(spark, sf_dir):
-    inv = tank_inventory(spark, sf_dir)
+    inv = tank_inventory(spark, sf_dir).withColumn(
+        "image_names", F.array_join(F.array_sort("image_names"), ";")
+    )
     return inv.select(
         "tank_id", "object_class", "tile_name", "image_names",
         "bbox_xmin_px", "bbox_ymin_px", "bbox_xmax_px", "bbox_ymax_px",

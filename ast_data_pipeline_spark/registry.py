@@ -62,65 +62,68 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 
 # Grading priority: the driver's correctness gate walks ``load_all()``
-# in iteration order (and may stop at a budgeted prefix), so surface the
-# queries that prove the most first — the flagship plan, the full domain
-# (``d_*``) suite, one-per-family extension operators, the streaming
-# set, and the TPC-H shapes that previously fell past the cutoff.
+# in iteration order (and may stop at a budgeted prefix, historically
+# 50). Round-4 rotation (VERDICT r3 "Next round" #2): positions 1-3
+# re-prove the flagship trio that went red on the r3 harness array
+# crash (now stringified at the boundary); position 4 proves the new
+# s_stream_sessionize oracle; then every query that has never had a
+# driver row in r1-r3 (the 35 from VERDICT "What's missing" #2 plus the
+# new x_multimodal_resize); the tail re-certifies high-value rows.
 # Everything else follows in registration order; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
+    # 1-4: the r3 red rows, fixed, plus the newly-oracled stream face
     "flagship_tank_inventory",
     "d_inventory_utm",
     "d_a1_bbox_merge",
-    "d_a1_merge_stats",
-    "d_j6_point_in_tile",
-    "d_j7_adjacency_pairs",
-    "d_j8_county_argmax",
-    "d_j8_grid_cell_pairs",
-    "d_j9_tracking_table",
-    "d_a2_class_counts",
-    "d_a7_per_tile_stats",
-    "d_f7_verifier_allocation",
-    "d_distribution_by_county",
-    "d_workqueue_rounds",
-    "d_tracking_pipeline",
-    "d_zorder_layout",
-    "d_reproject_roundtrip",
-    "d_tile_parse",
-    "d_chip_grid",
-    "d_chip_parse_roundtrip",
-    "d_global_bbox_utm",
-    "d_label_standardize",
-    "d_flag_propagation",
-    "d_size_reclass",
-    "d_f5_partition_counts",
-    "d_f6_annotated_tiles",
-    "x_dedup_exact",
-    "x_minhash_lsh_neardup",
-    "x_simhash_neardup",
-    "x_curation_pipeline",
-    "x_cosine_topk_ivf",
-    "x_cosine_topk",
-    "x_cosine_topk_lsh",
-    "x_embedding_neardup",
-    "x_kmeans_assign",
-    "x_dedup_clusters",
-    "x_train_split",
-    "x_sequence_packing",
     "s_stream_sessionize",
-    "s_stream_tumbling_agg",
-    "s_stream_stateful_counter",
-    "s_stream_workqueue",
-    "s_stream_dedup",
-    "s_stream_static_join",
-    "s_stream_stream_join",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
+    # 5-40: never driver-checked in any round (VERDICT r3 list)
+    "e_tumbling_window_agg",
+    "e_sessionize",
+    "e_topk_users_by_value",
+    "e_json_props_extract",
+    "e_funnel_stages",
+    "e_activity_islands",
+    "e_cohort_retention",
+    "e_scd2_intervals",
+    "p_date_functions",
+    "t_asof_join",
+    "t_range_join",
+    "x_lang_id",
+    "x_text_quality",
+    "x_token_count",
+    "x_fingerprint",
+    "x_heavy_hitters",
+    "x_doc_chunking",
+    "x_ngram_jaccard",
+    "x_fuzzy_match",
+    "x_hash_sample",
+    "x_stratified_sample",
+    "x_kmeans_lloyd",
+    "x_data_quality_report",
+    "x_multimodal_meta",
+    "x_multimodal_features",
+    "x_multimodal_frames",
+    "x_multimodal_resize",
+    "s1_csv_variant_schema",
+    "s3_voc_xml_roundtrip",
+    "s5_geojson_flatten",
+    "s8_file_catalog",
+    "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q19_disjunctive_join",
+    "q21_suppliers_who_kept_waiting",
     "q22_dormant_customers",
+    # 41-50: re-certify the highest-value previously-green rows
+    "d_a1_merge_stats",
+    "d_j8_county_argmax",
+    "d_j6_point_in_tile",
+    "d_tracking_pipeline",
+    "x_minhash_lsh_neardup",
+    "x_dedup_clusters",
+    "x_curation_pipeline",
+    "x_cosine_topk_ivf",
+    "s_stream_tumbling_agg",
+    "q6_forecast_revenue",
 )
 
 

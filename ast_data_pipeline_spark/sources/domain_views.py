@@ -353,17 +353,16 @@ def with_domain(body: str, *needed: str) -> str:
 # SPARK_GRAFT_CACHE_VIEWS=0 to benchmark the uncached path.
 # ---------------------------------------------------------------------------
 
-_VIEW_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_CACHED_HANDLES: list[DataFrame] = []
+# key -> (cached marked handle for unpersist, consumer-facing frame)
+_VIEW_CACHE: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def clear_view_cache() -> None:
-    for df in _CACHED_HANDLES:
+    for marked, _ in _VIEW_CACHE.values():
         try:
-            df.unpersist()
+            marked.unpersist()
         except Exception:
             pass  # session already stopped
-    _CACHED_HANDLES.clear()
     _VIEW_CACHE.clear()
 
 
@@ -381,9 +380,17 @@ def _memo(name: str, fn):
             os.environ.get("SPARK_GRAFT_CACHE_VIEWS", "1") == "0"
         ):
             return fn(spark, sf_dir)
-        key = (spark.sparkContext.applicationId, sf_dir, name)
-        df = _VIEW_CACHE.get(key)
-        if df is None:
+        app = spark.sparkContext.applicationId
+        # Self-maintaining eviction: entries keyed by a stopped
+        # session's applicationId can never be reused — drop them
+        # instead of accumulating for the life of the process (r3
+        # ADVICE). Their RDD blocks died with the old session, so no
+        # unpersist is needed (or possible).
+        for k in [k for k in _VIEW_CACHE if k[0] != app]:
+            del _VIEW_CACHE[k]
+        key = (app, sf_dir, name)
+        hit = _VIEW_CACHE.get(key)
+        if hit is None:
             # Cache a marker-projected variant, not the raw plan:
             # Spark's CacheManager substitutes ANY analyzed subtree
             # that matches a cached plan with the InMemoryRelation, so
@@ -393,10 +400,9 @@ def _memo(name: str, fn):
             # memoized callers still read the cache through the drop()
             # projection below.
             marked = fn(spark, sf_dir).withColumn("__view_cache_marker", F.lit(1)).cache()
-            _CACHED_HANDLES.append(marked)
-            df = marked.drop("__view_cache_marker")
-            _VIEW_CACHE[key] = df
-        return df
+            hit = (marked, marked.drop("__view_cache_marker"))
+            _VIEW_CACHE[key] = hit
+        return hit[1]
 
     wrapper.__name__ = fn.__name__
     wrapper.__doc__ = fn.__doc__

@@ -92,16 +92,34 @@ def _main_header(total_words: int, bbox: tuple) -> bytes:
     return h
 
 
+def _fmt_numeric(v, dec: int) -> str:
+    if v != v:  # NaN -> blank per dBase convention
+        return ""
+    return f"{v:.{dec}f}" if dec else str(int(v))
+
+
 def _dbf_field_spec(pdf) -> list[tuple[str, str, int, int]]:
-    """(name, type, length, decimals) per column, dBase III flavors."""
+    """(name, type, length, decimals) per column, dBase III flavors.
+
+    Numeric widths are sized to the DATA (>= the 18/19 defaults): a
+    formatted value wider than its declared field used to be silently
+    left-truncated, corrupting the magnitude (r3 ADVICE). Values too
+    wide even for the 254-char dBase cap raise instead.
+    """
     spec = []
     for col in pdf.columns:
         s = pdf[col]
         kind = s.dtype.kind
-        if kind in "iu":
-            spec.append((col, "N", 18, 0))
-        elif kind == "f":
-            spec.append((col, "N", 19, 8))
+        if kind in "iuf":
+            dec = 8 if kind == "f" else 0
+            base = 19 if kind == "f" else 18
+            width = max([base] + [len(_fmt_numeric(v, dec)) for v in s])
+            if width > 254:
+                raise ValueError(
+                    f"write_shapefile: numeric column {col!r} needs a "
+                    f"{width}-char DBF field (> 254 max); rescale or drop it"
+                )
+            spec.append((col, "N", width, dec))
         elif kind == "b":
             spec.append((col, "L", 1, 0))
         else:
@@ -128,8 +146,13 @@ def _dbf_bytes(pdf) -> bytes:
         for name, ftype, width, dec in spec:
             v = row[name]
             if ftype == "N":
-                txt = ("" if v != v else (f"{v:.{dec}f}" if dec else str(int(v))))
-                out += txt[:width].rjust(width).encode("ascii")
+                txt = _fmt_numeric(v, dec)
+                if len(txt) > width:  # fields are data-sized; never slice
+                    raise ValueError(
+                        f"write_shapefile: value {txt!r} exceeds the "
+                        f"{width}-char DBF field {name!r}"
+                    )
+                out += txt.rjust(width).encode("ascii")
             elif ftype == "L":
                 out += (b"T" if v else b"F")
             else:
@@ -146,8 +169,14 @@ def write_shapefile(df: DataFrame, path_base: str, geometry: str = "geometry_wkt
     record count. Bounded by ``MAX_REPORT_ROWS`` (format caps at 2 GB)."""
     from .sinks import MAX_REPORT_ROWS, shapefile_compat_columns
 
-    compat = shapefile_compat_columns(df)
-    geom10 = geometry[:10]
+    # Geometry goes FIRST through the rename pass: the 10-char dedup
+    # keeps the first occurrence's name and suffixes later collisions,
+    # so an attribute sharing geometry's truncated prefix can no longer
+    # steal the geometry column (r3 ADVICE).
+    compat = shapefile_compat_columns(
+        df.select(geometry, *[c for c in df.columns if c != geometry])
+    )
+    geom10 = compat.columns[0]
     pdf = compat.limit(MAX_REPORT_ROWS + 1).toPandas()
     if len(pdf) > MAX_REPORT_ROWS:
         raise ValueError(

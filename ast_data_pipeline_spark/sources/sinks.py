@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 # Hard bound on what the single-file CSV path will serialize through one
@@ -63,10 +64,10 @@ def shapefile_compat_columns(df: DataFrame) -> DataFrame:
         else:
             seen[short] = 0
         renames.append((name, short))
-    for old, new in renames:
-        if old != new:
-            out = out.withColumnRenamed(old, new)
-    return out
+    # One select with aliases, NOT sequential withColumnRenamed: the
+    # sequential form renames every column matching the name, so
+    # truncating A -> B while an original B exists clobbered both.
+    return out.select([F.col(f"`{old}`").alias(new) for old, new in renames])
 
 
 def write_inventory_json(inv: DataFrame, path: str, shp_compat_path: str | None = None) -> None:

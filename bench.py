@@ -27,13 +27,17 @@ from ast_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    # Bench grades PER-QUERY engine cost: the session view cache
-    # (sources/domain_views._memo) is a sweep optimization that would
-    # bill the first d_* query for materializing every domain view's
-    # full column set (~13 s at sf0.1) and hand later ones a warm
-    # cache — misattributing cost across queries and drowning the
-    # per-query signal bench exists to produce. Measure raw lineage;
-    # an explicit SPARK_GRAFT_CACHE_VIEWS=1 still overrides.
+    # Bench grades PER-QUERY engine cost against the deployment input
+    # shape: the domain views are materialized ONCE as bucketed tables
+    # (sources/materialize — the 100 TB warehouse form, SCALING.md) and
+    # billed as their own "view_build" line item; every d_* query then
+    # reads bucket-pruned parquet. This replaces r3's raw-lineage mode,
+    # which re-billed the shared view derivation to each of the four
+    # d_* bench queries (~2.4 s x 4 at sf0.1) and made cross-round
+    # per-query numbers incomparable (VERDICT r3, perf action item).
+    # SPARK_GRAFT_CACHE_VIEWS=0 keeps any view that lacks a
+    # materialized table (broadcast-size dims) on raw lineage rather
+    # than an InMemoryRelation.
     os.environ.setdefault("SPARK_GRAFT_CACHE_VIEWS", "0")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -45,23 +49,42 @@ def main() -> None:
     spark = get_spark("ast-bench")
     timings: dict[str, float] = {}
 
+    from ast_data_pipeline_spark.sources.domain_views import materialized_views
+    from ast_data_pipeline_spark.sources.materialize import materialize_domain_views
+
+    # Bucket count ~ cores: bucketed scans run one task per bucket
+    # (shuffle-free groupBy/join on tile_key), so fewer buckets than
+    # cores would serialize the per-tile stages. At 100 TB the same
+    # knob is sized to fact_bytes / 128 MB instead.
+    t0 = time.perf_counter()
+    materialize_domain_views(
+        spark, sf_dir, buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    timings["view_build"] = round(time.perf_counter() - t0, 3)
+
     # timed runs per query, keep the min — the bench box shows
     # co-tenant jitter (2-5x outliers on single queries, confirmed by
     # idle-CPU/high-loadavg readings). min-of-3 normally suffices; when
     # the three samples still disagree by >2x the burst likely spanned
-    # all of them, so take up to 2 extra samples before recording.
-    for name in bench_names:
-        samples: list[float] = []
-        while True:
-            df = specs[name].fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-            if len(samples) >= 5 or (
-                len(samples) >= 3 and max(samples) / min(samples) <= 2.0
-            ):
-                break
-        timings[name] = round(min(samples), 3)
+    # all of them, so take up to 2 extra samples before recording. At
+    # toy scale (sf<=0.001: the pytest contract run) one sample is
+    # enough — Spark fixed overhead dominates and the full 5-sample
+    # ladder made the contract test the flakiest in the suite under
+    # parallel-suite contention (VERDICT r3, What's wrong #2).
+    max_samples, settle = (1, 1) if sf is not None and sf <= 0.001 else (5, 3)
+    with materialized_views():
+        for name in bench_names:
+            samples: list[float] = []
+            while True:
+                df = specs[name].fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+                if len(samples) >= max_samples or (
+                    len(samples) >= settle and max(samples) / min(samples) <= 2.0
+                ):
+                    break
+            timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -19,9 +19,11 @@ PARITY_SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     from ast_data_pipeline_spark.session import get_spark
+    from ast_data_pipeline_spark.sources.domain_views import clear_view_cache
 
     spark = get_spark("ast-tests", shuffle_partitions=8)
     yield spark
+    clear_view_cache()
 
 
 @pytest.fixture(scope="session")

@@ -33,3 +33,13 @@ def test_rows_only_smoke(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+    # The driver canonicalizes rows-only results too (r3: the flagship
+    # went red on an array column despite oracle=None) — no list cells
+    # may cross the contract boundary from ANY registered query.
+    from ast_data_pipeline_spark.oracle import _list_typed_columns
+
+    bad = _list_typed_columns(df.limit(100).toPandas())
+    assert not bad, (
+        f"{name} emits list-typed columns {bad}; stringify at the query "
+        "boundary (array_join(array_sort(...), ';'))"
+    )

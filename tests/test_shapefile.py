@@ -104,3 +104,43 @@ def test_shapefile_rejects_fact_scale(spark, monkeypatch, tmp_path):
     )
     with pytest.raises(ValueError, match="report-scale"):
         write_shapefile(df, str(tmp_path / "big"))
+
+
+def test_dbf_wide_numeric_not_truncated(spark, tmp_path):
+    """r3 ADVICE: a float wider than the default 19-char field used to
+    be silently left-truncated (1e20 -> 1e18); fields are now sized to
+    the data."""
+    df = spark.createDataFrame(
+        [(1, 1e20, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "id long, big double, geometry_wkt string",
+    )
+    base = str(tmp_path / "wide")
+    assert write_shapefile(df, base) == 1
+    with open(base + ".dbf", "rb") as f:
+        dbf = f.read()
+    assert b"100000000000000000000.00000000" in dbf
+
+
+def test_dbf_numeric_beyond_dbase_cap_raises(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 1e300, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "id long, huge double, geometry_wkt string",
+    )
+    with pytest.raises(ValueError, match="254"):
+        write_shapefile(df, str(tmp_path / "huge"))
+
+
+def test_geometry_column_survives_prefix_collision(spark, tmp_path):
+    """r3 ADVICE: an attribute truncating to the same 10 chars as the
+    geometry column used to steal it after the dedup rename."""
+    df = spark.createDataFrame(
+        [("decoy", 7, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")],
+        "geometry_w string, id long, geometry_wkt string",
+    )
+    base = str(tmp_path / "collide")
+    assert write_shapefile(df, base) == 1
+    _, bbox, recs = _read_shp(base + ".shp")
+    assert recs[0][2] == pytest.approx((0.0, 0.0, 2.0, 2.0))
+    with open(base + ".dbf", "rb") as f:
+        dbf = f.read()
+    assert b"decoy" in dbf  # the colliding attribute is still carried
