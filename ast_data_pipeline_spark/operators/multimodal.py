@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata structs (north-star extension).
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked stub: real Arrow/binary plumbing (schema, batching,
-partitioning, UDF signature) with a deterministic fake feature
-extractor; ``decode_image``/``decode_audio`` raise NotImplementedError
-exactly where a real codec (Pillow/libsndfile/ffmpeg) would plug in.
+The container has no compressed-image/audio codecs, so decode is REAL
+only where no codec is needed: ``decode_image`` decodes uncompressed
+Netpbm (P6 PPM / P5 PGM) in pure numpy from the public spec, and
+``extract_features`` computes features over those decoded pixels
+end-to-end. For compressed formats (png/jpg/wav) the decode raises
+NotImplementedError exactly where Pillow/libsndfile/ffmpeg would plug
+in, and a deterministic fake (raw-byte features) keeps the Arrow
+plumbing — schema, batching, partitioning, UDF signature — exercised.
 """
 
 from __future__ import annotations
@@ -25,12 +28,51 @@ FEATURE_SCHEMA = (
 SUPPORTED_FAKE = {"png", "jpg", "wav"}
 
 
-def decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """STUB — a real implementation would decode with Pillow/opencv.
+def _parse_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a binary PNM header (P5 gray / P6 RGB): magic, width,
+    height, maxval, and the offset where raster bytes begin. Handles
+    '#' comments and arbitrary whitespace per the Netpbm spec."""
+    magic = payload[:2]
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    return magic, w, h, maxval, pos
 
-    Raises NotImplementedError; callers must use the deterministic
-    fake-feature path (``extract_features``) in this environment.
+
+def decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode an image payload to a uint8 pixel array.
+
+    REAL for the uncompressed Netpbm formats — P6 PPM -> (h, w, 3) RGB,
+    P5 PGM -> (h, w) grayscale — implemented in pure numpy from the
+    public Netpbm spec (no codec dependency). Compressed formats
+    (png/jpg/...) still raise NotImplementedError where a Pillow/opencv
+    plug-in would slot in: those codecs are not in this container.
     """
+    if payload[:2] in (b"P6", b"P5"):
+        magic, w, h, maxval, off = _parse_pnm_header(payload)
+        if not (0 < maxval < 256):
+            raise ValueError(f"unsupported PNM maxval {maxval} (1-byte samples only)")
+        channels = 3 if magic == b"P6" else 1
+        need = w * h * channels
+        if len(payload) - off < need:
+            raise ValueError("truncated PNM raster")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        arr = raster.reshape(h, w, channels)
+        return arr if channels == 3 else arr[:, :, 0]
     raise NotImplementedError(
         f"binary decode for format {fmt!r} requires an image codec "
         "(Pillow/opencv), not present in this container"
@@ -62,10 +104,13 @@ def with_multimodal_columns(docs: DataFrame) -> DataFrame:
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over the binary column.
 
-    Deterministic fake features (mean byte value + 8-bin byte
-    histogram) computed where a real decoder would run; the Spark-side
-    shape — Arrow binary batches in, fixed-schema feature rows out —
-    is exactly what a real decode/extract stage uses.
+    The features (mean value + 8-bin histogram) are computed over REAL
+    decoded pixels when the payload is an uncompressed Netpbm image
+    (P6/P5 — ``decode_image`` is a working pure-numpy decoder for
+    those), and over the raw payload bytes otherwise (the deterministic
+    fake standing in for absent png/jpg codecs). Either way the
+    Spark-side shape — Arrow binary batches in, fixed-schema feature
+    rows out — is exactly what a production decode/extract stage uses.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -79,14 +124,22 @@ def extract_features(df: DataFrame) -> DataFrame:
             for doc_id, payload, fmt in zip(
                 pdf["doc_id"], pdf["payload"], pdf["fmt"]
             ):
-                b = np.frombuffer(payload, dtype=np.uint8)
-                ok = fmt in SUPPORTED_FAKE
-                hist = np.histogram(b, bins=8, range=(0, 256))[0] if len(b) else np.zeros(8)
+                raw = np.frombuffer(payload, dtype=np.uint8)
+                if bytes(payload[:2]) in (b"P6", b"P5"):
+                    vals = decode_image(bytes(payload), fmt).ravel()
+                    ok = True
+                else:
+                    vals, ok = raw, fmt in SUPPORTED_FAKE
+                hist = (
+                    np.histogram(vals, bins=8, range=(0, 256))[0]
+                    if len(vals)
+                    else np.zeros(8)
+                )
                 out["doc_id"].append(int(doc_id))
                 out["format"].append(fmt)
-                out["byte_len"].append(int(len(b)))
-                out["mean_byte"].append(float(b.mean()) if len(b) else 0.0)
-                out["histogram8"].append((hist / max(len(b), 1)).tolist())
+                out["byte_len"].append(int(len(raw)))
+                out["mean_byte"].append(float(vals.mean()) if len(vals) else 0.0)
+                out["histogram8"].append((hist / max(len(vals), 1)).tolist())
                 out["feature_ok"].append(bool(ok))
             yield pd.DataFrame(out)
 

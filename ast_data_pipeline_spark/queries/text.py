@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import word_shingles_sql
 from ..operators.text import (
     EN_STOPWORDS,
     STOPWORDS,
@@ -316,4 +317,167 @@ def x_sequence_packing(spark, sf_dir):
         F.sum("n_tokens").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+# ---- PII redaction -----------------------------------------------------
+
+# Patterns chosen for identical semantics in Java regex (Spark) and RE2
+# (DuckDB): ASCII classes, bounded quantifiers, \b word boundaries.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# The synthetic corpus is PII-free word salad, so both engines first
+# splice deterministic PII-shaped tokens into a doc_id-keyed subset —
+# the redactor then has real matches to find and strip.
+_PII_ENRICH_SQL = """
+  text
+  || (CASE WHEN doc_id % 7 = 0
+           THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+           ELSE '' END)
+  || (CASE WHEN doc_id % 11 = 0
+           THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ok'
+           ELSE '' END)
+  || (CASE WHEN doc_id % 13 = 0
+           THEN ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           ELSE '' END)
+"""
+
+
+@register(
+    "x_pii_redact",
+    oracle=f"""
+WITH enriched AS (
+  SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(t, '{_PII_PHONE}'))::BIGINT AS n_phones,
+         len(regexp_extract_all(t, '{_PII_SSN}'))::BIGINT AS n_ssns,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_SSN}', '[SSN]', 'g') AS redacted
+  FROM enriched
+)
+SELECT doc_id, n_emails, n_phones, n_ssns,
+       length(redacted)::BIGINT AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+""",
+    doc="PII redaction pass for training-data curation: email / phone / "
+    "SSN patterns counted and replaced with typed placeholders — pure "
+    "JVM regexp column ops (regexp_count + regexp_replace chain, no "
+    "UDF), embarrassingly parallel at 100 TB. The redacted text is "
+    "verified bit-exactly via md5; patterns are restricted to the "
+    "Java-regex/RE2 common subset so both engines agree. (A synthetic "
+    "enrichment step splices deterministic PII tokens into the "
+    "PII-free test corpus first.)",
+    tags=("text", "extension", "quality"),
+)
+def x_pii_redact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                     F.lit(" ok")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" id 123-45-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    enriched = docs.select("doc_id", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE, "[PHONE]"),
+        _PII_SSN, "[SSN]")
+    return enriched.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(_PII_SSN)).cast("long").alias("n_ssns"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
+    )
+
+
+# ---- benchmark decontamination ----------------------------------------
+
+_DECON_K = 13  # industry-standard contamination n-gram size
+
+
+@register(
+    "x_decontaminate",
+    oracle=f"""
+WITH wds AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id, w[4:18] AS w
+  FROM wds WHERE doc_id % 50 = 0 AND len(w) >= 18
+),
+bsh AS (
+  SELECT bench_id, unnest({word_shingles_sql('w', _DECON_K)}) AS shingle
+  FROM bench
+),
+csh AS (
+  SELECT doc_id, unnest({word_shingles_sql('w', _DECON_K)}) AS shingle
+  FROM wds WHERE len(w) >= {_DECON_K}
+)
+SELECT doc_id,
+       count(DISTINCT shingle)::BIGINT AS n_hit_shingles,
+       count(DISTINCT bench_id)::BIGINT AS n_benchmarks,
+       true AS contaminated
+FROM csh JOIN bsh USING (shingle)
+GROUP BY doc_id
+""",
+    doc="Benchmark decontamination for training-data curation: flag "
+    "corpus docs sharing any 13-gram with an eval/benchmark set "
+    "(the GPT-3/PaLM-style contamination rule). The benchmark here is "
+    "derived deterministically as 15-word extracts of every 50th doc — "
+    "simulating eval items leaked into training text. Scale shape: the "
+    "benchmark shingle set is eval-suite-sized (tiny), so it "
+    "BROADCASTS; the corpus streams through one shingle-explode + "
+    "broadcast-hash-join + per-doc agg — no shuffle of the corpus "
+    "text, no all-pairs anywhere.",
+    tags=("text", "extension", "dedup"),
+)
+def x_decontaminate(spark, sf_dir):
+    from ..operators.dedup import word_shingles, words_col
+
+    docs = load(spark, sf_dir, "documents")
+    wds = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    bench = wds.filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 18)).select(
+        F.col("doc_id").alias("bench_id"), F.slice("w", 4, 15).alias("w")
+    )
+    bsh = bench.select(
+        "bench_id", F.explode(word_shingles(F.col("w"), _DECON_K)).alias("shingle")
+    )
+    csh = wds.filter(F.size("w") >= _DECON_K).select(
+        "doc_id", F.explode(word_shingles(F.col("w"), _DECON_K)).alias("shingle")
+    )
+    return (
+        csh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmarks"),
+            F.lit(True).alias("contaminated"),
+        )
     )

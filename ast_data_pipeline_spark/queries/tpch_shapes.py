@@ -426,3 +426,171 @@ def q21_suppliers_who_kept_waiting(spark, sf_dir):
     return sole_late.groupBy("s_name").agg(
         F.count(F.lit(1)).alias("numwait")
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {dsum_sql('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate)::INT AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape (volume shipping): lineitem joined through "
+    "supplier->nation and orders->customer->nation with a symmetric "
+    "two-nation predicate, revenue per (supp_nation, cust_nation, "
+    "ship year). Plan: the three dimension joins broadcast (nation/ "
+    "supplier/customer are dim-scale), the orders join is the one "
+    "fact-fact shuffle, and the date filter prunes the lineitem scan.",
+    tags=("tpch", "join"),
+)
+def q7_volume_shipping(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    cus = load(spark, sf_dir, "customer")
+    ords = load(spark, sf_dir, "orders")
+    nat = load(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(n1, sup.s_nationkey == F.col("s_nk"))
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cus, ords.o_custkey == cus.c_custkey)
+        .join(n2, cus.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .withColumn("volume", vol)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       ({dsum_sql("CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END")})
+         / ({dsum_sql('volume')}) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate)::INT AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY o_year
+""",
+    doc="TPC-H Q8 shape (national market share): NATION_7 suppliers' "
+    "revenue share of the ECONOMY-part market sold to ASIA-region "
+    "customers, per order year. The conditional-sum / total-sum ratio "
+    "uses the exact-decimal dsum on both sides, so the double division "
+    "is bit-identical cross-engine. All five dimension joins broadcast;"
+    " lineitem->orders is the single fact shuffle.",
+    tags=("tpch", "join"),
+)
+def q8_market_share(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = load(spark, sf_dir, "supplier")
+    cus = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ords = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(n1, sup.s_nationkey == F.col("s_nk"))
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cus, ords.o_custkey == cus.c_custkey)
+        .join(n2, cus.c_nationkey == F.col("c_nk"))
+        .join(reg, F.col("c_rk") == reg.r_regionkey)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scoped = j.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        vol.alias("volume"),
+        F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0).alias("nation_volume"),
+    )
+    return scoped.groupBy("o_year").agg(
+        (dsum("nation_volume") / dsum("volume")).alias("mkt_share")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0)
+""",
+    doc="TPC-H Q15 shape (top supplier): quarterly per-supplier revenue "
+    "view, then the supplier(s) hitting the global max. The max is a "
+    "1-row broadcast crossJoin onto the dim-scale revenue frame — no "
+    "window sort; the exact-decimal dsum makes the equality-with-max "
+    "comparison safe cross-engine (identical double bits).",
+    tags=("tpch", "join"),
+)
+def q15_top_supplier(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(sup, F.col("supplier_no") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

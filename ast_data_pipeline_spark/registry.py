@@ -113,17 +113,18 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_join",
     "q21_suppliers_who_kept_waiting",
     "q22_dormant_customers",
-    # 41-50: re-certify the highest-value previously-green rows
+    # 41-45: queries NEW in round 4 (first chance at a driver row)
+    "x_pii_redact",
+    "x_decontaminate",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    # 46-50: re-certify the highest-value previously-green rows
     "d_a1_merge_stats",
     "d_j8_county_argmax",
     "d_j6_point_in_tile",
     "d_tracking_pipeline",
     "x_minhash_lsh_neardup",
-    "x_dedup_clusters",
-    "x_curation_pipeline",
-    "x_cosine_topk_ivf",
-    "s_stream_tumbling_agg",
-    "q6_forecast_revenue",
 )
 
 

@@ -18,6 +18,8 @@ scale; the local default keeps test tables small.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from . import domain_views as DV
@@ -43,6 +45,7 @@ def materialize_domain_views(
     with DV.uncached_views():
         for view in _BUCKETED:
             table = f"{prefix}{view}"
+            _clear_stale_location(spark, table)
             (
                 DV.BUILDERS[view](spark, sf_dir)
                 .write.mode("overwrite")
@@ -52,6 +55,26 @@ def materialize_domain_views(
             )
             out[view] = table
     return out
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Remove a warehouse directory left by a PREVIOUS session.
+
+    The local in-memory catalog forgets tables when the session ends,
+    but their managed locations stay on disk — and saveAsTable refuses
+    to claim an existing location it has no catalog entry for
+    (LOCATION_ALREADY_EXISTS). Only relevant to repeated local runs;
+    a persistent metastore resolves the table and overwrite handles it.
+    """
+    if spark.catalog.tableExists(table):
+        return  # same-session rebuild: overwrite mode handles it
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
 
 
 def read_materialized(spark: SparkSession, view: str, prefix: str = "mat_") -> DataFrame:

@@ -68,3 +68,55 @@ def test_frame_sampling_shape(spark, sf_dir):
         assert sorted(g["frame_index"]) == list(range(0, n, 4))
     assert (out["frame_len"] == 64).all()
     assert out["frame_mean_byte"].between(0, 255).all()
+
+
+def _ppm_bytes(arr: np.ndarray, comment: bool = False) -> bytes:
+    h, w, _ = arr.shape
+    hdr = b"P6\n" + (b"# synthetic test image\n" if comment else b"")
+    hdr += f"{w} {h}\n255\n".encode()
+    return hdr + arr.astype(np.uint8).tobytes()
+
+
+def test_ppm_decode_roundtrip():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    got = decode_image(_ppm_bytes(px, comment=True), "ppm")
+    assert got.shape == (5, 3, 3)
+    assert np.array_equal(got, px)
+
+
+def test_pgm_decode_gray():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    payload = b"P5\n4 3\n255\n" + gray.tobytes()
+    got = decode_image(payload, "pgm")
+    assert got.shape == (3, 4)
+    assert np.array_equal(got, gray)
+
+
+def test_ppm_decode_rejects_truncated_and_16bit():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(_ppm_bytes(px)[:-3], "ppm")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P6\n2 2\n65535\n" + bytes(24), "ppm")
+
+
+def test_ppm_features_end_to_end(spark):
+    """A generated PPM flows through extract_features with REAL pixel
+    decode (VERDICT r3 next-round #6): mean/histogram computed on the
+    decoded raster, not the raw payload bytes (header included)."""
+    px = np.full((4, 4, 3), 200, dtype=np.uint8)
+    px[:2, :, :] = 40  # half 40s, half 200s
+    payload = _ppm_bytes(px, comment=True)
+    df = spark.createDataFrame(
+        [(1, payload, {"format": "ppm", "width": 4, "height": 4, "is_audio": False})],
+        "doc_id long, payload binary, media_meta struct<format:string,width:int,height:int,is_audio:boolean>",
+    )
+    row = extract_features(df).collect()[0]
+    assert row.feature_ok
+    assert row.mean_byte == pytest.approx(120.0)  # (40+200)/2 — pixels, not header
+    assert row.byte_len == len(payload)
+    hist = row.histogram8
+    # 40 -> bin 1, 200 -> bin 6, equal mass
+    assert hist[1] == pytest.approx(0.5) and hist[6] == pytest.approx(0.5)
+    assert sum(hist) == pytest.approx(1.0)
