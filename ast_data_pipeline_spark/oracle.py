@@ -61,18 +61,20 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
 
 
 def _list_typed_columns(df: pd.DataFrame) -> list[str]:
-    """Columns whose first non-null value is a list/tuple/ndarray.
+    """Columns whose first non-null value is a list/tuple/ndarray/dict
+    (arrays and structs arrive in pandas as those).
 
-    The driver's canonicalizer ``sort_values``-crashes on list cells
-    (unhashable), so a registered query must never emit one — arrays
-    get sorted + ';'-joined at the contract boundary instead. This
-    guard makes that class of contract break fail in pytest before the
-    driver ever sees it (VERDICT r3 §What's wrong #1).
+    The driver's canonicalizer ``sort_values``-crashes on unhashable
+    cells, so a registered query must never emit one — arrays get
+    sorted + ';'-joined at the contract boundary, structs get projected
+    to scalar columns. This guard makes that class of contract break
+    fail in pytest before the driver ever sees it (VERDICT r3 §What's
+    wrong #1).
     """
     bad = []
     for c in df.columns:
         s = df[c].dropna()
-        if len(s) and isinstance(s.iloc[0], (list, tuple, np.ndarray)):
+        if len(s) and isinstance(s.iloc[0], (list, tuple, np.ndarray, dict)):
             bad.append(c)
     return bad
 
