@@ -98,3 +98,46 @@ def x_multimodal_resize(spark, sf_dir):
         F.md5("payload").alias("payload_md5"),
         F.octet_length("payload").cast("long").alias("byte_len"),
     )
+
+
+@register(
+    "x_multimodal_ppm",
+    # The ONLY multimodal query with a value oracle on the DECODE path:
+    # a valid P6 PPM (8x4 RGB) is assembled from each doc's text bytes,
+    # extract_features really parses the header and raster
+    # (operators/multimodal.decode_image), and the mean over decoded
+    # PIXELS equals the mean ASCII code point of the 96-char payload —
+    # which DuckDB computes independently. Integer code-point sums are
+    # exact in float64, so the final division is bit-identical.
+    oracle="""
+SELECT doc_id, 'ppm' AS format, 107::INT AS byte_len,
+       (list_sum(list_transform(generate_series(1, 96),
+                                i -> unicode(substr(t, i, 1))))::DOUBLE / 96)
+         AS mean_byte,
+       true AS feature_ok
+FROM (SELECT doc_id, substr(rpad(text, 96, 'x'), 1, 96) AS t FROM documents)
+""",
+    doc="Real image decode under the oracle gate: build an 8x4 P6 PPM "
+    "per document (11-byte Netpbm header + 96 raster bytes from the "
+    "ASCII text, padded), decode it in the mapInPandas feature stage, "
+    "and hash-verify the decoded-pixel mean against DuckDB's "
+    "independent code-point computation.",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_ppm(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t96 = F.substring(F.rpad(F.col("text"), 96, "x"), 1, 96)
+    payload = F.concat(F.lit(b"P6\n8 4\n255\n"), F.encode(t96, "utf-8"))
+    framed = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("ppm").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(False).alias("is_audio"),
+        ).alias("media_meta"),
+    )
+    return extract_features(framed).select(
+        "doc_id", "format", "byte_len", "mean_byte", "feature_ok"
+    )
