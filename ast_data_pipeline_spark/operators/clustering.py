@@ -124,3 +124,66 @@ def kmeans_lloyd(
 def inertia(assigned: DataFrame) -> float:
     """Sum of squared distances to assigned centroids (the Lloyd loss)."""
     return assigned.agg(F.sum("sq_dist").alias("i")).collect()[0]["i"]
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Cross-engine bit-exact Lloyd: fixed iteration count, centroid
+    means via the exact-decimal path (functions/exact.davg semantics).
+
+    Same loop shape as ``kmeans_lloyd`` (literal-folded assignment, one
+    partial-agg shuffle per iteration, K x dim doubles to the driver),
+    but every arithmetic step is deterministic across engines:
+
+    - float32 elements widen to double (exact) before the decimal cast,
+    - per-dim centroid means are round(sum(decimal), 4)::double / n —
+      order-free decimal addition, then one IEEE division,
+    - squared distances are sequential left folds (aggregate ↔
+      list_reduce), ties break to the lowest cid.
+
+    That makes the ITERATED algorithm oracle-able (x_kmeans_lloyd_exact
+    runs the identical recursion as a DuckDB recursive CTE); the
+    convergence-based ``kmeans_lloyd`` stays the production variant.
+    Raises if a cluster empties (the recursion's GROUP BY would drop
+    it and the two engines could then diverge — with data-seeded
+    centroids this does not occur; a real run would reseed).
+    """
+    from ..functions.exact import davg
+
+    seed_rows = (
+        df.filter(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need rows with {id_col} < {k} to seed")
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+
+    for _ in range(iters):
+        assigned = assign_to_centroids(df, centroids, vec_col)
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    davg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        if len(stats) < k:
+            raise ValueError(
+                "kmeans_lloyd_exact: a cluster emptied — the recursive "
+                "oracle would drop it; reseed or use kmeans_lloyd"
+            )
+        for row in stats:
+            centroids[row["cid"]] = [row[f"m{i}"] for i in range(dim)]
+
+    return assign_to_centroids(df, centroids, vec_col).select(
+        id_col, F.col("cid").cast("int").alias("cid")
+    )

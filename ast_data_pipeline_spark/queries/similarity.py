@@ -254,3 +254,66 @@ def x_kmeans_lloyd(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cid")
     )
+
+
+_LLOYD_ITERS = 3
+
+_SQDIST_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(generate_series(1, {dim}), i -> "
+    "({e}[i]::DOUBLE - {c}[i]) * ({e}[i]::DOUBLE - {c}[i]))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+@register(
+    "x_kmeans_lloyd_exact",
+    # The ITERATED Lloyd loop as a DuckDB recursive CTE — possible
+    # because every step is cross-engine bit-exact (see
+    # operators/clustering.kmeans_lloyd_exact): double-widened
+    # elements, decimal centroid means, left-fold distances, ties to
+    # the lowest cid. The working table carries the K centroids of the
+    # current iteration; the final select re-runs the assignment
+    # against the iter-N centroids.
+    oracle=f"""
+WITH RECURSIVE cent(iter, cid, cvec) AS (
+  SELECT 0, vec_id::INT AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM embeddings WHERE vec_id < {K_CENTROIDS}
+  UNION ALL
+  SELECT iter + 1, cid, list(m ORDER BY dim) AS cvec
+  FROM (
+    SELECT a.iter, a.cid, d.dim,
+           round(sum((a.vec[d.dim]::DOUBLE)::DECIMAL(30,10)), 4)::DOUBLE
+             / count(*) AS m
+    FROM (
+      SELECT c.iter, c.cid, e.embedding AS vec,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               {_SQDIST_SQL.format(dim=EMB_DIM, e='e.embedding', c='c.cvec')},
+               c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+      WHERE c.iter < {_LLOYD_ITERS}
+    ) a, generate_series(1, {EMB_DIM}) d(dim)
+    WHERE a.rn = 1
+    GROUP BY a.iter, a.cid, d.dim
+  )
+  GROUP BY iter, cid
+)
+SELECT e.vec_id, c.cid
+FROM embeddings e CROSS JOIN (SELECT * FROM cent WHERE iter = {_LLOYD_ITERS}) c
+QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+  {_SQDIST_SQL.format(dim=EMB_DIM, e='e.embedding', c='c.cvec')}, c.cid) = 1
+""",
+    doc="Bit-exact iterated Lloyd k-means: 3 full assignment+update "
+    "rounds with exact-decimal centroid means, verified end-to-end "
+    "against a DuckDB recursive-CTE twin (the first ITERATIVE "
+    "algorithm under the hash gate — x_kmeans_lloyd remains the "
+    "convergence-based production variant, rows-only by design). "
+    "Scale shape unchanged: literal-folded assignment in codegen, one "
+    "partial-agg shuffle per round, K x dim doubles to the driver.",
+    tags=("similarity", "extension", "iterative"),
+)
+def x_kmeans_lloyd_exact(spark, sf_dir):
+    from ..operators.clustering import kmeans_lloyd_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_exact(emb, k=K_CENTROIDS, dim=EMB_DIM, iters=_LLOYD_ITERS)
