@@ -12,6 +12,7 @@ from ..streaming.workqueue import (
     streaming_tumbling_agg,
     streaming_workqueue_snapshot,
 )
+from .text import PII_ORACLE
 
 
 @register(
@@ -181,3 +182,31 @@ def s_stream_stream_join(spark, sf_dir):
     from ..streaming.workqueue import streaming_stream_stream_join
 
     return streaming_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "s_stream_pii_redact",
+    # Stateless map => exactly-once file-source replay equals the batch
+    # result, so the streaming face shares x_pii_redact's oracle.
+    oracle=PII_ORACLE,
+    doc="Streaming PII redaction: the documents table replayed as a "
+    "file-source stream through the SAME enrich->count->redact "
+    "projection as x_pii_redact (queries/text.pii_redact_frame), "
+    "append mode. A stateless map needs no state store or watermark — "
+    "the continuous-ingest shape of the curation pass, verified "
+    "against the identical DuckDB oracle as the batch face.",
+    tags=("streaming", "text", "quality"),
+)
+def s_stream_pii_redact(spark, sf_dir):
+    from ..queries.text import pii_redact_frame
+    from ..sources.catalog import table_path
+    from ..streaming.workqueue import run_stream_to_batch
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return run_stream_to_batch(pii_redact_frame(stream), spark, "append")

@@ -346,40 +346,10 @@ _PII_ENRICH_SQL = """
 """
 
 
-@register(
-    "x_pii_redact",
-    oracle=f"""
-WITH enriched AS (
-  SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents
-),
-red AS (
-  SELECT doc_id,
-         len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_emails,
-         len(regexp_extract_all(t, '{_PII_PHONE}'))::BIGINT AS n_phones,
-         len(regexp_extract_all(t, '{_PII_SSN}'))::BIGINT AS n_ssns,
-         regexp_replace(regexp_replace(regexp_replace(t,
-             '{_PII_EMAIL}', '[EMAIL]', 'g'),
-             '{_PII_PHONE}', '[PHONE]', 'g'),
-             '{_PII_SSN}', '[SSN]', 'g') AS redacted
-  FROM enriched
-)
-SELECT doc_id, n_emails, n_phones, n_ssns,
-       length(redacted)::BIGINT AS redacted_len,
-       md5(redacted) AS redacted_md5
-FROM red
-""",
-    doc="PII redaction pass for training-data curation: email / phone / "
-    "SSN patterns counted and replaced with typed placeholders — pure "
-    "JVM regexp column ops (regexp_count + regexp_replace chain, no "
-    "UDF), embarrassingly parallel at 100 TB. The redacted text is "
-    "verified bit-exactly via md5; patterns are restricted to the "
-    "Java-regex/RE2 common subset so both engines agree. (A synthetic "
-    "enrichment step splices deterministic PII tokens into the "
-    "PII-free test corpus first.)",
-    tags=("text", "extension", "quality"),
-)
-def x_pii_redact(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+def pii_redact_frame(docs):
+    """The full enrich->count->redact projection over a documents-shaped
+    frame (batch or streaming — it's a stateless map, so the streaming
+    face s_stream_pii_redact reuses it and the SAME oracle)."""
     t = F.concat(
         F.col("text"),
         F.when(
@@ -415,6 +385,45 @@ def x_pii_redact(spark, sf_dir):
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
     )
+
+
+PII_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(t, '{_PII_PHONE}'))::BIGINT AS n_phones,
+         len(regexp_extract_all(t, '{_PII_SSN}'))::BIGINT AS n_ssns,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_SSN}', '[SSN]', 'g') AS redacted
+  FROM enriched
+)
+SELECT doc_id, n_emails, n_phones, n_ssns,
+       length(redacted)::BIGINT AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+@register(
+    "x_pii_redact",
+    oracle=PII_ORACLE,
+    doc="PII redaction pass for training-data curation: email / phone / "
+    "SSN patterns counted and replaced with typed placeholders — pure "
+    "JVM regexp column ops (regexp_count + regexp_replace chain, no "
+    "UDF), embarrassingly parallel at 100 TB. The redacted text is "
+    "verified bit-exactly via md5; patterns are restricted to the "
+    "Java-regex/RE2 common subset so both engines agree. (A synthetic "
+    "enrichment step splices deterministic PII tokens into the "
+    "PII-free test corpus first.)",
+    tags=("text", "extension", "quality"),
+)
+def x_pii_redact(spark, sf_dir):
+    return pii_redact_frame(load(spark, sf_dir, "documents"))
 
 
 # ---- benchmark decontamination ----------------------------------------

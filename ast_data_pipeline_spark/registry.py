@@ -113,18 +113,18 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_join",
     "q21_suppliers_who_kept_waiting",
     "q22_dormant_customers",
-    # 41-47: queries NEW in round 4 (first chance at a driver row)
+    # 41-48: queries NEW in round 4 (first chance at a driver row)
     "x_pii_redact",
+    "s_stream_pii_redact",
     "x_decontaminate",
     "x_multimodal_ppm",
     "x_kmeans_lloyd_exact",
     "q7_volume_shipping",
     "q8_market_share",
     "q15_top_supplier",
-    # 48-50: re-certify the highest-value previously-green rows
+    # 49-50: re-certify the highest-value previously-green rows
     "d_a1_merge_stats",
     "d_j8_county_argmax",
-    "d_tracking_pipeline",
 )
 
 
