@@ -109,13 +109,19 @@ def x_multimodal_resize(spark, sf_dir):
     # PIXELS equals the mean ASCII code point of the 96-char payload —
     # which DuckDB computes independently. Integer code-point sums are
     # exact in float64, so the final division is bit-identical.
+    # Non-ASCII chars are squashed to '?' first (same regexp class in
+    # Java and RE2): the oracle equates BYTES with CODE POINTS, which
+    # only holds for ASCII — this keeps the row green if a future
+    # testdata generation ever emits non-ASCII text.
     oracle="""
 SELECT doc_id, 'ppm' AS format, 107::INT AS byte_len,
        (list_sum(list_transform(generate_series(1, 96),
                                 i -> unicode(substr(t, i, 1))))::DOUBLE / 96)
          AS mean_byte,
        true AS feature_ok
-FROM (SELECT doc_id, substr(rpad(text, 96, 'x'), 1, 96) AS t FROM documents)
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
 """,
     doc="Real image decode under the oracle gate: build an 8x4 P6 PPM "
     "per document (11-byte Netpbm header + 96 raster bytes from the "
@@ -126,7 +132,8 @@ FROM (SELECT doc_id, substr(rpad(text, 96, 'x'), 1, 96) AS t FROM documents)
 )
 def x_multimodal_ppm(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    t96 = F.substring(F.rpad(F.col("text"), 96, "x"), 1, 96)
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
     payload = F.concat(F.lit(b"P6\n8 4\n255\n"), F.encode(t96, "utf-8"))
     framed = docs.select(
         "doc_id",
