@@ -262,3 +262,78 @@ def d_tracking_pipeline(spark, sf_dir):
             ).alias("verify_coverage"),
         )
     )
+
+
+@register(
+    "s11_orc_roundtrip",
+    oracle="""
+SELECT year(o_orderdate)::INTEGER AS order_year, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum((o_totalprice)::DECIMAL(30,10)), 4)::DOUBLE AS total_price
+FROM orders
+WHERE year(o_orderdate) = 1996
+GROUP BY order_year, o_orderpriority
+""",
+    doc="S11 ORC source/sink round-trip: orders written as ORC "
+    "partitioned by order year (Spark's built-in ORC writer), read "
+    "back with a partition-pruned scan (year filter hits "
+    "PartitionFilters, not data), aggregated. Oracle = the same "
+    "aggregate straight off parquet — write+read must be the "
+    "identity. Exercises the second columnar format a lakehouse "
+    "ingests besides parquet; at 100 TB the partition layout IS the "
+    "pruning index.",
+    tags=("source",),
+)
+def s11_orc_roundtrip(spark, sf_dir):
+    from ..functions.exact import dsum
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    tmp = os.path.join(
+        tempfile.gettempdir(), "ast_orc_roundtrip", os.path.basename(sf_dir.rstrip("/"))
+    )
+    orders.write.mode("overwrite").partitionBy("order_year").orc(tmp)
+    back = spark.read.orc(tmp).filter(F.col("order_year") == 1996)
+    return back.groupBy("order_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "s12_jsonl_roundtrip",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       user_id, event_type, value, props
+FROM events
+WHERE event_type = 'purchase'
+""",
+    doc="S12 JSON-lines source/sink round-trip: purchase events "
+    "written as newline-delimited JSON with explicit microsecond "
+    "timestamp formatting, read back through spark.read.json with a "
+    "declared schema (never schema inference at scale — one pass, "
+    "stable types), timestamps re-parsed. Oracle = the same "
+    "projection off parquet; the timestamp goes out as a formatted "
+    "string at the contract boundary (UTC session TZ).",
+    tags=("source",),
+)
+def s12_jsonl_roundtrip(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    tmp = os.path.join(
+        tempfile.gettempdir(), "ast_jsonl_roundtrip", os.path.basename(sf_dir.rstrip("/"))
+    )
+    out = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "user_id", "event_type", "value", "props",
+    )
+    out.write.mode("overwrite").json(tmp)
+    schema = (
+        "event_id bigint, ts_str string, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    back = spark.read.schema(schema).json(tmp)
+    return back.select(
+        "event_id", "ts_str", "user_id", "event_type", "value", "props"
+    )

@@ -490,3 +490,190 @@ def x_decontaminate(spark, sf_dir):
             F.lit(True).alias("contaminated"),
         )
     )
+
+
+# ---- repetition-based quality rules (Gopher-style) --------------------
+
+# The Gopher/MassiveText repetition rules operate on lines and
+# paragraphs; the synthetic corpus is single-line word salad, so the
+# same family is expressed at word granularity: duplicate-word
+# fraction, most-frequent-word share, and most-frequent-bigram share.
+# The *shape* is identical — explode to units, count per (doc, unit),
+# windowed argmax back, ratio thresholds — and it is the shape that
+# matters at 100 TB: one shuffle per granularity keyed by doc_id,
+# map-side combine on the (doc_id, unit) counts, no driver state.
+
+_REP_DUP_THRESH = 0.80  # dup_word_frac above this flags the doc
+_REP_TOP_THRESH = 0.10  # top_word_frac above this flags the doc
+
+
+@register(
+    "x_repetition_quality",
+    oracle=f"""
+WITH wds AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(w) AS word FROM wds
+),
+wc AS (
+  SELECT doc_id, word, count(*)::BIGINT AS c
+  FROM words GROUP BY doc_id, word
+),
+topw AS (
+  SELECT doc_id, word AS top_word, c AS top_word_n
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, word) AS rn FROM wc)
+  WHERE rn = 1
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM wds WHERE len(w) >= 2
+),
+gc AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS c
+  FROM grams GROUP BY doc_id, gram
+),
+topg AS (
+  SELECT doc_id, gram AS top_bigram, c AS top_bigram_n
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM gc)
+  WHERE rn = 1
+),
+base AS (
+  SELECT doc_id, len(w)::BIGINT AS n_words FROM wds
+),
+uniq AS (
+  -- distinct word count = row count of the (doc, word) aggregate:
+  -- reuses wc instead of a second DISTINCT shuffle
+  SELECT doc_id, count(*)::BIGINT AS distinct_words FROM wc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, u.distinct_words,
+       1.0 - u.distinct_words::DOUBLE / b.n_words AS dup_word_frac,
+       t.top_word, t.top_word_n,
+       t.top_word_n::DOUBLE / b.n_words AS top_word_frac,
+       g.top_bigram, g.top_bigram_n,
+       (1.0 - u.distinct_words::DOUBLE / b.n_words > {_REP_DUP_THRESH}
+        OR t.top_word_n::DOUBLE / b.n_words > {_REP_TOP_THRESH}) AS flagged
+FROM base b
+JOIN uniq u USING (doc_id)
+JOIN topw t USING (doc_id)
+JOIN topg g USING (doc_id)
+""",
+    doc="Gopher-style repetition quality rules at word granularity: "
+    "duplicate-word fraction, most-frequent-word share and "
+    "most-frequent-bigram share per document, with flag thresholds. "
+    "Plan: one explode+count shuffle per granularity keyed by doc_id "
+    "(map-side partial combine), windowed argmax with a lexicographic "
+    "tie-break, broadcast-free rejoin on doc_id. Ratios are single "
+    "IEEE divisions of exact integer counts — deterministic "
+    "cross-engine. (Gopher rules ref: Rae et al. 2021, Table A1; "
+    "line/paragraph granularity collapses to words on the single-line "
+    "synthetic corpus.)",
+    tags=("text", "extension", "quality"),
+)
+def x_repetition_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    wds = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    base = wds.select("doc_id", F.size("w").cast("long").alias("n_words"))
+
+    words = wds.select("doc_id", F.explode("w").alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("word"))
+    topw = (
+        wc.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_word"), F.col("c").alias("top_word_n"))
+    )
+    # distinct word count = per-doc row count of wc (no second
+    # DISTINCT shuffle; wc is already keyed by (doc_id, word))
+    uniq = wc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("distinct_words")
+    )
+
+    grams = wds.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gwin = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("gram"))
+    topg = (
+        gc.withColumn("rn", F.row_number().over(gwin))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_bigram"), F.col("c").alias("top_bigram_n"))
+    )
+
+    dup_frac = 1.0 - F.col("distinct_words").cast("double") / F.col("n_words")
+    top_frac = F.col("top_word_n").cast("double") / F.col("n_words")
+    return (
+        base.join(uniq, "doc_id")
+        .join(topw, "doc_id")
+        .join(topg, "doc_id")
+        .select(
+            "doc_id", "n_words", "distinct_words",
+            dup_frac.alias("dup_word_frac"),
+            "top_word", "top_word_n",
+            top_frac.alias("top_word_frac"),
+            "top_bigram", "top_bigram_n",
+            ((dup_frac > _REP_DUP_THRESH) | (top_frac > _REP_TOP_THRESH)).alias("flagged"),
+        )
+    )
+
+
+# ---- TF-IDF / inverted-index top terms --------------------------------
+
+
+@register(
+    "x_tfidf_topterms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY term
+),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (
+           PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.term
+         ) AS rank
+  FROM tf t JOIN df d USING (term)
+)
+SELECT doc_id, rank::INTEGER AS rank, term, tf, df
+FROM ranked WHERE rank <= 3
+""",
+    doc="Inverted-index / TF-IDF shape: per-(doc, term) frequency, "
+    "global document frequency, top-3 salient terms per doc ranked by "
+    "(tf DESC, df ASC, term) — high term frequency, rare in the "
+    "corpus, lexicographic tie-break. The float tf·idf score is "
+    "deliberately NOT materialized: ln() is not bit-identical across "
+    "engines, and the (tf, df) integer sort key yields the identical "
+    "ranking for any monotone idf. Plan: two shuffles (doc-term "
+    "count, term df), df side is vocabulary-sized — orders smaller "
+    "than the corpus — then a per-doc window top-k.",
+    tags=("text", "extension"),
+)
+def x_tfidf_topterms(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tf", "df")
+    )

@@ -594,3 +594,288 @@ def q15_top_supplier(spark, sf_dir):
         .join(sup, F.col("supplier_no") == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the synthetic schema has no partsupp table, so the
+# Q2/Q9/Q11/Q16/Q20 shapes derive one from lineitem — every distinct
+# (partkey, suppkey) pair with a supply cost (cheapest observed unit
+# price: exact double division + MIN, bit-identical cross-engine), a
+# line count, and an exact total quantity. The derivation is itself the
+# plan-shape of interest at 100 TB: one shuffle on the composite key
+# with map-side partial aggregation, then reused (broadcast or rejoin)
+# by each consumer.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         count(*)::BIGINT AS ps_availqty,
+         min(l_extendedprice / l_quantity) AS ps_supplycost,
+         round(sum((l_quantity)::DECIMAL(30,10)), 4)::DOUBLE AS ps_qty
+  FROM lineitem
+  GROUP BY 1, 2
+)
+"""
+
+
+def _partsupp(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.count(F.lit(1)).alias("ps_availqty"),
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        dsum("l_quantity").alias("ps_qty"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, ps.ps_supplycost
+FROM ps
+JOIN part p     ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE' AND p.p_size >= 40 AND p.p_name LIKE '%bolt%'
+  AND ps.ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 shape (min-cost supplier in region): the correlated "
+    "scalar-min subquery de-correlated into a per-part MIN aggregate "
+    "rejoined on (partkey, supplycost) equality. nation/region are "
+    "broadcast; only the partsupp derivation shuffles. Order chain "
+    "ends at (s_name, p_partkey) — unique, so the LIMIT is stable. "
+    "supplycost is MIN of an exact double division: no summation, "
+    "bit-identical cross-engine.",
+    tags=("tpch", "join"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & F.col("p_name").like("%bolt%")
+    )
+    # regional partsupp: supplier->nation->region are broadcast dims
+    regional = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+    )
+    # self-join on derived lineage: rename the agg side's key so the
+    # analyzer can't confuse the two ps_partkey attributes
+    min_cost = regional.groupBy(
+        F.col("ps_partkey").alias("mc_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        regional.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), regional.ps_partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost"
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity')} AS sum_profit
+FROM lineitem l
+JOIN ps         ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+""",
+    doc="TPC-H Q9 shape (product-type profit): 5-way join fanning a "
+    "fact scan against the derived partsupp (shuffle on composite "
+    "key) plus three broadcast dims, then an exact-decimal profit "
+    "aggregate by (nation, year). The p_name filter pushes to the "
+    "part scan and semi-prunes lineitem via the partkey join.",
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_profit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    joined = (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(dsum(amount).alias("sum_profit"))
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+WITH {_PS_CTE},
+national AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+  FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  WHERE s.s_nationkey < 5
+)
+SELECT ps_partkey, {dsum_sql('v')} AS value
+FROM national
+GROUP BY ps_partkey
+HAVING {dsum_sql('v')} > (
+  SELECT {dsum_sql('v')} * 0.001 FROM national
+)
+""",
+    doc="TPC-H Q11 shape (important stock): per-part inventory value "
+    "within a national supplier group, kept only when it exceeds a "
+    "fraction of the group total — a 1-row global aggregate broadcast "
+    "back as a HAVING threshold. Both sides of the comparison go "
+    "through the exact-decimal sum, so the > cut is deterministic "
+    "cross-engine even for parts sitting near the threshold.",
+    tags=("tpch", "agg"),
+)
+def q11_important_stock(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    sup = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    national = ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+    )
+    per_part = national.groupBy("ps_partkey").agg(dsum("v").alias("value"))
+    total = national.agg((dsum("v") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey)::BIGINT AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49, 50)
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 500
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 shape (supplier relationship counts): COUNT "
+    "DISTINCT suppliers per (brand, type, size) bucket, excluding a "
+    "supplier denylist via broadcast anti join (the NOT IN: the "
+    "denylist stands in for the comment-pattern complaint filter — "
+    "the synthetic schema has no s_comment). part is broadcast; the "
+    "one shuffle is the distinct-count aggregation.",
+    tags=("tpch", "agg"),
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49, 50)
+    )
+    deny = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 500)
+    return (
+        ps.join(F.broadcast(deny), ps.ps_suppkey == deny.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+WITH {_PS_CTE},
+recent AS (
+  SELECT l_partkey, l_suppkey,
+         round(sum((l_quantity)::DECIMAL(30,10)), 4)::DOUBLE AS qty_1996
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, s.s_acctbal
+FROM ps
+JOIN recent r ON r.l_partkey = ps.ps_partkey AND r.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  AND s.s_nationkey < 10
+  AND ps.ps_qty > 0.5 * r.qty_1996
+""",
+    doc="TPC-H Q20 shape (excess-stock suppliers): the correlated "
+    "half-of-year-volume subquery de-correlated into a windowed "
+    "(partkey, suppkey) aggregate joined back to the derived "
+    "partsupp; parts semi-filtered by name prefix (broadcast "
+    "semi join), suppliers by nation group. Both quantity sums use "
+    "the exact-decimal path so the 0.5x comparison can't flap. "
+    "DISTINCT collapses a supplier qualifying via several parts.",
+    tags=("tpch", "join"),
+)
+def q20_excess_stock_suppliers(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    recent = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty_1996"))
+    )
+    small = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sup = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 10)
+    return (
+        ps.join(
+            recent,
+            (ps.ps_partkey == recent.l_partkey)
+            & (ps.ps_suppkey == recent.l_suppkey),
+        )
+        .join(F.broadcast(small), ps.ps_partkey == small.p_partkey, "left_semi")
+        .join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .filter(F.col("ps_qty") > 0.5 * F.col("qty_1996"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )

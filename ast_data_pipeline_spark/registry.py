@@ -122,7 +122,17 @@ _PRIORITY: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "q15_top_supplier",
-    # 49-50: re-certify the highest-value previously-green rows
+    "q9_product_profit",
+    "x_repetition_quality",
+    "x_tfidf_topterms",
+    "s11_orc_roundtrip",
+    "s12_jsonl_roundtrip",
+    "q2_min_cost_supplier",
+    # 51+: past the historical 50-query budget — re-certify targets and
+    # the rest of the new TPC-H tail (first in line for the r5 window)
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
 )
