@@ -31,8 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship.fn(spark, "/root/testdata/sf0.001")
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    # The oracle formats timestamps as strings assuming a UTC session
+    # (session.py pins it); the driver may hand us its own session, so
+    # pin it here too before building each plan.
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in load_all().items()}
+    return {name: _utc(spec.fn) for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -119,3 +119,66 @@ def x_train_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "x_range_partition_bounds",
+    oracle="""
+WITH sample AS (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE substr(md5((o_orderkey)::VARCHAR), 1, 2) < '20'
+),
+ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM sample
+)
+SELECT ((rn * 8) // n)::INTEGER AS bucket_id, max(o_totalprice) AS upper_bound,
+       count(*)::BIGINT AS sample_rows
+FROM ranked
+WHERE (rn * 8) // n < 8
+GROUP BY bucket_id
+""",
+    doc="Range-partitioning boundary computation — the planning step "
+    "behind repartitionByRange / global sort at scale. A deterministic "
+    "~12.5% md5 hash-gate sample (never rand(): re-runs must pick the "
+    "same rows) is ranked once; bucket b's upper bound is the max "
+    "sample value with rank*B/n == b. Only the SAMPLE is globally "
+    "ranked (one narrow-column shuffle); the 100 TB fact is then "
+    "range-routed by these bounds as a stateless filter — exactly "
+    "Spark's RangePartitioner, made reproducible and oracle-checkable. "
+    "Integer rank arithmetic, no percentile floats.",
+    tags=("sampling", "extension"),
+)
+def x_range_partition_bounds(spark, sf_dir):
+    from pyspark.sql import Window
+
+    n_buckets = 8
+    sample = (
+        load(spark, sf_dir, "orders")
+        .filter(hash_gate(F.col("o_orderkey"), "20"))
+        .select("o_orderkey", "o_totalprice")
+    )
+    # unique tie-break (o_orderkey): with duplicate prices at a bucket
+    # boundary, both engines must assign identical ranks
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = sample.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    # integer division on both sides (Spark `div` == DuckDB `//`):
+    # never float-divide then floor/cast — DuckDB's double->int cast
+    # ROUNDS while Spark's truncates
+    bucket = F.expr(f"(rn * {n_buckets}) div n").cast("int")
+    return (
+        ranked.withColumn("bucket_id", bucket)
+        .filter(F.col("bucket_id") < n_buckets)
+        .groupBy("bucket_id")
+        .agg(
+            F.max("o_totalprice").alias("upper_bound"),
+            F.count(F.lit(1)).alias("sample_rows"),
+        )
+    )

@@ -218,3 +218,28 @@ def test_morton_key_matches_python_reference(spark):
         assert got == [py_morton(x, y) for x, y in pairs]
 
     check()
+
+
+def test_tfidf_topk_pushes_window_group_limit(spark, sf_dir):
+    # the per-doc top-3 must run as WindowGroupLimit (rank-limit
+    # pushdown below the exchange), not a full per-doc sort; df side
+    # must broadcast (vocabulary << corpus)
+    from ast_data_pipeline_spark.registry import load_all
+
+    df = load_all()["x_tfidf_topterms"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_q9_single_fact_shuffle(spark, sf_dir):
+    # q9's only row exchanges: the derived-partsupp composite-key
+    # aggregate and the final (nation, year) aggregate — every dim
+    # join is broadcast
+    from ast_data_pipeline_spark.registry import load_all
+
+    df = load_all()["q9_product_profit"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    n_row_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_row_exchanges <= 2, plan[:1500]
