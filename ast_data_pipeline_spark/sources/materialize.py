@@ -42,9 +42,18 @@ def materialize_domain_views(
     name. Raw (uncached) lineage is used for the writes so the job
     plans the full pipeline once instead of reading a session cache."""
     out: dict[str, str] = {}
-    with DV.uncached_views():
+    # CASCADE: _BUCKETED is dependency order, and inside
+    # materialized_views() each builder resolves its upstream views
+    # from the tables already written this loop — annotations builds
+    # from mat_tiles, gann from mat_annotations + mat_tiles (a
+    # bucket-co-located, shuffle-free join) — instead of re-deriving
+    # the whole raw lineage per view. Only the leaf (tiles) reads raw
+    # parquet. The target table is dropped first so a same-session
+    # rebuild can't read itself as its own source.
+    with DV.uncached_views(), DV.materialized_views(prefix):
         for view in _BUCKETED:
             table = f"{prefix}{view}"
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
             _clear_stale_location(spark, table)
             (
                 DV.BUILDERS[view](spark, sf_dir)
