@@ -238,3 +238,60 @@ def sample_frames(df: DataFrame, frame_len: int = 64, every: int = 4) -> DataFra
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+SSIM_SCHEMA = "doc_id long, mean_a double, mean_b double, ssim_struct double"
+
+
+def pairwise_ssim(df: DataFrame) -> DataFrame:
+    """Global (single-window) SSIM between two decoded images per row.
+
+    The hook the reference imports but never calls
+    (``from skimage.metrics import structural_similarity`` —
+    src/form_calcs.py:37): implemented over REAL decoded Netpbm
+    rasters. Input rows carry ``payload_a``/``payload_b`` binary
+    columns (P6/P5); both decode via ``decode_image`` and SSIM is
+    computed globally (one window spanning the image, the degenerate
+    C=win_size case of the windowed metric).
+
+    Cross-engine determinism: all moments are INTEGER sums over pixel
+    values (exact in int64 and float64), and the final formula is a
+    fixed short sequence of IEEE double ops — mirrored token-for-token
+    by the DuckDB oracle in queries/multimodal.py. The n²-scaled form
+    avoids intermediate divisions entirely:
+
+        ssim_struct = (2·(n·Σab − Σa·Σb) + C2·n²)
+                    / (2·(n·Σaa − Σa·Σa) + C2·n²)
+
+    which for an equal-histogram pair (the oracle feeds a rotated
+    self-pair: same multiset, different order) is the full SSIM — the
+    luminance and contrast factors cancel exactly.
+    """
+    C2 = (0.03 * 255.0) ** 2  # standard SSIM constant, K2=0.03, L=255
+
+    def _ssim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "mean_a": [], "mean_b": [], "ssim_struct": []}
+            for doc_id, pa, pb, fmt in zip(
+                pdf["doc_id"], pdf["payload_a"], pdf["payload_b"], pdf["fmt"]
+            ):
+                a = decode_image(bytes(pa), fmt).ravel().astype(np.int64)
+                b = decode_image(bytes(pb), fmt).ravel().astype(np.int64)
+                n = int(a.size)
+                sa, sb = int(a.sum()), int(b.sum())
+                saa = int((a * a).sum())
+                sab = int((a * b).sum())
+                c2n2 = C2 * float(n * n)
+                num = 2 * (n * sab - sa * sb)
+                den = 2 * (n * saa - sa * sa)
+                out["doc_id"].append(int(doc_id))
+                out["mean_a"].append(float(sa) / n)
+                out["mean_b"].append(float(sb) / n)
+                out["ssim_struct"].append((float(num) + c2n2) / (float(den) + c2n2))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "doc_id", "payload_a", "payload_b", F.col("media_meta.format").alias("fmt")
+    ).mapInPandas(_ssim, schema=SSIM_SCHEMA)

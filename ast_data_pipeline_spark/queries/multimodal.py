@@ -148,3 +148,71 @@ def x_multimodal_ppm(spark, sf_dir):
     return extract_features(framed).select(
         "doc_id", "format", "byte_len", "mean_byte", "feature_ok"
     )
+
+
+@register(
+    "x_multimodal_ssim",
+    # SSIM over a rotated self-pair: image B is image A's raster
+    # rotated by one byte — same pixel multiset, so the luminance and
+    # contrast factors cancel and the structural term IS the SSIM.
+    # Every moment is an integer code-point sum (exact in both
+    # engines); the final expression mirrors operators/multimodal.
+    # pairwise_ssim token-for-token: (2*(n*sab - sa*sb) + C2*n^2) /
+    # (2*(n*saa - sa*sa) + C2*n^2) with C2*n^2 = 58.5225 * 9216.0.
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+  FROM documents
+),
+cps AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 96), i -> unicode(substr(t, i, 1))) AS a,
+         list_transform(generate_series(1, 96),
+                        i -> unicode(substr(substr(t, 2, 95) || substr(t, 1, 1), i, 1))) AS b
+  FROM base
+),
+sums AS (
+  SELECT doc_id,
+         list_sum(a)::BIGINT AS sa,
+         list_sum(b)::BIGINT AS sb,
+         list_sum(list_transform(generate_series(1, 96), i -> a[i] * a[i]))::BIGINT AS saa,
+         list_sum(list_transform(generate_series(1, 96), i -> a[i] * b[i]))::BIGINT AS sab
+  FROM cps
+)
+SELECT doc_id,
+       sa::DOUBLE / 96 AS mean_a,
+       sb::DOUBLE / 96 AS mean_b,
+       ((2 * (96 * sab - sa * sb))::DOUBLE + 58.5225 * 9216.0)
+     / ((2 * (96 * saa - sa * sa))::DOUBLE + 58.5225 * 9216.0) AS ssim_struct
+FROM sums
+""",
+    doc="SSIM under the oracle gate (the reference's unused skimage "
+    "structural_similarity hook, src/form_calcs.py:37): per doc, an "
+    "8x4 P6 PPM is assembled from the text bytes and paired with its "
+    "1-byte-rotated twin; both decode through the REAL Netpbm path "
+    "and the global SSIM is verified bit-exactly against DuckDB's "
+    "independent code-point computation (integer moments, fixed IEEE "
+    "op order).",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_ssim(spark, sf_dir):
+    from ..operators.multimodal import pairwise_ssim
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    rot = F.concat(F.substring(t96, 2, 95), F.substring(t96, 1, 1))
+    header = F.lit(b"P6\n8 4\n255\n")
+    framed = docs.select(
+        "doc_id",
+        F.concat(header, F.encode(t96, "utf-8")).alias("payload_a"),
+        F.concat(header, F.encode(rot, "utf-8")).alias("payload_b"),
+        F.struct(
+            F.lit("ppm").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(False).alias("is_audio"),
+        ).alias("media_meta"),
+    )
+    return pairwise_ssim(framed)

@@ -120,3 +120,26 @@ def test_ppm_features_end_to_end(spark):
     # 40 -> bin 1, 200 -> bin 6, equal mass
     assert hist[1] == pytest.approx(0.5) and hist[6] == pytest.approx(0.5)
     assert sum(hist) == pytest.approx(1.0)
+
+
+def test_pairwise_ssim_identity_and_bounds(spark):
+    """SSIM of an identical pair is exactly 1.0 (integer num == den);
+    a structurally-different pair lands strictly below 1."""
+    from ast_data_pipeline_spark.operators.multimodal import pairwise_ssim
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    same = _ppm_bytes(px)
+    shuffled = _ppm_bytes(px[::-1, :, :].copy())
+    schema = (
+        "doc_id long, payload_a binary, payload_b binary, "
+        "media_meta struct<format:string,width:int,height:int,is_audio:boolean>"
+    )
+    meta = {"format": "ppm", "width": 4, "height": 4, "is_audio": False}
+    df = spark.createDataFrame(
+        [(1, same, same, meta), (2, same, shuffled, meta)], schema
+    )
+    rows = {r.doc_id: r for r in pairwise_ssim(df).collect()}
+    assert rows[1].ssim_struct == 1.0  # exact: num == den by construction
+    assert rows[1].mean_a == rows[1].mean_b
+    assert rows[2].ssim_struct < 1.0
+    assert rows[2].mean_a == rows[2].mean_b  # same multiset, reordered
