@@ -3,12 +3,14 @@ with typed metadata structs (north-star extension).
 
 The container has no compressed-image/audio codecs, so decode is REAL
 only where no codec is needed: ``decode_image`` decodes uncompressed
-Netpbm (P6 PPM / P5 PGM) in pure numpy from the public spec, and
-``extract_features`` computes features over those decoded pixels
-end-to-end. For compressed formats (png/jpg/wav) the decode raises
-NotImplementedError exactly where Pillow/libsndfile/ffmpeg would plug
-in, and a deterministic fake (raw-byte features) keeps the Arrow
-plumbing — schema, batching, partitioning, UDF signature — exercised.
+Netpbm (P6 PPM / P5 PGM) and ``decode_audio`` uncompressed PCM WAV
+(RIFF chunk walk), both in pure numpy from the public specs;
+``extract_features``/``audio_features``/``pairwise_ssim`` compute over
+those decoded samples end-to-end. For compressed formats (png/jpg/mp3)
+the decode raises NotImplementedError exactly where
+Pillow/libsndfile/ffmpeg would plug in, and a deterministic fake
+(raw-byte features) keeps the Arrow plumbing — schema, batching,
+partitioning, UDF signature — exercised.
 """
 
 from __future__ import annotations
@@ -295,3 +297,79 @@ def pairwise_ssim(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", "payload_a", "payload_b", F.col("media_meta.format").alias("fmt")
     ).mapInPandas(_ssim, schema=SSIM_SCHEMA)
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed PCM WAV payload to (samples, rate).
+
+    REAL, pure-numpy RIFF/WAVE parsing from the public spec (PCM is
+    uncompressed — no codec needed): walks the chunk list, reads the
+    fmt chunk (PCM only), returns the data chunk as uint8 (8-bit) or
+    int16 little-endian (16-bit) samples. Compressed audio (mp3/aac)
+    would still need a codec and has no entry point here.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt_code = channels = rate = bits = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            if fmt_code != 1:
+                raise ValueError(f"not PCM (fmt {fmt_code})")
+            if bits == 8:
+                samples = np.frombuffer(body, dtype=np.uint8)
+            elif bits == 16:
+                samples = np.frombuffer(body, dtype="<i2")
+            else:
+                raise ValueError(f"unsupported PCM width {bits}")
+            if channels and channels > 1:
+                samples = samples.reshape(-1, channels)
+            return samples, int(rate)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, "
+    "mean_sample double, rms double"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio feature stage over real-decoded PCM samples.
+
+    mean and RMS from integer sample moments: exact int sums, one
+    division, one IEEE sqrt (correctly rounded per IEEE-754 in every
+    engine) — bit-identical to the DuckDB oracle's independent
+    computation.
+    """
+
+    def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "mean_sample": [], "rms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_audio(bytes(payload))
+                v = s.astype(np.int64).ravel()
+                n = int(v.size)
+                sv, svv = int(v.sum()), int((v * v).sum())
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["mean_sample"].append(float(sv) / n)
+                out["rms"].append(float(np.sqrt(float(svv) / n)))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_audio, schema=AUDIO_SCHEMA)

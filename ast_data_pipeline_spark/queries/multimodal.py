@@ -216,3 +216,62 @@ def x_multimodal_ssim(spark, sf_dir):
         ).alias("media_meta"),
     )
     return pairwise_ssim(framed)
+
+
+def _wav_header(n_samples: int, rate: int = 8000) -> bytes:
+    # canonical 44-byte PCM header: 8-bit mono
+    return (
+        b"RIFF"
+        + (36 + n_samples).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")     # byte rate (8-bit mono)
+        + (1).to_bytes(2, "little")      # block align
+        + (8).to_bytes(2, "little")      # bits per sample
+        + b"data"
+        + n_samples.to_bytes(4, "little")
+    )
+
+
+@register(
+    "x_multimodal_wav",
+    # Same construction as x_multimodal_ppm, audio modality: a valid
+    # 8-bit mono PCM WAV is assembled from each doc's ASCII bytes and
+    # REALLY decoded (RIFF chunk walk, operators/multimodal.
+    # decode_audio). mean = exact int sum / n; rms adds one IEEE sqrt,
+    # correctly rounded in every engine.
+    oracle="""
+SELECT doc_id, 8000::INT AS sample_rate, 96::INT AS n_samples,
+       (list_sum(list_transform(generate_series(1, 96),
+                                i -> unicode(substr(t, i, 1))))::DOUBLE / 96)
+         AS mean_sample,
+       sqrt(list_sum(list_transform(generate_series(1, 96),
+                     i -> unicode(substr(t, i, 1)) * unicode(substr(t, i, 1))))::DOUBLE / 96)
+         AS rms
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
+    doc="Real audio decode under the oracle gate: per doc a valid "
+    "8-bit mono PCM WAV (44-byte RIFF header + 96 sample bytes from "
+    "the ASCII text) is parsed by the pure-numpy RIFF walker and "
+    "mean/RMS over DECODED SAMPLES are hash-verified against DuckDB's "
+    "independent code-point computation. PCM is uncompressed - the "
+    "audio twin of x_multimodal_ppm; compressed audio stays behind "
+    "the declared codec plug-point.",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_wav(spark, sf_dir):
+    from ..operators.multimodal import audio_features
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    framed = docs.select(
+        "doc_id",
+        F.concat(F.lit(_wav_header(96)), F.encode(t96, "utf-8")).alias("payload"),
+    )
+    return audio_features(framed)

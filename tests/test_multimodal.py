@@ -143,3 +143,29 @@ def test_pairwise_ssim_identity_and_bounds(spark):
     assert rows[1].mean_a == rows[1].mean_b
     assert rows[2].ssim_struct < 1.0
     assert rows[2].mean_a == rows[2].mean_b  # same multiset, reordered
+
+
+def test_decode_audio_16bit_stereo_roundtrip():
+    """The RIFF walker's 16-bit/stereo path (not covered by the 8-bit
+    oracle query): signed samples survive the little-endian decode and
+    channel reshape; word-aligned odd chunks are skipped correctly."""
+    import numpy as np
+
+    from ast_data_pipeline_spark.operators.multimodal import decode_audio
+
+    samples = np.array([[-32768, 32767], [1000, -1000], [0, 7]], dtype="<i2")
+    body = samples.tobytes()
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # odd, padded
+    wav = (
+        b"RIFF" + (4 + len(extra) + 24 + 8 + len(body)).to_bytes(4, "little")
+        + b"WAVE" + extra
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+    got, rate = decode_audio(wav)
+    assert rate == 44100
+    assert got.shape == (3, 2)
+    assert (got == samples).all()
