@@ -373,3 +373,77 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(_audio, schema=AUDIO_SCHEMA)
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode an uncompressed YUV4MPEG2 (y4m) payload.
+
+    REAL, pure-numpy parsing from the public spec (y4m is raw planes —
+    no codec needed): reads the ``YUV4MPEG2`` parameter line (W/H, C444
+    only), then splits ``FRAME`` sections into (n_frames, 3, h, w)
+    uint8 planes. Compressed video (h264/vp9) would need ffmpeg and has
+    no entry point here.
+    """
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    colorspace = "C420"
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok.decode("ascii")
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported y4m colorspace {colorspace} (C444 only)")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        start = fnl + 1
+        if n - start < frame_bytes:
+            raise ValueError("truncated y4m frame")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=start)
+            .reshape(3, h, w)
+        )
+        pos = start + frame_bytes
+    return np.stack(frames), w, h
+
+
+VIDEO_SCHEMA = "doc_id long, frame_idx int, width int, height int, mean_y double"
+
+
+def video_frame_features(df: DataFrame) -> DataFrame:
+    """mapInPandas per-frame features over real-decoded y4m planes:
+    one output row per frame with the luma (Y-plane) mean — exact
+    integer sum / plane size, bit-identical cross-engine."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                "doc_id": [], "frame_idx": [], "width": [],
+                "height": [], "mean_y": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, w, h = decode_video(bytes(payload))
+                for i, fr in enumerate(frames):
+                    y = fr[0].astype(np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_y"].append(float(int(y.sum())) / y.size)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, schema=VIDEO_SCHEMA)

@@ -275,3 +275,48 @@ def x_multimodal_wav(spark, sf_dir):
         F.concat(F.lit(_wav_header(96)), F.encode(t96, "utf-8")).alias("payload"),
     )
     return audio_features(framed)
+
+
+@register(
+    "x_multimodal_y4m",
+    # Video twin of x_multimodal_ppm/_wav: a 2-frame 4x4 C444
+    # YUV4MPEG2 stream is assembled from each doc's ASCII bytes
+    # (48 bytes/frame: Y,U,V planes of 16), REALLY parsed by
+    # decode_video, and the per-frame luma mean (first 16 bytes of
+    # each frame) is verified against DuckDB's independent
+    # code-point computation. generate_series drives the frame
+    # explosion in the oracle exactly like the decoder's frame loop.
+    oracle="""
+SELECT doc_id, frame_idx::INT AS frame_idx, 4::INT AS width, 4::INT AS height,
+       (list_sum(list_transform(generate_series(1, 16),
+                                i -> unicode(substr(t, frame_idx * 48 + i, 1))))::DOUBLE / 16)
+         AS mean_y
+FROM (
+  SELECT doc_id,
+         substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t,
+         unnest(generate_series(0, 1)) AS frame_idx
+  FROM documents
+)
+""",
+    doc="Real video decode under the oracle gate: per doc a valid "
+    "2-frame 4x4 C444 YUV4MPEG2 stream (public uncompressed format - "
+    "no codec) is parsed by the pure-numpy y4m walker "
+    "(operators/multimodal.decode_video) and each frame's luma-plane "
+    "mean is hash-verified against DuckDB. One row per (doc, frame): "
+    "the 1->N frame fan-out of sample_frames, now over REAL frames. "
+    "Compressed video (h264/vp9) stays behind the codec plug-point.",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_y4m(spark, sf_dir):
+    from ..operators.multimodal import video_frame_features
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    header = F.lit(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n")
+    frame0 = F.concat(F.lit(b"FRAME\n"), F.encode(F.substring(t96, 1, 48), "utf-8"))
+    frame1 = F.concat(F.lit(b"FRAME\n"), F.encode(F.substring(t96, 49, 48), "utf-8"))
+    framed = docs.select(
+        "doc_id", F.concat(header, frame0, frame1).alias("payload")
+    )
+    return video_frame_features(framed)

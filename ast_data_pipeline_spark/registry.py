@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_range_partition_bounds",
     "x_multimodal_ssim",
     "x_multimodal_wav",
+    "x_multimodal_y4m",
     "q2_min_cost_supplier",
     # 51+: past the historical 50-query budget — re-certify targets and
     # the rest of the new TPC-H tail (first in line for the r5 window)

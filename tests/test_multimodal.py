@@ -169,3 +169,26 @@ def test_decode_audio_16bit_stereo_roundtrip():
     assert rate == 44100
     assert got.shape == (3, 2)
     assert (got == samples).all()
+
+
+def test_decode_video_y4m_plane_layout():
+    """y4m walker: plane order (Y,U,V), multi-frame split, and header
+    parameter parsing, against a hand-built two-frame stream."""
+    import numpy as np
+
+    from ast_data_pipeline_spark.operators.multimodal import decode_video
+
+    y0 = np.arange(16, dtype=np.uint8)
+    u0 = np.full(16, 100, dtype=np.uint8)
+    v0 = np.full(16, 200, dtype=np.uint8)
+    f0 = np.concatenate([y0, u0, v0]).tobytes()
+    f1 = bytes(reversed(f0))
+    stream = (
+        b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n"
+        + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    )
+    frames, w, h = decode_video(stream)
+    assert (w, h) == (4, 4) and frames.shape == (2, 3, 4, 4)
+    assert (frames[0, 0].ravel() == y0).all()
+    assert (frames[0, 1] == 100).all() and (frames[0, 2] == 200).all()
+    assert (frames[1].ravel() == np.frombuffer(f1, dtype=np.uint8)).all()
