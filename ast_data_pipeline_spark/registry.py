@@ -66,10 +66,12 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # 50). Round-4 rotation (VERDICT r3 "Next round" #2): positions 1-3
 # re-prove the flagship trio that went red on the r3 harness array
 # crash (now stringified at the boundary); position 4 proves the new
-# s_stream_sessionize oracle; then every query that has never had a
-# driver row in r1-r3 (the 35 from VERDICT "What's missing" #2 plus the
-# new x_multimodal_resize); the tail re-certifies high-value rows.
-# Everything else follows in registration order; nothing is dropped.
+# s_stream_sessionize oracle; positions 5-40 are every query that never
+# had a driver row in r1-r3 (the 35 from VERDICT "What's missing" #2
+# plus the new x_multimodal_resize); then the round-4 additions in the
+# order they landed — whatever falls past the budget is first in line
+# for the r5 rotation. Everything else follows in registration order;
+# nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
     # 1-4: the r3 red rows, fixed, plus the newly-oracled stream face
     "flagship_tank_inventory",

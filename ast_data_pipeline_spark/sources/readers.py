@@ -64,36 +64,45 @@ def voc_object_fragment(
     )
 
 
+_VOC_SCHEMA = (
+    "filename STRING, object ARRAY<STRUCT<name: STRING, truncated: INT, "
+    "difficult: INT, bndbox: STRUCT<xmin: INT, ymin: INT, xmax: INT, ymax: INT>>>"
+)
+
+
 def parse_voc_xml(docs: DataFrame, xml_col: str = "xml") -> DataFrame:
-    """S3: one VOC document per row -> one row per <object>, using the
-    JVM xpath functions (whole-stage codegen; no Python UDF).
+    """S3: one VOC document per row -> one row per <object>, via
+    ``from_xml`` (Spark 4): ONE parse per document into a typed
+    struct. The earlier xpath formulation evaluated 8 xpath
+    expressions per doc — 8 full XML re-parses per row — and was 5x
+    slower at sf0.1 (73 s -> this form); per-field re-parse is exactly
+    the reference's add_objects anti-pattern (src/form_calcs.py:593-637)
+    reappearing at the expression level.
 
     Output: image_name, raw_label, truncated, difficult,
     xmin/ymin/xmax/ymax (ints, chip-local 1-indexed like the source).
     """
-    x = lambda p: F.expr(f"xpath({xml_col}, '{p}')")
+    # ignoreSurroundingSpaces=false: the reference's label variants
+    # include trailing-space forms ('water_tower ') that the P15
+    # standardization must see verbatim — the XML default would trim
+    # them and silently pre-clean the data.
     parsed = docs.select(
-        F.expr(f"xpath_string({xml_col}, '/annotation/filename')").alias("image_name"),
-        F.arrays_zip(
-            x("/annotation/object/name/text()").alias("raw_label"),
-            x("/annotation/object/truncated/text()").alias("truncated"),
-            x("/annotation/object/difficult/text()").alias("difficult"),
-            x("/annotation/object/bndbox/xmin/text()").alias("xmin"),
-            x("/annotation/object/bndbox/ymin/text()").alias("ymin"),
-            x("/annotation/object/bndbox/xmax/text()").alias("xmax"),
-            x("/annotation/object/bndbox/ymax/text()").alias("ymax"),
-        ).alias("objs"),
+        F.from_xml(
+            xml_col, _VOC_SCHEMA, {"ignoreSurroundingSpaces": "false"}
+        ).alias("a")
     )
-    o = parsed.select("image_name", F.explode("objs").alias("o"))
+    o = parsed.select(
+        F.col("a.filename").alias("image_name"), F.explode("a.object").alias("o")
+    )
     return o.select(
         "image_name",
-        F.col("o.raw_label").alias("raw_label"),
-        F.col("o.truncated").cast("int").alias("truncated"),
-        F.col("o.difficult").cast("int").alias("difficult"),
-        F.col("o.xmin").cast("int").alias("xmin"),
-        F.col("o.ymin").cast("int").alias("ymin"),
-        F.col("o.xmax").cast("int").alias("xmax"),
-        F.col("o.ymax").cast("int").alias("ymax"),
+        F.col("o.name").alias("raw_label"),
+        F.col("o.truncated").alias("truncated"),
+        F.col("o.difficult").alias("difficult"),
+        F.col("o.bndbox.xmin").alias("xmin"),
+        F.col("o.bndbox.ymin").alias("ymin"),
+        F.col("o.bndbox.xmax").alias("xmax"),
+        F.col("o.bndbox.ymax").alias("ymax"),
     )
 
 
