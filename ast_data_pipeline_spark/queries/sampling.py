@@ -182,3 +182,73 @@ def x_range_partition_bounds(spark, sf_dir):
             F.count(F.lit(1)).alias("sample_rows"),
         )
     )
+
+
+@register(
+    "x_data_mixture",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS doc_tokens
+  FROM documents
+),
+per_source AS (
+  SELECT source, sum(doc_tokens)::BIGINT AS source_tokens FROM tok GROUP BY source
+),
+tgt AS (SELECT min(source_tokens)::BIGINT AS target_tokens FROM per_source),
+ranked AS (
+  SELECT doc_id, source, doc_tokens,
+         sum(doc_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_tokens
+  FROM tok
+)
+SELECT r.doc_id, r.source, r.doc_tokens, r.cum_tokens,
+       p.source_tokens, g.target_tokens
+FROM ranked r JOIN per_source p USING (source) CROSS JOIN tgt g
+WHERE r.cum_tokens <= g.target_tokens
+""",
+    doc="Data-mixture balancing: every source contributes the same "
+    "token budget (the smallest source's total), selecting docs per "
+    "source in deterministic md5-hash order until the running token "
+    "sum hits the budget — the source-weighting pass a pretraining "
+    "pipeline runs before sequence packing. All-integer arithmetic "
+    "(token counts, running sums; no float rates to drift across "
+    "engines), hash order instead of rand() so re-runs and the oracle "
+    "pick identical rows. Plan: one narrow per-source agg (20 rows, "
+    "broadcast back), one window shuffle partitioned by source, and a "
+    "scalar-broadcast target — no global sort, no driver loop; at "
+    "100 TB the window partitions by source and streams.",
+    tags=("sampling", "extension"),
+)
+def x_data_mixture(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("doc_tokens"),
+    )
+    per_source = tok.groupBy("source").agg(F.sum("doc_tokens").alias("source_tokens"))
+    tgt = per_source.agg(F.min("source_tokens").alias("target_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = tok.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+    return (
+        ranked.join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(tgt))
+        .filter(F.col("cum_tokens") <= F.col("target_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "doc_tokens",
+            "cum_tokens",
+            "source_tokens",
+            "target_tokens",
+        )
+    )

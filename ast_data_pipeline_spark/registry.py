@@ -139,6 +139,8 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_excess_stock_suppliers",
+    "x_line_dedup",
+    "x_data_mixture",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
 )
