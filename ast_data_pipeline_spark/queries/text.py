@@ -687,16 +687,18 @@ LINE_DUP_DOCS = 3  # C4 rule: drop a line occurring in >= 3 documents
     "x_line_dedup",
     oracle=f"""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  SELECT doc_id, string_split(text, ' ') AS words,
+         greatest(1, (len(string_split(text, ' ')) + {LINE_W - 1}) // {LINE_W})::BIGINT
+           AS n_lines
+  FROM documents
 ),
 chunks AS (
-  SELECT doc_id, chunk_idx,
+  SELECT doc_id, n_lines, chunk_idx,
          array_to_string(list_slice(words, chunk_idx * {LINE_W} + 1,
                                     chunk_idx * {LINE_W} + {LINE_W}), ' ') AS line
   FROM (
-    SELECT doc_id, words,
-           unnest(generate_series(0,
-             greatest(0, ((len(words) + {LINE_W - 1}) // {LINE_W}) - 1))) AS chunk_idx
+    SELECT doc_id, words, n_lines,
+           unnest(generate_series(0, (n_lines - 1)::INT)) AS chunk_idx
     FROM w
   )
 ),
@@ -704,17 +706,14 @@ freq AS (
   SELECT line, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY line
 ),
 kept AS (
-  SELECT c.doc_id, c.chunk_idx, c.line
+  SELECT c.doc_id, c.n_lines, c.chunk_idx, c.line
   FROM chunks c JOIN freq f USING (line)
   WHERE f.n_docs < {LINE_DUP_DOCS}
-),
-totals AS (
-  SELECT doc_id, count(*)::BIGINT AS n_lines FROM chunks GROUP BY doc_id
 )
-SELECT k.doc_id, t.n_lines, count(*)::BIGINT AS n_kept,
-       string_agg(k.line, ' ' ORDER BY k.chunk_idx) AS cleaned_text
-FROM kept k JOIN totals t USING (doc_id)
-GROUP BY k.doc_id, t.n_lines
+SELECT doc_id, n_lines, count(*)::BIGINT AS n_kept,
+       string_agg(line, ' ' ORDER BY chunk_idx) AS cleaned_text
+FROM kept
+GROUP BY doc_id, n_lines
 """,
     doc="C4-style boilerplate-line removal at corpus scale: documents "
     "split into fixed 3-word pseudo-lines (the synthetic corpus has no "
@@ -724,7 +723,9 @@ GROUP BY k.doc_id, t.n_lines
     "shuffle whose domain is the DISTINCT line set (vocabulary-sized, "
     "orders smaller than the corpus), a hash join back, and a per-doc "
     "re-assembly agg — the same two-shuffle shape C4/RefinedWeb run "
-    "over web crawls. Docs whose every line is boilerplate drop out "
+    "over web crawls. The per-doc line total is computed arithmetically "
+    "at chunk-generation time (ceil(words/3)), not by a third scan + "
+    "count + rejoin. Docs whose every line is boilerplate drop out "
     "(inner join semantics in both engines). Re-assembly sorts on the "
     "unique chunk_idx so collect_list nondeterminism can't flap the "
     "hash.",
@@ -732,21 +733,26 @@ GROUP BY k.doc_id, t.n_lines
 )
 def x_line_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    words = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.expr(f"(size(split(text, ' ')) + {LINE_W - 1}) div {LINE_W}"),
+        )
+        .cast("long")
+        .alias("n_lines"),
+    )
     chunks = words.select(
         "doc_id",
+        "n_lines",
         "words",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    F.lit(0),
-                    F.expr(f"((size(words) + {LINE_W - 1}) div {LINE_W}) - 1"),
-                ),
-            )
-        ).alias("chunk_idx"),
+        F.explode(F.sequence(F.lit(0), (F.col("n_lines") - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
     ).select(
         "doc_id",
+        "n_lines",
         "chunk_idx",
         F.expr(f"array_join(slice(words, chunk_idx * {LINE_W} + 1, {LINE_W}), ' ')").alias(
             "line"
@@ -754,9 +760,8 @@ def x_line_dedup(spark, sf_dir):
     )
     freq = chunks.groupBy("line").agg(F.countDistinct("doc_id").alias("n_docs"))
     kept = chunks.join(freq, "line").filter(F.col("n_docs") < LINE_DUP_DOCS)
-    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
-        kept.groupBy("doc_id")
+        kept.groupBy("doc_id", "n_lines")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.expr(
@@ -764,6 +769,5 @@ def x_line_dedup(spark, sf_dir):
                 " s -> s.line), ' ')"
             ).alias("cleaned_text"),
         )
-        .join(totals, "doc_id")
         .select("doc_id", "n_lines", "n_kept", "cleaned_text")
     )
