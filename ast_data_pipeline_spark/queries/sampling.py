@@ -252,3 +252,57 @@ def x_data_mixture(spark, sf_dir):
             "target_tokens",
         )
     )
+
+
+N_SHARDS = 16  # one hex digit of the shard hash; a power of two like real runs
+
+
+@register(
+    "x_shard_assign",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS doc_tokens,
+         md5('shard|' || doc_id::VARCHAR) AS hx
+  FROM documents
+)
+SELECT doc_id, source, doc_tokens,
+       (instr('0123456789abcdef', substr(hx, 1, 1)) - 1)::INT AS shard_id,
+       (row_number() OVER (
+          PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id) - 1)::BIGINT AS pos
+FROM h
+""",
+    doc="Training-order manifest: the reproducible global shuffle + "
+    "sharding pass a pretraining pipeline ends with. Each doc's shard "
+    "is the first hex digit of a salted md5 (a pure stateless filter "
+    "-- NO global sort anywhere), and its position within the shard is "
+    "a window rank over the hash order, so the (shard_id, pos) order "
+    "is uniformly shuffled yet bit-reproducible across re-runs and "
+    "engines (never rand() or monotonically_increasing_id, both of "
+    "which are partition-layout-dependent). Plan: one shuffle "
+    "partitioned by shard digit; at 100 TB the physical write is "
+    "write.partitionBy(shard_id) + sortWithinPartitions(pos), one "
+    "file stream per shard.",
+    tags=("sampling", "extension"),
+)
+def x_shard_assign(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("doc_tokens"),
+        F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))).alias("hx"),
+    )
+    digit = F.substring("hx", 1, 1)
+    w = Window.partitionBy(digit).orderBy("hx", "doc_id")
+    return h.select(
+        "doc_id",
+        "source",
+        "doc_tokens",
+        (F.expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1)
+        .cast("int")
+        .alias("shard_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

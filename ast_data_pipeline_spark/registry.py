@@ -141,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "q20_excess_stock_suppliers",
     "x_line_dedup",
     "x_data_mixture",
+    "x_shard_assign",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
 )
