@@ -191,22 +191,23 @@ WITH tok AS (
   SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS doc_tokens
   FROM documents
 ),
-per_source AS (
-  SELECT source, sum(doc_tokens)::BIGINT AS source_tokens FROM tok GROUP BY source
+tgt AS (
+  SELECT min(source_tokens)::BIGINT AS target_tokens
+  FROM (SELECT sum(doc_tokens) AS source_tokens FROM tok GROUP BY source)
 ),
-tgt AS (SELECT min(source_tokens)::BIGINT AS target_tokens FROM per_source),
 ranked AS (
   SELECT doc_id, source, doc_tokens,
          sum(doc_tokens) OVER (
            PARTITION BY source
            ORDER BY md5(doc_id::VARCHAR), doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         )::BIGINT AS cum_tokens
+         )::BIGINT AS cum_tokens,
+         sum(doc_tokens) OVER (PARTITION BY source)::BIGINT AS source_tokens
   FROM tok
 )
 SELECT r.doc_id, r.source, r.doc_tokens, r.cum_tokens,
-       p.source_tokens, g.target_tokens
-FROM ranked r JOIN per_source p USING (source) CROSS JOIN tgt g
+       r.source_tokens, g.target_tokens
+FROM ranked r CROSS JOIN tgt g
 WHERE r.cum_tokens <= g.target_tokens
 """,
     doc="Data-mixture balancing: every source contributes the same "
@@ -216,10 +217,12 @@ WHERE r.cum_tokens <= g.target_tokens
     "pipeline runs before sequence packing. All-integer arithmetic "
     "(token counts, running sums; no float rates to drift across "
     "engines), hash order instead of rand() so re-runs and the oracle "
-    "pick identical rows. Plan: one narrow per-source agg (20 rows, "
-    "broadcast back), one window shuffle partitioned by source, and a "
-    "scalar-broadcast target — no global sort, no driver loop; at "
-    "100 TB the window partitions by source and streams.",
+    "pick identical rows. Plan: ONE window shuffle partitioned by "
+    "source carries both the running sum and the per-source total "
+    "(full-partition frame over the same exchange — no separate agg + "
+    "broadcast join back), plus a scalar-broadcast target from a "
+    "narrow 20-row agg; no global sort, no driver loop; at 100 TB the "
+    "window partitions by source and streams.",
     tags=("sampling", "extension"),
 )
 def x_data_mixture(spark, sf_dir):
@@ -231,17 +234,21 @@ def x_data_mixture(spark, sf_dir):
         "source",
         F.size(F.split("text", " ")).cast("long").alias("doc_tokens"),
     )
-    per_source = tok.groupBy("source").agg(F.sum("doc_tokens").alias("source_tokens"))
-    tgt = per_source.agg(F.min("source_tokens").alias("target_tokens"))
+    tgt = (
+        tok.groupBy("source")
+        .agg(F.sum("doc_tokens").alias("source_tokens"))
+        .agg(F.min("source_tokens").alias("target_tokens"))
+    )
     w = (
         Window.partitionBy("source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = tok.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+    ranked = tok.withColumn("cum_tokens", F.sum("doc_tokens").over(w)).withColumn(
+        "source_tokens", F.sum("doc_tokens").over(Window.partitionBy("source"))
+    )
     return (
-        ranked.join(F.broadcast(per_source), "source")
-        .crossJoin(F.broadcast(tgt))
+        ranked.crossJoin(F.broadcast(tgt))
         .filter(F.col("cum_tokens") <= F.col("target_tokens"))
         .select(
             "doc_id",
