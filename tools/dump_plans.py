@@ -83,6 +83,22 @@ HEADLINERS = {
         "per-doc top-3 below the final exchange — no full sort of the "
         "posting list."
     ),
+    "x_line_dedup": (
+        "C4 line removal: line-frequency shuffle is vocabulary-sized; "
+        "the per-doc line total is arithmetic at chunk time (no third "
+        "scan); re-assembly sorts on the unique chunk_idx inside one "
+        "per-doc agg."
+    ),
+    "x_data_mixture": (
+        "One PARTITION BY source exchange carries both the running "
+        "token sum and the full-partition source total; the global "
+        "target is a 20-row agg broadcast as a scalar; no global sort."
+    ),
+    "x_shard_assign": (
+        "Training-order manifest: shard = salted-hash digit (stateless "
+        "filter), position = in-shard window rank — a reproducible "
+        "global shuffle with a single exchange and no global sort."
+    ),
 }
 
 KEEP = re.compile(
