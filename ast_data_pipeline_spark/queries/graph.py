@@ -1,0 +1,106 @@
+"""Graph analytics over the relational tables — iterative algorithms
+kept bit-exact across engines via fixed-point integer arithmetic.
+
+The near-dup clustering operator (operators/dedup.neardup_clusters)
+already covers connected components; this module adds the other
+canonical distributed-graph workload, PageRank, expressed as plain
+DataFrame joins + aggregations (the GraphX/Pregel loop is just
+``join edges -> groupBy dst -> sum`` per superstep — no RDDs needed).
+
+Determinism strategy (same spirit as x_kmeans_lloyd_exact's decimal
+means): ranks live as BIGINT fixed-point (1.0 == 10^9). Every step is
+integer division and integer sums, which both engines evaluate
+identically regardless of aggregation order — so three full supersteps
+stay under the driver's value-hash gate. Float PageRank would differ
+in low bits by partial-agg order; fixed-point is also how you'd make a
+100 TB PageRank run reproducible across cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load
+
+_PR_ITERS = 3
+_FP = 1_000_000_000  # fixed-point scale: 1.0 rank unit
+
+
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS c_node,
+                  's' || l.l_suppkey::VARCHAR AS s_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+pr(iter, node, rank) AS (
+  SELECT 0, src, {_FP}::BIGINT FROM deg
+  UNION ALL
+  SELECT p.iter + 1, e.dst,
+         {_FP * 15 // 100} + (85 * sum(p.rank // d.deg)) // 100
+  FROM pr p
+  JOIN deg d ON p.node = d.src
+  JOIN edges e ON e.src = p.node
+  WHERE p.iter < {_PR_ITERS}
+  GROUP BY p.iter + 1, e.dst
+)
+SELECT node, rank FROM pr WHERE iter = {_PR_ITERS}
+"""
+
+
+@register(
+    "x_pagerank",
+    oracle=_PAGERANK_ORACLE,
+    doc="Fixed-point PageRank over the undirected customer-supplier "
+    "trade graph (edge iff a customer ordered from a supplier; both "
+    "directions, so no dangling nodes): 3 full supersteps of "
+    "rank' = 0.15 + 0.85 * sum(rank/deg), all in BIGINT fixed-point "
+    "(1.0 == 1e9; integer division + integer sums are "
+    "aggregation-order-independent, so the iterated result is "
+    "bit-identical across engines AND cluster layouts — the float "
+    "version is not). Spark side is the Pregel superstep as "
+    "DataFrames: join(ranks, edges on src) -> groupBy(dst) -> sum, "
+    "one key-shuffle per iteration, degree table joined on the same "
+    "src key; DuckDB twin is a recursive CTE. At 100 TB: pre-partition "
+    "edges by src so each superstep is a co-located join plus one "
+    "shuffle on dst.",
+    tags=("extension", "iterative", "graph"),
+)
+def x_pagerank(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src")
+
+    ranks = deg.select(F.col("src").alias("node"), F.lit(_FP).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.node
+        ).select("dst", F.expr("rank div deg").alias("contrib"))
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"{_FP * 15 // 100} + (85 * s) div 100").alias("rank"),
+            )
+        )
+    return ranks

@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "ast_data_pipeline_spark.queries.events",
     "ast_data_pipeline_spark.queries.temporal",
     "ast_data_pipeline_spark.queries.sampling",
+    "ast_data_pipeline_spark.queries.graph",
     "ast_data_pipeline_spark.queries.tpch_shapes",
     "ast_data_pipeline_spark.queries.events_streaming",
     "ast_data_pipeline_spark.queries.pipelines",
@@ -142,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_line_dedup",
     "x_data_mixture",
     "x_shard_assign",
+    "x_pagerank",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
 )
