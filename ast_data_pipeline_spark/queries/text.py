@@ -771,3 +771,126 @@ def x_line_dedup(spark, sf_dir):
         )
         .select("doc_id", "n_lines", "n_kept", "cleaned_text")
     )
+
+
+_BPE_MERGES = 3
+
+# Pairs-from-state expansion shared by the recursive step and the
+# final merge extraction: a word's tokenization state is the string
+# '|t1||t2||...|' (every token pipe-wrapped), so adjacent pairs are
+# read back by stripping the outer pipes and splitting on '||'.
+_BPE_PAIRS_SQL = """
+      SELECT iter, toks[i] AS p1, toks[i + 1] AS p2, sum(freq) AS cnt
+      FROM (
+        SELECT iter, freq, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (
+          SELECT iter, freq,
+                 string_split(substr(state, 2, len(state) - 2), '||') AS toks
+          FROM bpe
+        )
+      )
+      GROUP BY iter, p1, p2
+"""
+
+
+@register(
+    "x_bpe_merges",
+    oracle=f"""
+WITH RECURSIVE
+wf AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+bpe(iter, word, freq, state) AS (
+  SELECT 0, word, freq,
+         array_to_string(list_transform(string_split(word, ''),
+                                        c -> '|' || c || '|'), '')
+  FROM wf
+  UNION ALL
+  SELECT b.iter + 1, b.word, b.freq,
+         replace(b.state, '|' || w.p1 || '||' || w.p2 || '|',
+                 '|' || w.p1 || w.p2 || '|')
+  FROM bpe b CROSS JOIN (
+    SELECT p1, p2 FROM ({_BPE_PAIRS_SQL})
+    ORDER BY cnt DESC, p1, p2 LIMIT 1
+  ) w
+  WHERE b.iter < {_BPE_MERGES}
+)
+SELECT (iter + 1)::INT AS merge_idx, p1 AS l_tok, p2 AS r_tok,
+       cnt::BIGINT AS pair_count
+FROM (
+  SELECT iter, p1, p2, cnt,
+         row_number() OVER (PARTITION BY iter ORDER BY cnt DESC, p1, p2) AS rn
+  FROM ({_BPE_PAIRS_SQL})
+)
+WHERE rn = 1 AND iter < {_BPE_MERGES}
+""",
+    doc="Distributed BPE vocabulary learning, 3 merge rounds: the "
+    "corpus collapses to a (word, freq) table in ONE shuffle (exactly "
+    "how production tokenizer trainers pre-aggregate), then each round "
+    "counts adjacent token pairs weighted by word frequency and merges "
+    "the argmax pair (ties broken lexicographically). The greedy "
+    "left-to-right merge is literal string replace over a "
+    "pipe-delimited token state ('|a||b||a||b|' + pair (a,b) -> "
+    "'|ab||ab|'): replace() scans the original string left-to-right "
+    "non-overlapping in both engines, which IS the BPE merge rule — "
+    "no UDF, no per-row loop. Integer pair counts keep every round "
+    "bit-exact; the DuckDB twin is a recursive CTE over the same "
+    "state strings. Per-round driver traffic is ONE (p1, p2) row "
+    "(kmeans-style scalar probe); the pair-count aggregate runs over "
+    "the vocabulary table, not the corpus.",
+    tags=("text", "extension", "iterative"),
+)
+def x_bpe_merges(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = wf.select(
+        "word",
+        "freq",
+        F.expr(
+            "concat_ws('', transform(split(word, ''), c -> concat('|', c, '|')))"
+        ).alias("state"),
+    )
+    merges = []
+    for it in range(_BPE_MERGES):
+        pairs = (
+            cur.select(
+                "freq",
+                F.expr(
+                    "split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')"
+                ).alias("toks"),
+            )
+            .filter(F.expr("size(toks) > 1"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), "
+                        "i -> named_struct('p1', element_at(toks, i), "
+                        "'p2', element_at(toks, i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.p1", "p.p2")
+            .groupBy("p1", "p2")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "p1", "p2").first()
+        merges.append((it + 1, best["p1"], best["p2"], int(best["cnt"])))
+        cur = cur.withColumn(
+            "state",
+            F.expr(
+                f"replace(state, '|{best['p1']}||{best['p2']}|', "
+                f"'|{best['p1']}{best['p2']}|')"
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "merge_idx int, l_tok string, r_tok string, pair_count bigint"
+    )

@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_data_mixture",
     "x_shard_assign",
     "x_pagerank",
+    "x_bpe_merges",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
 )
