@@ -94,6 +94,12 @@ HEADLINERS = {
         "token sum and the full-partition source total; the global "
         "target is a 20-row agg broadcast as a scalar; no global sort."
     ),
+    "x_pagerank": (
+        "Three Pregel supersteps as one declarative plan: each is a "
+        "rank-edge join plus a groupBy(dst) exchange; degree joins stay "
+        "on the src key; BIGINT fixed-point keeps results layout-"
+        "independent."
+    ),
     "x_shard_assign": (
         "Training-order manifest: shard = salted-hash digit (stateless "
         "filter), position = in-shard window rank — a reproducible "
