@@ -794,10 +794,9 @@ _BPE_PAIRS_SQL = """
 """
 
 
-@register(
-    "x_bpe_merges",
-    oracle=f"""
-WITH RECURSIVE
+# The learn loop as a recursive CTE, shared by the merge-table oracle
+# (x_bpe_merges) and the tokenizer-application oracle (x_bpe_tokenize).
+_BPE_CTE_SQL = f"""
 wf AS (
   SELECT word, count(*)::BIGINT AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -818,6 +817,14 @@ bpe(iter, word, freq, state) AS (
   ) w
   WHERE b.iter < {_BPE_MERGES}
 )
+"""
+
+
+@register(
+    "x_bpe_merges",
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_CTE_SQL}
 SELECT (iter + 1)::INT AS merge_idx, p1 AS l_tok, p2 AS r_tok,
        cnt::BIGINT AS pair_count
 FROM (
@@ -844,6 +851,17 @@ WHERE rn = 1 AND iter < {_BPE_MERGES}
     tags=("text", "extension", "iterative"),
 )
 def x_bpe_merges(spark, sf_dir):
+    _cur, merges = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_idx int, l_tok string, r_tok string, pair_count bigint"
+    )
+
+
+def _bpe_learn(spark, sf_dir):
+    """Run the 3-round merge loop; returns (final per-word state frame,
+    merge list). One corpus shuffle for the word counts, then every
+    round aggregates the vocabulary-sized table and ships a single
+    (p1, p2) row to the driver."""
     docs = load(spark, sf_dir, "documents")
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -891,6 +909,57 @@ def x_bpe_merges(spark, sf_dir):
                 f"'|{best['p1']}{best['p2']}|')"
             ),
         )
-    return spark.createDataFrame(
-        merges, "merge_idx int, l_tok string, r_tok string, pair_count bigint"
+    return cur, merges
+
+
+@register(
+    "x_bpe_tokenize",
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_CTE_SQL},
+vocab AS (
+  SELECT word,
+         len(string_split(substr(state, 2, len(state) - 2), '||'))::BIGINT
+           AS n_toks
+  FROM bpe WHERE iter = {_BPE_MERGES}
+),
+docwords AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(v.n_toks)::BIGINT AS n_bpe_tokens
+FROM (SELECT * FROM docwords WHERE word <> '') d
+JOIN vocab v USING (word)
+GROUP BY d.doc_id
+""",
+    doc="Tokenizer APPLICATION at corpus scale: the 3-merge BPE vocab "
+    "learned by x_bpe_merges becomes a (word -> token count) lookup "
+    "that BROADCASTS (vocabularies are KB-to-MB at any corpus size), "
+    "so tokenizing 100 TB is one scan + broadcast hash join + per-doc "
+    "aggregate — the corpus text never shuffles. Integer counts only; "
+    "oracle replays the learn loop in the recursive CTE and joins the "
+    "same vocab back.",
+    tags=("text", "extension"),
+)
+def x_bpe_tokenize(spark, sf_dir):
+    cur, _merges = _bpe_learn(spark, sf_dir)
+    vocab = cur.select(
+        "word",
+        F.expr(
+            "size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|'))"
+        )
+        .cast("long")
+        .alias("n_toks"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    docwords = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docwords.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+        )
+        .select("doc_id", "n_words", "n_bpe_tokens")
     )

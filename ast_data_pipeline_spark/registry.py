@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_shard_assign",
     "x_pagerank",
     "x_bpe_merges",
+    "x_bpe_tokenize",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
 )
