@@ -116,36 +116,42 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_join",
     "q21_suppliers_who_kept_waiting",
     "q22_dormant_customers",
-    # 41-48: queries NEW in round 4 (first chance at a driver row)
+    # 41-50: queries NEW in round 4, ranked so the historically-50-query
+    # budget certifies the ops with no officially-green cousin first:
+    # the real multimodal decodes (PPM/SSIM/WAV/Y4M — r3 VERDICT #6),
+    # the curation safety passes, and the bit-exact iterative trio
+    # (Lloyd/PageRank/BPE). The new TPC-H tail ranks after them: five
+    # TPC-H shapes are already green in this window (q13/q17/q19/q21/
+    # q22) and five more from r2-r3, so marginal official proof is low.
     "x_pii_redact",
-    "s_stream_pii_redact",
     "x_decontaminate",
     "x_multimodal_ppm",
+    "x_multimodal_ssim",
+    "x_multimodal_wav",
+    "x_multimodal_y4m",
     "x_kmeans_lloyd_exact",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q9_product_profit",
+    "x_pagerank",
+    "x_bpe_merges",
+    "x_line_dedup",
+    # 51+: past the historical 50-query budget — first in line for the
+    # r5 window
+    "x_bpe_tokenize",
+    "x_data_mixture",
+    "x_shard_assign",
+    "s_stream_pii_redact",
     "x_repetition_quality",
     "x_tfidf_topterms",
     "s11_orc_roundtrip",
     "s12_jsonl_roundtrip",
     "x_range_partition_bounds",
-    "x_multimodal_ssim",
-    "x_multimodal_wav",
-    "x_multimodal_y4m",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q9_product_profit",
     "q2_min_cost_supplier",
-    # 51+: past the historical 50-query budget — re-certify targets and
-    # the rest of the new TPC-H tail (first in line for the r5 window)
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_excess_stock_suppliers",
-    "x_line_dedup",
-    "x_data_mixture",
-    "x_shard_assign",
-    "x_pagerank",
-    "x_bpe_merges",
-    "x_bpe_tokenize",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
 )
