@@ -876,6 +876,11 @@ def _bpe_learn(spark, sf_dir):
             "concat_ws('', transform(split(word, ''), c -> concat('|', c, '|')))"
         ).alias("state"),
     )
+    # Lineage cut: the loop runs one action per round and the final
+    # caller re-reads the states — without this each action re-pays
+    # the corpus word-count shuffle; with it the loop operates on the
+    # materialized vocabulary-sized frame.
+    cur = cur.localCheckpoint(eager=False)
     merges = []
     for it in range(_BPE_MERGES):
         pairs = (
