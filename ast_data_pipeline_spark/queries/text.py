@@ -758,6 +758,12 @@ def x_line_dedup(spark, sf_dir):
             "line"
         ),
     )
+    # Both the frequency aggregate and the keep-join consume the same
+    # exploded chunk frame; the lazy checkpoint materializes the
+    # explode once instead of re-scanning the corpus per branch (the
+    # dedup signature-frame idiom — exchange reuse does not fire
+    # across the explode).
+    chunks = chunks.localCheckpoint(eager=False)
     freq = chunks.groupBy("line").agg(F.countDistinct("doc_id").alias("n_docs"))
     kept = chunks.join(freq, "line").filter(F.col("n_docs") < LINE_DUP_DOCS)
     return (
