@@ -217,12 +217,20 @@ WHERE r.cum_tokens <= g.target_tokens
     "pipeline runs before sequence packing. All-integer arithmetic "
     "(token counts, running sums; no float rates to drift across "
     "engines), hash order instead of rand() so re-runs and the oracle "
-    "pick identical rows. Plan: ONE window shuffle partitioned by "
-    "source carries both the running sum and the per-source total "
-    "(full-partition frame over the same exchange — no separate agg + "
-    "broadcast join back), plus a scalar-broadcast target from a "
-    "narrow 20-row agg; no global sort, no driver loop; at 100 TB the "
-    "window partitions by source and streams.",
+    "pick identical rows. Plan: TWO-LEVEL prefix sum — a naive "
+    "cumulative window partitioned by source serializes each source "
+    "through one reducer (multi-TB per task at 100 TB with ~20 "
+    "sources), so instead the wide data is bucketed by (source, first "
+    "2 md5 hex chars) = |sources|x256 partitions; per-bucket token "
+    "totals form a tiny table whose exclusive prefix sum (window over "
+    "~5k rows) is broadcast back as each bucket's offset, and the "
+    "running sum is offset + a LOCAL cumsum inside the (source, "
+    "bucket) window. Bit-identical to the single-window form because "
+    "the bucket is a PREFIX of the ordering key (md5 hex), so bucket "
+    "order + within-bucket order == global per-source hash order. "
+    "source_tokens and the scalar target both derive from the same "
+    "tiny bucket-totals table — the full fact is shuffled exactly "
+    "once, on (source, bucket).",
     tags=("sampling", "extension"),
 )
 def x_data_mixture(spark, sf_dir):
@@ -233,19 +241,40 @@ def x_data_mixture(spark, sf_dir):
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("doc_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("mix_hx"),
+    ).withColumn("mix_bucket", F.substring("mix_hx", 1, 2))
+    # Tiny side: per-(source, bucket) token totals -> exclusive prefix
+    # offsets + per-source totals + the global scalar target. <= 20x256
+    # rows, so the single-partition windows here are free.
+    bucket_tot = tok.groupBy("source", "mix_bucket").agg(
+        F.sum("doc_tokens").alias("bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("mix_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        "source",
+        "mix_bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("bucket_offset"),
+        F.sum("bucket_tokens").over(Window.partitionBy("source")).alias("source_tokens"),
     )
     tgt = (
-        tok.groupBy("source")
-        .agg(F.sum("doc_tokens").alias("source_tokens"))
-        .agg(F.min("source_tokens").alias("target_tokens"))
+        bucket_tot.groupBy("source")
+        .agg(F.sum("bucket_tokens").alias("st"))
+        .agg(F.min("st").alias("target_tokens"))
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    # Wide side: ONE shuffle on (source, bucket); local cumsum + offset.
+    w_loc = (
+        Window.partitionBy("source", "mix_bucket")
+        .orderBy("mix_hx", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = tok.withColumn("cum_tokens", F.sum("doc_tokens").over(w)).withColumn(
-        "source_tokens", F.sum("doc_tokens").over(Window.partitionBy("source"))
+    ranked = (
+        tok.withColumn("local_cum", F.sum("doc_tokens").over(w_loc))
+        .join(F.broadcast(offsets), ["source", "mix_bucket"])
+        .withColumn("cum_tokens", F.col("bucket_offset") + F.col("local_cum"))
     )
     return (
         ranked.crossJoin(F.broadcast(tgt))
@@ -286,8 +315,15 @@ FROM h
     "a window rank over the hash order, so the (shard_id, pos) order "
     "is uniformly shuffled yet bit-reproducible across re-runs and "
     "engines (never rand() or monotonically_increasing_id, both of "
-    "which are partition-layout-dependent). Plan: one shuffle "
-    "partitioned by shard digit; at 100 TB the physical write is "
+    "which are partition-layout-dependent). Plan: TWO-LEVEL rank — a "
+    "row_number partitioned by the shard digit alone is 16 reducers "
+    "total (each dragging 1/16th of 100 TB through one task), so the "
+    "wide shuffle instead partitions by (digit, next-2-hex-chars) = "
+    "16x256 partitions; per-sub-bucket counts form a tiny table whose "
+    "exclusive prefix sum per digit is broadcast back as the rank "
+    "offset, pos = offset + local row_number - 1. Bit-identical to "
+    "the one-window form because the sub-bucket is a PREFIX of the "
+    "ordering key (hx). At 100 TB the physical write is "
     "write.partitionBy(shard_id) + sortWithinPartitions(pos), one "
     "file stream per shard.",
     tags=("sampling", "extension"),
@@ -301,15 +337,36 @@ def x_shard_assign(spark, sf_dir):
         "source",
         F.size(F.split("text", " ")).cast("long").alias("doc_tokens"),
         F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))).alias("hx"),
+    ).withColumn("shard_digit", F.substring("hx", 1, 1)).withColumn(
+        "shard_sub", F.substring("hx", 2, 2)
     )
-    digit = F.substring("hx", 1, 1)
-    w = Window.partitionBy(digit).orderBy("hx", "doc_id")
-    return h.select(
-        "doc_id",
-        "source",
-        "doc_tokens",
-        (F.expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1)
-        .cast("int")
-        .alias("shard_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    # Tiny side: per-(digit, sub-bucket) row counts -> exclusive prefix
+    # offsets within each digit (16x256 rows max).
+    counts = h.groupBy("shard_digit", "shard_sub").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w_off = (
+        Window.partitionBy("shard_digit")
+        .orderBy("shard_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard_digit",
+        "shard_sub",
+        F.coalesce(F.sum("n_rows").over(w_off), F.lit(0)).alias("rank_offset"),
+    )
+    # Wide side: ONE shuffle on (digit, sub); local rank + offset.
+    w_loc = Window.partitionBy("shard_digit", "shard_sub").orderBy("hx", "doc_id")
+    return (
+        h.withColumn("local_rn", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), ["shard_digit", "shard_sub"])
+        .select(
+            "doc_id",
+            "source",
+            "doc_tokens",
+            (F.expr("instr('0123456789abcdef', shard_digit)") - 1)
+            .cast("int")
+            .alias("shard_id"),
+            (F.col("rank_offset") + F.col("local_rn") - 1).cast("long").alias("pos"),
+        )
     )

@@ -232,6 +232,42 @@ def test_tfidf_topk_pushes_window_group_limit(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:1500]
 
 
+def test_data_mixture_two_level_prefix_sum(spark, sf_dir):
+    # VERDICT r4 #3: the running sum over the fact must be windowed by
+    # (source, mix_bucket) — a source-only window = one reducer per
+    # source at 100 TB. The tiny bucket-totals table may still window
+    # by source alone; pin the FACT-side window via its output column.
+    from ast_data_pipeline_spark.registry import load_all
+
+    plan = _plan(load_all()["x_data_mixture"].fn(spark, sf_dir))
+    fact_window = [ln for ln in plan.splitlines() if "local_cum" in ln and "Window" in ln]
+    assert fact_window and all("mix_bucket" in ln for ln in fact_window), plan[:2000]
+
+
+def test_shard_assign_two_level_rank(spark, sf_dir):
+    # VERDICT r4 #4: the fact-side row_number must partition by
+    # (shard_digit, shard_sub) — digit alone = 16 reducers total.
+    from ast_data_pipeline_spark.registry import load_all
+
+    plan = _plan(load_all()["x_shard_assign"].fn(spark, sf_dir))
+    fact_window = [ln for ln in plan.splitlines() if "local_rn" in ln and "Window" in ln]
+    assert fact_window and all("shard_sub" in ln for ln in fact_window), plan[:2000]
+
+
+def test_embedding_neardup_joins_on_lsh_bucket(spark, sf_dir):
+    # VERDICT r4 #5: candidate pairs must come from an equi-join keyed
+    # on (label, bucket) — label alone is O(n^2) per hot label. The
+    # oracle (brute force) already proves zero recall loss; this pins
+    # the plan side: some hash join keyed on the bucket column, and no
+    # nested-loop anywhere.
+    from ast_data_pipeline_spark.registry import load_all
+
+    plan = _plan(load_all()["x_embedding_neardup"].fn(spark, sf_dir))
+    join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln]
+    assert join_lines and any("bucket" in ln for ln in join_lines), plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
 def test_q9_single_fact_shuffle(spark, sf_dir):
     # q9's only row exchanges: the derived-partsupp composite-key
     # aggregate and the final (nation, year) aggregate — every dim
