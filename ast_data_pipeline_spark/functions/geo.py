@@ -132,8 +132,12 @@ def utm_to_lonlat_cols(easting, northing, zone):
     c1 = F.lit(_EP2) * cos1 * cos1
     t1 = tan1 * tan1
     one_m_e2sin2 = F.lit(1.0) - F.lit(_E2) * sin1 * sin1
-    n1 = F.lit(_A) / F.sqrt(one_m_e2sin2)
-    r1 = F.lit(_A * (1 - _E2)) / F.pow(one_m_e2sin2, F.lit(1.5))
+    sq = F.sqrt(one_m_e2sin2)
+    n1 = F.lit(_A) / sq
+    # x^1.5 as sqrt(x)^3: sqrt and * are IEEE-exact in every engine,
+    # while pow() is only ~1-ulp — this keeps the series bit-identical
+    # across Spark and the DuckDB oracle mirror (utm_lonlat_staged_sql)
+    r1 = F.lit(_A * (1 - _E2)) / (sq * sq * sq)
     d = x / (n1 * F.lit(_K0))
     d2 = d * d
     d4 = d2 * d2
@@ -192,8 +196,12 @@ def with_utm_lonlat(df, out_lon: str, out_lat: str, easting, northing, zone):
     df = df.withColumn(d, (easting - F.lit(_FALSE_EASTING)) / (C(n1) * F.lit(_K0)))
     d2 = C(d) * C(d)
     d4 = d2 * d2
-    # r1 is single-use -> safe to inline into lat
-    r1 = F.lit(_A * (1 - _E2)) / F.pow(F.lit(1.0) - F.lit(_E2) * C(sin1) * C(sin1), F.lit(1.5))
+    # r1 is single-use -> safe to inline into lat. x^1.5 is computed as
+    # sqrt(x)^3 (sqrt and * are IEEE-exact everywhere, pow is only
+    # ~1-ulp) so the whole series is bit-identical to the DuckDB
+    # oracle mirror (utm_lonlat_staged_sql).
+    _sq = F.sqrt(F.lit(1.0) - F.lit(_E2) * C(sin1) * C(sin1))
+    r1 = F.lit(_A * (1 - _E2)) / (_sq * _sq * _sq)
     lat = C(phi1) - (C(n1) * C(tan1) / r1) * (
         d2 / 2
         - (F.lit(5.0) + 3 * C(t1) + 10 * C(c1) - 4 * C(c1) * C(c1) - F.lit(9 * _EP2)) * d4 / 24
@@ -245,6 +253,104 @@ def lonlat_to_utm_udf(lon: pd.Series, lat: pd.Series, zone: pd.Series) -> pd.Dat
 def zone_from_epsg(utm_projection):
     """'EPSG:26916' -> 16 (NAD83 northern zones are 269xx)."""
     return F.substring(utm_projection, 9, 2).cast("int")
+
+
+def utm_lonlat_staged_sql(
+    inner_sql: str, points: list[tuple[str, str, str]], zone_expr: str
+) -> str:
+    """DuckDB mirror of :func:`with_utm_lonlat` — wraps ``inner_sql``
+    in staged subselects computing ``lon_<sfx>``/``lat_<sfx>`` (degrees,
+    DOUBLE) for each ``(sfx, easting_expr, northing_expr)`` point.
+
+    Bit-exactness contract (what makes a hash-gated oracle possible for
+    a trig-heavy pipeline): every +,-,*,/,sqrt is IEEE-exact in both
+    engines, so the ONLY cross-engine risk is sin/cos/tan (~1-ulp libm
+    vs JVM differences on ~0.3% of inputs — measured). The series is
+    transcribed with the exact association order of the Spark column
+    tree, pow() is avoided (sqrt-cube on both sides), and radians/
+    degrees are expanded to the JVM's literal order (x / 180.0 * pi(),
+    x * 180.0 / pi()) rather than DuckDB's builtins. Residual 1-ulp
+    trig wobble (~1e-14 deg) is absorbed by the %.7f boundary format
+    the flagship emits — a 1-ulp difference crosses a 1e-7 grid with
+    probability ~1e-8 per value, and deterministically: green once at
+    a given SF means green forever.
+
+    Staging mirrors Spark's named-column staging only for DuckDB parse
+    economy — textual duplication would be value-identical but blows
+    the expression tree up combinatorially (phi1 ~ 5 mu terms, t1 = 2
+    phi1, ...).
+    """
+    sqrt1e2 = math.sqrt(1 - _E2)
+    e1 = (1 - sqrt1e2) / (1 + sqrt1e2)
+    MU_DEN = repr(_K0 * _A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    C2 = repr(3 * e1 / 2 - 27 * e1**3 / 32)
+    C4 = repr(21 * e1**2 / 16 - 55 * e1**4 / 32)
+    C6 = repr(151 * e1**3 / 96)
+    C8 = repr(1097 * e1**4 / 512)
+    E2 = repr(_E2)
+    EP2 = repr(_EP2)
+    A = repr(_A)
+    AR1 = repr(_A * (1 - _E2))
+    K0 = repr(_K0)
+    FE = repr(_FALSE_EASTING)
+    E9 = repr(9 * _EP2)
+    E252 = repr(252 * _EP2)
+    E8 = repr(8 * _EP2)
+
+    lvl1 = ", ".join(
+        [f"({zone_expr}) AS _tm_zone"]
+        + [f"({n}) / {MU_DEN} AS mu_{s}" for s, _e, n in points]
+        + [f"({e}) AS _tme_{s}" for s, e, _n in points]
+    )
+    lvl2 = ", ".join(
+        f"mu_{s} + {C2}*sin(mu_{s}*2) + {C4}*sin(mu_{s}*4) "
+        f"+ {C6}*sin(mu_{s}*6) + {C8}*sin(mu_{s}*8) AS phi1_{s}"
+        for s, _e, _n in points
+    )
+    lvl3 = ", ".join(
+        f"sin(phi1_{s}) AS sin1_{s}, cos(phi1_{s}) AS cos1_{s}, "
+        f"tan(phi1_{s}) AS tan1_{s}"
+        for s, _e, _n in points
+    )
+    lvl4 = ", ".join(
+        f"{EP2} * cos1_{s} * cos1_{s} AS c1_{s}, "
+        f"tan1_{s} * tan1_{s} AS t1_{s}, "
+        f"{A} / sqrt(1.0 - {E2} * sin1_{s} * sin1_{s}) AS n1_{s}, "
+        f"sqrt(1.0 - {E2} * sin1_{s} * sin1_{s}) AS sq_{s}"
+        for s, _e, _n in points
+    )
+    lvl5 = ", ".join(
+        f"(_tme_{s} - {FE}) / (n1_{s} * {K0}) AS d_{s}" for s, _e, _n in points
+    )
+    outs = []
+    for s, _e, _n in points:
+        d, d2, d4 = f"d_{s}", f"(d_{s} * d_{s})", f"((d_{s} * d_{s}) * (d_{s} * d_{s}))"
+        c1, t1, n1, sin1, cos1, tan1, phi1, sq = (
+            f"c1_{s}", f"t1_{s}", f"n1_{s}", f"sin1_{s}", f"cos1_{s}",
+            f"tan1_{s}", f"phi1_{s}", f"sq_{s}",
+        )
+        r1 = f"({AR1} / (({sq} * {sq}) * {sq}))"
+        lat = (
+            f"{phi1} - ({n1} * {tan1} / {r1}) * ({d2} / 2 "
+            f"- (5.0 + 3*{t1} + 10*{c1} - 4*{c1}*{c1} - {E9}) * {d4} / 24 "
+            f"+ (61.0 + 90*{t1} + 298*{c1} + 45*{t1}*{t1} - {E252} - 3*{c1}*{c1}) "
+            f"* ({d4} * {d2}) / 720)"
+        )
+        lon0 = "((_tm_zone::DOUBLE * 6.0 - 183.0) / 180.0 * pi())"
+        lon = (
+            f"{lon0} + ({d} "
+            f"- (1.0 + 2*{t1} + {c1}) * ({d2} * {d}) / 6 "
+            f"+ (5.0 - 2*{c1} + 28*{t1} - 3*{c1}*{c1} + {E8} + 24*{t1}*{t1}) "
+            f"* ({d4} * {d}) / 120) / {cos1}"
+        )
+        outs.append(f"(({lon}) * 180.0 / pi()) AS lon_{s}")
+        outs.append(f"(({lat}) * 180.0 / pi()) AS lat_{s}")
+    return f"""
+SELECT *, {', '.join(outs)}
+FROM (SELECT *, {lvl5} FROM (SELECT *, {lvl4}
+FROM (SELECT *, {lvl3} FROM (SELECT *, {lvl2}
+FROM (SELECT *, {lvl1} FROM ({inner_sql}))))))
+"""
 
 
 def bbox_wkt(minx, miny, maxx, maxy):

@@ -44,15 +44,10 @@ _CTES = (
     + merge_oracle_ctes(_CAND_SQL, _CLEAN_SQL, adjacency_predicate_sql("a", "b", DIST_LIMIT))
 )
 
-_INVENTORY_UTM_ORACLE = f"""
-WITH RECURSIVE
-{_CTES}
-SELECT tank_id, object_class, tile_name, image_names,
-       bbox_xmin_px, bbox_ymin_px, bbox_xmax_px, bbox_ymax_px,
-       utm_projection, utm_minx, utm_miny, utm_maxx, utm_maxy,
-       diameter, merged_bbox,
-       county, state_fips, county_fips, quad_id, capture_date
-FROM (
+# Located inventory (everything but the P9/P11 projection stage) as a
+# reusable derived-table body — d_inventory_utm selects it directly;
+# the flagship oracle wraps it in the Snyder-series staging.
+_LOCATED_SQL = """
   SELECT inv.*, c.county_name AS county, c.state_fips, c.county_fips,
          row_number() OVER (
            PARTITION BY inv.tank_id
@@ -79,27 +74,98 @@ FROM (
   JOIN counties c
     ON least(inv.utm_maxx, c.c_maxx) > greatest(inv.utm_minx, c.c_minx)
    AND least(inv.utm_maxy, c.c_maxy) > greatest(inv.utm_miny, c.c_miny)
-)
+"""
+
+_INVENTORY_UTM_ORACLE = f"""
+WITH RECURSIVE
+{_CTES}
+SELECT tank_id, object_class, tile_name, image_names,
+       bbox_xmin_px, bbox_ymin_px, bbox_xmax_px, bbox_ymax_px,
+       utm_projection, utm_minx, utm_miny, utm_maxx, utm_maxy,
+       diameter, merged_bbox,
+       county, state_fips, county_fips, quad_id, capture_date
+FROM ({_LOCATED_SQL})
 WHERE rn = 1
+"""
+
+
+def _flagship_oracle() -> str:
+    from ..functions.geo import utm_lonlat_staged_sql
+
+    located = f"SELECT * FROM ({_LOCATED_SQL}) WHERE rn = 1"
+    proj = utm_lonlat_staged_sql(
+        located,
+        [
+            ("c", "(utm_minx + utm_maxx) / 2", "(utm_miny + utm_maxy) / 2"),
+            ("nw", "utm_minx", "utm_maxy"),
+            ("se", "utm_maxx", "utm_miny"),
+        ],
+        "substr(utm_projection, 9, 2)::INT",
+    )
+    # WKT is rebuilt from the SAME %.7f-quantized strings as the
+    # published lon/lat columns (self-consistent row, and no second
+    # format boundary to straddle — %.9f of the raw doubles hit the
+    # predicted ~1-in-100k grid straddle twice at sf0.01).
+    f7 = lambda c: f"printf('%.7f', {c})"
+    wkt = (
+        f"'POLYGON ((' || {f7('lon_nw')} || ' ' || {f7('lat_se')} || ', ' "
+        f"|| {f7('lon_se')} || ' ' || {f7('lat_se')} || ', ' "
+        f"|| {f7('lon_se')} || ' ' || {f7('lat_nw')} || ', ' "
+        f"|| {f7('lon_nw')} || ' ' || {f7('lat_nw')} || ', ' "
+        f"|| {f7('lon_nw')} || ' ' || {f7('lat_se')} || '))'"
+    )
+    return f"""
+WITH RECURSIVE
+{_CTES}
+SELECT tank_id, object_class, tile_name, image_names,
+       bbox_xmin_px, bbox_ymin_px, bbox_xmax_px, bbox_ymax_px,
+       utm_projection, utm_minx, utm_miny, utm_maxx, utm_maxy,
+       {f7('lon_nw')} AS nw_lon, {f7('lat_nw')} AS nw_lat,
+       {f7('lon_se')} AS se_lon, {f7('lat_se')} AS se_lat,
+       {f7('lon_c')} AS centroid_lon, {f7('lat_c')} AS centroid_lat,
+       {wkt} AS geometry_wkt,
+       diameter, merged_bbox,
+       county, state_fips, county_fips, quad_id, capture_date
+FROM ({proj})
 """
 
 
 @register(
     "flagship_tank_inventory",
-    oracle=None,  # includes the P9 Snyder-series reprojection + WKT (not SQL-expressible)
+    oracle=_flagship_oracle(),
     doc="SURVEY §3.1 flagship: chip annotations -> label pipeline "
     "(P15-P17) -> per-tile CC merge (A1) -> UTM coords/centroid/diameter "
     "(P8/P10/P12) -> county argmax join (J8) -> WGS84 reprojection "
     "(P9, native codegen columns) -> P19 derivations + P11 WKT. "
-    "One job, ~4 shuffles.",
+    "One job, ~4 shuffles. Fully hash-gated (VERDICT r4 #6): the "
+    "Snyder series is mirrored op-for-op in DuckDB "
+    "(functions/geo.utm_lonlat_staged_sql), and lon/lat cross the "
+    "contract boundary as %.7f strings (cm precision, 60x below the "
+    "0.6 m pixel) so ~1-ulp cross-engine libm trig wobble cannot flip "
+    "the hash. The raw-double plan (plans/tank_inventory.tank_inventory) "
+    "is unchanged for sinks.",
     tags=("domain", "pipeline", "bench"),
 )
 def flagship_tank_inventory(spark, sf_dir):
     # Contract boundary: the driver's canonicalizer sort_values-crashes
-    # on list cells, so the array column goes out sorted + ';'-joined.
-    # Sinks (GeoJSON keeps lists) consume the plan directly instead.
-    return tank_inventory(spark, sf_dir).withColumn(
+    # on list cells, so the array column goes out sorted + ';'-joined;
+    # lon/lat quantize to %.7f strings (see _flagship_oracle).
+    inv = tank_inventory(spark, sf_dir).withColumn(
         "image_names", F.array_join(F.array_sort("image_names"), ";")
+    )
+    for c in ("nw_lon", "nw_lat", "se_lon", "se_lat", "centroid_lon", "centroid_lat"):
+        inv = inv.withColumn(c, F.format_string("%.7f", F.col(c)))
+    L = F.lit
+    return inv.withColumn(
+        "geometry_wkt",
+        F.concat(
+            L("POLYGON (("),
+            F.col("nw_lon"), L(" "), F.col("se_lat"), L(", "),
+            F.col("se_lon"), L(" "), F.col("se_lat"), L(", "),
+            F.col("se_lon"), L(" "), F.col("nw_lat"), L(", "),
+            F.col("nw_lon"), L(" "), F.col("nw_lat"), L(", "),
+            F.col("nw_lon"), L(" "), F.col("se_lat"), L("))"),
+        ),
     )
 
 
