@@ -161,12 +161,15 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
     The resampling kernel is REAL (numpy integer index mapping — the
     same arithmetic a production nearest-neighbor pass runs after
-    decode); only the decode is faked: the payload is treated as a
-    row-major uint8 (height, width) plane, deterministically padded /
-    truncated to width*height bytes where the synthetic payload length
-    differs. Arrow batches in, fixed-schema rows with the resized
-    payload + updated dims out — the exact plumbing a Pillow-backed
-    decode would slot into (see ``decode_image``).
+    decode). The decode is REAL for P5 PGM payloads (pure-numpy Netpbm
+    parse via ``decode_image``, header dims win over metadata) — the
+    path the x_multimodal_resize oracle exercises — and faked
+    otherwise: the payload is treated as a row-major uint8
+    (height, width) plane, deterministically padded / truncated to
+    width*height bytes where the synthetic payload length differs.
+    Arrow batches in, fixed-schema rows with the resized payload +
+    updated dims out — the exact plumbing a Pillow-backed codec would
+    slot into for compressed formats.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,9 +183,13 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for doc_id, payload, w, h in zip(
                 pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
-                w, h = int(w), int(h)
-                b = np.frombuffer(payload, dtype=np.uint8)
-                b = np.resize(b, w * h).reshape(h, w)  # deterministic pad/trunc
+                if bytes(payload[:2]) == b"P5":
+                    b = decode_image(bytes(payload), "pgm")  # (h, w) gray
+                    h, w = b.shape
+                else:
+                    w, h = int(w), int(h)
+                    b = np.frombuffer(payload, dtype=np.uint8)
+                    b = np.resize(b, w * h).reshape(h, w)  # deterministic pad/trunc
                 xs = (np.arange(target_w) * w) // target_w
                 ys = (np.arange(target_h) * h) // target_h
                 resized = b[np.ix_(ys, xs)]

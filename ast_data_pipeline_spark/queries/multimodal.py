@@ -69,30 +69,86 @@ def x_multimodal_features(spark, sf_dir):
 
 @register(
     "x_multimodal_frames",
-    oracle=None,  # 1->N mapInPandas frame fan-out; shape-tested in pytest
+    # VERDICT r4 #7: oracled on the decodable path. The payload is the
+    # doc's ASCII-squashed text rpad'ed to exactly 16 frames x 64
+    # bytes, so the container parse is exact (no np.resize cycling)
+    # and every sampled frame's byte mean equals the mean code point
+    # of the corresponding 64-char slice — which DuckDB computes
+    # independently. Integer code-point sums are exact in float64.
+    oracle="""
+SELECT doc_id, (f * 4)::INT AS frame_index, 16::INT AS n_frames,
+       64::INT AS frame_len,
+       (list_sum(list_transform(generate_series(1, 64),
+                 i -> unicode(substr(t, (f * 4) * 64 + i, 1))))::DOUBLE / 64)
+         AS frame_mean_byte
+FROM (
+  SELECT doc_id,
+         substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 1024, 'x'), 1, 1024) AS t,
+         unnest(generate_series(0, 3)) AS f
+  FROM documents
+)
+""",
     doc="Video-style frame sampling: the binary payload parsed as "
-    "fixed-length frames, every 4th selected, one output row per "
-    "sampled frame (the mapInPandas 1->N iterator shape a real ffmpeg "
-    "frame-decoder slots into; see operators/multimodal.sample_frames).",
+    "fixed-length frames (16 x 64 bytes), every 4th selected, one "
+    "output row per sampled frame (the mapInPandas 1->N iterator "
+    "shape a real ffmpeg frame-decoder slots into; see operators/"
+    "multimodal.sample_frames). Hash-gated: sampled-frame byte means "
+    "verified against DuckDB's independent code-point computation.",
     tags=("multimodal",),
 )
 def x_multimodal_frames(spark, sf_dir):
-    docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
-    return sample_frames(docs)
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t1024 = F.substring(F.rpad(ascii_text, 1024, "x"), 1, 1024)
+    framed = docs.select("doc_id", F.encode(t1024, "utf-8").alias("payload"))
+    return sample_frames(framed)
 
 
 @register(
     "x_multimodal_resize",
-    oracle=None,  # numpy nearest-neighbor kernel; pixel-tested in pytest
+    # VERDICT r4 #7: oracled on the REAL decode path. Each doc becomes
+    # a valid 8x12 P5 PGM (header + 96 ASCII raster bytes); the
+    # operator really parses the Netpbm header (decode_image) and
+    # nearest-neighbor-resizes the decoded plane to 32x32. The oracle
+    # rebuilds the resized raster byte-for-byte in DuckDB via the same
+    # integer index map — resized[r][c] = t[((r*12)//32)*8 +
+    # ((c*8)//32) + 1] — string_agg's it and md5's the result; ASCII
+    # squash makes byte == code point.
+    oracle="""
+SELECT doc_id, 32::INT AS width, 32::INT AS height,
+       8::INT AS src_width, 12::INT AS src_height,
+       md5(list_aggregate(
+         list_transform(generate_series(0, 1023),
+           k -> substr(t, ((((k // 32) * 12) // 32) * 8 + (((k % 32) * 8) // 32)) + 1, 1)),
+         'string_agg', '')) AS payload_md5,
+       1024::BIGINT AS byte_len
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
     doc="Nearest-neighbor image resize to 32x32 over the binary column "
-    "(operators/multimodal.resize_images): real resampling arithmetic "
-    "behind the faked decode. The driver row carries the resized "
-    "payload's md5 + dims (binary payload itself stays internal).",
+    "(operators/multimodal.resize_images): REAL Netpbm decode (8x12 P5 "
+    "PGM assembled per doc) + real resampling arithmetic, hash-gated — "
+    "the resized payload's md5 is reproduced independently by DuckDB "
+    "from the same index mapping. The fake-decode fallback for "
+    "codec-less formats stays pytest-covered.",
     tags=("multimodal",),
 )
 def x_multimodal_resize(spark, sf_dir):
-    docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
-    r = resize_images(docs, 32, 32)
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    framed = docs.select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n8 12\n255\n"), F.encode(t96, "utf-8")).alias("payload"),
+        F.struct(
+            F.lit("pgm").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(12).alias("height"),
+            F.lit(False).alias("is_audio"),
+        ).alias("media_meta"),
+    )
+    r = resize_images(framed, 32, 32)
     return r.select(
         "doc_id", "width", "height", "src_width", "src_height",
         F.md5("payload").alias("payload_md5"),
