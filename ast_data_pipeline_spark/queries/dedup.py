@@ -166,6 +166,32 @@ def x_dedup_clusters(spark, sf_dir):
     return neardup_clusters(pairs)
 
 
+@register(
+    "x_dedup_clusters_star",
+    oracle=_clusters_oracle(),
+    doc="Near-dup clustering, O(log n)-round variant: connected "
+    "components over the same MinHash+LSH pair graph via alternating "
+    "large-star/small-star (operators/dedup.neardup_clusters_star, "
+    "Kiveris et al. SoCC'14) — the 100 TB hardening of hash-min label "
+    "propagation, whose round count is bounded by component DIAMETER "
+    "and stalls on adversarial chains (a template document mutating "
+    "across a crawl). Same output contract and the same recursive-CTE "
+    "oracle as x_dedup_clusters, so the driver row proves the two "
+    "algorithms agree exactly.",
+    tags=("dedup", "extension"),
+)
+def x_dedup_clusters_star(spark, sf_dir):
+    from ..operators.dedup import neardup_clusters_star
+
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    docsets = (
+        docs.filter(F.size("w") >= 2)
+        .select("doc_id", word_shingles(F.col("text"), 2))
+    )
+    pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
+    return neardup_clusters_star(pairs)
+
+
 def _simhash_oracle() -> str:
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"

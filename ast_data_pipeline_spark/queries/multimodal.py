@@ -51,19 +51,68 @@ def x_multimodal_meta(spark, sf_dir):
 
 @register(
     "x_multimodal_features",
-    oracle=None,  # mapInPandas feature extraction; shape-tested in pytest
+    # Oracled on the codec-less (raw-byte) path: the payload is the
+    # doc's ASCII-squashed text padded to exactly 96 bytes, so
+    # byte == code point and DuckDB reproduces mean + 8-bin histogram
+    # independently. The histogram crosses the boundary as ';'-joined
+    # INTEGER counts (round(p * 96)) — exact in both engines, where
+    # stringified normalized doubles would diverge on engine float
+    # formatting. ASCII text lives in bins 1-3 only; all 8 are
+    # emitted (the fixed schema a feature store ingests).
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpg'
+            ELSE 'wav' END AS format,
+       96::INT AS byte_len,
+       (list_sum(list_transform(generate_series(1, 96),
+                 i -> unicode(substr(t, i, 1))))::DOUBLE / 96) AS mean_byte,
+       list_aggregate(list_transform(generate_series(0, 7),
+         b -> len(list_filter(generate_series(1, 96),
+                i -> unicode(substr(t, i, 1)) // 32 = b))::VARCHAR),
+         'string_agg', ';') AS histogram8,
+       true AS feature_ok
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
     doc="Binary feature extraction via mapInPandas (Arrow binary batches "
-    "in, fixed-schema features out) — deterministic fake decode standing "
-    "in for a real codec (see operators/multimodal.decode_image stub).",
+    "in, fixed-schema features out) over the codec-less raw-byte path — "
+    "mean byte + 8-bin histogram hash-verified against DuckDB's "
+    "independent code-point computation (real Netpbm decodes are "
+    "oracled separately in x_multimodal_ppm/ssim; compressed formats "
+    "stay behind the declared codec plug-point).",
     tags=("multimodal",),
 )
 def x_multimodal_features(spark, sf_dir):
-    docs = with_multimodal_columns(load(spark, sf_dir, "documents"))
-    # Contract boundary: the driver canonicalizes rows-only results too,
-    # and list cells crash its sort — ship the histogram ';'-joined.
-    return extract_features(docs).withColumn(
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpg")
+        .otherwise("wav")
+    )
+    framed = docs.select(
+        "doc_id",
+        F.encode(t96, "utf-8").alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(12).alias("height"),
+            F.lit(False).alias("is_audio"),
+        ).alias("media_meta"),
+    )
+    # Contract boundary: list cells crash the driver's canonicalizer —
+    # ship the histogram ';'-joined, as exact integer counts.
+    return extract_features(framed).withColumn(
         "histogram8",
-        F.array_join(F.transform("histogram8", lambda c: c.cast("string")), ";"),
+        F.array_join(
+            F.transform(
+                "histogram8", lambda c: F.round(c * 96).cast("int").cast("string")
+            ),
+            ";",
+        ),
     )
 
 

@@ -64,96 +64,75 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # Grading priority: the driver's correctness gate walks ``load_all()``
 # in iteration order (and may stop at a budgeted prefix, historically
-# 50). Round-4 rotation (VERDICT r3 "Next round" #2): positions 1-3
-# re-prove the flagship trio that went red on the r3 harness array
-# crash (now stringified at the boundary); position 4 proves the new
-# s_stream_sessionize oracle; positions 5-40 are every query that never
-# had a driver row in r1-r3 (the 35 from VERDICT "What's missing" #2
-# plus the new x_multimodal_resize); then the round-4 additions in the
-# order they landed — whatever falls past the budget is first in line
-# for the r5 rotation. Everything else follows in registration order;
-# nothing is dropped.
+# 50). Round-5 rotation (VERDICT r4 "Next round" #1): positions 1-6
+# prove the queries whose oracles are NEW this round (flagship under
+# the full hash gate, the LSH-routed embedding near-dup, the two
+# decodable-path multimodal oracles, d_reproject_roundtrip whose
+# underlying series switched pow -> sqrt-cube, and the star-CC
+# variant); positions 7-23 are the
+# 17 never-driver-graded queries from VERDICT r4 (the two rewritten
+# sampling ops first, then the curation/text tail, roundtrips, and the
+# TPC-H tail); the remainder of the 50 re-freshens the oldest official
+# rows (r1/r2 vintage, oldest first). Everything else follows in
+# registration order; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # 1-4: the r3 red rows, fixed, plus the newly-oracled stream face
+    # 1-6: oracles new or changed in round 5
     "flagship_tank_inventory",
-    "d_inventory_utm",
-    "d_a1_bbox_merge",
-    "s_stream_sessionize",
-    # 5-40: never driver-checked in any round (VERDICT r3 list)
-    "e_tumbling_window_agg",
-    "e_sessionize",
-    "e_topk_users_by_value",
-    "e_json_props_extract",
-    "e_funnel_stages",
-    "e_activity_islands",
-    "e_cohort_retention",
-    "e_scd2_intervals",
-    "p_date_functions",
-    "t_asof_join",
-    "t_range_join",
-    "x_lang_id",
-    "x_text_quality",
-    "x_token_count",
-    "x_fingerprint",
-    "x_heavy_hitters",
-    "x_doc_chunking",
-    "x_ngram_jaccard",
-    "x_fuzzy_match",
-    "x_hash_sample",
-    "x_stratified_sample",
-    "x_kmeans_lloyd",
-    "x_data_quality_report",
-    "x_multimodal_meta",
-    "x_multimodal_features",
-    "x_multimodal_frames",
+    "x_embedding_neardup",
     "x_multimodal_resize",
-    "s1_csv_variant_schema",
-    "s3_voc_xml_roundtrip",
-    "s5_geojson_flatten",
-    "s8_file_catalog",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_join",
-    "q21_suppliers_who_kept_waiting",
-    "q22_dormant_customers",
-    # 41-50: queries NEW in round 4, ranked so the historically-50-query
-    # budget certifies the ops with no officially-green cousin first:
-    # the real multimodal decodes (PPM/SSIM/WAV/Y4M — r3 VERDICT #6),
-    # the curation safety passes, and the bit-exact iterative trio
-    # (Lloyd/PageRank/BPE). The new TPC-H tail ranks after them: five
-    # TPC-H shapes are already green in this window (q13/q17/q19/q21/
-    # q22) and five more from r2-r3, so marginal official proof is low.
-    "x_pii_redact",
-    "x_decontaminate",
-    "x_multimodal_ppm",
-    "x_multimodal_ssim",
-    "x_multimodal_wav",
-    "x_multimodal_y4m",
-    "x_kmeans_lloyd_exact",
-    "x_pagerank",
-    "x_bpe_merges",
-    "x_line_dedup",
-    # 51+: past the historical 50-query budget — first in line for the
-    # r5 window
-    "x_bpe_tokenize",
+    "x_multimodal_frames",
+    "d_reproject_roundtrip",
+    "x_dedup_clusters_star",
+    # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
-    "s_stream_pii_redact",
+    "x_bpe_tokenize",
     "x_repetition_quality",
     "x_tfidf_topterms",
+    "x_range_partition_bounds",
+    "s_stream_pii_redact",
     "s11_orc_roundtrip",
     "s12_jsonl_roundtrip",
-    "x_range_partition_bounds",
+    "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
-    "q15_top_supplier",
     "q9_product_profit",
-    "q2_min_cost_supplier",
     "q11_important_stock",
+    "q15_top_supplier",
     "q16_supplier_part_counts",
     "q20_excess_stock_suppliers",
+    # 24-27: companions re-proved after this round's source changes
+    # (d_inventory_utm shares the flagship lineage; the merge pair
+    # rides the same A1 stage the flagship hash now covers end-to-end)
+    "d_inventory_utm",
+    "d_a1_bbox_merge",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
+    # 28-51: oldest official rows, refreshed oldest-first (r1 then r2)
+    "j1_semi_join",
+    "j2_anti_join",
+    "j3_broadcast_semi",
+    "a8_pricing_summary",
+    "j4_lookup_update_join",
+    "j5_disambiguating_join",
+    "p1_path_components",
+    "p2_name_normalize",
+    "p21_string_ops",
+    "p22_math_ops",
+    "f1_f2_recency_filter",
+    "f8_suffix_filter",
+    "a3_crosstab_margins",
+    "a3_crosstab_normalized",
+    "a4_distinct_profile",
+    "a5_dedup_rows",
+    "a6_distinct_by_key_first",
+    "o3_allocation_head",
+    "u1_union_append",
+    "u2_except_difference",
+    "u3_intersect3",
+    "u4_integrity_check",
+    "w_topk_per_group",
+    "w_percent_of_total",
 )
 
 

@@ -98,3 +98,33 @@ def test_neardup_clusters_chain_and_clique(spark):
     }
     assert all(n == 5 for d, (_, n, _) in out.items() if d <= 5)
     assert sorted(d for d, (_, _, canon) in out.items() if canon) == [1, 10, 20]
+
+
+def test_star_cc_matches_hashmin_and_bounds_rounds(spark):
+    # Equivalence on mixed topology + the O(log n) round bound on the
+    # adversarial case: a 64-node chain (diameter 63) converges in a
+    # handful of star rounds but CANNOT converge in 20 hash-min rounds
+    # (VERDICT r4 #8 hardening).
+    import pytest
+
+    from ast_data_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21), (30, 31), (31, 32), (30, 32), (32, 33)],
+        "doc_a long, doc_b long",
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(neardup_clusters_star(mixed)) == key(neardup_clusters(mixed))
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 163)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in neardup_clusters_star(chain, max_iters=10).collect()}
+    assert out == {i: 100 for i in range(100, 164)}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        neardup_clusters(chain, max_iters=20)
