@@ -974,3 +974,83 @@ def x_bpe_tokenize(spark, sf_dir):
         )
         .select("doc_id", "n_words", "n_bpe_tokens")
     )
+
+
+@register(
+    "x_bigram_model",
+    # Consecutive-token pairs are formed INSIDE each document's split
+    # array (positions, not post-filter adjacency), then counted; per
+    # left-token the argmax successor and the left-token total come
+    # out of ONE window exchange (rank + sum over the same partition
+    # spec). All-integer counts — no float anywhere — so the hash gate
+    # is exact by construction.
+    oracle="""
+WITH pairs AS (
+  SELECT a[i - 1] AS w1, a[i] AS w2
+  FROM (SELECT string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL unnest(generate_series(2, len(a))) t(i)
+  WHERE a[i - 1] <> '' AND a[i] <> ''
+),
+pc AS (SELECT w1, w2, count(*)::BIGINT AS pair_count FROM pairs GROUP BY w1, w2),
+ranked AS (
+  SELECT w1, w2, pair_count,
+         row_number() OVER (PARTITION BY w1 ORDER BY pair_count DESC, w2) AS rn,
+         sum(pair_count) OVER (PARTITION BY w1)::BIGINT AS left_count
+  FROM pc
+)
+SELECT w1 AS token, w2 AS top_next, pair_count, left_count
+FROM ranked
+WHERE rn = 1 AND left_count >= 5
+""",
+    doc="Bigram language-model statistics: the conditional next-token "
+    "table (per-token argmax successor + left-token total) a curation "
+    "pipeline uses for junk detection and boilerplate discovery. "
+    "Plan: pair counts in one (w1, w2) shuffle with map-side partial "
+    "agg absorbing the zipf head; then ONE vocabulary-sized window "
+    "exchange on w1 carries both the rank-1 successor and the "
+    "left-count sum (combining them forgoes WindowGroupLimit pushdown "
+    "on the rank — the right trade when the count table is "
+    "vocabulary-sized, far below the corpus). All-integer counts, "
+    "deterministic lexicographic tie-break — exact across engines at "
+    "any partitioning. At 100 TB the corpus shuffles once (pairs); the "
+    "window runs over the vocabulary-sized count table, not the corpus.",
+    tags=("text", "extension"),
+)
+def x_bigram_model(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.split(F.lower("text"), " ", -1).alias("a"))
+        # guard: Spark's sequence(2, 1) would COUNT DOWN for a
+        # single-token array (DuckDB's generate_series is empty)
+        .filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    w = Window.partitionBy("w1")
+    ranked = pc.select(
+        "w1",
+        "w2",
+        "pair_count",
+        F.row_number()
+        .over(w.orderBy(F.desc("pair_count"), "w2"))
+        .alias("rn"),
+        F.sum("pair_count").over(w).alias("left_count"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("left_count") >= 5))
+        .select(
+            F.col("w1").alias("token"),
+            F.col("w2").alias("top_next"),
+            "pair_count",
+            "left_count",
+        )
+    )

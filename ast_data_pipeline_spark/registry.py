@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_multimodal_frames",
     "d_reproject_roundtrip",
     "x_dedup_clusters_star",
+    "x_bigram_model",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
