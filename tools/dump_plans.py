@@ -90,9 +90,11 @@ HEADLINERS = {
         "per-doc agg."
     ),
     "x_data_mixture": (
-        "One PARTITION BY source exchange carries both the running "
-        "token sum and the full-partition source total; the global "
-        "target is a 20-row agg broadcast as a scalar; no global sort."
+        "Two-level prefix sum: the fact shuffles ONCE on (source, "
+        "md5-prefix bucket) — |sources|x256 partitions, never one "
+        "reducer per source; bucket offsets / source totals / the "
+        "scalar target all come from a tiny broadcast bucket-totals "
+        "table; no global sort."
     ),
     "x_pagerank": (
         "Three Pregel supersteps as one declarative plan: each is a "
@@ -102,8 +104,19 @@ HEADLINERS = {
     ),
     "x_shard_assign": (
         "Training-order manifest: shard = salted-hash digit (stateless "
-        "filter), position = in-shard window rank — a reproducible "
-        "global shuffle with a single exchange and no global sort."
+        "filter), position = two-level in-shard rank — the fact windows "
+        "by (digit, sub-bucket) = 4096 partitions with broadcast "
+        "offsets, never 16 reducers; reproducible, no global sort."
+    ),
+    "x_embedding_neardup": (
+        "Candidates from a (label, LSH-bucket) equi-join — never an "
+        "all-pairs join per label — with the exact cosine verify after; "
+        "the brute-force oracle proves zero recall loss."
+    ),
+    "x_bigram_model": (
+        "Corpus shuffles once on (w1, w2) with map-side partial agg; "
+        "one vocabulary-sized window exchange carries both the argmax "
+        "successor and the left-count total."
     ),
 }
 
