@@ -370,3 +370,94 @@ def x_shard_assign(spark, sf_dir):
             (F.col("rank_offset") + F.col("local_rn") - 1).cast("long").alias("pos"),
         )
     )
+
+
+N_NEGATIVES = 3  # negatives per anchor
+
+
+@register(
+    "x_negative_sampling",
+    oracle=f"""
+WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+anchors AS (
+  SELECT d.doc_id, d.source, k,
+         ('0x' || substr(md5('neg|' || d.doc_id::VARCHAR || '|' || k::VARCHAR), 1, 8))::BIGINT
+           % n.n_docs AS raw_partner
+  FROM documents d, n, unnest(generate_series(0, {N_NEGATIVES - 1})) t(k)
+),
+resolved AS (
+  SELECT doc_id, source, k::INT AS k,
+         CASE WHEN raw_partner = doc_id THEN (raw_partner + 1) % (SELECT n_docs FROM n)
+              ELSE raw_partner END AS partner_id
+  FROM anchors
+)
+SELECT r.doc_id, r.k, r.partner_id,
+       r.source AS anchor_source, p.source AS partner_source,
+       (r.source <> p.source) AS cross_source
+FROM resolved r JOIN documents p ON r.partner_id = p.doc_id
+""",
+    doc="Deterministic negative sampling for contrastive training: each "
+    "anchor doc gets K pseudo-random partner docs via a salted md5 "
+    "ranged over the corpus size — never rand(), so re-runs, resumed "
+    "jobs, and the oracle draw identical negatives, and a doc's "
+    "negatives don't depend on partitioning. Self-collisions remap to "
+    "the next id. Plan: one scalar count broadcast, a K-way explode "
+    "(map-side), and ONE shuffle join on partner_id to fetch partner "
+    "metadata — at 100 TB the join is the only wide stage and "
+    "partner ids are uniform, so no skew.",
+    tags=("sampling", "extension"),
+)
+def x_negative_sampling(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = (
+        docs.select("doc_id", "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "n_docs",
+            F.explode(F.sequence(F.lit(0), F.lit(N_NEGATIVES - 1))).alias("k"),
+        )
+        .withColumn(
+            "raw_partner",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg|"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_docs"),
+        )
+        .withColumn(
+            "partner_id",
+            F.when(
+                F.col("raw_partner") == F.col("doc_id"),
+                (F.col("raw_partner") + 1) % F.col("n_docs"),
+            ).otherwise(F.col("raw_partner")),
+        )
+    )
+    partners = docs.select(
+        F.col("doc_id").alias("partner_id"), F.col("source").alias("partner_source")
+    )
+    return (
+        anchors.join(partners, "partner_id")
+        .select(
+            "doc_id",
+            F.col("k").cast("int").alias("k"),
+            "partner_id",
+            F.col("source").alias("anchor_source"),
+            "partner_source",
+            (F.col("source") != F.col("partner_source")).alias("cross_source"),
+        )
+    )

@@ -84,6 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     "d_reproject_roundtrip",
     "x_dedup_clusters_star",
     "x_bigram_model",
+    "x_minhash_est_quality",
+    "x_negative_sampling",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
