@@ -128,3 +128,29 @@ def test_star_cc_matches_hashmin_and_bounds_rounds(spark):
     assert out == {i: 100 for i in range(100, 164)}
     with pytest.raises(RuntimeError, match="no fixpoint"):
         neardup_clusters(chain, max_iters=20)
+
+
+def test_star_cc_matches_hashmin_on_random_graphs(spark):
+    # Property check: on arbitrary random pair graphs the two CC
+    # algorithms are interchangeable (same labels, sizes, canonicals).
+    import random
+
+    from ast_data_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+
+    rng = random.Random(5)
+    for trial in range(4):
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(neardup_clusters_star(pairs)) == key(
+            neardup_clusters(pairs, max_iters=60)
+        ), f"trial {trial}: {edges}"
