@@ -288,11 +288,16 @@ GROUP BY source, pack_id
     doc="Sequence packing for LLM training: contiguous token-budget "
     "binning — docs ordered by doc_id within source, a doc opens pack "
     "k when the tokens BEFORE it fill k budgets (exclusive running "
-    "sum, one window pass; integer token counts keep the oracle "
-    "bit-exact). The deterministic streaming-friendly flavor of "
-    "greedy packing: at 100 TB each source packs independently (the "
-    "window partitions parallelize) and pack ids are stable across "
-    "re-runs, so shards can be built incrementally.",
+    "sum; integer token counts keep the oracle bit-exact). The "
+    "deterministic streaming-friendly flavor of greedy packing. "
+    "Plan: the same two-level prefix sum as x_data_mixture — a "
+    "source-only window is one reducer per source at 100 TB, so the "
+    "fact shuffles once on (source, doc_id div 64) with per-block "
+    "exclusive offsets broadcast from a tiny block-totals table; "
+    "bit-identical because the block id is a monotone prefix of the "
+    "doc_id ordering (production sizes the block width from id-range "
+    "stats). Pack ids are stable across re-runs, so shards build "
+    "incrementally.",
     tags=("text", "extension"),
 )
 def x_sequence_packing(spark, sf_dir):
@@ -300,17 +305,36 @@ def x_sequence_packing(spark, sf_dir):
     _, bpe = token_counts(F.col("text"))
     toks = docs.select(
         "source", "doc_id", bpe.cast("bigint").alias("n_tokens")
+    ).withColumn("blk", F.expr("doc_id div 64"))
+    blk_tot = toks.groupBy("source", "blk").agg(
+        F.sum("n_tokens").alias("blk_tokens")
     )
-    w = (
+    w_off = (
         Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = blk_tot.select(
+        "source",
+        "blk",
+        F.coalesce(F.sum("blk_tokens").over(w_off), F.lit(0)).alias("blk_offset"),
+    )
+    w_loc = (
+        Window.partitionBy("source", "blk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    packed = toks.withColumn(
-        "pack_id",
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET
-        ).cast("bigint"),
+    packed = (
+        toks.withColumn(
+            "local_excl", F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0))
+        )
+        .join(F.broadcast(offsets), ["source", "blk"])
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.col("blk_offset") + F.col("local_excl")) / PACK_BUDGET
+            ).cast("bigint"),
+        )
     )
     return packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_bigram_model",
     "x_minhash_est_quality",
     "x_negative_sampling",
+    "x_sequence_packing",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",

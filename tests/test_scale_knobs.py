@@ -254,6 +254,23 @@ def test_shard_assign_two_level_rank(spark, sf_dir):
     assert fact_window and all("shard_sub" in ln for ln in fact_window), plan[:2000]
 
 
+def test_sequence_packing_two_level_prefix_sum(spark, sf_dir):
+    # Same ceiling as data_mixture: the fact-side exclusive running
+    # sum must window by (source, blk), never source alone. The window
+    # output is an internal _we alias (coalesce wraps it), so pin the
+    # Window node's partition spec directly.
+    from ast_data_pipeline_spark.registry import load_all
+
+    plan = _plan(load_all()["x_sequence_packing"].fn(spark, sf_dir))
+    fact = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "sum(n_tokens" in ln
+    ]
+    assert fact and all(
+        re.search(r"\], \[source#\d+, blk#\d+L?\]", ln) for ln in fact
+    ), plan[:2000]
+
+
 def test_embedding_neardup_joins_on_lsh_bucket(spark, sf_dir):
     # VERDICT r4 #5: candidate pairs must come from an equi-join keyed
     # on (label, bucket) — label alone is O(n^2) per hot label. The
