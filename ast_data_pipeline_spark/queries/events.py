@@ -122,11 +122,14 @@ def e_topk_users_by_value(spark, sf_dir):
         dsum("value").alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    # top-25 heaps merged on the driver side of the exchange) — a
+    # global rank window here would drag every user aggregate through
+    # ONE reducer at scale. The rank window then runs over the 25
+    # surviving rows only.
+    top = agg.orderBy(F.col("total_value").desc(), "user_id").limit(25)
     w = Window.orderBy(F.col("total_value").desc(), "user_id")
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 25)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 @register(

@@ -87,6 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_minhash_est_quality",
     "x_negative_sampling",
     "x_sequence_packing",
+    "a_mode_median",
+    "e_topk_users_by_value",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",

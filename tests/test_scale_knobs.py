@@ -254,6 +254,30 @@ def test_shard_assign_two_level_rank(spark, sf_dir):
     assert fact_window and all("shard_sub" in ln for ln in fact_window), plan[:2000]
 
 
+def test_topk_users_is_take_ordered_not_global_window(spark, sf_dir):
+    # top-25 must compile to TakeOrderedAndProject (per-partition heaps)
+    # — a global rank window drags every user aggregate through one
+    # reducer.
+    from ast_data_pipeline_spark.registry import load_all
+
+    plan = _plan(load_all()["e_topk_users_by_value"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_mode_median_ranks_only_selected_buckets(spark, sf_dir):
+    # Distributed exact median: the fact-side rank window must
+    # partition by (status, mbkt) — a status-only window is one
+    # reducer per status over every order.
+    from ast_data_pipeline_spark.registry import load_all
+
+    plan = _plan(load_all()["a_mode_median"].fn(spark, sf_dir))
+    fact = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln and "o_totalprice" in ln
+    ]
+    assert fact and all("mbkt" in ln for ln in fact), plan[:2000]
+
+
 def test_sequence_packing_two_level_prefix_sum(spark, sf_dir):
     # Same ceiling as data_mixture: the fact-side exclusive running
     # sum must window by (source, blk), never source alone. The window
