@@ -310,11 +310,15 @@ def d_f7_verifier_allocation(spark, sf_dir):
     im = images(spark, sf_dir)
     a = annotations(spark, sf_dir)
     blank = im.join(a, "image_name", "left_anti")
+    # orderBy+limit -> TakeOrderedAndProject (per-partition heaps);
+    # the rank window then covers only the 200 surviving rows — the
+    # global row_number-then-filter form funneled every blank chip
+    # through one reducer.
     w = Window.orderBy("image_name")
     verifiers = F.array(F.lit("amy"), F.lit("bob"), F.lit("cat"))
     return (
-        blank.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 200)
+        blank.orderBy("image_name").limit(200)
+        .withColumn("rn", F.row_number().over(w))
         .select(
             "image_name",
             "tile_name",
