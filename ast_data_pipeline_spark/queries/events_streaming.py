@@ -210,3 +210,31 @@ def s_stream_pii_redact(spark, sf_dir):
         .load(sf_dir)
     )
     return run_stream_to_batch(pii_redact_frame(stream), spark, "append")
+
+
+@register(
+    "s_stream_upsert_snapshot",
+    oracle="""
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_type,
+       value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+    doc="Streaming upsert (SCD1 'latest per key' snapshot) via "
+    "foreachBatch — the production merge-sink pattern: each "
+    "micro-batch argmaxes locally, merges against the previous "
+    "versioned parquet snapshot, and writes a new version (the "
+    "dataflow a Delta MERGE compiles to). Tie-breaks ride "
+    "(ts, event_id) through the snapshot, so availableNow replay is "
+    "bit-equal to the batch QUALIFY row_number()=1 twin regardless "
+    "of micro-batch boundaries (multi-batch merge path pinned in "
+    "tests/test_streaming.py).",
+    tags=("streaming", "extension"),
+)
+def s_stream_upsert_snapshot(spark, sf_dir):
+    from ..streaming.upsert import streaming_upsert_snapshot
+
+    return streaming_upsert_snapshot(spark, sf_dir)

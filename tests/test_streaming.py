@@ -25,3 +25,49 @@ def test_stream_sessionize_contained_in_batch(spark, sf_dir):
     assert len(missing) <= max(1, len(skeys) // 100), list(missing)[:5]
     # the withheld tail is small: >=90% of batch sessions were finalized
     assert len(skeys) >= 0.9 * len(bkeys)
+
+
+def test_upsert_snapshot_multi_batch_merge(spark, sf_dir, tmp_path):
+    # The registered query's availableNow run may see one micro-batch
+    # (single source file); this pins the MERGE path: 3 files streamed
+    # one per trigger => 3 foreachBatch merges, result must still equal
+    # the batch latest-per-key — including a cross-batch tie where the
+    # winning event arrives in an EARLIER batch than the loser.
+    import pyspark.sql.functions as F
+
+    from ast_data_pipeline_spark.streaming.upsert import run_upsert
+
+    rows = [
+        # (event_id, user_id, ts, event_type, value)
+        (1, 1, "2024-01-01 10:00:00", "click", 1.0),
+        (2, 2, "2024-01-01 10:00:00", "view", 2.0),
+        (7, 1, "2024-01-03 09:00:00", "purchase", 9.0),   # u1 winner (file 1!)
+        (3, 1, "2024-01-02 10:00:00", "view", 3.0),
+        (4, 2, "2024-01-04 10:00:00", "click", 4.0),      # u2 ts winner...
+        (5, 2, "2024-01-04 10:00:00", "view", 5.0),       # ...but id 5 > 4 wins tie
+        (6, 3, "2024-01-01 00:00:00", "view", 6.0),
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for i, chunk in enumerate([rows[:3], rows[3:6], rows[6:]]):
+        cdf = spark.createDataFrame(
+            chunk, "event_id long, user_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        cdf.coalesce(1).write.parquet(str(src / f"part{i}"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    got = {
+        r.user_id: (r.last_ts, r.last_type, r.last_value)
+        for r in run_upsert(spark, stream).collect()
+    }
+    assert got == {
+        1: ("2024-01-03 09:00:00", "purchase", 9.0),
+        2: ("2024-01-04 10:00:00", "view", 5.0),
+        3: ("2024-01-01 00:00:00", "view", 6.0),
+    }
