@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_mode_median",
     "e_topk_users_by_value",
     "s_stream_upsert_snapshot",
+    "x_dedup_transitivity",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
