@@ -536,3 +536,48 @@ def a_histogram_equiwidth(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("bin_total"),
     )
+
+
+@register(
+    "a_exact_quantiles",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus AS status,
+       max(CASE WHEN rn = ((n - 1) * 1) // 4  + 1 THEN o_totalprice END) AS p25,
+       max(CASE WHEN rn = ((n - 1) * 2) // 4  + 1 THEN o_totalprice END) AS p50,
+       max(CASE WHEN rn = ((n - 1) * 3) // 4  + 1 THEN o_totalprice END) AS p75,
+       max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN o_totalprice END) AS p90
+FROM ranked
+GROUP BY o_orderstatus
+""",
+    doc="EXACT per-group quantiles (p25/p50/p75/p90 of order totals per "
+    "status) via distributed rank selection "
+    "(operators/quantiles.exact_group_quantiles): bucket counts on a "
+    "monotone value transform locate each target rank, the fact "
+    "filters to the few selected buckets, and only those rows are "
+    "ever sorted — approx_percentile's sketches are engine- and "
+    "merge-order-specific (never hash-checkable), and a naive rank "
+    "window is one reducer per group. Lower-quantile element "
+    "convention (single deterministic row, pure integer rank "
+    "arithmetic). The oracle is the naive single-window form.",
+    tags=("aggregate", "extension"),
+)
+def a_exact_quantiles(spark, sf_dir):
+    from ..operators.quantiles import exact_group_quantiles
+
+    orders = load(spark, sf_dir, "orders")
+    out = exact_group_quantiles(
+        orders,
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderkey",
+        [("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4), ("p90", 9, 10)],
+        F.floor(F.col("o_totalprice") / 10000).cast("long"),
+    )
+    return out.withColumnRenamed("o_orderstatus", "status")

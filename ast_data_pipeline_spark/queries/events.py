@@ -360,3 +360,57 @@ def e_scd2_intervals(spark, sf_dir):
             F.lit("9999-12-31 00:00:00"),
         ).alias("valid_to"),
     )
+
+
+@register(
+    "e_gap_fill_daily",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n_events
+  FROM events WHERE user_id % 50 = 0
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       coalesce(d.n_events, 0)::BIGINT AS n_events,
+       (d.user_id IS NULL) AS gap_filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""",
+    doc="Time-series gap filling / calendar resample: each sampled "
+    "user's daily event counts zero-filled over their own "
+    "[first, last] activity span — the densification pass every "
+    "downstream window/forecast needs (a RANGE frame sees gaps, a "
+    "trained model does not). Plan: daily pre-agg (one user shuffle), "
+    "per-user span agg on the SAME key, calendar grid via "
+    "sequence()+explode (map-side — never a calendar cross join), "
+    "left join back on the shared (user, day) key. Sampled to "
+    "user_id % 50 = 0 to keep the contract row count bounded.",
+    tags=("events", "extension"),
+)
+def e_gap_fill_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_events").isNull().alias("gap_filled"),
+        )
+    )

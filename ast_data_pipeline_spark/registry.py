@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     "e_topk_users_by_value",
     "s_stream_upsert_snapshot",
     "x_dedup_transitivity",
+    "a_exact_quantiles",
+    "e_gap_fill_daily",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
