@@ -18,18 +18,22 @@ from .text import PII_ORACLE
 @register(
     "s_stream_sessionize",
     # The batch e_sessionize gaps-and-islands oracle, adapted to the
-    # streaming face: (a) Spark's session_window is half-open
-    # [ts, ts+gap), so an event exactly gap after its predecessor
-    # starts a NEW session (>= 1800, vs the batch query's > 1800);
+    # streaming face: (a) session merging is INCLUSIVE at the boundary
+    # — Spark merges session ranges that overlap OR touch, so an event
+    # exactly gap after its predecessor JOINS the session (> 1800
+    # starts a new one, the same rule as the batch query; proven by
+    # the sf0.1 pair at exactly 30:00 apart, which session_window
+    # merges — the earlier >= calibration at sf0.001/0.01 never saw a
+    # boundary pair and guessed wrong);
     # (b) session_end is the WINDOW end (last_ts + gap), not max(ts);
     # (c) append mode emits only sessions finalized by the terminal
-    # watermark: window_end <= max(ts) - delay. Calibrated empirically
-    # against the streaming output at sf0.001 and sf0.01 (hash-equal).
+    # watermark: window_end <= max(ts) - delay. Hash-equal at
+    # sf0.001/0.01/0.1.
     oracle="""
 WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT >= 1800
+                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
