@@ -151,7 +151,20 @@ def jaccard_verify(
     pairs: DataFrame, doc_sets: DataFrame, threshold: float, doc_col: str = "doc_id",
     set_col: str = "shingles",
 ) -> DataFrame:
-    """Exact Jaccard on candidates only (ints -> identical doubles)."""
+    """Exact Jaccard on candidates only (ints -> identical doubles).
+
+    The EXPLICIT-count repartition of the pair list is load-bearing:
+    candidate pairs are two longs per row, so the distinct's shuffle is
+    byte-tiny and AQE coalesces it to ONE partition — which then
+    serializes the CPU-heavy array_intersect/array_union stage through
+    a single core (measured 2.3 s vs 0.5 s at sf0.1; a bare
+    ``repartition(col)`` is coalesced the same way, and a repartition
+    placed AFTER the filter is useless because deterministic filters
+    push through it). Same AQE-sizes-by-bytes-not-CPU trap as the
+    shingle explode guard in ``minhash_neardup_compact``.
+    """
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_part, "doc_a")
     sa = doc_sets.select(
         F.col(doc_col).alias("doc_a"), F.col(set_col).alias("set_a")
     )

@@ -118,6 +118,22 @@ HEADLINERS = {
         "one vocabulary-sized window exchange carries both the argmax "
         "successor and the left-count total."
     ),
+    "a_exact_quantiles": (
+        "Exact p25/50/75/90 by distributed rank selection: bucket "
+        "counts locate each target rank; only the selected buckets' "
+        "rows are ever sorted — no per-group global rank window."
+    ),
+    "x_dedup_transitivity": (
+        "Triangle counting with degree-ordered orientation: wedges "
+        "enumerated only from each triangle's minimum node, bounding "
+        "out-degrees by sqrt(2m) — never the naive 3-cycle join."
+    ),
+    "s_stream_upsert_snapshot": (
+        "foreachBatch merge sink: per micro-batch argmax, then a "
+        "key-cardinality-sized merge join against the previous "
+        "versioned snapshot — the Delta MERGE dataflow on plain "
+        "parquet."
+    ),
 }
 
 KEEP = re.compile(
