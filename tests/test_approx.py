@@ -23,3 +23,43 @@ def test_approx_profile_bounds(spark, sf_dir):
     # percentile_approx with accuracy 10000 is near-exact at this scale
     assert abs(row.median_price_approx - exact.m) <= 0.05 * exact.m
     assert row.qty_p25 <= row.qty_p75
+
+
+def test_exact_group_quantiles_matches_naive_on_random_data(spark):
+    # Property: for arbitrary value distributions and ANY bucket width
+    # (even degenerate single-bucket / one-row-per-bucket), distributed
+    # rank selection returns exactly the naive single-window answer.
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.operators.quantiles import exact_group_quantiles
+
+    rng = random.Random(11)
+    probs = [("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4), ("p90", 9, 10)]
+    for width in (1, 7, 1000, 10**9):
+        rows = [
+            (rng.choice("ABC"), rng.randint(-500, 500), i)
+            for i in range(rng.randint(5, 400))
+        ]
+        df = spark.createDataFrame(rows, "g string, v long, k long")
+        got = {
+            r.g: (r.p25, r.p50, r.p75, r.p90)
+            for r in exact_group_quantiles(
+                df, "g", "v", "k", probs, F.expr(f"v div {width}")
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy("v", "k")
+        ranked = df.select(
+            "g", "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+        )
+        naive = {}
+        for r in ranked.collect():
+            for label, num, den in probs:
+                if r.rn == ((r.n - 1) * num) // den + 1:
+                    naive.setdefault(r.g, {})[label] = r.v
+        naive = {g: (d["p25"], d["p50"], d["p75"], d["p90"]) for g, d in naive.items()}
+        assert got == naive, (width, got, naive)
