@@ -267,3 +267,91 @@ def x_data_quality_report(spark, sf_dir):
     return wide.unpivot([], cols, "rule", "violations").select(
         "rule", F.col("violations").cast("long").alias("violations")
     )
+
+
+@register(
+    "x_snapshot_diff",
+    # CDC between two deterministic "snapshots" of orders derived in
+    # BOTH engines identically: v1 = orders minus keys ending in 9
+    # (deletes-to-be), v2 = orders minus keys ending in 7 (the
+    # inserts), with keys divisible by 13 getting a shifted priority
+    # in v2 (the updates). The diff classifies every key via a
+    # full-outer join on the key + md5 row-hash compare — the
+    # standard snapshot-reconciliation pass an incremental 100 TB
+    # pipeline runs to avoid recomputing unchanged partitions.
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 9
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN '9-SHIFTED' ELSE o_orderpriority END
+           AS o_orderpriority,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 7
+),
+h1 AS (SELECT o_orderkey,
+              md5(o_orderstatus || '|' || o_orderpriority || '|' || o_totalprice::VARCHAR) AS rh
+       FROM v1),
+h2 AS (SELECT o_orderkey,
+              md5(o_orderstatus || '|' || o_orderpriority || '|' || o_totalprice::VARCHAR) AS rh
+       FROM v2)
+SELECT CASE WHEN h1.o_orderkey IS NULL THEN 'added'
+            WHEN h2.o_orderkey IS NULL THEN 'removed'
+            WHEN h1.rh <> h2.rh THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       count(*)::BIGINT AS n_rows,
+       min(coalesce(h1.o_orderkey, h2.o_orderkey))::BIGINT AS min_key,
+       max(coalesce(h1.o_orderkey, h2.o_orderkey))::BIGINT AS max_key
+FROM h1 FULL OUTER JOIN h2 USING (o_orderkey)
+GROUP BY 1
+""",
+    doc="Snapshot diff / CDC classification: full-outer join two table "
+    "versions on the key and compare md5 row-hashes — every key "
+    "becomes added / removed / changed / unchanged, the "
+    "reconciliation pass an incremental pipeline runs before "
+    "republishing only changed partitions. Plan: hash the row ONCE "
+    "per side (map-side md5 of the concatenated columns), one "
+    "co-partitioned full-outer join on the key, tiny aggregate. At "
+    "100 TB both snapshots are bucketed on the key, so the join is "
+    "shuffle-free and the diff is a linear scan.",
+    tags=("pipeline", "extension"),
+)
+def x_snapshot_diff(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 10 != 9)
+    v2 = orders.filter(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 13 == 0, "9-SHIFTED").otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    rh = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    h1 = v1.select("o_orderkey", rh.alias("rh1"))
+    h2 = v2.select("o_orderkey", rh.alias("rh2"))
+    j = h1.join(h2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("rh1").isNull(), "added")
+        .when(F.col("rh2").isNull(), "removed")
+        .when(F.col("rh1") != F.col("rh2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select("o_orderkey", change.alias("change"))
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_transitivity",
     "a_exact_quantiles",
     "e_gap_fill_daily",
+    "x_snapshot_diff",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
