@@ -94,6 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "a_exact_quantiles",
     "e_gap_fill_daily",
     "x_snapshot_diff",
+    "x_multimodal_features",
+    "s_stream_sessionize",
+    "x_minhash_lsh_neardup",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
