@@ -244,7 +244,9 @@ def x_simhash_neardup(spark, sf_dir):
     )
 
 
-def _curation_oracle() -> str:
+def _curation_ctes() -> str:
+    """CTE chain scored..losers (no leading WITH, no final SELECT) —
+    shared by the curation oracle and the training-assembly composite."""
     from ..operators.text import EN_STOPWORDS, hit_ratio_sql, punct_ratio_sql
 
     b1, b2 = minhash_base_sql("shingle")
@@ -267,8 +269,7 @@ def _curation_oracle() -> str:
         f" + least({stop} * 2.0, 1.0) * 0.4"
         f" + (1.0 - least({punct} * 10.0, 1.0)) * 0.2"
     )
-    return f"""
-WITH scored AS (
+    return f"""scored AS (
   SELECT doc_id, lang, source, text, w,
          {quality} AS quality_score,
          len(w)::BIGINT AS n_tokens
@@ -308,7 +309,12 @@ losers AS (
             JOIN docsets sb ON cand.doc_b = sb.doc_id
   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
         / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= 0.5
-)
+)"""
+
+
+def _curation_oracle() -> str:
+    return f"""
+WITH {_curation_ctes()}
 SELECT doc_id, lang, source, quality_score, n_tokens
 FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """

@@ -355,3 +355,81 @@ def x_snapshot_diff(spark, sf_dir):
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+def _assembly_oracle() -> str:
+    from ..operators.dedup import word_shingles_sql
+    from .dedup import _curation_ctes
+
+    return f"""
+WITH {_curation_ctes()},
+survivors AS (
+  SELECT doc_id, source, n_tokens
+  FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+),
+wds2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+bench2 AS (
+  SELECT doc_id AS bench_id, w[4:18] AS w
+  FROM wds2 WHERE doc_id % 50 = 0 AND len(w) >= 18
+),
+bsh2 AS (SELECT unnest({word_shingles_sql('w', 13)}) AS shingle FROM bench2),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({word_shingles_sql('w', 13)}) AS shingle
+        FROM wds2 WHERE len(w) >= 13) c
+  JOIN bsh2 USING (shingle)
+)
+SELECT s.source,
+       CASE WHEN substr(md5(s.doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(s.doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(s.n_tokens)::BIGINT AS total_tokens
+FROM survivors s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM contam)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "x_training_assembly",
+    oracle=_assembly_oracle(),
+    doc="End-to-end training-data ASSEMBLY (the LLM-side §3 driver): "
+    "quality gate -> exact dedup -> MinHash near-dup drop (the "
+    "x_curation_pipeline stages) -> benchmark decontamination "
+    "(13-gram broadcast join, x_decontaminate's rule) -> "
+    "deterministic md5 train/val/test split -> per-(source, split) "
+    "doc and token census — the manifest a pretraining run consumes. "
+    "Every stage is the already-oracled operator composed "
+    "declaratively; the whole pipeline is one lazy plan with "
+    "shuffle-bounded stages and a broadcast-sized benchmark set.",
+    tags=("pipeline", "text", "dedup", "extension"),
+)
+def x_training_assembly(spark, sf_dir):
+    from ..operators.dedup import word_shingles, words_col
+    from ..plans.curation import curate
+
+    docs = load(spark, sf_dir, "documents")
+    survivors = curate(spark, docs).select("doc_id", "source", "n_tokens")
+    wds = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    bench = wds.filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 18)).select(
+        F.slice("w", 4, 15).alias("w")
+    )
+    bsh = bench.select(F.explode(word_shingles(F.col("w"), 13)).alias("shingle"))
+    contam = (
+        wds.filter(F.size("w") >= 13)
+        .select("doc_id", F.explode(word_shingles(F.col("w"), 13)).alias("shingle"))
+        .join(F.broadcast(bsh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    return (
+        survivors.join(contam, "doc_id", "left_anti")
+        .groupBy("source", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_multimodal_features",
     "s_stream_sessionize",
     "x_minhash_lsh_neardup",
+    "x_training_assembly",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
