@@ -310,3 +310,41 @@ WHERE o_totalprice > (
 )
 """
     )
+
+
+@register(
+    "j_salted_skew_join",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Skew-mitigation join under the hash gate: the lineitem-orders "
+    "join runs through operators/skew.salted_join (deterministic "
+    "xxhash row salt on the big side, n-way explode of the small "
+    "side, join on (key, salt)) and must aggregate to EXACTLY the "
+    "plain-join result — proving salting is a pure physical rewrite. "
+    "The salt spreads one hot key over 8 reducers; AQE's skew join "
+    "handles the runtime cases, this is the deterministic fallback "
+    "when one key dominates by construction (a mega-tile, a header "
+    "hot key).",
+    tags=("join", "extension"),
+)
+def j_salted_skew_join(spark, sf_dir):
+    from ..functions.exact import dsum
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
