@@ -348,3 +348,56 @@ def j_salted_skew_join(spark, sf_dir):
             dsum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "j_skew_report",
+    oracle="""
+WITH kc AS (
+  SELECT l_orderkey AS key, count(*)::BIGINT AS n_rows
+  FROM lineitem GROUP BY 1
+),
+summary AS (
+  SELECT count(*)::BIGINT AS n_keys, sum(n_rows)::BIGINT AS total_rows,
+         max(n_rows)::BIGINT AS max_key_rows
+  FROM kc
+)
+SELECT kc.key, kc.n_rows,
+       row_number() OVER (ORDER BY kc.n_rows DESC, kc.key)::INT AS rank,
+       s.n_keys, s.total_rows,
+       (s.max_key_rows * s.n_keys)::DOUBLE / s.total_rows AS skew_factor
+FROM kc, summary s
+ORDER BY kc.n_rows DESC, kc.key
+LIMIT 5
+""",
+    doc="Join-key skew diagnostic: per-key frequency census -> top-5 "
+    "hot keys plus the global skew factor (max key rows / mean key "
+    "rows) — the report that decides BETWEEN AQE skew handling, "
+    "explicit salting (j_salted_skew_join), and a broadcast rewrite "
+    "before a 100 TB join runs. One count shuffle with map-side "
+    "combine; the hot-key pick is TakeOrderedAndProject over the "
+    "key-cardinality table; the 3-field summary broadcasts. "
+    "Integer counts + one int/int division.",
+    tags=("join", "extension"),
+)
+def j_skew_report(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    summary = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_key_rows"),
+    )
+    top = kc.orderBy(F.desc("n_rows"), "key").limit(5)
+    w = Window.orderBy(F.desc("n_rows"), "key")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "key", "n_rows", "rank", "n_keys", "total_rows",
+            ((F.col("max_key_rows") * F.col("n_keys")).cast("double") / F.col("total_rows"))
+            .alias("skew_factor"),
+        )
+    )

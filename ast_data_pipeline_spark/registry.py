@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_minhash_lsh_neardup",
     "x_training_assembly",
     "j_salted_skew_join",
+    "j_skew_report",
     # 7-23: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
