@@ -128,6 +128,15 @@ HEADLINERS = {
         "enumerated only from each triangle's minimum node, bounding "
         "out-degrees by sqrt(2m) — never the naive 3-cycle join."
     ),
+    "x_training_assembly": (
+        "Curate -> decontaminate -> split -> census as ONE lazy plan: "
+        "every stage shuffle-bounded, benchmark shingles broadcast, "
+        "no driver state."
+    ),
+    "x_snapshot_diff": (
+        "CDC census: map-side md5 row hash per side, one "
+        "co-partitioned full-outer join on the key, tiny aggregate."
+    ),
     "s_stream_upsert_snapshot": (
         "foreachBatch merge sink: per micro-batch argmax, then a "
         "key-cardinality-sized merge join against the previous "
