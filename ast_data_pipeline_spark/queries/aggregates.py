@@ -581,3 +581,74 @@ def a_exact_quantiles(spark, sf_dir):
         F.floor(F.col("o_totalprice") / 10000).cast("long"),
     )
     return out.withColumnRenamed("o_orderstatus", "status")
+
+
+@register(
+    "a_weighted_median",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity::BIGINT) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cw,
+         sum(l_quantity::BIGINT) OVER (PARTITION BY l_returnflag)::BIGINT AS tw
+  FROM lineitem
+)
+SELECT l_returnflag AS returnflag,
+       min(l_extendedprice) AS weighted_median_price,
+       min(tw)::BIGINT AS total_weight
+FROM ranked
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+""",
+    doc="Exact per-group WEIGHTED median (extended price weighted by "
+    "quantity, per return flag — the lower weighted median: the "
+    "smallest value whose cumulative weight reaches half the total). "
+    "Same distributed rank-selection machinery as a_exact_quantiles, "
+    "generalized from row counts to weight sums: per-bucket weight "
+    "totals locate the single bucket where 2*cum crosses the total, "
+    "the fact filters to that bucket, and only its rows get the "
+    "cumulative window. Integer-valued weights keep every cumulative "
+    "sum exact in both engines. The oracle is the naive "
+    "single-window form.",
+    tags=("aggregate", "extension"),
+)
+def a_weighted_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("wt"),
+    ).withColumn("wbkt", F.floor(F.col("l_extendedprice") / 5000).cast("long"))
+    bcnt = li.groupBy("l_returnflag", "wbkt").agg(F.sum("wt").alias("bw"))
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("wbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = bcnt.select(
+        "l_returnflag",
+        "wbkt",
+        "bw",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("boffset"),
+        F.sum("bw").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    sel = off.filter(
+        (2 * F.col("boffset") < F.col("tw"))
+        & (2 * (F.col("boffset") + F.col("bw")) >= F.col("tw"))
+    ).select("l_returnflag", "wbkt", "boffset", "tw")
+    w_loc = (
+        Window.partitionBy("l_returnflag", "wbkt")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = (
+        li.join(F.broadcast(sel), ["l_returnflag", "wbkt"])
+        .withColumn("cw", F.sum("wt").over(w_loc) + F.col("boffset"))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+    )
+    return picked.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.min("l_extendedprice").alias("weighted_median_price"),
+        F.min("tw").cast("long").alias("total_weight"),
+    )

@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_upsert_snapshot",
     "x_dedup_transitivity",
     "a_exact_quantiles",
+    "a_weighted_median",
     "e_gap_fill_daily",
     "x_snapshot_diff",
     "x_multimodal_features",
