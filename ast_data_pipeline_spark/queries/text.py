@@ -1078,3 +1078,86 @@ def x_bigram_model(spark, sf_dir):
             "left_count",
         )
     )
+
+
+@register(
+    "x_pmi_collocations",
+    # Ranking must never compare engine-computed logs (1-ulp libm
+    # wobble can flip ties): the order key is the RATIO
+    # (pair_count * N) / (left_count * right_count) — exact BIGINT
+    # products (far below 2^53) through one IEEE division, identical
+    # everywhere — with a (w1, w2) tie-break. ln() appears only in
+    # the %.6f-formatted output column.
+    oracle="""
+WITH pairs AS (
+  SELECT a[i - 1] AS w1, a[i] AS w2
+  FROM (SELECT string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL unnest(generate_series(2, len(a))) t(i)
+  WHERE a[i - 1] <> '' AND a[i] <> ''
+),
+pc AS (SELECT w1, w2, count(*)::BIGINT AS pair_count FROM pairs GROUP BY 1, 2),
+lc AS (SELECT w1, sum(pair_count)::BIGINT AS left_count FROM pc GROUP BY 1),
+rc AS (SELECT w2, sum(pair_count)::BIGINT AS right_count FROM pc GROUP BY 1),
+n AS (SELECT sum(pair_count)::BIGINT AS total FROM pc),
+scored AS (
+  SELECT pc.w1, pc.w2, pc.pair_count, lc.left_count, rc.right_count,
+         (pc.pair_count * n.total)::DOUBLE
+           / (lc.left_count * rc.right_count) AS ratio
+  FROM pc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN n
+  WHERE pc.pair_count >= 5
+)
+SELECT w1, w2, pair_count, left_count, right_count,
+       printf('%.6f', ln(ratio)) AS pmi
+FROM scored
+ORDER BY ratio DESC, w1, w2
+LIMIT 20
+""",
+    doc="PMI collocation mining: top-20 token bigrams by pointwise "
+    "mutual information (min support 5) — the phrase/entity discovery "
+    "pass of a text pipeline. Counts are one (w1, w2) shuffle plus "
+    "two vocabulary-sized re-aggregations; the top-20 is "
+    "TakeOrderedAndProject on the exact integer-ratio key (never the "
+    "log — 1-ulp libm wobble could flip rank ties); ln() appears only "
+    "in the %.6f-formatted output.",
+    tags=("text", "extension"),
+)
+def x_pmi_collocations(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.split(F.lower("text"), " ", -1).alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    pc = pc.localCheckpoint(eager=False)  # feeds lc, rc, n, and the join
+    lc = pc.groupBy("w1").agg(F.sum("pair_count").alias("left_count"))
+    rc = pc.groupBy("w2").agg(F.sum("pair_count").alias("right_count"))
+    n = pc.agg(F.sum("pair_count").alias("total"))
+    scored = (
+        pc.filter(F.col("pair_count") >= 5)
+        .join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "ratio",
+            (F.col("pair_count") * F.col("total")).cast("double")
+            / (F.col("left_count") * F.col("right_count")),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("ratio"), "w1", "w2")
+        .limit(20)
+        .select(
+            "w1", "w2", "pair_count", "left_count", "right_count",
+            F.format_string("%.6f", F.log("ratio")).alias("pmi"),
+        )
+    )

@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "d_reproject_roundtrip",
     "x_dedup_clusters_star",
     "x_bigram_model",
+    "x_pmi_collocations",
     "x_minhash_est_quality",
     "x_negative_sampling",
     "x_sequence_packing",
