@@ -652,3 +652,67 @@ def a_weighted_median(spark, sf_dir):
         F.min("l_extendedprice").alias("weighted_median_price"),
         F.min("tw").cast("long").alias("total_weight"),
     )
+
+
+@register(
+    "a_histogram_equidepth",
+    # Equi-depth (equi-height) histogram — the per-column statistic a
+    # cost-based optimizer keeps. Bucket BOUNDS are the exact k/8
+    # quantiles (distributed rank selection, the a_exact_quantiles
+    # machinery); every row lands in the first bucket whose bound
+    # covers its value, else the last. Ties at a bound legitimately
+    # skew populations toward the lower bucket — that is the real
+    # semantics of value-bounded buckets (unlike ntile's rank split).
+    # The oracle mirrors the construction with the naive rank window.
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+),
+bounds AS (
+  SELECT o_orderstatus, b,
+         max(CASE WHEN rn = ((n - 1) * b) // 8 + 1 THEN o_totalprice END) AS ub
+  FROM ranked, unnest(generate_series(1, 7)) t(b)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT o.o_orderstatus, o.o_orderkey,
+         coalesce(min(CASE WHEN o.o_totalprice <= bo.ub THEN bo.b END), 8) AS bucket
+  FROM orders o JOIN bounds bo USING (o_orderstatus)
+  GROUP BY 1, 2
+)
+SELECT o_orderstatus AS status, bucket::INT AS bucket, count(*)::BIGINT AS n_rows
+FROM assigned GROUP BY 1, 2
+""",
+    doc="Equi-depth histogram per group: 8 value-bounded buckets whose "
+    "bounds are the exact k/8 quantiles (distributed rank selection, "
+    "no global sort) — the CBO column statistic, next to the "
+    "equi-WIDTH histogram (a_histogram_equiwidth). Bounds broadcast; "
+    "assignment is a chained comparison in codegen; one count "
+    "shuffle.",
+    tags=("aggregate", "extension"),
+)
+def a_histogram_equidepth(spark, sf_dir):
+    from ..operators.quantiles import exact_group_quantiles
+
+    orders = load(spark, sf_dir, "orders")
+    probs = [(f"b{k}", k, 8) for k in range(1, 8)]
+    bounds = exact_group_quantiles(
+        orders, "o_orderstatus", "o_totalprice", "o_orderkey", probs,
+        F.floor(F.col("o_totalprice") / 10000).cast("long"),
+    )
+    j = orders.select("o_orderstatus", "o_totalprice").join(
+        F.broadcast(bounds), "o_orderstatus"
+    )
+    bucket = None
+    for k in range(1, 8):
+        cond = F.col("o_totalprice") <= F.col(f"b{k}")
+        bucket = F.when(cond, k) if bucket is None else bucket.when(cond, k)
+    bucket = bucket.otherwise(8)
+    return (
+        j.groupBy(F.col("o_orderstatus").alias("status"), bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

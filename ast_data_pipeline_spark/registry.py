@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_transitivity",
     "a_exact_quantiles",
     "a_weighted_median",
+    "a_histogram_equidepth",
     "e_gap_fill_daily",
     "x_snapshot_diff",
     "x_multimodal_features",
