@@ -115,3 +115,83 @@ def t_range_join(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "t_interval_union_length",
+    # Classic interval-union sweep: each event spans [ts, ts+30min);
+    # overlapping/touching spans merge; report per-user covered
+    # seconds. Island rule: a span starts a new island iff its start
+    # exceeds the RUNNING MAX of all previous ends (a plain lag is
+    # wrong when an early long span swallows later short ones).
+    # Integer epoch arithmetic throughout.
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + 1800 AS e
+  FROM events
+),
+g AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM g
+),
+per AS (
+  SELECT user_id, island,
+         max(e) - min(s) AS covered
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_islands,
+       sum(covered)::BIGINT AS covered_seconds
+FROM per GROUP BY user_id
+""",
+    doc="Interval-union length per user: every event opens a 30-minute "
+    "span; overlapping spans merge into islands via the running-max-"
+    "of-ends rule (a lag-based gap test is wrong when one long span "
+    "swallows several later ones), and the report is islands + total "
+    "covered seconds — the utilization/uptime calculation interval "
+    "algebra exists for. One user-key shuffle shared by both windows "
+    "and the aggregates; integer epoch seconds keep it exact.",
+    tags=("temporal", "extension"),
+)
+def t_interval_union_length(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 1800).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    g = iv.withColumn(
+        "is_new",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    # both windows MUST share the unique (s, event_id) order: ordering
+    # the island sum by the non-unique (s, e) lets tied rows land in
+    # different islands depending on engine-internal sort stability
+    w_run = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = g.withColumn("island", F.sum("is_new").over(w_run))
+    per = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("covered").cast("long").alias("covered_seconds"),
+    )

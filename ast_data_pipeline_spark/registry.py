@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_weighted_median",
     "a_histogram_equidepth",
     "e_gap_fill_daily",
+    "t_interval_union_length",
     "x_snapshot_diff",
     "x_multimodal_features",
     "s_stream_sessionize",
