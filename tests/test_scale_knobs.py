@@ -320,3 +320,26 @@ def test_q9_single_fact_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:1500]
     n_row_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_row_exchanges <= 2, plan[:1500]
+
+
+def test_r5_additions_plan_claims(spark, sf_dir):
+    # One pin per scale claim made by the r5 additions' docstrings.
+    from ast_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    # PMI top-20: per-partition heaps, not a global rank window
+    pmi = _plan(specs["x_pmi_collocations"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in pmi, pmi[:1500]
+    # interval union: ONE row exchange on user_id shared by both
+    # windows and the island aggregate
+    iu = _plan(specs["t_interval_union_length"].fn(spark, sf_dir))
+    assert iu.count("Exchange hashpartitioning") <= 1, iu[:2000]
+    # snapshot diff: a real join on the key, never a nested loop
+    sd = _plan(specs["x_snapshot_diff"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in sd and "Join" in sd, sd[:1500]
+    # weighted median: fact-side cumulative window only inside the
+    # selected bucket
+    wm = _plan(specs["a_weighted_median"].fn(spark, sf_dir))
+    fact = [ln for ln in wm.splitlines()
+            if "Window" in ln and "sum(wt" in ln]
+    assert fact and all("wbkt" in ln for ln in fact), wm[:2000]
