@@ -716,3 +716,85 @@ def a_histogram_equidepth(spark, sf_dir):
         j.groupBy(F.col("o_orderstatus").alias("status"), bucket.cast("int").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# --- a_corr_matrix -------------------------------------------------
+# Pearson correlation from exact decimal moments. Engine-native corr()
+# is a streaming Welford merge whose low bits depend on partial-agg
+# order, so instead both engines compute the five moments through the
+# dsum staging (order-free exact decimal sums of bit-identical per-row
+# doubles) and then evaluate the closed-form
+#   (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+# with textually identical double arithmetic: +,-,*,/,sqrt are IEEE
+# correctly-rounded in both engines, so the result is bit-exact AND
+# run-to-run reproducible on a 1000-executor cluster (engine corr()
+# is not). Price is pre-scaled by 1e5 (corr is scale-invariant) to
+# keep the squared-sum magnitude inside dsum's 2^53/1e4 validity bound
+# at 100 TB row counts.
+_CORR_COLS = {
+    "q": ("quantity", "l_quantity::DOUBLE"),
+    "p": ("price", "l_extendedprice / 100000::DOUBLE"),
+    "d": ("discount", "l_discount::DOUBLE"),
+    "t": ("tax", "l_tax::DOUBLE"),
+}
+_CORR_PAIRS = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+
+
+def _corr_formula(a: str, b: str) -> str:
+    return (
+        f"(n * sp_{a}{b} - s_{a} * s_{b}) / "
+        f"(sqrt(n * ss_{a} - s_{a} * s_{a}) * sqrt(n * ss_{b} - s_{b} * s_{b}))"
+    )
+
+
+_CORR_ORACLE = (
+    "WITH m AS (\n  SELECT count(*)::DOUBLE AS n,\n"
+    + ",\n".join(
+        f"    {dsum_sql(expr)} AS s_{k},\n"
+        f"    {dsum_sql(f'({expr}) * ({expr})')} AS ss_{k}"
+        for k, (_, expr) in _CORR_COLS.items()
+    )
+    + ",\n"
+    + ",\n".join(
+        f"    {dsum_sql(f'({_CORR_COLS[a][1]}) * ({_CORR_COLS[b][1]})')} AS sp_{a}{b}"
+        for a, b in _CORR_PAIRS
+    )
+    + "\n  FROM lineitem\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{_CORR_COLS[a][0]}~{_CORR_COLS[b][0]}' AS pair, "
+        f"{_corr_formula(a, b)} AS corr FROM m"
+        for a, b in _CORR_PAIRS
+    )
+)
+
+
+@register(
+    "a_corr_matrix",
+    oracle=_CORR_ORACLE,
+    doc="Pairwise Pearson correlation matrix over the lineitem "
+    "measures, computed from exact decimal moments (one aggregate-only "
+    "pass, map-side partials, 1-row reduce) then a closed-form double "
+    "evaluation identical in both engines — deterministic at any "
+    "cluster size, unlike streaming corr(). Scan reads 4 columns.",
+    tags=("aggregate", "extension", "stats"),
+)
+def a_corr_matrix(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_quantity").cast("double").alias("q"),
+        (F.col("l_extendedprice") / F.lit(100000.0)).alias("p"),
+        F.col("l_discount").cast("double").alias("d"),
+        F.col("l_tax").cast("double").alias("t"),
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for k in _CORR_COLS:
+        aggs.append(dsum(F.col(k)).alias(f"s_{k}"))
+        aggs.append(dsum(F.col(k) * F.col(k)).alias(f"ss_{k}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sp_{a}{b}"))
+    m = x.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{_CORR_COLS[a][0]}~{_CORR_COLS[b][0]}', {_corr_formula(a, b)}"
+        for a, b in _CORR_PAIRS
+    )
+    return m.selectExpr(f"stack(6, {stack_args}) AS (pair, corr)")

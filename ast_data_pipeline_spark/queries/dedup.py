@@ -601,3 +601,81 @@ def x_dedup_transitivity(spark, sf_dir):
             .alias("transitivity"),
         )
     )
+
+
+SPAN_K = 8  # words per span (Lee et al. use 50 BPE tokens; 8 words ~ same scale)
+
+
+@register(
+    "x_span_dedup",
+    # Exact duplicated-SPAN detection (the substring-dedup measure of
+    # "Deduplicating Training Data Makes Language Models Better", Lee
+    # et al. 2022): every k-word sliding window that occurs in >= 2
+    # distinct documents. Complements x_line_dedup (newline-delimited
+    # exact lines) and the MinHash/SimHash family (whole-doc near-dup)
+    # by catching copied passages that cross line boundaries.
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(range(1, len(ws) - {SPAN_K - 2})) AS i, ws
+  FROM w WHERE len(ws) >= {SPAN_K}
+),
+s AS (
+  SELECT doc_id, array_to_string(ws[i:i + {SPAN_K - 1}], ' ') AS span
+  FROM p
+)
+SELECT span,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences,
+       min(doc_id) AS first_doc
+FROM s
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span
+LIMIT 100
+""",
+    doc=f"Exact duplicated {SPAN_K}-word spans across documents "
+    "(cross-doc copied passages), top-100 by spread. One shuffle on "
+    "the span key; at 100 TB you would group on xxhash64(span) and "
+    "carry (hash, first 32 chars) instead of the full string — noted "
+    "in the plan, and the string key is used here so the oracle can "
+    "replay it verbatim. The unique ORDER chain ends on the span "
+    "itself, so the LIMIT is deterministic.",
+    tags=("dedup", "text", "extension"),
+)
+def x_span_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    spans = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (SPAN_K - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i, SPAN_K), " "
+                    ),
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "span"
+        )
+        .limit(100)
+    )

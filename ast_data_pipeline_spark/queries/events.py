@@ -414,3 +414,50 @@ def e_gap_fill_daily(spark, sf_dir):
             F.col("n_events").isNull().alias("gap_filled"),
         )
     )
+
+
+@register(
+    "e_event_paths",
+    # Markov-style path mining: the frequency of every length-3
+    # event-type sequence a user emits, ordered by event time. The
+    # lead() chain is ordered by the unique (ts, event_id) key so both
+    # engines walk identical sequences; output is pure strings/counts
+    # (no float risk).
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+       count(*)::BIGINT AS n_paths,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM seq
+WHERE e3 IS NOT NULL
+GROUP BY 1
+""",
+    doc="Event-sequence trigram mining (user journey paths): one "
+    "shuffle on user_id for the lead windows, then an aggregate over "
+    "at most |event_types|^3 path keys — the second exchange carries "
+    "only (path, partial counts), so at 100 TB the reduce side is "
+    "bounded by the type-cube cardinality, not the event count.",
+    tags=("events", "window", "extension"),
+)
+def e_event_paths(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return seq.groupBy(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+    ).agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

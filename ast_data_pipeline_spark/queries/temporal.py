@@ -195,3 +195,67 @@ def t_interval_union_length(spark, sf_dir):
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("covered").cast("long").alias("covered_seconds"),
     )
+
+
+@register(
+    "t_downsample_ohlc",
+    # OHLC downsampling: per (user, day) bucket report the opening and
+    # closing `value` plus high/low — the canonical time-series
+    # resample. Open/close are picked by row_number over the unique
+    # (ts, event_id) chain rather than arg_min/arg_max so tie handling
+    # is engine-independent; high/low/count are plain aggregates. All
+    # measures pass through unchanged (no float arithmetic), so the
+    # hash gate is exact without decimal staging.
+    oracle="""
+WITH r AS (
+  SELECT user_id,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, day,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*)::BIGINT AS n_events
+FROM r GROUP BY user_id, day
+""",
+    doc="Time-bucket OHLC downsample of the event stream: one shuffle "
+    "on (user_id, day) shared by both row_number windows and the final "
+    "aggregate (Exchange reuse — the groupBy keys equal the window "
+    "partition keys, so Spark adds no second exchange). At 100 TB the "
+    "bucket count is |users|×|days|, far above the executor count, so "
+    "no single-reducer ceiling; values pass through bit-exact.",
+    tags=("temporal", "window", "extension"),
+)
+def t_downsample_ohlc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    base = ev.select(
+        "user_id", "event_id", "ts", "value", day.alias("day_ts")
+    )
+    w_asc = Window.partitionBy("user_id", "day_ts").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id", "day_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = base.select(
+        "user_id",
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return r.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

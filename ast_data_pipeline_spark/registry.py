@@ -104,7 +104,11 @@ _PRIORITY: tuple[str, ...] = (
     "x_training_assembly",
     "j_salted_skew_join",
     "j_skew_report",
-    # 7-23: never driver-graded in any round (VERDICT r4 list)
+    "t_downsample_ohlc",
+    "e_event_paths",
+    "a_corr_matrix",
+    "x_span_dedup",
+    # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
     "x_bpe_tokenize",
