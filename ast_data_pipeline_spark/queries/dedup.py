@@ -640,8 +640,10 @@ ORDER BY n_docs DESC, n_occurrences DESC, span
 LIMIT 100
 """,
     doc=f"Exact duplicated {SPAN_K}-word spans across documents "
-    "(cross-doc copied passages), top-100 by spread. One shuffle on "
-    "the span key; at 100 TB you would group on xxhash64(span) and "
+    "(cross-doc copied passages), top-100 by spread. Shuffles on the "
+    "span key only — two-phase because of the distinct-doc count "
+    "((span, doc_id) partial, then span); at 100 TB you would group "
+    "on xxhash64(span) and "
     "carry (hash, first 32 chars) instead of the full string — noted "
     "in the plan, and the string key is used here so the oracle can "
     "replay it verbatim. The unique ORDER chain ends on the span "

@@ -247,15 +247,33 @@ def t_downsample_ohlc(spark, sf_dir):
     )
     r = base.select(
         "user_id",
-        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        "day_ts",
         "value",
         F.row_number().over(w_asc).alias("rn_a"),
         F.row_number().over(w_desc).alias("rn_d"),
     )
-    return r.groupBy("user_id", "day").agg(
-        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-        F.count(F.lit(1)).alias("n_events"),
+    # group on day_ts (the windows' partition expression), not the
+    # formatted string: grouping on date_format(day_ts) is a different
+    # expression, which forces a second Exchange — keeping the key
+    # identical lets the aggregate reuse the windows' partitioning
+    # (pinned in tests/test_scale_knobs.py), and the string is derived
+    # afterwards.
+    return (
+        r.groupBy("user_id", "day_ts")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
     )

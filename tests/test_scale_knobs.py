@@ -343,3 +343,29 @@ def test_r5_additions_plan_claims(spark, sf_dir):
     fact = [ln for ln in wm.splitlines()
             if "Window" in ln and "sum(wt" in ln]
     assert fact and all("wbkt" in ln for ln in fact), wm[:2000]
+
+
+def test_r5_late_additions_plan_claims(spark, sf_dir):
+    # Pins for the OHLC / event-paths / corr / span-dedup docstrings.
+    from ast_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    # OHLC: the aggregate groups on the windows' exact partition key
+    # (user_id, day_ts), so a single row exchange serves both
+    # row_number windows AND the groupBy
+    ohlc = _plan(specs["t_downsample_ohlc"].fn(spark, sf_dir))
+    assert ohlc.count("Exchange hashpartitioning") == 1, ohlc[:2000]
+    # corr matrix: moments reduce through map-side partials into one
+    # single-partition exchange; scan reads exactly the 4 measures
+    cm = _plan(specs["a_corr_matrix"].fn(spark, sf_dir))
+    assert cm.count("Exchange") == 1 and "SinglePartition" in cm, cm[:2000]
+    assert "partial" in cm.lower(), cm[:2000]
+    scan = [ln for ln in cm.splitlines() if "Scan parquet" in ln][0]
+    assert "l_orderkey" not in scan, scan
+    # span dedup: shuffles only on span-family keys (two-phase
+    # distinct), and the top-100 is a TakeOrdered, not a global sort
+    sp = _plan(specs["x_span_dedup"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in sp, sp[:1500]
+    for ln in sp.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "span" in ln, ln
