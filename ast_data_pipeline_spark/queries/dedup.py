@@ -681,3 +681,112 @@ def x_span_dedup(spark, sf_dir):
         )
         .limit(100)
     )
+
+
+OVERLAP_K = 5  # words per overlap shingle
+
+
+@register(
+    "x_source_overlap",
+    # Corpus-level overlap diagnostic for mixture design: pairwise
+    # Jaccard similarity between SOURCES over their distinct
+    # lowercase 5-word-shingle sets. Doc-level dedup asks "is this
+    # document a copy"; this asks "how much does src_a's corpus repeat
+    # src_b's" — the number that decides whether two crawls can both
+    # go into a training mix at full weight.
+    oracle=f"""
+WITH w AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+p AS (
+  SELECT source, unnest(range(1, len(ws) - {OVERLAP_K - 2})) AS i, ws
+  FROM w WHERE len(ws) >= {OVERLAP_K}
+),
+d AS (
+  SELECT DISTINCT source, array_to_string(ws[i:i + {OVERLAP_K - 1}], ' ') AS sh
+  FROM p
+),
+sizes AS (
+  SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1
+),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+  FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+       i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+""",
+    doc=f"Pairwise source-level Jaccard overlap on distinct "
+    f"{OVERLAP_K}-word shingles. Plan: one shuffle on (source, "
+    "shingle) for the distinct, a self-join on the shingle key whose "
+    "output is bounded by |sources|^2 rows per shingle (20 sources -> "
+    "<=190 pair rows per key, never quadratic in documents), a "
+    "|sources|^2-key aggregate, and two broadcast joins against the "
+    "20-row size table. The Jaccard is one IEEE division of exact "
+    "integers — bit-identical across engines.",
+    tags=("dedup", "text", "extension"),
+)
+def x_source_overlap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    d = (
+        docs.select("source", ws.alias("ws"))
+        .filter(F.size("ws") >= OVERLAP_K)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (OVERLAP_K - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i, OVERLAP_K), " "
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_a")),
+            F.col("src_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_b")),
+            F.col("src_b") == F.col("source"),
+        )
+        .drop("source")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

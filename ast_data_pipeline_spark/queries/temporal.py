@@ -277,3 +277,84 @@ def t_downsample_ohlc(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "t_resample_ffill",
+    # Forward-fill resample: the user's last observed daily close
+    # carried across inactive days — the other half of calendar
+    # densification next to e_gap_fill_daily's zero-fill (counts
+    # zero-fill; prices/levels forward-fill). Daily close is picked by
+    # the unique (ts DESC, event_id DESC) row_number chain; the fill
+    # is last_value(IGNORE NULLS) over the per-user calendar, which
+    # never yields NULL because each grid starts at the user's first
+    # active day. Sampled to user_id % 50 = 0 like the gap-fill twin.
+    oracle="""
+WITH r AS (
+  SELECT user_id, ts::DATE AS day, value,
+         row_number() OVER (PARTITION BY user_id, ts::DATE
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id % 50 = 0
+),
+dc AS (
+  SELECT user_id, day, value AS close FROM r WHERE rn = 1
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM dc GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       last_value(dc.close IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+       (dc.user_id IS NULL) AS gap_filled
+FROM grid g LEFT JOIN dc ON g.user_id = dc.user_id AND g.day = dc.day
+""",
+    doc="Forward-fill calendar resample of each sampled user's daily "
+    "closing value: daily close (one user-key shuffle shared with the "
+    "span agg), per-user calendar grid via sequence()+explode (map-"
+    "side, never a calendar cross join), left join back on the same "
+    "key, then last_value(IGNORE NULLS) running fill. Values pass "
+    "through bit-exact; at 100 TB the state per window partition is "
+    "one user's day count, so no reducer ceiling.",
+    tags=("temporal", "window", "extension"),
+)
+def t_resample_ffill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w_day = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    dc = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "value",
+            F.row_number().over(w_day).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("close"))
+    )
+    span = dc.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = grid.join(dc, ["user_id", "day"], "left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("close", ignorenulls=True).over(w_fill).alias("close_ffill"),
+        F.col("close").isNull().alias("gap_filled"),
+    )

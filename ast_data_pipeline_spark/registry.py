@@ -108,6 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "e_event_paths",
     "a_corr_matrix",
     "x_span_dedup",
+    "t_resample_ffill",
+    "x_source_overlap",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
