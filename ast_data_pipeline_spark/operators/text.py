@@ -79,3 +79,29 @@ def winnow_fingerprint_sql(words: str, k: int = 5) -> str:
         f"list_min(list_transform(generate_series(1, len({words}) - {k - 1}),"
         f" i -> md5({joined})))"
     )
+
+
+def quality_score(words: str, text: Column) -> Column:
+    """The [0,1] Gopher/C4-style quality score used by x_text_quality:
+    0.4*length-in-range + 0.4*capped stopword signal + 0.2*inverse
+    punctuation density. ``words`` is the name of a lowercased
+    space-split token array column. Expression order matches
+    ``quality_score_sql`` term for term, so the double is bit-identical
+    across engines."""
+    n_tok = F.expr(f"size({words})").cast("long")
+    stop = hit_ratio(words, EN_STOPWORDS)
+    punct = punct_ratio(text)
+    length_ok = F.when((n_tok >= 20) & (n_tok <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        length_ok * 0.4
+        + F.least(stop * 2.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct * 10.0, F.lit(1.0))) * 0.2
+    )
+
+
+def quality_score_sql(words: str, text: str) -> str:
+    return (
+        f"(CASE WHEN len({words}) >= 20 AND len({words}) <= 400 THEN 1.0 ELSE 0.0 END) * 0.4\n"
+        f"         + least({hit_ratio_sql(words, EN_STOPWORDS)} * 2.0, 1.0) * 0.4\n"
+        f"         + (1.0 - least({punct_ratio_sql(text)} * 10.0, 1.0)) * 0.2"
+    )

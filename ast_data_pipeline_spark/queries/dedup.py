@@ -125,8 +125,10 @@ def x_minhash_lsh_neardup(spark, sf_dir):
     return minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
 
 
-def _clusters_oracle() -> str:
-    return f"""WITH RECURSIVE {_minhash_ctes()},
+def _cc_ctes() -> str:
+    """Recursive transitive closure over the MinHash pair graph, down
+    to ``lbl(id, comp)`` = doc -> min-reachable-doc cluster label."""
+    return f"""{_minhash_ctes()},
 nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -138,7 +140,11 @@ cc(id, comp) AS (
   UNION
   SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src WHERE cc.comp < e.dst
 ),
-lbl AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+lbl AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)"""
+
+
+def _clusters_oracle() -> str:
+    return f"""WITH RECURSIVE {_cc_ctes()},
 sizes AS (SELECT comp, count(*) AS n FROM lbl GROUP BY comp)
 SELECT lbl.id::BIGINT AS doc_id, lbl.comp::BIGINT AS cluster_id,
        sizes.n::BIGINT AS n_cluster_docs, (lbl.id = lbl.comp) AS is_canonical
@@ -788,5 +794,70 @@ def x_source_overlap(spark, sf_dir):
                 F.col("n_common").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
+        )
+    )
+
+
+def _keep_best_oracle() -> str:
+    from ..operators.text import quality_score_sql
+
+    return f"""WITH RECURSIVE {_cc_ctes()},
+q AS (
+  SELECT doc_id, {quality_score_sql('w', 'text')} AS quality_score
+  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
+),
+r AS (
+  SELECT lbl.id AS doc_id, lbl.comp AS cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY lbl.comp
+                            ORDER BY q.quality_score DESC, lbl.id) AS rn
+  FROM lbl JOIN q ON lbl.id = q.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       quality_score, (rn = 1) AS keep
+FROM r"""
+
+
+@register(
+    "x_dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    # Canonical selection: pairwise near-dup detection (MinHash+LSH)
+    # and clustering (hash-min CC) decide WHICH docs are copies;
+    # this decides which copy SURVIVES — the highest quality-score
+    # doc per cluster (ties -> lowest doc_id), everything else marked
+    # for drop. min-doc_id canonicals (x_dedup_clusters) keep an
+    # arbitrary copy; production dedup keeps the best one.
+    doc="Quality-aware dedup survivor selection: join the near-dup "
+    "cluster labels with the Gopher/C4 quality score and keep the "
+    "argmax per cluster via row_number over the unique (quality DESC, "
+    "doc_id) chain. The per-cluster window state is bounded by cluster "
+    "size; the quality score is bit-identical across engines, so "
+    "ordering on it is deterministic. Composes x_minhash_lsh_neardup "
+    "-> x_dedup_clusters -> x_text_quality into the decision the "
+    "pipeline actually ships.",
+    tags=("dedup", "text", "extension"),
+)
+def x_dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    docsets = (
+        docs.filter(F.size("w") >= 2)
+        .select("doc_id", word_shingles(F.col("text"), 2))
+    )
+    pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
+    clusters = neardup_clusters(pairs).select("doc_id", "cluster_id")
+    q = docs.select("doc_id", quality_score("w", F.col("text")).alias("quality_score"))
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            (F.row_number().over(w_rank) == 1).alias("keep"),
         )
     )

@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_span_dedup",
     "t_resample_ffill",
     "x_source_overlap",
+    "x_dedup_keep_best",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
