@@ -1161,3 +1161,97 @@ def x_pmi_collocations(spark, sf_dir):
             F.format_string("%.6f", F.log("ratio")).alias("pmi"),
         )
     )
+
+
+from ..functions.exact import davg, davg_sql  # noqa: E402
+
+
+@register(
+    "x_lm_doc_score",
+    # Model-based quality scoring (CCNet-style): score every document
+    # by its average negative log2-likelihood under an add-one-
+    # smoothed bigram LM fit on the corpus itself — fluent/common text
+    # scores low, gibberish and rare boilerplate score high. Float
+    # discipline: the probability is one IEEE division of exact
+    # integers; log2 can differ by 1 ulp across engines, so each
+    # DISTINCT bigram's log is quantized once at 7 dp
+    # (format_string <-> printf, the geo-series rule) BEFORE the
+    # per-document decimal-exact average. Tokenization, pair
+    # formation, and empty-token filters mirror x_bigram_model.
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, a[i - 1] AS w1, a[i] AS w2
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL unnest(generate_series(2, len(a))) t(i)
+  WHERE a[i - 1] <> '' AND a[i] <> ''
+),
+vocab AS (SELECT w1, w2, count(*)::BIGINT AS c_bg FROM occ GROUP BY 1, 2),
+prefix AS (SELECT w1, sum(c_bg)::BIGINT AS c_prefix FROM vocab GROUP BY 1),
+vsize AS (SELECT count(*)::BIGINT AS v FROM prefix),
+lm AS (
+  SELECT vocab.w1, vocab.w2,
+         printf('%.7f', log2((vocab.c_bg + 1)::DOUBLE
+                             / (prefix.c_prefix + vsize.v)))::DOUBLE AS l
+  FROM vocab JOIN prefix ON vocab.w1 = prefix.w1, vsize
+)
+SELECT occ.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       {davg_sql('-l')} AS avg_nll
+FROM occ JOIN lm ON occ.w1 = lm.w1 AND occ.w2 = lm.w2
+GROUP BY occ.doc_id
+""",
+    doc="Per-document LM score under a corpus-fit add-one bigram "
+    "model: avg negative log2 P(w2|w1). Plan: corpus shuffles once "
+    "into (w1, w2) counts (map-side partials absorb the zipf head), "
+    "prefix totals and the vocabulary size reduce over the count "
+    "table, the log-prob table is vocabulary-sized and joined back on "
+    "the bigram key, then one doc-key aggregate. No corpus-sized "
+    "window, no driver loop; at 100 TB every shuffle key is either "
+    "the bigram vocabulary or doc_id.",
+    tags=("text", "extension"),
+)
+def x_lm_doc_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    occ = (
+        docs.select("doc_id", F.split(F.lower("text"), " ", -1).alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    vocab = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = vocab.groupBy("w1").agg(F.sum("c_bg").alias("c_prefix"))
+    vsize = prefix.agg(F.count(F.lit(1)).alias("v"))
+    lm = (
+        vocab.join(prefix, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.format_string(
+                "%.7f",
+                F.log2(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_prefix") + F.col("v"))
+                ),
+            )
+            .cast("double")
+            .alias("l"),
+        )
+    )
+    return (
+        occ.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            davg(F.expr("-l")).alias("avg_nll"),
+        )
+    )

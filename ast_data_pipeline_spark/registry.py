@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_resample_ffill",
     "x_source_overlap",
     "x_dedup_keep_best",
+    "x_lm_doc_score",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
