@@ -369,3 +369,29 @@ def test_r5_late_additions_plan_claims(spark, sf_dir):
     for ln in sp.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "span" in ln, ln
+
+
+def test_r5_final_additions_plan_claims(spark, sf_dir):
+    # Pins for ffill / source-overlap / keep-best / lm-score docstrings.
+    from ast_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    # ffill: calendar grid comes from sequence()+explode on the span
+    # aggregate — never a calendar cross join
+    ff = _plan(specs["t_resample_ffill"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in ff and "BroadcastNestedLoopJoin" not in ff, ff[:2000]
+    # source overlap: the shingle self-join is a real equi-join on the
+    # shingle key, and the 20-row size table joins broadcast
+    so = _plan(specs["x_source_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in so and "BroadcastNestedLoopJoin" not in so, so[:2000]
+    assert so.count("BroadcastHashJoin") >= 2, so[:2000]
+    # lm score: no corpus-sized window anywhere — counts, joins and
+    # aggregates only (the 1-row vocab-size frame rides a broadcast)
+    lm = _plan(specs["x_lm_doc_score"].fn(spark, sf_dir))
+    assert "Window" not in lm, lm[:2000]
+    # keep-best: the quality join is an equi-join; the only window
+    # partitions by cluster_id (bounded by cluster size)
+    kb = _plan(specs["x_dedup_keep_best"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in kb, kb[:2000]
+    wins = [ln for ln in kb.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    assert wins and all("cluster_id" in ln for ln in wins), kb[:2000]
