@@ -12,6 +12,7 @@ from ..streaming.workqueue import (
     streaming_tumbling_agg,
     streaming_workqueue_snapshot,
 )
+from .temporal import OHLC_ORACLE as _OHLC_ORACLE
 from .text import PII_ORACLE
 
 
@@ -242,3 +243,20 @@ def s_stream_upsert_snapshot(spark, sf_dir):
     from ..streaming.upsert import streaming_upsert_snapshot
 
     return streaming_upsert_snapshot(spark, sf_dir)
+
+
+@register(
+    "s_stream_ohlc",
+    oracle=_OHLC_ORACLE,
+    doc="Streaming OHLC downsample (file source -> 1-day window x user "
+    "-> min_by/max_by state on the unique (ts, event_id) chain, "
+    "complete mode) — reproduces the batch t_downsample_ohlc row for "
+    "row under the same oracle. O(1) state per (user, day): four "
+    "extremes and a count, merged associatively across micro-batches, "
+    "so a 100 TB replay holds |users|x|days| scalars, not events.",
+    tags=("streaming", "temporal"),
+)
+def s_stream_ohlc(spark, sf_dir):
+    from ..streaming.workqueue import streaming_ohlc
+
+    return streaming_ohlc(spark, sf_dir)

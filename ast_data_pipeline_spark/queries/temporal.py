@@ -197,16 +197,9 @@ def t_interval_union_length(spark, sf_dir):
     )
 
 
-@register(
-    "t_downsample_ohlc",
-    # OHLC downsampling: per (user, day) bucket report the opening and
-    # closing `value` plus high/low — the canonical time-series
-    # resample. Open/close are picked by row_number over the unique
-    # (ts, event_id) chain rather than arg_min/arg_max so tie handling
-    # is engine-independent; high/low/count are plain aggregates. All
-    # measures pass through unchanged (no float arithmetic), so the
-    # hash gate is exact without decimal staging.
-    oracle="""
+# Shared by the batch query below and the streaming twin
+# (s_stream_ohlc): both must reproduce this exactly.
+OHLC_ORACLE = """
 WITH r AS (
   SELECT user_id,
          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -224,7 +217,19 @@ SELECT user_id, day,
        max(CASE WHEN rn_d = 1 THEN value END) AS close,
        count(*)::BIGINT AS n_events
 FROM r GROUP BY user_id, day
-""",
+"""
+
+
+@register(
+    "t_downsample_ohlc",
+    # OHLC downsampling: per (user, day) bucket report the opening and
+    # closing `value` plus high/low — the canonical time-series
+    # resample. Open/close are picked by row_number over the unique
+    # (ts, event_id) chain rather than arg_min/arg_max so tie handling
+    # is engine-independent; high/low/count are plain aggregates. All
+    # measures pass through unchanged (no float arithmetic), so the
+    # hash gate is exact without decimal staging.
+    oracle=OHLC_ORACLE,
     doc="Time-bucket OHLC downsample of the event stream: one shuffle "
     "on (user_id, day) shared by both row_number windows and the final "
     "aggregate (Exchange reuse — the groupBy keys equal the window "

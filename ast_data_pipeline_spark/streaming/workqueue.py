@@ -208,3 +208,35 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         "value",
     )
+
+
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming variant of t_downsample_ohlc: per (user, day) open /
+    high / low / close over the event stream. The batch query picks
+    open/close by row_number; a streaming aggregate cannot window, so
+    the state is min_by/max_by keyed on the unique struct(ts, event_id)
+    chain — identical semantics because the key is unique (no ties for
+    the two formulations to break differently), verified against the
+    SAME DuckDB oracle. State per (user, day) key is O(1): four scalar
+    extremes and a count, merged associatively across batches."""
+    ev = _events_stream(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "user_id"
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = run_stream_to_batch(agg, spark, "complete")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
