@@ -798,3 +798,86 @@ def a_corr_matrix(spark, sf_dir):
         for a, b in _CORR_PAIRS
     )
     return m.selectExpr(f"stack(6, {stack_args}) AS (pair, corr)")
+
+
+@register(
+    "a_iqr_outliers",
+    # Tukey-fence robust outlier report per event type: exact
+    # p25/p75 from distributed rank selection, fences at
+    # p25 - 1.5*IQR / p75 + 1.5*IQR, then one broadcast join back to
+    # count rows outside the fences. 1.5 is cast to DOUBLE in the
+    # oracle (bare 1.5 parses as DECIMAL and changes the arithmetic);
+    # the fence expressions evaluate in the same order in both
+    # engines, so classification at the boundary is bit-identical.
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         max(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN value END) AS p25,
+         max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN value END) AS p75
+  FROM ranked GROUP BY event_type
+),
+f AS (
+  SELECT event_type, p25, p75,
+         p25 - 1.5::DOUBLE * (p75 - p25) AS lo_fence,
+         p75 + 1.5::DOUBLE * (p75 - p25) AS hi_fence
+  FROM q
+)
+SELECT e.event_type, f.p25, f.p75, f.lo_fence, f.hi_fence,
+       sum(CASE WHEN e.value < f.lo_fence THEN 1 ELSE 0 END)::BIGINT AS n_below,
+       sum(CASE WHEN e.value > f.hi_fence THEN 1 ELSE 0 END)::BIGINT AS n_above,
+       count(*)::BIGINT AS n_total
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY 1, 2, 3, 4, 5
+""",
+    doc="Robust outlier detection (Tukey fences on exact quartiles "
+    "of event value per type — the long-tailed column, so the report "
+    "is non-vacuous): the data-cleaning pass that precedes any "
+    "aggregate modeling. Quartiles come from the bucketed "
+    "rank-selection operator (never a one-reducer-per-group window), "
+    "the fences table is |event types| rows and broadcasts, and the "
+    "fact scans once more "
+    "for the fence comparison — two fact scans total, both "
+    "column-pruned, no corpus-sized sort at any step.",
+    tags=("aggregate", "stats", "extension"),
+)
+def a_iqr_outliers(spark, sf_dir):
+    from ..operators.quantiles import exact_group_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    q = exact_group_quantiles(
+        ev,
+        "event_type",
+        "value",
+        "event_id",
+        [("p25", 1, 4), ("p75", 3, 4)],
+        F.floor(F.col("value") / 10).cast("long"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    fences = q.select(
+        "event_type",
+        "p25",
+        "p75",
+        (F.col("p25") - F.lit(1.5) * iqr).alias("lo_fence"),
+        (F.col("p75") + F.lit(1.5) * iqr).alias("hi_fence"),
+    )
+    return (
+        ev.select("event_type", "value")
+        .join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "p25", "p75", "lo_fence", "hi_fence")
+        .agg(
+            F.sum(
+                F.when(F.col("value") < F.col("lo_fence"), 1).otherwise(0)
+            ).cast("long").alias("n_below"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi_fence"), 1).otherwise(0)
+            ).cast("long").alias("n_above"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
