@@ -363,3 +363,101 @@ def t_resample_ffill(spark, sf_dir):
         F.last("close", ignorenulls=True).over(w_fill).alias("close_ffill"),
         F.col("close").isNull().alias("gap_filled"),
     )
+
+
+@register(
+    "t_asof_nearest",
+    # Nearest-event as-of join: each click pairs with the user's
+    # temporally CLOSEST purchase, before or after (sensor/telemetry
+    # alignment; t_asof_join is the backward-only case). Selection
+    # rule, stated once and mirrored in both engines: argmin over
+    # (|dt_us|, purchase_ts, purchase_event_id) — the unique chain
+    # that breaks an exact-distance tie toward the earlier (backward)
+    # purchase and an equal-timestamp collision toward the smaller id.
+    # Integer microsecond arithmetic throughout.
+    oracle="""
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       n.p_event_id, n.p_value, n.dt_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT p.event_id AS p_event_id, p.value AS p_value,
+         epoch_us(p.ts) - epoch_us(c.ts) AS dt_us
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+  ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), epoch_us(p.ts), p.event_id
+  LIMIT 1
+) n ON TRUE
+""",
+    doc="Nearest-neighbor temporal join via the union+window plan: "
+    "purchases and clicks interleave in one user_id shuffle; a "
+    "forward and a backward last_value(IGNORE NULLS) window over the "
+    "SAME partition key pick the two candidates (tie-breaks encoded "
+    "in the sort: equal-timestamp purchases order so the window picks "
+    "the smallest event_id), then a row-local comparison keeps the "
+    "closer one. No pair explosion, one exchange; the oracle is "
+    "DuckDB's LATERAL argmin — an independent formulation.",
+    tags=("temporal", "join", "extension"),
+)
+def t_asof_nearest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("pvalue"),
+        F.lit(None).cast("long").alias("cid"),
+        F.lit(None).cast("timestamp").alias("cts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("pid"),
+        F.lit(None).cast("double").alias("pvalue"),
+        F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    u = purch.unionByName(clicks)
+    p_struct = F.when(
+        F.col("is_click") == 0, F.struct("t", "pid", "pvalue")
+    )
+    # backward: inclusive (purchase at the click's own ts counts) ->
+    # purchases sort BEFORE the click at equal t (is_click asc); among
+    # equal-t purchases, pid DESC puts the smallest id last, which is
+    # what last_value picks
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_click").asc(), F.col("pid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: strict (purchase at the click's own ts excluded) -> in
+    # t-DESC order the click sorts BEFORE equal-t purchases
+    # (is_click desc); pid DESC again leaves the smallest id last
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("is_click").desc(), F.col("pid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = u.select(
+        "user_id", "t", "is_click", "cid", "cts",
+        F.last(p_struct, ignorenulls=True).over(w_back).alias("back"),
+        F.last(p_struct, ignorenulls=True).over(w_fwd).alias("fwd"),
+    ).filter(F.col("is_click") == 1)
+    d_back = F.col("t") - F.col("back.t")
+    d_fwd = F.col("fwd.t") - F.col("t")
+    use_back = F.col("back").isNotNull() & (
+        F.col("fwd").isNull() | (d_back <= d_fwd)
+    )
+    chosen = F.when(use_back, F.col("back")).otherwise(F.col("fwd"))
+    return marked.select(
+        F.col("cid").alias("event_id"),
+        "user_id",
+        F.date_format("cts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        chosen["pid"].alias("p_event_id"),
+        chosen["pvalue"].alias("p_value"),
+        (chosen["t"] - F.col("t")).alias("dt_us"),
+    )

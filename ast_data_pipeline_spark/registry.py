@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_lm_doc_score",
     "s_stream_ohlc",
     "a_iqr_outliers",
+    "t_asof_nearest",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
