@@ -461,3 +461,53 @@ def e_event_paths(spark, sf_dir):
         F.count(F.lit(1)).alias("n_paths"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "e_rolling_wau",
+    # Rolling distinct counts (DAU / trailing-7-day WAU and their
+    # stickiness ratio). COUNT DISTINCT over a sliding window does NOT
+    # decompose into a running sum — the standard trick is to fan each
+    # (day, user) activity fact out to the 7 target days it supports
+    # and re-aggregate distinct per target day. Partial leading
+    # windows report as-is; target days beyond the observed range drop
+    # via the DAU join.
+    oracle="""
+WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+w AS (
+  SELECT du.day + o::INTEGER AS day, du.user_id
+  FROM du, unnest(range(0, 7)) t(o)
+),
+wau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS wau FROM w GROUP BY 1)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       dau.dau::DOUBLE / wau.wau AS dau_wau_ratio
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+    doc="DAU / trailing-7-day WAU / stickiness per day. Plan: distinct "
+    "(day, user) activity facts (one shuffle, the frame every rolling-"
+    "distinct metric shares), a map-side 7-way offset fan-out "
+    "(sequence+explode, no calendar join), and a distinct re-aggregate "
+    "per target day. At 100 TB the fanned frame is 7x|active "
+    "(day,user)| — linear, shuffled on the (day) key across far more "
+    "partitions than days x users would ever skew; the ratio is one "
+    "IEEE division of exact counts.",
+    tags=("events", "extension"),
+)
+def e_rolling_wau(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    fan = du.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+    wau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("dau_wau_ratio"),
+        )
+    )

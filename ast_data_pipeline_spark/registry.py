@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_ohlc",
     "a_iqr_outliers",
     "t_asof_nearest",
+    "e_rolling_wau",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
