@@ -881,3 +881,112 @@ def a_iqr_outliers(spark, sf_dir):
             F.count(F.lit(1)).alias("n_total"),
         )
     )
+
+
+@register(
+    "a_ks_two_sample",
+    # Two-sample Kolmogorov-Smirnov statistic between the click and
+    # purchase value distributions: D = max over value levels of
+    # |F_a(v) - F_b(v)|, plus the level where the max occurs (ties ->
+    # smallest level). Everything before the final division is
+    # integer (per-level counts and cumulative sums), the two CDF
+    # fractions are single IEEE divisions, and |.| / max / the
+    # (D DESC, v) argmax chain are order-deterministic — bit-exact
+    # across engines.
+    oracle="""
+WITH a AS (SELECT value AS v, count(*)::BIGINT AS c FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+b AS (SELECT value AS v, count(*)::BIGINT AS c FROM events
+      WHERE event_type = 'purchase' GROUP BY 1),
+lv AS (
+  SELECT coalesce(a.v, b.v) AS v, coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+  FROM a FULL JOIN b ON a.v = b.v
+),
+tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM lv),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cca,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS ccb
+  FROM lv
+)
+SELECT tot.n_a, tot.n_b,
+       abs(cum.cca::DOUBLE / tot.n_a - cum.ccb::DOUBLE / tot.n_b) AS ks_d,
+       cum.v AS at_value
+FROM cum, tot
+ORDER BY ks_d DESC, at_value
+LIMIT 1
+""",
+    doc="Two-sample KS test (drift detection between cohorts / data "
+    "versions). Spark plan avoids the oracle's global-order window: "
+    "value levels bucket by floor(v), per-bucket totals prefix-sum "
+    "over the tiny bucket table (broadcast back), and the in-bucket "
+    "cumulative runs per bucket — the two-level prefix-sum shape, so "
+    "no single-reducer CDF at 100 TB; the argmax is a TakeOrdered, "
+    "not a global sort.",
+    tags=("aggregate", "stats", "extension"),
+)
+def a_ks_two_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    lv = (
+        a.join(b, "v", "full")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.floor("v").alias("bkt"),
+        )
+    )
+    tot = lv.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    # two-level prefix sum: bucket totals -> offsets over the tiny
+    # bucket table, then the per-bucket local cumulative + offset.
+    # Exact because floor(v) is a PREFIX of the (v) ordering.
+    bt = lv.groupBy("bkt").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "bkt",
+        F.coalesce(F.sum("ba").over(w_b), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("bb").over(w_b), F.lit(0)).alias("off_b"),
+    )
+    w_l = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        lv.join(F.broadcast(off), "bkt")
+        .select(
+            "v",
+            (F.col("off_a") + F.sum("ca").over(w_l)).alias("cca"),
+            (F.col("off_b") + F.sum("cb").over(w_l)).alias("ccb"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cca").cast("double") / F.col("n_a")
+                - F.col("ccb").cast("double") / F.col("n_b")
+            ).alias("ks_d"),
+            F.col("v").alias("at_value"),
+        )
+        .orderBy(F.col("ks_d").desc(), "at_value")
+        .limit(1)
+    )

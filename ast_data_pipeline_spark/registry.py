@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_iqr_outliers",
     "t_asof_nearest",
     "e_rolling_wau",
+    "a_ks_two_sample",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
