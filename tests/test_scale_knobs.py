@@ -395,3 +395,20 @@ def test_r5_final_additions_plan_claims(spark, sf_dir):
     assert "CartesianProduct" not in kb, kb[:2000]
     wins = [ln for ln in kb.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
     assert wins and all("cluster_id" in ln for ln in wins), kb[:2000]
+
+
+def test_ks_and_wau_plan_claims(spark, sf_dir):
+    from ast_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    # KS: argmax via TakeOrdered (never a global sort), and the only
+    # unpartitioned running-sum window is over the bucket-level frame
+    ks = _plan(specs["a_ks_two_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in ks, ks[:1500]
+    glob = [ln for ln in ks.splitlines()
+            if "windowspecdefinition(" in ln and "bkt" not in ln]
+    assert not glob, glob
+    # WAU: offset fan-out is a Generate (explode), not a calendar join
+    wau = _plan(specs["e_rolling_wau"].fn(spark, sf_dir))
+    assert "Generate explode" in wau, wau[:1500]
+    assert "CartesianProduct" not in wau and "BroadcastNestedLoopJoin" not in wau
