@@ -1163,7 +1163,7 @@ def x_pmi_collocations(spark, sf_dir):
     )
 
 
-from ..functions.exact import davg, davg_sql  # noqa: E402
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql  # noqa: E402
 
 
 @register(
@@ -1255,3 +1255,51 @@ def x_lm_doc_score(spark, sf_dir):
             davg(F.expr("-l")).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "x_char_entropy",
+    # Character-entropy junk detection: H = -sum_c p_c log2 p_c over
+    # each document's character distribution. Near-zero entropy =
+    # repeated-character garbage; unusually high = binary-ish noise —
+    # the cheap complement to the heuristic and LM quality scores.
+    # Float discipline: p_c is one exact integer division; log2 is
+    # 1-ulp engine-divergent, so it is quantized at 7 dp per DISTINCT
+    # (doc, char) level before the exact-decimal sum of p*log terms
+    # (the x_lm_doc_score recipe).
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+cnt AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(n)::BIGINT AS len FROM cnt GROUP BY 1),
+term AS (
+  SELECT cnt.doc_id,
+         (cnt.n::DOUBLE / tot.len)
+           * printf('%.7f', log2(cnt.n::DOUBLE / tot.len))::DOUBLE AS t
+  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+)
+SELECT doc_id,
+       -({dsum_sql('t')}) AS entropy_bits
+FROM term GROUP BY doc_id
+""",
+    doc="Per-document character entropy in bits. Plan: chars explode "
+    "map-side, one (doc, char) count shuffle, doc totals reduce over "
+    "the count table (alphabet-bounded per doc), and the final "
+    "doc-key aggregate — no windows, no corpus-sized sort; every "
+    "shuffle key is doc- or (doc, char)-grained.",
+    tags=("text", "extension"),
+)
+def x_char_entropy(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    p = F.col("n").cast("double") / F.col("len")
+    term = cnt.join(tot, "doc_id").select(
+        "doc_id",
+        (p * F.format_string("%.7f", F.log2(p)).cast("double")).alias("t"),
+    )
+    return term.groupBy("doc_id").agg((-dsum("t")).alias("entropy_bits"))

@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_asof_nearest",
     "e_rolling_wau",
     "a_ks_two_sample",
+    "x_char_entropy",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
