@@ -861,3 +861,103 @@ def x_dedup_keep_best(spark, sf_dir):
             (F.row_number().over(w_rank) == 1).alias("keep"),
         )
     )
+
+
+CONTAIN_T = 0.2
+
+
+@register(
+    "x_containment_neardup",
+    # Asymmetric containment detection: c / min(|A|, |B|) over
+    # DISTINCT 5-word shingle sets, within (lang, source) blocks.
+    # Jaccard misses subset relations — a short doc quoted wholesale
+    # inside a long one scores c/(na+nb-c) ~ na/nb ~ 0 but containment
+    # 1.0 — and containment is the measure quote/boilerplate removal
+    # actually needs. Same sparse-vector-join form as x_ngram_jaccard
+    # (no per-pair set materialization).
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang, source, unnest(range(1, len(ws) - 3)) AS i, ws
+  FROM w WHERE len(ws) >= {OVERLAP_K}
+),
+d AS (
+  SELECT DISTINCT doc_id, lang, source,
+         array_to_string(ws[i:i + {OVERLAP_K - 1}], ' ') AS sh
+  FROM p
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM d GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+                   AND a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, c AS n_common,
+       c::DOUBLE / least(sa.n, sb.n) AS containment
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c::DOUBLE / least(sa.n, sb.n) >= {CONTAIN_T}
+""",
+    doc=f"Containment near-dup (c/min set size over distinct "
+    f"{OVERLAP_K}-word shingles, threshold {CONTAIN_T}) within "
+    "(lang, source) blocks — catches a document swallowed by another "
+    "that symmetric Jaccard scores near zero. Sparse-vector join on "
+    "(block, shingle), pair space per block, exact integer set sizes, "
+    "one IEEE division.",
+    tags=("dedup", "extension"),
+)
+def x_containment_neardup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    d = (
+        docs.select("doc_id", "lang", "source", ws.alias("ws"))
+        .filter(F.size("ws") >= OVERLAP_K)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (OVERLAP_K - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i, OVERLAP_K), " "
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= CONTAIN_T)
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "containment")
+    )

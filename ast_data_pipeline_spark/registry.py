@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_rolling_wau",
     "a_ks_two_sample",
     "x_char_entropy",
+    "x_containment_neardup",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
