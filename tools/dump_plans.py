@@ -137,6 +137,25 @@ HEADLINERS = {
         "CDC census: map-side md5 row hash per side, one "
         "co-partitioned full-outer join on the key, tiny aggregate."
     ),
+    "x_lm_doc_score": (
+        "Corpus shuffles once into bigram counts; the log-prob table "
+        "is vocabulary-sized and joins back on the bigram key; no "
+        "corpus-sized window, no driver loop."
+    ),
+    "a_ks_two_sample": (
+        "Two-level prefix-sum CDF (bucket offsets broadcast, "
+        "per-bucket cumulatives) — never a single-reducer global "
+        "running sum; the D argmax is a TakeOrdered."
+    ),
+    "t_asof_nearest": (
+        "Bidirectional nearest join: one user-key exchange feeds the "
+        "forward and backward candidate windows; the pick is row-local "
+        "— no pair explosion for an inequality join."
+    ),
+    "t_downsample_ohlc": (
+        "The aggregate groups on the windows' exact partition key, so "
+        "one exchange serves both row_number windows and the groupBy."
+    ),
     "s_stream_upsert_snapshot": (
         "foreachBatch merge sink: per micro-batch argmax, then a "
         "key-cardinality-sized merge join against the previous "
