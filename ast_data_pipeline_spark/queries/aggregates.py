@@ -990,3 +990,103 @@ def a_ks_two_sample(spark, sf_dir):
         .orderBy(F.col("ks_d").desc(), "at_value")
         .limit(1)
     )
+
+
+@register(
+    "a_mad_robust_z",
+    # Median-absolute-deviation anomaly report per event type: the
+    # robust-z counterpart to the Tukey fences (a_iqr_outliers). MAD =
+    # median(|x - median(x)|); a point is anomalous when
+    # 0.6745 * |x - med| / mad > 3.5 (the Iglewicz-Hoaglin modified
+    # z-score rule), rearranged MULTIPLICATION-ONLY as
+    # 0.6745 * |x - med| > 3.5 * mad so both engines evaluate two
+    # exact products and one comparison — no division rounding at the
+    # decision boundary. Medians come from the distributed
+    # rank-selection operator, lower-element convention, both stages.
+    oracle="""
+WITH r1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         max(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN value END) AS med
+  FROM r1 GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS d, m.med, e.event_id
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+r2 AS (
+  SELECT event_type, d, med,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, any_value(med) AS med,
+         max(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN d END) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type, m.med, m.mad,
+       sum(CASE WHEN 0.6745::DOUBLE * d.d > 3.5::DOUBLE * m.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+       count(*)::BIGINT AS n_total
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1, 2, 3
+""",
+    doc="Robust anomaly detection via MAD modified z-scores per event "
+    "type. Two rank-selection median passes (bucketed, never a "
+    "one-reducer-per-group window), the 5-row med/mad table broadcasts "
+    "back, and the anomaly rule is rearranged multiplication-only so "
+    "the boundary comparison is bit-identical across engines. Two "
+    "column-pruned fact scans per pass — the shape survives 100 TB.",
+    tags=("aggregate", "stats", "extension"),
+)
+def a_mad_robust_z(spark, sf_dir):
+    from ..operators.quantiles import exact_group_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    med = exact_group_quantiles(
+        ev,
+        "event_type",
+        "value",
+        "event_id",
+        [("med", 1, 2)],
+        F.floor(F.col("value") / 10).cast("long"),
+    )
+    dev = (
+        ev.select("event_type", "value", "event_id")
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "event_id",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("d"),
+        )
+    )
+    mad = exact_group_quantiles(
+        dev,
+        "event_type",
+        "d",
+        "event_id",
+        [("mad", 1, 2)],
+        F.floor(F.col("d") / 10).cast("long"),
+    ).withColumnRenamed("mad", "mad_v")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", F.col("mad_v").alias("mad"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(0.6745) * F.col("d") > F.lit(3.5) * F.col("mad_v"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )

@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_ks_two_sample",
     "x_char_entropy",
     "x_containment_neardup",
+    "a_mad_robust_z",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
