@@ -961,3 +961,37 @@ def x_containment_neardup(spark, sf_dir):
         .filter(F.col("containment") >= CONTAIN_T)
         .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "containment")
     )
+
+
+@register(
+    "x_dedup_rate_by_source",
+    # Dedup census per source: how much of each source survives exact
+    # dedup — the per-corpus health number that decides whether a
+    # source needs the expensive near-dup passes at all. Integer
+    # counts; the rate is one IEEE division.
+    oracle="""
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(lower(text)))::BIGINT AS n_unique,
+       1.0::DOUBLE - count(DISTINCT md5(lower(text)))::DOUBLE / count(*)
+         AS dup_rate
+FROM documents
+GROUP BY source
+""",
+    doc="Exact-dup rate per source: one (source, content-hash) "
+    "two-phase distinct aggregate — map-side partials absorb repeats, "
+    "both shuffle keys are hash-uniform. The report every mixture "
+    "decision starts from.",
+    tags=("dedup", "extension"),
+)
+def x_dedup_rate_by_source(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(h).cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

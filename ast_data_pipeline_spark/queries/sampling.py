@@ -461,3 +461,45 @@ def x_negative_sampling(spark, sf_dir):
             (F.col("source") != F.col("partner_source")).alias("cross_source"),
         )
     )
+
+
+N_FOLDS = 5
+
+
+@register(
+    "x_kfold_assign",
+    # Deterministic k-fold cross-validation assignment: fold =
+    # int(md5(doc_id)[:4], 16) % k — stateless, reproducible, and
+    # independent of row order / partitioning, like every split in
+    # this module. The census proves fold balance per source (the
+    # check a CV harness runs before trusting the folds).
+    oracle=f"""
+SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % {N_FOLDS} AS fold,
+       source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+    doc=f"{N_FOLDS}-fold CV assignment via md5 hash mod — a stateless "
+    "projection (no shuffle until the census aggregate), so fold "
+    "filtering pushes down as a plain predicate and any executor "
+    "count reproduces identical folds.",
+    tags=("sampling", "extension"),
+)
+def x_kfold_assign(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .cast("int")
+        % N_FOLDS
+    )
+    return (
+        docs.select(fold.alias("fold"), "source", "n_chars")
+        .groupBy("fold", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

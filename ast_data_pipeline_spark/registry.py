@@ -120,6 +120,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_char_entropy",
     "x_containment_neardup",
     "a_mad_robust_z",
+    "x_kfold_assign",
+    "x_dedup_rate_by_source",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
