@@ -1090,3 +1090,88 @@ def a_mad_robust_z(spark, sf_dir):
             F.count(F.lit(1)).alias("n_total"),
         )
     )
+
+
+@register(
+    "a_benford_digits",
+    # Benford first-digit analysis of order totals (the
+    # fabricated-numbers screen): observed first-digit frequencies vs
+    # the Benford expectation log10(1 + 1/d), with per-digit
+    # chi-square terms and the total. First digit comes from the
+    # INTEGER part's string form (floor -> BIGINT -> first char), not
+    # log10-of-the-value — integers stringify identically in both
+    # engines while log10 at a power-of-ten boundary is 1-ulp
+    # ambiguous. The 9 expectation logs are quantized at 7 dp; sums
+    # run through exact decimal.
+    oracle="""
+WITH d AS (
+  SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS digit,
+         count(*)::BIGINT AS n_obs
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(n_obs)::BIGINT AS n FROM d),
+e AS (
+  SELECT digit, n_obs, n,
+         n_obs::DOUBLE / n AS obs_frac,
+         printf('%.7f', log10(1 + 1::DOUBLE / digit))::DOUBLE AS exp_frac
+  FROM d, t
+),
+c AS (
+  SELECT digit, n_obs, obs_frac, exp_frac,
+         n * (obs_frac - exp_frac) * (obs_frac - exp_frac) / exp_frac AS chi2_term
+  FROM e
+)
+SELECT digit, n_obs, obs_frac, exp_frac, chi2_term,
+       round(sum((chi2_term)::DECIMAL(30,10)) OVER (), 4)::DOUBLE AS chi2_total
+FROM c
+""",
+    doc="Benford's-law conformance of order totals: digit histogram "
+    "(one 9-key aggregate with map-side partials), broadcast total, "
+    "per-digit chi-square terms in identical-order double arithmetic, "
+    "and the exact-decimal chi-square total over the 9-row frame. "
+    "The screen auditors run before trusting a ledger; one "
+    "column-pruned scan.",
+    tags=("aggregate", "stats", "extension"),
+)
+def a_benford_digits(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.exact import dsum_over
+
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    t = d.agg(F.sum("n_obs").alias("n"))
+    e = d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        "n",
+        (F.col("n_obs").cast("double") / F.col("n")).alias("obs_frac"),
+        F.format_string("%.7f", F.log10(F.lit(1) + F.lit(1.0) / F.col("digit")))
+        .cast("double")
+        .alias("exp_frac"),
+    )
+    c = e.select(
+        "digit",
+        "n_obs",
+        "obs_frac",
+        "exp_frac",
+        (
+            F.col("n")
+            * (F.col("obs_frac") - F.col("exp_frac"))
+            * (F.col("obs_frac") - F.col("exp_frac"))
+            / F.col("exp_frac")
+        ).alias("chi2_term"),
+    )
+    return c.select(
+        "*", dsum_over("chi2_term", Window.partitionBy()).alias("chi2_total")
+    )

@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_mad_robust_z",
     "x_kfold_assign",
     "x_dedup_rate_by_source",
+    "a_benford_digits",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
