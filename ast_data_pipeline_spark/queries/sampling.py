@@ -503,3 +503,61 @@ def x_kfold_assign(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "x_gini_source_concentration",
+    # Gini coefficient of character mass across sources — the
+    # mixture-diversity scalar (0 = perfectly even corpus, 1 = one
+    # source owns everything). Computed on the |sources|-row totals
+    # table with the sorted-cumulative formula
+    #   G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n,
+    # all integer until two final divisions evaluated in identical
+    # order. The rank is over the unique (mass, source) chain.
+    oracle="""
+WITH s AS (
+  SELECT source, sum(n_chars)::BIGINT AS mass
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, mass,
+         row_number() OVER (ORDER BY mass, source) AS i,
+         count(*) OVER ()::BIGINT AS n,
+         sum(mass) OVER ()::BIGINT AS total
+  FROM s
+)
+SELECT n AS n_sources, total AS total_chars,
+       2::DOUBLE * sum(i * mass) / (n * total)
+         - (n + 1)::DOUBLE / n AS gini
+FROM r
+GROUP BY n, total
+""",
+    doc="Source-concentration Gini over character mass: one "
+    "|sources|-key aggregate from the fact scan, then the closed-form "
+    "Gini on the tiny totals table (rank window over 20 rows — "
+    "driver-scale by construction, not a corpus window). The "
+    "diversity number next to x_data_mixture's balancing.",
+    tags=("sampling", "stats", "extension"),
+)
+def x_gini_source_concentration(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum("n_chars").alias("mass"))
+    w = Window.orderBy("mass", "source")
+    r = s.select(
+        "mass",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("mass").over(Window.partitionBy()).alias("total"),
+    )
+    return r.groupBy("n", "total").agg(
+        (
+            F.lit(2.0) * F.sum(F.col("i") * F.col("mass")) / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini")
+    ).select(
+        F.col("n").alias("n_sources"),
+        F.col("total").alias("total_chars"),
+        "gini",
+    )

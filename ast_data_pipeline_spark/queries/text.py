@@ -1303,3 +1303,88 @@ def x_char_entropy(spark, sf_dir):
         (p * F.format_string("%.7f", F.log2(p)).cast("double")).alias("t"),
     )
     return term.groupBy("doc_id").agg((-dsum("t")).alias("entropy_bits"))
+
+
+N_GROWTH_STEPS = 10
+
+
+@register(
+    "x_vocab_growth",
+    # Heaps'-law vocabulary growth: distinct BIGRAM count after
+    # ingesting the first 10%, 20%, ... 100% of documents (by doc_id
+    # order). Each token contributes at its FIRST-seen document, so
+    # the curve is a running sum over first-occurrence counts bucketed
+    # into checkpoints — one pass, no per-checkpoint rescans. The
+    # number that sizes a tokenizer build before running it.
+    oracle=f"""
+WITH b AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+first_seen AS (
+  SELECT min(doc_id) AS fd
+  FROM (SELECT doc_id, a[i - 1] || ' ' || a[i] AS bg
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+             LATERAL unnest(generate_series(2, len(a))) t(i)
+        WHERE a[i - 1] <> '' AND a[i] <> '')
+  GROUP BY bg
+),
+bins AS (
+  SELECT least(({N_GROWTH_STEPS}::BIGINT * fd) // nd + 1,
+               {N_GROWTH_STEPS}::BIGINT) AS step,
+         count(*)::BIGINT AS new_tokens
+  FROM first_seen, b GROUP BY 1
+)
+SELECT step,
+       ((step * (SELECT nd FROM b)) // {N_GROWTH_STEPS})::BIGINT AS docs_ingested,
+       new_tokens,
+       sum(new_tokens) OVER (ORDER BY step ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS vocab_size
+FROM bins
+""",
+    doc="Vocabulary-growth curve (Heaps' law) over the word-bigram "
+    "vocabulary at 10 ingestion checkpoints (the unigram vocab of the "
+    "synthetic corpus saturates in the first bin): one (bigram -> min "
+    "doc_id) shuffle over the corpus, "
+    "a 10-bin aggregate, and a running sum over the 10-row frame — "
+    "the per-checkpoint distinct counts fall out of first-occurrence "
+    "bucketing without rescanning the corpus per checkpoint.",
+    tags=("text", "stats", "extension"),
+)
+def x_vocab_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    nd = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    toks = (
+        docs.select("doc_id", F.split(F.lower("text"), " ", -1).alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select("doc_id", F.concat_ws(" ", "p.w1", "p.w2").alias("bg"))
+    )
+    first_seen = toks.groupBy("bg").agg(F.min("doc_id").alias("fd"))
+    bins = (
+        first_seen.crossJoin(F.broadcast(nd))
+        .select(
+            F.least(
+                F.expr(f"(cast({N_GROWTH_STEPS} as bigint) * fd) div nd") + 1,
+                F.lit(N_GROWTH_STEPS).cast("long"),
+            ).alias("step"),
+            "nd",
+        )
+        .groupBy("step", "nd")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return bins.select(
+        "step",
+        F.expr(f"(step * nd) div {N_GROWTH_STEPS}").cast("long").alias("docs_ingested"),
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+    )

@@ -123,6 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_kfold_assign",
     "x_dedup_rate_by_source",
     "a_benford_digits",
+    "x_gini_source_concentration",
+    "x_vocab_growth",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
