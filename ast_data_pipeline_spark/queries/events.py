@@ -511,3 +511,91 @@ def e_rolling_wau(spark, sf_dir):
             (F.col("dau").cast("double") / F.col("wau")).alias("dau_wau_ratio"),
         )
     )
+
+
+@register(
+    "e_pct_change_daily",
+    # Day-over-day percent change of daily event value totals per
+    # type — the growth-rate transform behind every trend dashboard.
+    # Daily totals go through the exact-decimal sum, so the lag and
+    # the (cur - prev) / prev division operate on identical doubles
+    # in both engines; the first day reports NULL change.
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day,
+         {dsum_sql('value')} AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, total,
+       lag(total) OVER (PARTITION BY event_type ORDER BY day) AS prev_total,
+       (total - lag(total) OVER (PARTITION BY event_type ORDER BY day))
+         / lag(total) OVER (PARTITION BY event_type ORDER BY day) AS pct_change
+FROM daily
+""",
+    doc="Daily totals per event type with day-over-day percent change: "
+    "one (type, day) aggregate with map-side partials, then a lag "
+    "window over the tiny daily frame (|types| x |days| rows — "
+    "never corpus-sized). Exact-decimal totals make the derived "
+    "ratio bit-identical across engines.",
+    tags=("events", "window", "extension"),
+)
+def e_pct_change_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(dsum("value").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        prev.alias("prev_total"),
+        ((F.col("total") - prev) / prev).alias("pct_change"),
+    )
+
+
+@register(
+    "e_dow_seasonality",
+    # Weekday seasonality profile: event counts and within-type share
+    # per ISO day-of-week — the seasonality fingerprint that feeds
+    # anomaly baselines. Integer counts; the share is one IEEE
+    # division.
+    oracle="""
+WITH d AS (
+  SELECT event_type, isodow(ts)::INT AS dow, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, sum(n)::BIGINT AS total FROM d GROUP BY 1)
+SELECT d.event_type, d.dow, d.n,
+       d.n::DOUBLE / t.total AS share
+FROM d JOIN t ON d.event_type = t.event_type
+""",
+    doc="Day-of-week activity profile per event type (ISO weekday "
+    "1-7): one (type, dow) aggregate, per-type totals reduced from "
+    "the 35-row count table, broadcast join back for the share. "
+    "Map-side partials absorb the fact volume.",
+    tags=("events", "extension"),
+)
+def e_dow_seasonality(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("_dow_sun1")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Spark dayofweek: Sunday=1..Saturday=7; ISO (DuckDB isodow):
+    # Monday=1..Sunday=7 — convert explicitly
+    d = d.select(
+        "event_type",
+        ((F.col("_dow_sun1") + 5) % 7 + 1).cast("int").alias("dow"),
+        "n",
+    )
+    t = d.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (
+        d.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+    )

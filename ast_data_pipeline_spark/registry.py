@@ -125,6 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "a_benford_digits",
     "x_gini_source_concentration",
     "x_vocab_growth",
+    "e_pct_change_daily",
+    "e_dow_seasonality",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
