@@ -105,3 +105,39 @@ def quality_score_sql(words: str, text: str) -> str:
         f"         + least({hit_ratio_sql(words, EN_STOPWORDS)} * 2.0, 1.0) * 0.4\n"
         f"         + (1.0 - least({punct_ratio_sql(text)} * 10.0, 1.0)) * 0.2"
     )
+
+
+def char_entropy_frame(docs) -> "DataFrame":  # noqa: F821
+    """(doc_id, entropy_bits): Shannon entropy of each doc's character
+    distribution. p_c is an exact integer division; log2 (1-ulp
+    engine-divergent) is quantized at 7 dp per distinct (doc, char)
+    level before the exact-decimal sum — see x_char_entropy."""
+    from ..functions.exact import dsum
+
+    ch = docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    p = F.col("n").cast("double") / F.col("len")
+    term = cnt.join(tot, "doc_id").select(
+        "doc_id",
+        (p * F.format_string("%.7f", F.log2(p)).cast("double")).alias("t"),
+    )
+    return term.groupBy("doc_id").agg((-dsum("t")).alias("entropy_bits"))
+
+
+CHAR_ENTROPY_CTES = """ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+ccnt AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
+ctot AS (SELECT doc_id, sum(n)::BIGINT AS len FROM ccnt GROUP BY 1),
+cterm AS (
+  SELECT ccnt.doc_id,
+         (ccnt.n::DOUBLE / ctot.len)
+           * printf('%.7f', log2(ccnt.n::DOUBLE / ctot.len))::DOUBLE AS t
+  FROM ccnt JOIN ctot ON ccnt.doc_id = ctot.doc_id
+),
+ent AS (
+  SELECT doc_id,
+         -(round(sum((t)::DECIMAL(30,10)), 4)::DOUBLE) AS entropy_bits
+  FROM cterm GROUP BY doc_id
+)"""

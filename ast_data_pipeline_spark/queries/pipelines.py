@@ -433,3 +433,74 @@ def x_training_assembly(spark, sf_dir):
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+def _corpus_health_oracle() -> str:
+    from ..functions.exact import davg_sql
+    from ..operators.text import CHAR_ENTROPY_CTES, quality_score_sql
+
+    return f"""
+WITH {CHAR_ENTROPY_CTES},
+q AS (
+  SELECT doc_id, source, n_chars, md5(lower(text)) AS h,
+         {quality_score_sql('w', 'text')} AS quality_score
+  FROM (SELECT doc_id, source, n_chars, text,
+               string_split(lower(text), ' ') AS w FROM documents)
+)
+SELECT q.source,
+       count(*)::BIGINT AS n_docs,
+       sum(q.n_chars)::BIGINT AS total_chars,
+       1.0::DOUBLE - count(DISTINCT q.h)::DOUBLE / count(*) AS dup_rate,
+       {davg_sql('q.quality_score')} AS avg_quality,
+       {davg_sql('ent.entropy_bits')} AS avg_entropy
+FROM q JOIN ent ON q.doc_id = ent.doc_id
+GROUP BY q.source
+"""
+
+
+@register(
+    "x_corpus_health",
+    oracle=_corpus_health_oracle(),
+    # The governance report a dataset owner reads before shipping a
+    # source into a training mix: volume, exact-dup rate, mean
+    # heuristic quality, mean character entropy — one row per source,
+    # built by composing the engine's dedup/quality/entropy operators
+    # in a single lazy plan.
+    doc="Per-source corpus health: doc/char volume, exact-dup rate "
+    "(two-phase distinct on the content hash), mean Gopher/C4 quality "
+    "score, and mean character entropy — all through the exact-decimal "
+    "staging so the five-way report hash-matches DuckDB. Plan: the "
+    "entropy subframe shuffles on (doc, char) and doc_id; quality is "
+    "pure codegen projection; one (doc) join and one |sources|-key "
+    "aggregate close it out.",
+    tags=("pipeline", "quality", "extension"),
+)
+def x_corpus_health(spark, sf_dir):
+    from ..functions.exact import davg
+    from ..operators.text import char_entropy_frame, quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    ent = char_entropy_frame(docs)
+    q = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.lower("text")).alias("h"),
+        quality_score("w", F.col("text")).alias("quality_score"),
+    )
+    return (
+        q.join(ent, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("h").cast("double") / F.count(F.lit(1))
+            ).alias("dup_rate"),
+            davg("quality_score").alias("avg_quality"),
+            davg("entropy_bits").alias("avg_entropy"),
+        )
+    )

@@ -1291,18 +1291,10 @@ FROM term GROUP BY doc_id
     tags=("text", "extension"),
 )
 def x_char_entropy(spark, sf_dir):
+    from ..operators.text import char_entropy_frame
+
     docs = load(spark, sf_dir, "documents")
-    ch = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
-    )
-    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
-    tot = cnt.groupBy("doc_id").agg(F.sum("n").alias("len"))
-    p = F.col("n").cast("double") / F.col("len")
-    term = cnt.join(tot, "doc_id").select(
-        "doc_id",
-        (p * F.format_string("%.7f", F.log2(p)).cast("double")).alias("t"),
-    )
-    return term.groupBy("doc_id").agg((-dsum("t")).alias("entropy_bits"))
+    return char_entropy_frame(docs)
 
 
 N_GROWTH_STEPS = 10

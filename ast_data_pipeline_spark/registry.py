@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_vocab_growth",
     "e_pct_change_daily",
     "e_dow_seasonality",
+    "x_corpus_health",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
