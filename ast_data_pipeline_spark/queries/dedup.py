@@ -995,3 +995,141 @@ def x_dedup_rate_by_source(spark, sf_dir):
             - F.countDistinct(h).cast("double") / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+def _asym_oracle() -> str:
+    b1, b2 = minhash_base_sql("shingle")
+    mins = ",\n         ".join(
+        f"min({minhash_hash_i_sql(i)}) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    band_exprs = ", ".join(
+        "("
+        + " || '|' || ".join(
+            f"h{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH docsets AS (
+  SELECT doc_id, {word_shingles_sql('text', 2)} AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+),
+exploded AS (
+  SELECT doc_id, {b1} AS _mh1, {b2} AS _mh2
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM docsets)
+),
+sig AS (SELECT doc_id, {mins} FROM exploded GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band_id - 1 AS band_id, bandvals[band_id] AS band_val
+  FROM (SELECT doc_id, [{band_exprs}] AS bandvals FROM sig),
+       unnest(generate_series(1, {n_bands})) t(band_id)
+),
+candx AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+),
+pairsx AS (
+  SELECT doc_a, doc_b
+  FROM candx JOIN docsets sa ON candx.doc_a = sa.doc_id
+             JOIN docsets sb ON candx.doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE
+        >= {JACCARD_T}
+),
+ex AS (
+  SELECT n.doc_id AS new_id, min(o.doc_id) AS exact_match
+  FROM documents n JOIN documents o
+    ON md5(lower(n.text)) = md5(lower(o.text))
+   AND n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+  GROUP BY 1
+),
+nr AS (
+  SELECT doc_a AS new_id, count(*)::BIGINT AS n_near,
+         min(doc_b) AS near_match
+  FROM pairsx GROUP BY 1
+)
+SELECT d.doc_id,
+       (ex.new_id IS NOT NULL) AS is_exact_dup,
+       coalesce(nr.n_near, 0)::BIGINT AS n_near_matches,
+       coalesce(ex.exact_match, nr.near_match) AS best_match
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN ex ON d.doc_id = ex.new_id
+LEFT JOIN nr ON d.doc_id = nr.new_id
+"""
+
+
+@register(
+    "x_incremental_dedup",
+    oracle=_asym_oracle(),
+    # Incremental ingestion dedup: a NEW batch (doc_id % 10 = 0 here;
+    # in production, today's crawl) screened against the existing
+    # CATALOG — exact via a content-hash join, near via an ASYMMETRIC
+    # LSH band join (new bands x catalog bands, never
+    # catalog x catalog): the shape that makes continuous ingestion
+    # affordable, because the quadratic side of dedup only ever
+    # touches the new batch's candidates.
+    doc="New-batch-vs-catalog dedup screen: per new doc, exact-dup "
+    "flag (hash equi-join), the count of catalog near-dups above the "
+    "Jaccard threshold (band-bucketed candidates, exact verify via "
+    "the rejoin flow), and a deterministic best-match id "
+    "(min-id convention, exact match preferred). Signatures compute "
+    "ONCE over the union and the band join filters sides — the "
+    "catalog's band table is reusable state across ingests.",
+    tags=("dedup", "extension"),
+)
+def x_incremental_dedup(spark, sf_dir):
+    from ..operators.dedup import (
+        jaccard_verify,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    is_new = F.col("doc_id") % 10 == 0
+    docsets = (
+        docs.filter(F.size("w") >= 2)
+        .select("doc_id", word_shingles(F.col("text"), 2))
+        .localCheckpoint(eager=False)
+    )
+    exploded = docsets.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = minhash_signatures(exploded, NUM_HASHES).localCheckpoint(eager=False)
+    bands = lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND)
+    bn, bo = bands.filter(is_new).alias("a"), bands.filter(~is_new).alias("b")
+    candx = (
+        bn.join(
+            bo,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = jaccard_verify(candx, docsets, JACCARD_T)
+    nr = pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min("doc_b").alias("near_match"),
+    )
+    h = F.md5(F.lower("text"))
+    new_h = docs.filter(is_new).select("doc_id", h.alias("h"))
+    old_h = docs.filter(~is_new).select(h.alias("h"), F.col("doc_id").alias("o_id"))
+    ex = new_h.join(old_h, "h").groupBy("doc_id").agg(
+        F.min("o_id").alias("exact_match")
+    )
+    base = docs.filter(is_new).select("doc_id")
+    return (
+        base.join(ex, "doc_id", "left")
+        .join(nr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("exact_match").isNotNull().alias("is_exact_dup"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near_matches"),
+            F.coalesce("exact_match", "near_match").alias("best_match"),
+        )
+    )

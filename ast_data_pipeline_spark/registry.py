@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_pct_change_daily",
     "e_dow_seasonality",
     "x_corpus_health",
+    "x_incremental_dedup",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
