@@ -13,6 +13,7 @@ from ..operators.similarity import (
     rh_lsh_bucket,
     rh_lsh_bucket_sql,
 )
+from ..functions.exact import davg_sql, dsum_sql
 from ..registry import register
 from ..sources.catalog import load
 
@@ -373,3 +374,84 @@ def x_kmeans_lloyd_exact(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_lloyd_exact(emb, k=K_CENTROIDS, dim=EMB_DIM, iters=_LLOYD_ITERS)
+
+
+@register(
+    "x_embedding_drift",
+    # Embedding drift report per label cohort: L2 distance between
+    # each cohort's centroid and the global centroid, plus mean vector
+    # norm — the monitoring numbers that catch a broken encoder or a
+    # shifted data distribution before retraining on it. Exactness:
+    # per-dim centroids via decimal-exact means, squared-diff terms in
+    # identical double order, the 64-term sum through exact decimal,
+    # sqrt at the end; norms are sequential left folds (aggregate ==
+    # list_reduce).
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS v
+  FROM embeddings, LATERAL unnest(generate_series(1, {64})) t(i)
+),
+lc AS (
+  SELECT label, dim, {davg_sql('v')} AS c FROM e GROUP BY 1, 2
+),
+gc AS (
+  SELECT dim, {davg_sql('v')} AS c FROM e GROUP BY 1
+),
+term AS (
+  SELECT lc.label, (lc.c - gc.c) * (lc.c - gc.c) AS t2
+  FROM lc JOIN gc ON lc.dim = gc.dim
+),
+drift AS (
+  SELECT label, sqrt({dsum_sql('t2')}) AS centroid_drift
+  FROM term GROUP BY label
+),
+norms AS (
+  SELECT label, sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+ns AS (
+  SELECT label, count(*)::BIGINT AS n_vectors, {davg_sql('nrm')} AS avg_norm
+  FROM norms GROUP BY label
+)
+SELECT ns.label, ns.n_vectors, ns.avg_norm, drift.centroid_drift
+FROM ns JOIN drift ON ns.label = drift.label
+""",
+    doc="Per-cohort embedding drift: posexplode to (label, dim, "
+    "value) — 64x row fan-out, map-side — then decimal-exact per-dim "
+    "means for cohort and global centroids (|labels|x64 and 64-row "
+    "aggregates), squared-diff terms joined on dim, an exact 64-term "
+    "sum per cohort, and mean norms via the left-fold dot product. "
+    "No corpus-sized window; centroid tables are tiny at any scale.",
+    tags=("similarity", "stats", "extension"),
+)
+def x_embedding_drift(spark, sf_dir):
+    from ..functions.exact import davg, dsum
+    from ..operators.similarity import norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "v0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    lc = e.groupBy("label", "dim").agg(davg("v").alias("c"))
+    gc = e.groupBy("dim").agg(davg("v").alias("gc_c"))
+    term = lc.join(F.broadcast(gc), "dim").select(
+        "label",
+        (
+            (F.col("c") - F.col("gc_c")) * (F.col("c") - F.col("gc_c"))
+        ).alias("t2"),
+    )
+    drift = term.groupBy("label").agg(F.sqrt(dsum("t2")).alias("centroid_drift"))
+    norms = emb.select("label", norm("embedding").alias("nrm"))
+    ns = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"), davg("nrm").alias("avg_norm")
+    )
+    return ns.join(drift, "label").select(
+        "label", "n_vectors", "avg_norm", "centroid_drift"
+    )

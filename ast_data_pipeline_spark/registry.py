@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_dow_seasonality",
     "x_corpus_health",
     "x_incremental_dedup",
+    "x_embedding_drift",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
