@@ -455,3 +455,80 @@ def x_embedding_drift(spark, sf_dir):
     return ns.join(drift, "label").select(
         "label", "n_vectors", "avg_norm", "centroid_drift"
     )
+
+
+@register(
+    "x_centroid_cosine_matrix",
+    # Pairwise cosine similarity between label-cohort centroids — the
+    # cluster-confusability matrix (which cohorts an ANN index or a
+    # classifier will struggle to separate). Centroids are
+    # decimal-exact per-dim means; dots and squared norms are 64-term
+    # sums through exact decimal joined on dim; one final
+    # a / (sqrt(b) * sqrt(c)) evaluated in identical order.
+    oracle=f"""
+WITH e AS (
+  SELECT label, i AS dim, embedding[i]::DOUBLE AS v
+  FROM embeddings, LATERAL unnest(generate_series(1, {64})) t(i)
+),
+lc AS (
+  SELECT label, dim, {davg_sql('v')} AS c FROM e GROUP BY 1, 2
+),
+pair_terms AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.c * b.c AS dotterm,
+         a.c * a.c AS aterm,
+         b.c * b.c AS bterm
+  FROM lc a JOIN lc b ON a.dim = b.dim AND a.label < b.label
+),
+agg AS (
+  SELECT label_a, label_b,
+         {dsum_sql('dotterm')} AS d,
+         {dsum_sql('aterm')} AS na2,
+         {dsum_sql('bterm')} AS nb2
+  FROM pair_terms GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       d / (sqrt(na2) * sqrt(nb2)) AS cosine
+FROM agg
+""",
+    doc="Cohort-centroid cosine matrix: the |labels|x64 centroid table "
+    "self-joins on dim (pair space |labels|^2 x 64 — centroid-sized, "
+    "never data-sized), per-pair exact-decimal sums, one closed-form "
+    "cosine. At 100 TB only the per-dim mean aggregate touches the "
+    "fact; everything after runs on KB-scale frames.",
+    tags=("similarity", "stats", "extension"),
+)
+def x_centroid_cosine_matrix(spark, sf_dir):
+    from ..functions.exact import davg, dsum
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "v0")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    lc = e.groupBy("label", "dim").agg(davg("v").alias("c"))
+    a, b = lc.alias("a"), lc.alias("b")
+    pair_terms = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        (F.col("a.c") * F.col("b.c")).alias("dotterm"),
+        (F.col("a.c") * F.col("a.c")).alias("aterm"),
+        (F.col("b.c") * F.col("b.c")).alias("bterm"),
+    )
+    agg = pair_terms.groupBy("label_a", "label_b").agg(
+        dsum("dotterm").alias("d"),
+        dsum("aterm").alias("na2"),
+        dsum("bterm").alias("nb2"),
+    )
+    return agg.select(
+        "label_a",
+        "label_b",
+        (F.col("d") / (F.sqrt("na2") * F.sqrt("nb2"))).alias("cosine"),
+    )

@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_corpus_health",
     "x_incremental_dedup",
     "x_embedding_drift",
+    "x_centroid_cosine_matrix",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
