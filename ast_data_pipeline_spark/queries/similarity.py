@@ -532,3 +532,100 @@ def x_centroid_cosine_matrix(spark, sf_dir):
         "label_b",
         (F.col("d") / (F.sqrt("na2") * F.sqrt("nb2"))).alias("cosine"),
     )
+
+
+_RECALL_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {rh_lsh_bucket_sql('embedding', LSH_PLANES, EMB_DIM)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket
+      FROM b WHERE vec_id % {QUERY_MOD} = 0),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           {dot_sql('q.q_vec', 'e.embedding')}
+             / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) AS sim
+    FROM embeddings e JOIN q ON q.q_id <> e.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, vec_id) <= {IVF_TOPK}
+),
+retr AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           {dot_sql('q.q_vec', 'e.embedding')}
+             / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) AS sim
+    FROM b e JOIN q ON q.q_id <> e.vec_id AND q.bucket = e.bucket
+  ) QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, vec_id) <= {IVF_TOPK}
+),
+hits AS (
+  SELECT t.q_id, count(r.vec_id)::BIGINT AS n_hits
+  FROM truth t LEFT JOIN retr r ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+  GROUP BY 1
+),
+base AS (SELECT q_id, count(*)::BIGINT AS n_truth FROM truth GROUP BY 1),
+rn AS (SELECT q_id, count(*)::BIGINT AS n_retrieved FROM retr GROUP BY 1)
+SELECT base.q_id, base.n_truth, coalesce(rn.n_retrieved, 0) AS n_retrieved,
+       hits.n_hits, hits.n_hits::DOUBLE / base.n_truth AS recall
+FROM base JOIN hits ON base.q_id = hits.q_id
+LEFT JOIN rn ON base.q_id = rn.q_id
+"""
+
+
+@register(
+    "x_ann_recall_eval",
+    oracle=_RECALL_ORACLE,
+    # Evaluation-as-a-query: recall@k of the LSH index against the
+    # brute-force ground truth, per query vector — the measurement
+    # that decides whether an ANN configuration (planes, bands,
+    # probes) is shippable. Both rankings share the deterministic
+    # (sim DESC, vec_id) chain, so the set intersection is exact.
+    doc="ANN recall@3 evaluation: brute-force truth (queries "
+    "broadcast, one corpus scan) vs the LSH-bucketed retrieval, "
+    "joined per (query, neighbor) for hit counts. The index never "
+    "sees the truth computation; at 100 TB the truth side runs on a "
+    "sampled query set (QUERY_MOD) exactly as here, which is how "
+    "production ANN quality is audited.",
+    tags=("similarity", "extension"),
+)
+def x_ann_recall_eval(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", rh_lsh_bucket("embedding", LSH_PLANES, EMB_DIM)
+    )
+    truth = cosine_topk(
+        _queries(spark, sf_dir, False), emb.drop("bucket"), IVF_TOPK
+    ).select("q_id", "vec_id")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    retr = cosine_topk(q, emb, IVF_TOPK, bucket="bucket").select(
+        "q_id", "vec_id"
+    )
+    hits = (
+        truth.alias("t")
+        .join(
+            retr.alias("r"),
+            (F.col("t.q_id") == F.col("r.q_id"))
+            & (F.col("t.vec_id") == F.col("r.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("t.q_id").alias("q_id"))
+        .agg(F.count(F.col("r.vec_id")).alias("n_hits"))
+    )
+    base = truth.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    rn = retr.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_retrieved"))
+    return (
+        base.join(hits, "q_id")
+        .join(rn, "q_id", "left")
+        .select(
+            "q_id",
+            "n_truth",
+            F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )

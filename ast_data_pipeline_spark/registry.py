@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_incremental_dedup",
     "x_embedding_drift",
     "x_centroid_cosine_matrix",
+    "x_ann_recall_eval",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
