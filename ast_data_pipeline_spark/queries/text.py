@@ -1380,3 +1380,51 @@ def x_vocab_growth(spark, sf_dir):
         "new_tokens",
         F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
     )
+
+
+@register(
+    "x_sentence_stats",
+    # Sentence segmentation statistics: split on terminal punctuation
+    # runs followed by whitespace, count sentences and average
+    # sentence length in words — the readability/structure features a
+    # quality classifier consumes beyond raw token counts. Empty
+    # segments (leading/trailing punctuation) are filtered identically
+    # in both engines.
+    oracle=r"""
+SELECT doc_id,
+       len(s)::BIGINT AS n_sentences,
+       len(w)::BIGINT AS n_words,
+       len(w)::DOUBLE / len(s) AS words_per_sentence
+FROM (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+                     x -> trim(x) <> '') AS s,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+)
+WHERE len(s) > 0
+""",
+    doc="Per-document sentence stats (count + mean words per "
+    "sentence) via regex segmentation — pure codegen projections over "
+    "one scan, zero exchanges; scales with scan bandwidth.",
+    tags=("text", "extension"),
+)
+def x_sentence_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    s = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s+"),
+        lambda x: F.trim(x) != "",
+    )
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return (
+        docs.select("doc_id", s.alias("s"), w.alias("w"))
+        .filter(F.size("s") > 0)
+        .select(
+            "doc_id",
+            F.size("s").cast("long").alias("n_sentences"),
+            F.size("w").cast("long").alias("n_words"),
+            (F.size("w").cast("double") / F.size("s")).alias(
+                "words_per_sentence"
+            ),
+        )
+    )

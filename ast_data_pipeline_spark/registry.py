@@ -132,6 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_embedding_drift",
     "x_centroid_cosine_matrix",
     "x_ann_recall_eval",
+    "x_sentence_stats",
+    "e_user_activity_zscore",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
