@@ -650,3 +650,62 @@ def e_user_activity_zscore(spark, sf_dir):
         z.alias("zscore"),
         (F.abs(z) > F.lit(2.0)).alias("is_outlier"),
     )
+
+
+@register(
+    "e_burst_detection",
+    # Bot/burst screen: each user's maximum event count inside any
+    # trailing 60-second window — a RANGE frame over integer epoch
+    # seconds (the only exact frame spec; a ROWS frame cannot express
+    # "last 60 seconds"). The argmax timestamp of the peak burst ties
+    # to the earliest peak via the (burst DESC, ts, event_id) chain.
+    oracle="""
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         count(*) OVER (PARTITION BY user_id
+                        ORDER BY floor(epoch(ts))::BIGINT
+                        RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+           ::BIGINT AS burst
+  FROM events
+),
+r AS (
+  SELECT user_id, burst, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY burst DESC, ts, event_id) AS rn
+  FROM b
+)
+SELECT user_id, burst AS max_burst_60s,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS peak_ts
+FROM r WHERE rn = 1
+""",
+    doc="Max trailing-60s event burst per user (rate-limit / bot "
+    "screen): one user-key shuffle shared by the RANGE-frame count "
+    "and the peak argmax window; integer epoch seconds keep the frame "
+    "boundaries exact. Per-partition state is one user's events.",
+    tags=("events", "window", "extension"),
+)
+def e_burst_detection(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-59, Window.currentRow)
+    )
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("burst"),
+    )
+    r = Window.partitionBy("user_id").orderBy(
+        F.col("burst").desc(), "ts", "event_id"
+    )
+    return (
+        b.withColumn("rn", F.row_number().over(r))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("burst").alias("max_burst_60s"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("peak_ts"),
+        )
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.exact import dsum_sql
 from ..registry import register
 from ..sources.catalog import load
 
@@ -560,4 +561,64 @@ def x_gini_source_concentration(spark, sf_dir):
         F.col("n").alias("n_sources"),
         F.col("total").alias("total_chars"),
         "gini",
+    )
+
+
+MIX_ALPHA = "0.7"  # temperature exponent, as literal text for both engines
+
+
+@register(
+    "x_mixture_temperature",
+    # Temperature-scaled mixture weights (the mC4/XLM-R alpha-sampling
+    # rule): w_i = p_i^a / sum_j p_j^a with a = 0.7 — upweights
+    # low-resource sources without letting the head dominate. p_i is
+    # an exact integer division; pow() is engine-divergent, so each
+    # source's p^a is quantized at 7 dp (20 values) before the
+    # exact-decimal normalizer; the final weight is one division of
+    # identical doubles.
+    oracle=f"""
+WITH s AS (
+  SELECT source, sum(n_chars)::BIGINT AS mass FROM documents GROUP BY 1
+),
+t AS (SELECT sum(mass)::BIGINT AS total FROM s),
+p AS (
+  SELECT source, mass,
+         printf('%.7f', pow(mass::DOUBLE / total, {MIX_ALPHA}::DOUBLE))::DOUBLE
+           AS pa
+  FROM s, t
+),
+z AS (SELECT {dsum_sql('pa')} AS norm FROM p)
+SELECT p.source, p.mass, p.pa / z.norm AS weight
+FROM p, z
+""",
+    doc="Alpha-sampling mixture weights per source (temperature 0.7): "
+    "one |sources|-key aggregate touches the fact; the 20-row share "
+    "table gets quantized powers, an exact-decimal normalizer, and "
+    "one division — deterministic across engines and cluster sizes. "
+    "The multilingual-balancing rule next to x_data_mixture's "
+    "token-budget mixing.",
+    tags=("sampling", "extension"),
+)
+def x_mixture_temperature(spark, sf_dir):
+    from ..functions.exact import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum("n_chars").alias("mass"))
+    t = s.agg(F.sum("mass").alias("total"))
+    p = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "mass",
+        F.format_string(
+            "%.7f",
+            F.pow(
+                F.col("mass").cast("double") / F.col("total"),
+                F.lit(MIX_ALPHA).cast("double"),
+            ),
+        )
+        .cast("double")
+        .alias("pa"),
+    )
+    z = p.agg(dsum("pa").alias("norm"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source", "mass", (F.col("pa") / F.col("norm")).alias("weight")
     )

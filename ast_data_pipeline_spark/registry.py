@@ -134,6 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_ann_recall_eval",
     "x_sentence_stats",
     "e_user_activity_zscore",
+    "x_mixture_temperature",
+    "e_burst_detection",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
