@@ -310,3 +310,59 @@ def w_percentile_rank(spark, sf_dir):
         F.cume_dist().over(w).alias("cd"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "u5_bag_setops",
+    # Bag (multiset) semantics: EXCEPT ALL keeps multiplicity
+    # differences and INTERSECT ALL keeps min(multiplicity) — the
+    # other half of the set-op family next to the DISTINCT forms
+    # (u2/u3). Exercised on a projection with heavy duplication so
+    # the bag and set answers genuinely differ; the output re-groups
+    # to (row, multiplicity) pairs, which is the canonical test for
+    # ALL semantics.
+    oracle="""
+WITH ex AS (
+  SELECT o_orderpriority, o_orderstatus FROM orders
+  EXCEPT ALL
+  SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey % 3 = 0
+),
+ia AS (
+  SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey % 2 = 0
+  INTERSECT ALL
+  SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey % 3 = 0
+)
+SELECT 'except_all' AS op, o_orderpriority, o_orderstatus,
+       count(*)::BIGINT AS multiplicity
+FROM ex GROUP BY 2, 3
+UNION ALL
+SELECT 'intersect_all', o_orderpriority, o_orderstatus, count(*)::BIGINT
+FROM ia GROUP BY 2, 3
+""",
+    doc="EXCEPT ALL / INTERSECT ALL with multiplicities re-grouped to "
+    "(row, count). Spark plans both as hash aggregates computing "
+    "per-key count differences / minima — one shuffle each on the "
+    "projected key, no sort, bag semantics without materializing "
+    "duplicate rows through the exchange.",
+    tags=("setop", "extension"),
+)
+def u5_bag_setops(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    proj = orders.select("o_orderpriority", "o_orderstatus")
+    ex = proj.exceptAll(proj.filter(F.col("o_custkey") % 3 == 0).select(
+        "o_orderpriority", "o_orderstatus"
+    ))
+    ia = orders.filter(F.col("o_custkey") % 2 == 0).select(
+        "o_orderpriority", "o_orderstatus"
+    ).intersectAll(
+        orders.filter(F.col("o_custkey") % 3 == 0).select(
+            "o_orderpriority", "o_orderstatus"
+        )
+    )
+    exg = ex.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    ).select(F.lit("except_all").alias("op"), "*")
+    iag = ia.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    ).select(F.lit("intersect_all").alias("op"), "*")
+    return exg.unionByName(iag)

@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_user_activity_zscore",
     "x_mixture_temperature",
     "e_burst_detection",
+    "u5_bag_setops",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
