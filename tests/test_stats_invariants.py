@@ -1,0 +1,114 @@
+"""Mathematical invariants of the r5 statistics/eval operators.
+
+The oracle hash gate proves cross-engine equality; these pin the
+MATH — bounds and identities that hold for any input — so a future
+refactor that stays self-consistent across engines but breaks the
+statistic itself still fails fast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ast_data_pipeline_spark.registry import load_all
+
+
+def _run(spark, sf_dir, name):
+    return load_all()[name].fn(spark, sf_dir).toPandas()
+
+
+def test_ks_statistic_in_unit_interval(spark, sf_dir):
+    row = _run(spark, sf_dir, "a_ks_two_sample").iloc[0]
+    assert 0.0 <= row.ks_d <= 1.0
+    assert row.n_a > 0 and row.n_b > 0
+
+
+def test_gini_in_unit_interval(spark, sf_dir):
+    row = _run(spark, sf_dir, "x_gini_source_concentration").iloc[0]
+    # 20 near-equal sources -> small but non-negative concentration
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_recall_bounds_and_monotonicity(spark, sf_dir):
+    df = _run(spark, sf_dir, "x_ann_recall_eval")
+    assert ((df.recall >= 0) & (df.recall <= 1)).all()
+    assert (df.n_hits <= df.n_truth).all()
+    assert (df.n_hits <= df.n_retrieved.clip(lower=0) + 0).all() or True
+    assert (df.n_hits <= df.n_retrieved).all()
+
+
+def test_mixture_temperature_is_distribution(spark, sf_dir):
+    df = _run(spark, sf_dir, "x_mixture_temperature")
+    assert (df.weight > 0).all()
+    # the normalizer goes through dsum's 4-dp decimal rounding on a
+    # sum of ~2.45, so the weight total is 1.0 to ~2e-5, not 1e-9
+    assert math.isclose(df.weight.sum(), 1.0, rel_tol=1e-4)
+    # temperature < 1 compresses the range vs raw shares
+    raw = df.mass / df.mass.sum()
+    assert df.weight.max() - df.weight.min() <= raw.max() - raw.min() + 1e-12
+
+
+def test_entropy_bounds(spark, sf_dir):
+    df = _run(spark, sf_dir, "x_char_entropy")
+    assert (df.entropy_bits >= 0).all()
+    # bounded by log2(alphabet); the corpus is ASCII-ish
+    assert (df.entropy_bits <= 8.0).all()
+
+
+def test_corr_matrix_bounds_and_symmetric_inputs(spark, sf_dir):
+    df = _run(spark, sf_dir, "a_corr_matrix")
+    assert len(df) == 6
+    c = df["corr"]  # attribute access collides with DataFrame.corr
+    assert ((c >= -1.0 - 1e-9) & (c <= 1.0 + 1e-9)).all()
+
+
+def test_benford_fractions_sum_to_one(spark, sf_dir):
+    df = _run(spark, sf_dir, "a_benford_digits")
+    assert math.isclose(df.obs_frac.sum(), 1.0, rel_tol=1e-9)
+    assert (df.chi2_total >= 0).all()
+    assert df.chi2_total.nunique() == 1
+
+
+def test_mad_and_iqr_fences_ordered(spark, sf_dir):
+    mad = _run(spark, sf_dir, "a_mad_robust_z")
+    assert (mad["mad"] >= 0).all()
+    assert (mad.n_anomalies <= mad.n_total).all()
+    iqr = _run(spark, sf_dir, "a_iqr_outliers")
+    assert (iqr.lo_fence <= iqr.p25).all()
+    assert (iqr.p25 <= iqr.p75).all()
+    assert (iqr.p75 <= iqr.hi_fence).all()
+
+
+def test_ohlc_high_low_envelope(spark, sf_dir):
+    df = _run(spark, sf_dir, "t_downsample_ohlc")
+    assert (df.low <= df.high).all()
+    assert ((df.open >= df.low) & (df.open <= df.high)).all()
+    assert ((df.close >= df.low) & (df.close <= df.high)).all()
+    # streaming twin must agree row-for-row
+    st = _run(spark, sf_dir, "s_stream_ohlc")
+    key = ["user_id", "day"]
+    a = df.sort_values(key).reset_index(drop=True)
+    b = st.sort_values(key).reset_index(drop=True)[a.columns]
+    assert a.equals(b)
+
+
+def test_interval_union_vs_brute_force(spark, sf_dir):
+    import duckdb
+
+    df = _run(spark, sf_dir, "t_interval_union_length")
+    con = duckdb.connect()
+    brute = con.execute(f"""
+        WITH iv AS (
+          SELECT user_id, floor(epoch(ts))::BIGINT AS s
+          FROM '{sf_dir}/events.parquet'
+        ),
+        secs AS (
+          SELECT DISTINCT user_id, s + o AS sec
+          FROM iv, unnest(range(0, 1800)) t(o)
+        )
+        SELECT user_id, count(*)::BIGINT AS covered
+        FROM secs GROUP BY user_id
+    """).df()
+    m = df.merge(brute, on="user_id")
+    assert len(m) == len(df)
+    assert (m.covered_seconds == m.covered).all()
