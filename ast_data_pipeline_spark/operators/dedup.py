@@ -475,3 +475,70 @@ def neardup_clusters_star(
         "n_cluster_docs",
         (F.col("id") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+def incremental_dedup_screen(
+    new_docs: DataFrame,
+    cat_docs: DataFrame,
+    num_hashes: int,
+    rows_per_band: int,
+    threshold: float,
+) -> DataFrame:
+    """Screen ``new_docs`` (doc_id, text) against a ``cat_docs``
+    catalog: exact-dup flag (content-hash join), near-dup count above
+    the Jaccard threshold (ASYMMETRIC band join — new bands x catalog
+    bands, never catalog x catalog), and a deterministic min-id best
+    match. Each new doc's verdict depends only on (doc, catalog), so
+    a micro-batched run over any partition of ``new_docs`` unions to
+    exactly the all-at-once answer — the property the streaming face
+    and its pytest rely on. Caller guarantees disjoint id spaces."""
+
+    def _sets(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("w", words_col(F.col("text")))
+            .filter(F.size("w") >= 2)
+            .select("doc_id", word_shingles(F.col("text"), 2))
+            .localCheckpoint(eager=False)
+        )
+
+    def _bands(s: DataFrame) -> DataFrame:
+        exploded = s.select("doc_id", F.explode("shingles").alias("shingle"))
+        return lsh_bands(
+            minhash_signatures(exploded, num_hashes), num_hashes, rows_per_band
+        )
+
+    nsets, csets = _sets(new_docs), _sets(cat_docs)
+    bn, bo = _bands(nsets).alias("a"), _bands(csets).alias("b")
+    candx = (
+        bn.join(
+            bo,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = jaccard_verify(candx, nsets.unionByName(csets), threshold)
+    nr = pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min("doc_b").alias("near_match"),
+    )
+    h = F.md5(F.lower("text"))
+    new_h = new_docs.select("doc_id", h.alias("h"))
+    old_h = cat_docs.select(h.alias("h"), F.col("doc_id").alias("o_id"))
+    ex = new_h.join(old_h, "h").groupBy("doc_id").agg(
+        F.min("o_id").alias("exact_match")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(nr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("exact_match").isNotNull().alias("is_exact_dup"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near_matches"),
+            F.coalesce("exact_match", "near_match").alias("best_match"),
+        )
+    )

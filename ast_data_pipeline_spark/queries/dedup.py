@@ -1083,53 +1083,11 @@ LEFT JOIN nr ON d.doc_id = nr.new_id
     tags=("dedup", "extension"),
 )
 def x_incremental_dedup(spark, sf_dir):
-    from ..operators.dedup import (
-        jaccard_verify,
-        lsh_bands,
-        minhash_signatures,
-    )
+    from ..operators.dedup import incremental_dedup_screen
 
-    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     is_new = F.col("doc_id") % 10 == 0
-    docsets = (
-        docs.filter(F.size("w") >= 2)
-        .select("doc_id", word_shingles(F.col("text"), 2))
-        .localCheckpoint(eager=False)
-    )
-    exploded = docsets.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = minhash_signatures(exploded, NUM_HASHES).localCheckpoint(eager=False)
-    bands = lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND)
-    bn, bo = bands.filter(is_new).alias("a"), bands.filter(~is_new).alias("b")
-    candx = (
-        bn.join(
-            bo,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    pairs = jaccard_verify(candx, docsets, JACCARD_T)
-    nr = pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_near"),
-        F.min("doc_b").alias("near_match"),
-    )
-    h = F.md5(F.lower("text"))
-    new_h = docs.filter(is_new).select("doc_id", h.alias("h"))
-    old_h = docs.filter(~is_new).select(h.alias("h"), F.col("doc_id").alias("o_id"))
-    ex = new_h.join(old_h, "h").groupBy("doc_id").agg(
-        F.min("o_id").alias("exact_match")
-    )
-    base = docs.filter(is_new).select("doc_id")
-    return (
-        base.join(ex, "doc_id", "left")
-        .join(nr, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("exact_match").isNotNull().alias("is_exact_dup"),
-            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near_matches"),
-            F.coalesce("exact_match", "near_match").alias("best_match"),
-        )
+    return incremental_dedup_screen(
+        docs.filter(is_new), docs.filter(~is_new),
+        NUM_HASHES, ROWS_PER_BAND, JACCARD_T,
     )

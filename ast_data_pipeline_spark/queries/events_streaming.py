@@ -12,6 +12,7 @@ from ..streaming.workqueue import (
     streaming_tumbling_agg,
     streaming_workqueue_snapshot,
 )
+from .dedup import _asym_oracle
 from .temporal import OHLC_ORACLE as _OHLC_ORACLE
 from .text import PII_ORACLE
 
@@ -260,3 +261,21 @@ def s_stream_ohlc(spark, sf_dir):
     from ..streaming.workqueue import streaming_ohlc
 
     return streaming_ohlc(spark, sf_dir)
+
+
+@register(
+    "s_stream_incremental_dedup",
+    oracle=_asym_oracle(),
+    doc="Streaming incremental ingestion dedup: each micro-batch of "
+    "new documents screens against the static catalog inside "
+    "foreachBatch (exact hash join + asymmetric LSH band join + "
+    "rejoin verify). Per-doc verdicts depend only on (doc, catalog), "
+    "so the per-batch union is bit-equal to the batch "
+    "x_incremental_dedup — same oracle; batch-boundary independence "
+    "is additionally proven by a split-file replay pytest.",
+    tags=("streaming", "dedup"),
+)
+def s_stream_incremental_dedup(spark, sf_dir):
+    from ..streaming.dedup_stream import streaming_incremental_dedup
+
+    return streaming_incremental_dedup(spark, sf_dir)

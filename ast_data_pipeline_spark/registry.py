@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_mixture_temperature",
     "e_burst_detection",
     "u5_bag_setops",
+    "s_stream_incremental_dedup",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",

@@ -1,0 +1,82 @@
+"""Streaming face of the incremental ingestion dedup screen.
+
+Each micro-batch of newly-arrived documents runs the full
+exact+near-dup screen against the static catalog inside
+``foreachBatch`` (multiple streaming aggregations in one query are
+unsupported, and the screen needs three). Because
+``incremental_dedup_screen`` makes each new doc's verdict a function
+of (doc, catalog) only, the union of per-batch outputs is bit-equal
+to the all-at-once batch answer — proven by the same DuckDB oracle as
+``x_incremental_dedup`` and, batch-boundary-wise, by
+tests/test_streaming_dedup.py, which replays the stream split across
+three files.
+
+At 100 TB the catalog's shingle sets and band table are the reusable
+state (materialize them once, refresh on compaction); each arriving
+batch pays only its own shingling plus one band join against that
+state — linear in the batch, regardless of catalog size growth.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import incremental_dedup_screen
+from ..sources.catalog import table_path
+
+
+def documents_stream(spark: SparkSession, path: str, glob: str = "documents.parquet") -> DataFrame:
+    schema = spark.read.parquet(table_path(path, "documents") if glob == "documents.parquet" else path).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    new_stream: DataFrame,
+    cat_docs: DataFrame,
+    num_hashes: int,
+    rows_per_band: int,
+    threshold: float,
+) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="incdedup_stream_")
+    out = os.path.join(root, "out")
+    cat_docs = cat_docs.select("doc_id", "text").localCheckpoint(eager=False)
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        res = incremental_dedup_screen(
+            batch_df.select("doc_id", "text"), cat_docs,
+            num_hashes, rows_per_band, threshold,
+        )
+        res.write.mode("append").parquet(out)
+
+    q = (
+        new_stream.writeStream.foreachBatch(screen)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    from ..sources.catalog import load
+
+    cat = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    from ..queries.dedup import JACCARD_T, NUM_HASHES, ROWS_PER_BAND
+
+    return run_incremental_dedup_stream(
+        spark, stream, cat, NUM_HASHES, ROWS_PER_BAND, JACCARD_T
+    )

@@ -1,0 +1,50 @@
+"""Batch-boundary independence of the streaming incremental dedup:
+replaying the new-doc stream split across three files (one micro-batch
+each) must union to exactly the all-at-once batch screen."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    from ast_data_pipeline_spark.queries.dedup import (
+        JACCARD_T,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+    )
+    from ast_data_pipeline_spark.sources.catalog import load
+    from ast_data_pipeline_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream,
+    )
+    from ast_data_pipeline_spark.operators.dedup import incremental_dedup_screen
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    new, cat = docs.filter(F.col("doc_id") % 10 == 0), docs.filter(
+        F.col("doc_id") % 10 != 0
+    )
+    # three single-file slices -> three micro-batches
+    src = str(tmp_path / "new_docs")
+    for i in range(3):
+        new.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files >= 3
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = run_incremental_dedup_stream(
+        spark, stream, cat, NUM_HASHES, ROWS_PER_BAND, JACCARD_T
+    ).toPandas()
+    batch = incremental_dedup_screen(
+        new, cat, NUM_HASHES, ROWS_PER_BAND, JACCARD_T
+    ).toPandas()
+    key = ["doc_id"]
+    a = streamed.sort_values(key).reset_index(drop=True)[batch.columns]
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert a.equals(b), (len(a), len(b))
