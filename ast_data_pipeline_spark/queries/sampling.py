@@ -622,3 +622,54 @@ def x_mixture_temperature(spark, sf_dir):
     return p.crossJoin(F.broadcast(z)).select(
         "source", "mass", (F.col("pa") / F.col("norm")).alias("weight")
     )
+
+
+def _qw_oracle() -> str:
+    from ..operators.text import quality_score_sql
+
+    q = "(" + quality_score_sql("w", "text") + ")"
+    return f"""
+SELECT doc_id, source,
+       {q} AS quality_score,
+       ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT AS hash_byte
+FROM (SELECT doc_id, source, text,
+             string_split(lower(text), ' ') AS w FROM documents)
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT
+      < floor({q} * 256::DOUBLE)
+"""
+
+
+@register(
+    "x_quality_weighted_sample",
+    # Quality-proportional retention (FineWeb-style curation): doc i
+    # survives iff hash_byte(doc_id) < floor(quality_i * 256) — a
+    # deterministic coin whose acceptance probability IS the quality
+    # score. Stateless and reproducible like every sampler here; the
+    # comparison is integer vs integer (the score is bit-exact across
+    # engines, floor of its scaling likewise), so the kept set is
+    # identical everywhere.
+    oracle=_qw_oracle(),
+    doc="Quality-weighted deterministic sampling: acceptance "
+    "probability equals the Gopher/C4 quality score, implemented as "
+    "an md5-byte threshold — a pure pushdown-able filter, no state, "
+    "no shuffle; re-running at any scale keeps exactly the same "
+    "documents. The retention rule between hard filtering (drop "
+    "below cutoff) and uniform sampling.",
+    tags=("sampling", "extension"),
+)
+def x_quality_weighted_sample(spark, sf_dir):
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    q = quality_score("w", F.col("text"))
+    hb = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return (
+        docs.select(
+            "doc_id", "source", q.alias("quality_score"), hb.alias("hash_byte")
+        )
+        .filter(F.col("hash_byte") < F.floor(F.col("quality_score") * F.lit(256.0)))
+    )
