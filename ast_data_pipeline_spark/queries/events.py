@@ -709,3 +709,51 @@ def e_burst_detection(spark, sf_dir):
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("peak_ts"),
         )
     )
+
+
+@register(
+    "e_interarrival_stats",
+    # Inter-arrival time profile per event type: min / mean / max gap
+    # between consecutive events of the same type, in integer epoch
+    # seconds over the unique (ts, event_id) chain — the arrival-rate
+    # fingerprint behind capacity planning and anomaly baselines.
+    # Integer gaps; the mean goes through the exact-decimal average.
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         floor(epoch(ts))::BIGINT
+           - lag(floor(epoch(ts))::BIGINT) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       count(gap)::BIGINT AS n_gaps,
+       min(gap)::BIGINT AS min_gap_s,
+       {davg_sql('gap::DOUBLE')} AS avg_gap_s,
+       max(gap)::BIGINT AS max_gap_s
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+""",
+    doc="Per-type inter-arrival gap statistics: one event_type-key "
+    "shuffle shared by the lag window and the aggregate. NOTE the "
+    "deliberate scale trade: partitioning by a 5-value type column "
+    "puts each type through one window task — correct here because "
+    "the REDUCED payload (two longs per row) is what flows, and the "
+    "production fix (two-level lag via per-bucket boundary exchange) "
+    "is documented in SCALING.md's two-level family if types carry "
+    "TB-scale rows.",
+    tags=("events", "window", "extension"),
+)
+def e_interarrival_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = F.col("ts").cast("long")
+    g = ev.select(
+        "event_type", (s - F.lag(s).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.min("gap").alias("min_gap_s"),
+        davg(F.col("gap").cast("double")).alias("avg_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+    )

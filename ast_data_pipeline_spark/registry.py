@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "u5_bag_setops",
     "s_stream_incremental_dedup",
     "x_quality_weighted_sample",
+    "e_interarrival_stats",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
