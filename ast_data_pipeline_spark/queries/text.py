@@ -1428,3 +1428,69 @@ def x_sentence_stats(spark, sf_dir):
             ),
         )
     )
+
+
+CDC_MOD = 64  # expected chunk length (boundary when rolling hash % 64 == 0)
+
+
+@register(
+    "x_cdc_chunking",
+    # Content-defined chunking (the rsync/FastCDC boundary rule, and
+    # the chunking that keeps near-identical documents aligned for
+    # span-level dedup): a boundary falls wherever the polynomial
+    # rolling hash of the trailing 8 characters is 0 mod 64, so an
+    # insertion only reshuffles chunk boundaries locally — unlike
+    # fixed-stride chunking (x_doc_chunking) where one inserted byte
+    # shifts every downstream chunk. Integer codepoint arithmetic
+    # (max term 126*31^7 < 2^53), exact in both engines; the report
+    # is one division.
+    oracle="""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_measured,
+       nb AS n_boundaries,
+       (nb + 1)::BIGINT AS n_chunks,
+       length(text)::DOUBLE / (nb + 1) AS avg_chunk_len
+FROM (
+  SELECT doc_id, text,
+         len(list_filter(
+           list_transform(generate_series(8, len(codes)), i ->
+             (codes[i - 0] * 1 + codes[i - 1] * 31 + codes[i - 2] * 961 + codes[i - 3] * 29791 + codes[i - 4] * 923521 + codes[i - 5] * 28629151 + codes[i - 6] * 887503681 + codes[i - 7] * 27512614111) % 64),
+           h -> h = 0))::BIGINT AS nb
+  FROM (SELECT doc_id, text,
+               list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS codes
+        FROM documents)
+)
+""",
+    doc="Content-defined chunk statistics per document: boundaries "
+    "from an 8-char polynomial rolling hash (mod 64 -> ~64-char "
+    "expected chunks), all inside codegen'd higher-order array "
+    "functions over one scan — zero exchanges, scales with scan "
+    "bandwidth. The edit-stable complement to fixed-stride chunking.",
+    tags=("text", "extension"),
+)
+def x_cdc_chunking(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    nb = F.expr(
+        "size(filter(transform(sequence(8, size(codes)), i -> "
+        "(codes[i - 1] * 1 + codes[i - 2] * 31 + codes[i - 3] * 961 + codes[i - 4] * 29791 + codes[i - 5] * 923521 + codes[i - 6] * 28629151 + codes[i - 7] * 887503681 + codes[i - 8] * 27512614111) % 64), h -> h = 0))"
+    ).cast("long")
+    return (
+        docs.withColumn(
+            "codes", F.expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))")
+        )
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_measured"),
+            nb.alias("n_boundaries"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_measured",
+            "n_boundaries",
+            (F.col("n_boundaries") + 1).cast("long").alias("n_chunks"),
+            (
+                F.col("n_chars_measured").cast("double")
+                / (F.col("n_boundaries") + 1)
+            ).alias("avg_chunk_len"),
+        )
+    )

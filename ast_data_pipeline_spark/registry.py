@@ -140,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_incremental_dedup",
     "x_quality_weighted_sample",
     "e_interarrival_stats",
+    "x_cdc_chunking",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
