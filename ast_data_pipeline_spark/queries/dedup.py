@@ -1091,3 +1091,62 @@ def x_incremental_dedup(spark, sf_dir):
         docs.filter(is_new), docs.filter(~is_new),
         NUM_HASHES, ROWS_PER_BAND, JACCARD_T,
     )
+
+
+def _leakage_oracle() -> str:
+    fold = "('0x' || substr(md5({id}::VARCHAR), 1, 4))::INT % 5"
+    return f"""WITH {_minhash_ctes()}
+SELECT ({fold.format(id='doc_a')} = {fold.format(id='doc_b')}) AS same_fold,
+       count(*)::BIGINT AS n_pairs,
+       min(doc_a) AS example_doc_a,
+       min(doc_b) AS example_doc_b
+FROM pairs
+GROUP BY 1
+"""
+
+
+@register(
+    "x_split_leakage_check",
+    oracle=_leakage_oracle(),
+    # Train/eval leakage census: near-duplicate pairs whose members
+    # land in DIFFERENT k-fold splits are contamination — the model
+    # sees an eval document's twin during training. The check every
+    # CV/benchmark setup should run after x_kfold_assign: if
+    # cross-fold near-dup pairs exist, either re-split by cluster id
+    # (x_dedup_clusters as the grouping key) or drop the twins.
+    doc="Near-dup pairs grouped by fold agreement (same md5-mod-5 "
+    "fold as x_kfold_assign): cross-fold pairs quantify train/eval "
+    "contamination. Pair generation is the banded MinHash+LSH flow "
+    "(never all-pairs); the census adds one 2-key aggregate. The "
+    "deterministic example ids make a red row actionable.",
+    tags=("dedup", "sampling", "extension"),
+)
+def x_split_leakage_check(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    docsets = (
+        docs.filter(F.size("w") >= 2)
+        .select("doc_id", word_shingles(F.col("text"), 2))
+    )
+    pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
+
+    def fold(c):
+        return (
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            .cast("int")
+            % 5
+        )
+
+    return (
+        pairs.select(
+            (fold("doc_a") == fold("doc_b")).alias("same_fold"),
+            "doc_a",
+            "doc_b",
+        )
+        .groupBy("same_fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("doc_a").alias("example_doc_a"),
+            F.min("doc_b").alias("example_doc_b"),
+        )
+    )

@@ -141,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_quality_weighted_sample",
     "e_interarrival_stats",
     "x_cdc_chunking",
+    "x_split_leakage_check",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
