@@ -412,3 +412,20 @@ def test_ks_and_wau_plan_claims(spark, sf_dir):
     wau = _plan(specs["e_rolling_wau"].fn(spark, sf_dir))
     assert "Generate explode" in wau, wau[:1500]
     assert "CartesianProduct" not in wau and "BroadcastNestedLoopJoin" not in wau
+
+
+def test_incremental_dedup_and_sampler_plan_claims(spark, sf_dir):
+    from ast_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    # incremental screen: candidates come from band equi-joins — no
+    # nested-loop/cartesian anywhere in the asymmetric flow
+    inc = _plan(specs["x_incremental_dedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in inc and "BroadcastNestedLoopJoin" not in inc
+    # quality-weighted sampler: a pure filter over one scan — no
+    # exchange, no join, no window
+    qw = _plan(specs["x_quality_weighted_sample"].fn(spark, sf_dir))
+    assert "Exchange" not in qw and "Join" not in qw and "Window" not in qw, qw[:1200]
+    # CDC chunking: codegen-only projection — no exchange at all
+    cdc = _plan(specs["x_cdc_chunking"].fn(spark, sf_dir))
+    assert "Exchange" not in cdc, cdc[:1200]
