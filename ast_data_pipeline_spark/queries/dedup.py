@@ -1150,3 +1150,78 @@ def x_split_leakage_check(spark, sf_dir):
             F.min("doc_b").alias("example_doc_b"),
         )
     )
+
+
+@register(
+    "x_ngram_novelty",
+    # Per-document novelty: the fraction of a doc's DISTINCT 5-word
+    # shingles that appear in no other document — low novelty means
+    # the doc is assembled from corpus-common boilerplate even when no
+    # single source document matches it (which is why neither pairwise
+    # near-dup nor containment catches it). The inverse signal of
+    # x_span_dedup's duplicated-span list, reduced to one number per
+    # doc for filter pipelines.
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(range(1, len(ws) - {OVERLAP_K - 2})) AS i, ws
+  FROM w WHERE len(ws) >= {OVERLAP_K}
+),
+d AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i:i + {OVERLAP_K - 1}], ' ') AS sh
+  FROM p
+),
+freq AS (SELECT sh, count(*)::BIGINT AS n_docs FROM d GROUP BY sh)
+SELECT d.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN freq.n_docs = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       sum(CASE WHEN freq.n_docs = 1 THEN 1 ELSE 0 END)::DOUBLE
+         / count(*) AS novelty
+FROM d JOIN freq ON d.sh = freq.sh
+GROUP BY d.doc_id
+""",
+    doc=f"Novelty score per document: distinct {OVERLAP_K}-word "
+    "shingles -> corpus document-frequency on the shingle key -> "
+    "join back -> per-doc unique fraction. Two shingle-key shuffles "
+    "and one doc-key aggregate; the frequency table is "
+    "vocabulary-sized. One IEEE division of exact integers.",
+    tags=("dedup", "text", "extension"),
+)
+def x_ngram_novelty(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    d = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= OVERLAP_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (OVERLAP_K - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i, OVERLAP_K), " "
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    freq = d.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    uniq = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return (
+        d.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            (uniq.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

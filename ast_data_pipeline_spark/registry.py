@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_interarrival_stats",
     "x_cdc_chunking",
     "x_split_leakage_check",
+    "x_ngram_novelty",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
