@@ -337,3 +337,56 @@ def s12_jsonl_roundtrip(spark, sf_dir):
     return back.select(
         "event_id", "ts_str", "user_id", "event_type", "value", "props"
     )
+
+
+@register(
+    "s13_fixed_width_roundtrip",
+    # Fixed-width (mainframe/COBOL copybook) text codec round-trip:
+    # orders render to 58-char records via format_string, write as
+    # plain text, read back with spark.read.text and parse by column
+    # positions. The oracle projects the expected parsed values off
+    # parquet — totalprice goes through the same %.2f formatting on
+    # both engines (printf of identical doubles), so the re-parsed
+    # number is deterministic.
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       o_orderstatus AS status,
+       printf('%.2f', o_totalprice)::DOUBLE AS totalprice_2dp,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority AS priority
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""",
+    doc="S13 fixed-width source/sink round-trip: render -> text file "
+    "-> positional substring parse with declared offsets (never "
+    "delimiter sniffing), trims and casts back to typed columns. The "
+    "legacy-feed ingestion path next to CSV/JSONL/ORC/XML.",
+    tags=("source",),
+)
+def s13_fixed_width_roundtrip(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    tmp = os.path.join(
+        tempfile.gettempdir(), "ast_fw_roundtrip", os.path.basename(sf_dir.rstrip("/"))
+    )
+    line = F.format_string(
+        "%10d%10d%1s%12.2f%10s%-15s",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(tmp)
+    back = spark.read.text(tmp)
+    v = F.col("value")
+    return back.select(
+        F.trim(F.substring(v, 1, 10)).cast("long").alias("o_orderkey"),
+        F.trim(F.substring(v, 11, 10)).cast("long").alias("o_custkey"),
+        F.substring(v, 21, 1).alias("status"),
+        F.trim(F.substring(v, 22, 12)).cast("double").alias("totalprice_2dp"),
+        F.substring(v, 34, 10).alias("order_date"),
+        F.rtrim(F.substring(v, 44, 15)).alias("priority"),
+    )
