@@ -757,3 +757,86 @@ def e_interarrival_stats(spark, sf_dir):
         davg(F.col("gap").cast("double")).alias("avg_gap_s"),
         F.max("gap").alias("max_gap_s"),
     )
+
+
+# Allowed lifecycle transitions (anything else is a violation; the
+# first event of a user may be anything except 'purchase').
+_VALID_NEXT = {
+    "signup": ["click", "view", "error"],
+    "view": ["view", "click", "error", "signup"],
+    "click": ["view", "click", "purchase", "error", "signup"],
+    "purchase": ["view", "click", "signup", "error"],
+    "error": ["view", "click", "signup", "error"],
+}
+
+
+def _valid_case_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN prev = '{p}' AND event_type IN "
+        "(" + ", ".join(f"'{n}'" for n in nxt) + ") THEN 0"
+        for p, nxt in _VALID_NEXT.items()
+    )
+    return (
+        "CASE WHEN prev IS NULL THEN"
+        " (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)\n         "
+        + whens
+        + "\n         ELSE 1 END"
+    )
+
+
+@register(
+    "e_transition_violations",
+    # Event-sequence state-machine validation: count transitions per
+    # user that violate the declared lifecycle rules (e.g. a purchase
+    # with no preceding click, tracked via the lag chain). The
+    # sequence-integrity audit an event pipeline runs before trusting
+    # funnel metrics. Pure strings/integers over the unique
+    # (ts, event_id) order — exact by construction.
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+v AS (
+  SELECT user_id, {_valid_case_sql()} AS bad
+  FROM s
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_transitions,
+       sum(bad)::BIGINT AS n_violations,
+       (sum(bad) = 0) AS is_clean
+FROM v GROUP BY user_id
+""",
+    doc="Per-user lifecycle-violation census: one user-key shuffle "
+    "shared by the lag window and the aggregate; the transition table "
+    "is a compiled CASE (codegen, no join). First event must not be a "
+    "purchase; every other pair checks against the allowed-successor "
+    "sets declared in _VALID_NEXT.",
+    tags=("events", "quality", "extension"),
+)
+def e_transition_violations(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    bad = F.when(
+        F.col("prev").isNull(),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0),
+    )
+    for p, nxt in _VALID_NEXT.items():
+        bad = bad.when(
+            (F.col("prev") == p) & F.col("event_type").isin(nxt), 0
+        )
+    bad = bad.otherwise(1)
+    return (
+        s.select("user_id", bad.alias("bad"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("bad").cast("long").alias("n_violations"),
+            (F.sum("bad") == 0).alias("is_clean"),
+        )
+    )

@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_split_leakage_check",
     "x_ngram_novelty",
     "s13_fixed_width_roundtrip",
+    "e_transition_violations",
     # next: never driver-graded in any round (VERDICT r4 list)
     "x_data_mixture",
     "x_shard_assign",
