@@ -64,25 +64,85 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # Grading priority: the driver's correctness gate walks ``load_all()``
 # in iteration order (and may stop at a budgeted prefix, historically
-# 50). Round-5 rotation (VERDICT r4 "Next round" #1): positions 1-6
-# prove the queries whose oracles are NEW this round (flagship under
-# the full hash gate, the LSH-routed embedding near-dup, the two
-# decodable-path multimodal oracles, d_reproject_roundtrip whose
-# underlying series switched pow -> sqrt-cube, and the star-CC
-# variant); positions 7-23 are the
-# 17 never-driver-graded queries from VERDICT r4 (the two rewritten
-# sampling ops first, then the curation/text tail, roundtrips, and the
-# TPC-H tail); the remainder of the 50 re-freshens the oldest official
-# rows (r1/r2 vintage, oldest first). Everything else follows in
-# registration order; nothing is dropped.
+# 50). Window layout: 1-6 changed-oracle queries, 7-23 the 17
+# never-driver-graded queries from VERDICT r4 (its top ask), 24-50 the
+# most substantive new r5 operators. Everything else follows; nothing
+# is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # 1-6: oracles new or changed in round 5
+    # 1-6: oracles new or changed this round (flagship under the full
+    # hash gate, LSH-routed embedding near-dup, decodable-path
+    # multimodal oracles, reprojection series, star-CC)
     "flagship_tank_inventory",
     "x_embedding_neardup",
     "x_multimodal_resize",
     "x_multimodal_frames",
     "d_reproject_roundtrip",
     "x_dedup_clusters_star",
+    # 7-23: the 17 never-driver-graded queries from VERDICT r4 —
+    # keeping these inside the ~50-slot window is that verdict's #1 ask
+    "x_data_mixture",
+    "x_shard_assign",
+    "x_bpe_tokenize",
+    "x_repetition_quality",
+    "x_tfidf_topterms",
+    "x_range_partition_bounds",
+    "s_stream_pii_redact",
+    "s11_orc_roundtrip",
+    "s12_jsonl_roundtrip",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+    # 24-50: the most substantive NEW r5 operators (the rest of the
+    # r5 additions queue after the window and rotate in next round)
+    "x_lm_doc_score",
+    "a_ks_two_sample",
+    "x_incremental_dedup",
+    "s_stream_incremental_dedup",
+    "x_dedup_keep_best",
+    "x_corpus_health",
+    "t_asof_nearest",
+    "e_rolling_wau",
+    "x_span_dedup",
+    "x_source_overlap",
+    "a_corr_matrix",
+    "t_downsample_ohlc",
+    "s_stream_ohlc",
+    "a_mad_robust_z",
+    "a_iqr_outliers",
+    "x_char_entropy",
+    "x_containment_neardup",
+    "x_split_leakage_check",
+    "x_ann_recall_eval",
+    "x_embedding_drift",
+    "x_mixture_temperature",
+    "x_quality_weighted_sample",
+    "x_cdc_chunking",
+    "e_burst_detection",
+    "e_transition_violations",
+    "s13_fixed_width_roundtrip",
+    "u5_bag_setops",
+    # beyond the historical 50-slot budget: the remaining r5 adds,
+    # then the r5-head queries already re-proven green this round,
+    # then companions and the oldest official rows
+    "x_ngram_novelty",
+    "x_centroid_cosine_matrix",
+    "e_pct_change_daily",
+    "e_dow_seasonality",
+    "e_user_activity_zscore",
+    "e_interarrival_stats",
+    "x_sentence_stats",
+    "x_kfold_assign",
+    "x_dedup_rate_by_source",
+    "a_benford_digits",
+    "x_gini_source_concentration",
+    "x_vocab_growth",
+    "t_resample_ffill",
+    "e_event_paths",
     "x_bigram_model",
     "x_pmi_collocations",
     "x_minhash_est_quality",
@@ -104,73 +164,10 @@ _PRIORITY: tuple[str, ...] = (
     "x_training_assembly",
     "j_salted_skew_join",
     "j_skew_report",
-    "t_downsample_ohlc",
-    "e_event_paths",
-    "a_corr_matrix",
-    "x_span_dedup",
-    "t_resample_ffill",
-    "x_source_overlap",
-    "x_dedup_keep_best",
-    "x_lm_doc_score",
-    "s_stream_ohlc",
-    "a_iqr_outliers",
-    "t_asof_nearest",
-    "e_rolling_wau",
-    "a_ks_two_sample",
-    "x_char_entropy",
-    "x_containment_neardup",
-    "a_mad_robust_z",
-    "x_kfold_assign",
-    "x_dedup_rate_by_source",
-    "a_benford_digits",
-    "x_gini_source_concentration",
-    "x_vocab_growth",
-    "e_pct_change_daily",
-    "e_dow_seasonality",
-    "x_corpus_health",
-    "x_incremental_dedup",
-    "x_embedding_drift",
-    "x_centroid_cosine_matrix",
-    "x_ann_recall_eval",
-    "x_sentence_stats",
-    "e_user_activity_zscore",
-    "x_mixture_temperature",
-    "e_burst_detection",
-    "u5_bag_setops",
-    "s_stream_incremental_dedup",
-    "x_quality_weighted_sample",
-    "e_interarrival_stats",
-    "x_cdc_chunking",
-    "x_split_leakage_check",
-    "x_ngram_novelty",
-    "s13_fixed_width_roundtrip",
-    "e_transition_violations",
-    # next: never driver-graded in any round (VERDICT r4 list)
-    "x_data_mixture",
-    "x_shard_assign",
-    "x_bpe_tokenize",
-    "x_repetition_quality",
-    "x_tfidf_topterms",
-    "x_range_partition_bounds",
-    "s_stream_pii_redact",
-    "s11_orc_roundtrip",
-    "s12_jsonl_roundtrip",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_stock_suppliers",
-    # 24-27: companions re-proved after this round's source changes
-    # (d_inventory_utm shares the flagship lineage; the merge pair
-    # rides the same A1 stage the flagship hash now covers end-to-end)
     "d_inventory_utm",
     "d_a1_bbox_merge",
     "d_a1_merge_stats",
     "d_j8_county_argmax",
-    # 28-51: oldest official rows, refreshed oldest-first (r1 then r2)
     "j1_semi_join",
     "j2_anti_join",
     "j3_broadcast_semi",
