@@ -1494,3 +1494,64 @@ def x_cdc_chunking(spark, sf_dir):
             ).alias("avg_chunk_len"),
         )
     )
+
+
+@register(
+    "x_bpe_efficiency",
+    # Tokenizer-efficiency report per source: tokens-per-word under
+    # the learned BPE vocab — the compression-ratio number that
+    # decides whether a tokenizer suits a corpus (a source full of
+    # unseen morphology tokenizes long and eats context budget).
+    # Same learn CTE and broadcast-vocab application as
+    # x_bpe_tokenize, re-aggregated to the source grain with one
+    # exact integer division.
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_CTE_SQL},
+vocab AS (
+  SELECT word,
+         len(string_split(substr(state, 2, len(state) - 2), '||'))::BIGINT
+           AS n_toks
+  FROM bpe WHERE iter = {_BPE_MERGES}
+),
+docwords AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.source, count(*)::BIGINT AS n_words,
+       sum(v.n_toks)::BIGINT AS n_bpe_tokens,
+       sum(v.n_toks)::DOUBLE / count(*) AS tokens_per_word
+FROM (SELECT * FROM docwords WHERE word <> '') d
+JOIN vocab v USING (word)
+GROUP BY d.source
+""",
+    doc="Per-source BPE compression ratio (tokens per word) under the "
+    "corpus-learned vocab: broadcast-vocab join, source-grain "
+    "aggregate — corpus text never shuffles; the ratio is one IEEE "
+    "division of exact counts.",
+    tags=("text", "extension"),
+)
+def x_bpe_efficiency(spark, sf_dir):
+    cur, _merges = _bpe_learn(spark, sf_dir)
+    vocab = cur.select(
+        "word",
+        F.expr(
+            "size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|'))"
+        )
+        .cast("long")
+        .alias("n_toks"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    docwords = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docwords.join(F.broadcast(vocab), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            (
+                F.sum("n_toks").cast("double") / F.count(F.lit(1))
+            ).alias("tokens_per_word"),
+        )
+    )

@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     # then the r5-head queries already re-proven green this round,
     # then companions and the oldest official rows
     "x_ngram_novelty",
+    "x_bpe_efficiency",
     "x_centroid_cosine_matrix",
     "e_pct_change_daily",
     "e_dow_seasonality",
