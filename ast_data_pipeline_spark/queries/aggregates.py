@@ -1175,3 +1175,90 @@ def a_benford_digits(spark, sf_dir):
     return c.select(
         "*", dsum_over("chi2_term", Window.partitionBy()).alias("chi2_total")
     )
+
+
+@register(
+    "a_chi2_independence",
+    # Chi-square test of independence between event type and ISO
+    # weekday: observed contingency counts vs the margin-product
+    # expectation, chi2 = sum (o - e)^2 / e over the 35 cells. All
+    # integers until e = (row_total * col_total) / n — one division —
+    # and the per-cell terms sum through exact decimal. The
+    # association screen behind "does activity mix shift by weekday".
+    oracle=f"""
+WITH o AS (
+  SELECT event_type, isodow(ts)::INT AS dow, count(*)::BIGINT AS obs
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT o.event_type, o.dow, o.obs,
+         sum(o.obs) OVER (PARTITION BY o.event_type)::BIGINT AS row_n,
+         sum(o.obs) OVER (PARTITION BY o.dow)::BIGINT AS col_n,
+         sum(o.obs) OVER ()::BIGINT AS n
+  FROM o
+),
+c AS (
+  SELECT event_type, dow, obs,
+         (row_n * col_n)::DOUBLE / n AS expected
+  FROM m
+),
+t AS (
+  SELECT event_type, dow, obs, expected,
+         (obs - expected) * (obs - expected) / expected AS term
+  FROM c
+)
+SELECT event_type, dow, obs, expected,
+       round(sum((term)::DECIMAL(30,10)) OVER (), 4)::DOUBLE AS chi2_total
+FROM t
+""",
+    doc="Type x weekday independence test: the 35-cell contingency "
+    "table aggregates with map-side partials (the only fact-sized "
+    "stage); margins and the chi-square run as windows over the tiny "
+    "cell table. Deterministic: exact counts, one division per cell, "
+    "exact-decimal total.",
+    tags=("aggregate", "stats", "extension"),
+)
+def a_chi2_independence(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.exact import dsum_over
+
+    ev = load(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type",
+        ((F.dayofweek("ts") + 5) % 7 + 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    m = o.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("obs").over(Window.partitionBy("dow")).alias("col_n"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    c = m.select(
+        "event_type",
+        "dow",
+        "obs",
+        ((F.col("row_n") * F.col("col_n")).cast("double") / F.col("n")).alias(
+            "expected"
+        ),
+    )
+    t = c.select(
+        "event_type",
+        "dow",
+        "obs",
+        "expected",
+        (
+            (F.col("obs") - F.col("expected"))
+            * (F.col("obs") - F.col("expected"))
+            / F.col("expected")
+        ).alias("term"),
+    )
+    return t.select(
+        "event_type",
+        "dow",
+        "obs",
+        "expected",
+        dsum_over("term", Window.partitionBy()).alias("chi2_total"),
+    )

@@ -1555,3 +1555,136 @@ def x_bpe_efficiency(spark, sf_dir):
             ).alias("tokens_per_word"),
         )
     )
+
+
+@register(
+    "x_classifier_eval",
+    # Classifier evaluation as a query: per-class precision / recall /
+    # F1 of the stopword-ratio language-ID heuristic against the
+    # labeled lang column — the model-eval primitive next to the ANN
+    # recall audit. The (actual, predicted) confusion cells are the
+    # only fact-sized aggregate; per-class tallies derive from the
+    # 25-cell table. Divisions evaluate in identical textual order;
+    # F1 = 2 * p * r / (p + r).
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_SCORES_SQL}
+  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)
+),
+pred AS (
+  SELECT lang AS actual, {_langid_pred_sql()} AS predicted FROM scored
+),
+cells AS (
+  SELECT actual, predicted, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+),
+classes AS (SELECT DISTINCT actual AS cls FROM cells),
+tally AS (
+  SELECT c.cls,
+         coalesce(sum(CASE WHEN cells.actual = c.cls
+                            AND cells.predicted = c.cls THEN cells.n END), 0)
+           ::BIGINT AS tp,
+         coalesce(sum(CASE WHEN cells.predicted = c.cls
+                            AND cells.actual <> c.cls THEN cells.n END), 0)
+           ::BIGINT AS fp,
+         coalesce(sum(CASE WHEN cells.actual = c.cls
+                            AND cells.predicted <> c.cls THEN cells.n END), 0)
+           ::BIGINT AS fn
+  FROM classes c, cells
+  GROUP BY c.cls
+)
+SELECT cls, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS precision,
+       CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS recall,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0 THEN
+         2::DOUBLE * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
+           / ((tp::DOUBLE / (tp + fp)) + (tp::DOUBLE / (tp + fn)))
+       END AS f1
+FROM tally
+""",
+    doc="Per-class precision/recall/F1 for the lang-ID heuristic: one "
+    "corpus aggregate to 25 confusion cells, per-class tallies and "
+    "metrics on the cell table (class-count-sized at any scale). On "
+    "this language-agnostic word-salad corpus the scores hover near "
+    "chance — the measurement, not the model, is under test.",
+    tags=("text", "stats", "extension"),
+)
+def x_classifier_eval(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    scored = docs.select(
+        F.col("lang").alias("actual"),
+        *[hit_ratio("w", STOPWORDS[l]).alias(f"score_{l}") for l in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in _LANGS])
+    pred_expr = None
+    for l in _LANGS:
+        cond = F.col(f"score_{l}") == best
+        pred_expr = (
+            F.when(cond, F.lit(l))
+            if pred_expr is None
+            else pred_expr.when(cond, F.lit(l))
+        )
+    cells = (
+        scored.select("actual", pred_expr.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    classes = cells.select(F.col("actual").alias("cls")).distinct()
+    j = classes.crossJoin(cells)
+    tally = j.groupBy("cls").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("predicted") == F.col("cls"))
+                    & (F.col("actual") != F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("predicted") != F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fn"),
+    )
+    p = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    )
+    r = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        (F.col("tp") + F.col("fp") > 0)
+        & (F.col("tp") + F.col("fn") > 0)
+        & (F.col("tp") > 0),
+        F.lit(2.0) * p * r / (p + r),
+    )
+    return tally.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        p.alias("precision"),
+        r.alias("recall"),
+        f1.alias("f1"),
+    )

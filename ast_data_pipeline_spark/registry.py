@@ -131,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     # then companions and the oldest official rows
     "x_ngram_novelty",
     "x_bpe_efficiency",
+    "a_chi2_independence",
+    "x_classifier_eval",
     "x_centroid_cosine_matrix",
     "e_pct_change_daily",
     "e_dow_seasonality",
