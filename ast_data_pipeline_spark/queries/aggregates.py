@@ -1059,6 +1059,10 @@ def a_mad_robust_z(spark, sf_dir):
         [("med", 1, 2)],
         F.floor(F.col("value") / 10).cast("long"),
     )
+    # lineage cut: dev feeds the second rank-selection pass (bucket
+    # counts + selected-bucket filter) AND the final fence aggregate —
+    # without it each consumer re-pays the scan + broadcast join
+    # (profiled 2.7 s -> ~1.5 s at sf0.01)
     dev = (
         ev.select("event_type", "value", "event_id")
         .join(F.broadcast(med), "event_type")
@@ -1069,6 +1073,7 @@ def a_mad_robust_z(spark, sf_dir):
             "med",
             F.abs(F.col("value") - F.col("med")).alias("d"),
         )
+        .localCheckpoint(eager=False)
     )
     mad = exact_group_quantiles(
         dev,
