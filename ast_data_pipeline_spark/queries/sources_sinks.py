@@ -390,3 +390,49 @@ def s13_fixed_width_roundtrip(spark, sf_dir):
         F.substring(v, 34, 10).alias("order_date"),
         F.rtrim(F.substring(v, 44, 15)).alias("priority"),
     )
+
+
+@register(
+    "s14_schema_evolution",
+    # Schema-evolution read: two parquet snapshots of the same table
+    # written with DIFFERENT column sets (v1 lacks the later-added
+    # o_comment_len column) read together with mergeSchema — the lake
+    # reality where a 100 TB table's old partitions predate new
+    # columns. The unified frame must null-fill the missing column for
+    # v1 rows; the oracle models exactly that with a UNION of
+    # projections.
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       NULL::BIGINT AS o_comment_len, 'v1' AS snapshot
+FROM orders WHERE o_custkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       length(o_orderpriority)::BIGINT AS o_comment_len, 'v2' AS snapshot
+FROM orders WHERE o_custkey % 2 <> 0
+""",
+    doc="S14 mergeSchema evolution read: v1/v2 partitions with "
+    "divergent schemas unify into one frame with null-filled new "
+    "columns — proven by the union-of-projections oracle. At scale "
+    "the merged schema comes from footer sampling; the declared-"
+    "schema read path (s12) remains the production default.",
+    tags=("source",),
+)
+def s14_schema_evolution(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    tmp = os.path.join(
+        tempfile.gettempdir(), "ast_schema_evo", os.path.basename(sf_dir.rstrip("/"))
+    )
+    v1 = orders.filter(F.col("o_custkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v2 = orders.filter(F.col("o_custkey") % 2 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.length("o_orderpriority").cast("long").alias("o_comment_len"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(tmp, "snapshot=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(tmp, "snapshot=v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(tmp)
+    return back.select(
+        "o_orderkey", "o_orderstatus", "o_comment_len", "snapshot"
+    )

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_bpe_efficiency",
     "a_chi2_independence",
     "x_classifier_eval",
+    "s14_schema_evolution",
     "x_centroid_cosine_matrix",
     "e_pct_change_daily",
     "e_dow_seasonality",
