@@ -436,3 +436,64 @@ def s14_schema_evolution(spark, sf_dir):
     return back.select(
         "o_orderkey", "o_orderstatus", "o_comment_len", "snapshot"
     )
+
+
+@register(
+    "s15_corrupt_record_quarantine",
+    # Bad-record quarantine: a JSONL feed where every 25th record is
+    # truncated mid-object (the classic upstream-crash artifact) read
+    # in PERMISSIVE mode with a _corrupt_record column — good rows
+    # parse, bad rows quarantine with their raw payload preserved for
+    # replay. The census proves the split; FAILFAST would abort the
+    # whole 100 TB ingest for one bad line, DROPMALFORMED would
+    # silently lose data — PERMISSIVE+quarantine is the production
+    # posture. Corruption rule is deterministic (doc_id % 25 = 0), so
+    # the oracle derives the same split from parquet.
+    oracle="""
+SELECT (doc_id % 25 = 0) AS is_corrupt,
+       count(*)::BIGINT AS n_rows,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM documents
+GROUP BY 1
+""",
+    doc="PERMISSIVE JSON ingestion with corrupt-record quarantine: "
+    "malformed lines land in _corrupt_record instead of failing the "
+    "job or vanishing; the report counts both sides with "
+    "deterministic id bounds. One scan of the staged feed; the "
+    "quarantine column is only materialized for bad rows.",
+    tags=("source", "quality"),
+)
+def s15_corrupt_record_quarantine(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    tmp = os.path.join(
+        tempfile.gettempdir(), "ast_corrupt_jsonl", os.path.basename(sf_dir.rstrip("/"))
+    )
+    line = F.when(
+        F.col("doc_id") % 25 == 0,
+        # truncated mid-object: unparseable, but doc_id still visible
+        F.format_string('{"doc_id": %d, "source": "', F.col("doc_id")),
+    ).otherwise(
+        F.format_string('{"doc_id": %d, "source": "%s"}', F.col("doc_id"), F.col("source"))
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(tmp)
+    back = (
+        spark.read.schema("doc_id bigint, source string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+    )
+    parsed = back.select(
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+        F.coalesce(
+            "doc_id",
+            F.regexp_extract("_corrupt_record", r'"doc_id": (\d+)', 1).cast(
+                "bigint"
+            ),
+        ).alias("doc_id"),
+    )
+    return parsed.groupBy("is_corrupt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

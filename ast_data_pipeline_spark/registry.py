@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_chi2_independence",
     "x_classifier_eval",
     "s14_schema_evolution",
+    "s15_corrupt_record_quarantine",
     "x_centroid_cosine_matrix",
     "e_pct_change_daily",
     "e_dow_seasonality",
