@@ -461,3 +461,76 @@ def t_asof_nearest(spark, sf_dir):
         chosen["pvalue"].alias("p_value"),
         (chosen["t"] - F.col("t")).alias("dt_us"),
     )
+
+
+@register(
+    "t_peak_concurrency",
+    # Sweep-line peak concurrency: every event opens a 30-minute span;
+    # the report is each day's maximum number of simultaneously-open
+    # spans across all users — the capacity number (license seats,
+    # connection pools) interval OVERLAP counting exists for, distinct
+    # from t_interval_union_length's coverage. +1/-1 deltas sweep in
+    # (t, delta, event_id) order — ends sort before starts at the same
+    # instant, so touching spans never count as concurrent. The
+    # running count is a TWO-LEVEL prefix sum (per-day offsets over
+    # the tiny day table + in-day cumulatives), never a single-reducer
+    # global window; midnight carry-over rides the day offsets.
+    oracle="""
+WITH d AS (
+  SELECT floor(epoch(ts))::BIGINT AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT floor(epoch(ts))::BIGINT + 1800, -1, event_id FROM events
+),
+r AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS open_now
+  FROM d
+)
+SELECT strftime(to_timestamp(t), '%Y-%m-%d') AS day,
+       max(open_now)::BIGINT AS peak_concurrency,
+       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_opens
+FROM r GROUP BY 1
+""",
+    doc="Daily peak simultaneous-span count via a distributed "
+    "sweep-line: delta events bucket by day, per-day net sums prefix "
+    "over the ~30-row day table (broadcast back as offsets), and the "
+    "in-day running count + max run per day-partition — the "
+    "global-order sweep decomposes exactly because the day is a "
+    "PREFIX of the (t, delta, event_id) ordering.",
+    tags=("temporal", "window", "extension"),
+)
+def t_peak_concurrency(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    t = F.col("ts").cast("long")
+    d = ev.select(
+        t.alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        ev.select((t + 1800).alias("t"), F.lit(-1).alias("delta"), "event_id")
+    ).withColumn("day_ts", F.to_date(F.timestamp_seconds(F.col("t"))))
+    per_day = d.groupBy("day_ts").agg(F.sum("delta").alias("net"))
+    w_days = Window.orderBy("day_ts").rowsBetween(Window.unboundedPreceding, -1)
+    off = per_day.select(
+        "day_ts",
+        F.coalesce(F.sum("net").over(w_days), F.lit(0)).alias("carry_in"),
+    )
+    w_in = (
+        Window.partitionBy("day_ts")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.join(F.broadcast(off), "day_ts").select(
+        "day_ts",
+        "delta",
+        (F.col("carry_in") + F.sum("delta").over(w_in)).alias("open_now"),
+    )
+    return r.groupBy(
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("open_now").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_opens"),
+    )

@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_classifier_eval",
     "s14_schema_evolution",
     "s15_corrupt_record_quarantine",
+    "t_peak_concurrency",
     "x_centroid_cosine_matrix",
     "e_pct_change_daily",
     "e_dow_seasonality",
