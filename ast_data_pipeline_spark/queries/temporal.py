@@ -534,3 +534,63 @@ def t_peak_concurrency(spark, sf_dir):
         .cast("long")
         .alias("n_opens"),
     )
+
+
+ASOF_TOL_S = 6 * 3600  # 6-hour match tolerance
+
+
+@register(
+    "t_asof_tolerance",
+    # As-of join with tolerance (pandas merge_asof(tolerance=...)):
+    # the backward match only counts if the purchase happened within
+    # 6 hours of the click — stale state is worse than no state in
+    # feature pipelines. Same union+window plan as t_asof_join; the
+    # tolerance is a row-local null-out after the pick, so the plan
+    # shape (one user-key exchange, no pair explosion) is unchanged.
+    oracle=f"""
+SELECT a.event_id,
+       a.user_id,
+       CASE WHEN epoch(a.ts) - epoch(b.ts) <= {ASOF_TOL_S}
+            THEN b.event_id END AS purchase_event_id,
+       CASE WHEN epoch(a.ts) - epoch(b.ts) <= {ASOF_TOL_S}
+            THEN b.value END AS purchase_value,
+       (b.event_id IS NOT NULL
+        AND epoch(a.ts) - epoch(b.ts) > {ASOF_TOL_S}) AS match_expired
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+""",
+    doc="Tolerance-bounded backward as-of join: each click keeps its "
+    "most recent purchase only when it is at most 6 hours old, and "
+    "reports expired matches separately (the staleness census). "
+    "Union+window plan, one user_id exchange; the integer-epoch "
+    "tolerance test is a codegen projection.",
+    tags=("temporal", "join", "extension"),
+)
+def t_asof_tolerance(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts", "value"
+    )
+    # carry the purchase ts through the standard helper as a
+    # pre-materialized column so the tolerance test stays row-local
+    purchases = purchases.withColumn("p_ts_l", F.col("ts").cast("long"))
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["p_event_id", "value", "p_ts_l"],
+        suffix="",
+    )
+    in_tol = (F.col("ts").cast("long") - F.col("p_ts_l")) <= ASOF_TOL_S
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("p_event_id")).alias("purchase_event_id"),
+        F.when(in_tol, F.col("value")).alias("purchase_value"),
+        (F.col("p_event_id").isNotNull() & ~in_tol).alias("match_expired"),
+    )

@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "s14_schema_evolution",
     "s15_corrupt_record_quarantine",
     "t_peak_concurrency",
+    "t_asof_tolerance",
     "x_centroid_cosine_matrix",
     "e_pct_change_daily",
     "e_dow_seasonality",
