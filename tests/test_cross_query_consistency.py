@@ -24,10 +24,26 @@ def test_nearest_is_at_least_as_close_as_backward(spark, sf_dir):
     # wherever backward found a match, nearest must have one too
     has_back = m.purchase_event_id.notna()
     assert m.loc[has_back, "p_event_id"].notna().all()
-    # and the nearest |dt| can never exceed the backward gap (backward
-    # is one of nearest's two candidates)
-    near_has = m.p_event_id.notna()
-    assert (m.loc[near_has, "dt_us"].abs() >= 0).all()
+    # the nearest |dt| can never exceed the backward gap, because the
+    # backward match is one of nearest's two candidates
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT event_id, epoch_us(ts) AS t_us FROM '{sf_dir}/events.parquet'"
+    ).df()
+    g = (
+        m[has_back]
+        .merge(ev.rename(columns={"event_id": "event_id", "t_us": "click_us"}), on="event_id")
+        .merge(
+            ev.rename(
+                columns={"event_id": "purchase_event_id", "t_us": "purch_us"}
+            ),
+            on="purchase_event_id",
+        )
+    )
+    back_gap = g.click_us - g.purch_us
+    assert (back_gap >= 0).all()
+    assert (g.dt_us.abs() <= back_gap).all()
 
 
 def test_rolling_wau_bounds_dau(spark, sf_dir):
