@@ -840,3 +840,78 @@ def e_transition_violations(spark, sf_dir):
             (F.sum("bad") == 0).alias("is_clean"),
         )
     )
+
+
+_RFM_ORACLE = f"""
+WITH anchor AS (SELECT date_trunc('day', max(ts)) AS a FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', date_trunc('day', max(ts)), (SELECT a FROM anchor))::BIGINT
+           AS recency_days,
+         count(*)::BIGINT AS frequency,
+         {dsum_sql('value')} AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+       ntile(4) OVER (ORDER BY frequency, user_id)          AS f_score,
+       ntile(4) OVER (ORDER BY monetary, user_id)           AS m_score,
+       ntile(4) OVER (ORDER BY recency_days DESC, user_id) || '-'
+         || ntile(4) OVER (ORDER BY frequency, user_id) || '-'
+         || ntile(4) OVER (ORDER BY monetary, user_id)      AS segment
+FROM per_user
+"""
+
+
+@register(
+    "e_rfm_scores",
+    oracle=_RFM_ORACLE,
+    doc="RFM segmentation: per-user recency (whole days from the "
+    "user's last event to the corpus anchor day), frequency, and "
+    "exact-decimal monetary total, each quartiled with ntile(4) over "
+    "a UNIQUE order chain (metric, user_id) — ntile on a total order "
+    "is engine-identical (SQL standard: earlier buckets take the "
+    "remainder rows), ties without the user_id tiebreak would not "
+    "be. Scores orient so 4 = best (most recent / most frequent / "
+    "highest spend). The three ntiles are global windows — fine for "
+    "a user-dimension table (|users| << |events|; the heavy shuffle "
+    "is the per-user agg); for a billion-user table swap in the "
+    "two-level rank decomposition used by x_shard_assign.",
+    tags=("events", "window", "extension"),
+)
+def e_rfm_scores(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.max("ts")).alias("a"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.max("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("a"), F.to_date("last_day"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), "user_id")
+    w_f = Window.orderBy("frequency", "user_id")
+    w_m = Window.orderBy("monetary", "user_id")
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", "r_score", "f_score", "m_score"),
+    )

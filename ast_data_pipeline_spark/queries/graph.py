@@ -110,3 +110,122 @@ def x_pagerank(spark, sf_dir):
             )
         )
     return ranks
+
+
+_TRIANGLE_ORACLE = """
+WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e2.src = e1.src AND e2.dst <> e1.dst
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+       (SELECT sum(deg * (deg - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+       n_triangles,
+       3.0 * n_triangles / (SELECT sum(deg * (deg - 1) // 2) FROM deg)::DOUBLE
+         AS global_clustering
+FROM tri
+"""
+
+
+@register(
+    "x_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Degree-oriented triangle counting over the part co-order "
+    "graph (parts are adjacent iff some order contains both). The "
+    "classic distributed formulation (Cohen / Suri-Vassilvitskii "
+    "MapReduce triangle counting): canonicalize edges (u<v), orient "
+    "every edge from its lower-(degree, id) endpoint to the higher "
+    "one, and count paths e1=(a,b), e2=(a,c) closed by e3=(b,c). "
+    "Orientation makes each triangle counted exactly once AND bounds "
+    "the join fan-out per node by O(sqrt(E)) on skewed graphs — the "
+    "all-pairs wedge join without orientation explodes on hub nodes. "
+    "Output is the one-row graph census (nodes, edges, wedges, "
+    "triangles, global clustering 3T/W — a single IEEE division, "
+    "bit-exact both engines). At 100 TB: edges pre-partitioned by "
+    "src co-locate both wedge-join probes; the per-order pair "
+    "explosion is bounded by max order width (7 here), never "
+    "quadratic in the table.",
+    tags=("extension", "graph"),
+)
+def x_triangle_count(spark, sf_dir):
+    pp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = pp.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        pp.join(b, (pp.l_orderkey == b.o2) & (pp.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .distinct()
+    )
+    # The wedge join consumes `edges` three times; cut the lineage so
+    # the per-order pair explosion runs once (the pagerank idiom).
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
+    e3 = oriented.select(F.col("src").alias("src3"), F.col("dst").alias("dst3"))
+    tri = (
+        oriented.join(
+            e2, (F.col("src2") == F.col("src")) & (F.col("dst2") != F.col("dst"))
+        )
+        .join(e3, (F.col("src3") == F.col("dst")) & (F.col("dst3") == F.col("dst2")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    census = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(deg * (deg - 1) div 2)").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(census)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double")).alias(
+                "global_clustering"
+            ),
+        )
+    )

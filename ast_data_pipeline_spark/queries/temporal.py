@@ -594,3 +594,194 @@ def t_asof_tolerance(spark, sf_dir):
         F.when(in_tol, F.col("value")).alias("purchase_value"),
         (F.col("p_event_id").isNotNull() & ~in_tol).alias("match_expired"),
     )
+
+
+# Truncated-EWMA weights: exact binary fractions (2^-k), written in
+# scientific notation so BOTH engines parse them as DOUBLE (bare
+# decimal literals parse as DECIMAL and shift the arithmetic type).
+_EWMA_W = ["5e-1", "2.5e-1", "1.25e-1", "6.25e-2", "3.125e-2", "1.5625e-2", "7.8125e-3"]
+
+
+def _ewma_exprs() -> tuple[str, str]:
+    """(numerator, denominator) expression text shared verbatim by the
+    Spark column and the DuckDB oracle: a fixed LEFT-ASSOCIATED chain
+    of IEEE + and * (both bit-exact across engines), truncated at 7
+    lags (weights 2^-1 .. 2^-7; the 2^-8 tail is dropped, and the
+    denominator renormalizes over the lags actually present)."""
+    num = "v0"
+    den = "1e0"
+    for k, w in enumerate(_EWMA_W, start=1):
+        num = f"({num} + coalesce(v{k}, 0e0) * {w})"
+        den = f"({den} + (CASE WHEN v{k} IS NULL THEN 0e0 ELSE {w} END))"
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_exprs()
+
+_EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, {dsum_sql('value')} AS v0
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, v0,
+         lag(v0, 1) OVER w AS v1, lag(v0, 2) OVER w AS v2,
+         lag(v0, 3) OVER w AS v3, lag(v0, 4) OVER w AS v4,
+         lag(v0, 5) OVER w AS v5, lag(v0, 6) OVER w AS v6,
+         lag(v0, 7) OVER w AS v7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v0 AS daily_value,
+       {_EWMA_NUM} / {_EWMA_DEN} AS ewma
+FROM lagged
+"""
+
+
+@register(
+    "t_ewma",
+    oracle=_EWMA_ORACLE,
+    doc="Truncated exponentially-weighted moving average (alpha=1/2, "
+    "7 lags) over the per-type daily value series. Weights are exact "
+    "binary fractions, the weighted sum is one fixed left-associated "
+    "chain of IEEE +/* (bit-exact in every engine), and the "
+    "denominator renormalizes over present lags so the series head "
+    "is well-defined — which is how you make an EWMA reproducible "
+    "across cluster layouts without fixed-point tricks. Plan: one "
+    "shuffle for the daily agg, the lag window reuses the SAME "
+    "(event_type) partitioning, so no second exchange. At 100 TB the "
+    "window key is the series id — thousands of independent series "
+    "parallelize; a single global series would serialize (use the "
+    "two-level prefix decomposition then).",
+    tags=("temporal", "window", "extension"),
+)
+def t_ewma(spark, sf_dir):
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("v0"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "v0",
+        *[F.lag("v0", k).over(w).alias(f"v{k}") for k in range(1, 8)],
+    )
+    return lagged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v0").alias("daily_value"),
+        F.expr(f"{_EWMA_NUM} / {_EWMA_DEN}").alias("ewma"),
+    )
+
+
+_INTERP_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hh, {dsum_sql('value')} AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(hh) AS h0, max(hh) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hh
+  FROM span
+),
+joined AS (
+  SELECT g.event_type, g.hh, h.v FROM grid g
+  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hh = g.hh
+),
+bracketed AS (
+  SELECT event_type, hh, v,
+         last_value(v IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS) OVER wp AS prev_h,
+         first_value(v IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS) OVER wf AS next_h
+  FROM joined
+  WINDOW
+    wp AS (PARTITION BY event_type ORDER BY hh
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY hh
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour,
+       v AS observed,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + (next_v - prev_v)
+                 * ((epoch_us(hh) - epoch_us(prev_h))::DOUBLE
+                    / (epoch_us(next_h) - epoch_us(prev_h))::DOUBLE)
+       END AS value_interp,
+       (v IS NULL) AS is_interpolated
+FROM bracketed
+"""
+
+
+@register(
+    "t_interp_linear",
+    oracle=_INTERP_ORACLE,
+    doc="Linear gap interpolation over the per-type hourly series: "
+    "build the dense hour spine (sequence/explode <-> "
+    "generate_series/unnest), left-join observations, bracket every "
+    "gap with last/first IGNORE-NULLS windows over the SAME series "
+    "partitioning (two window frames, one exchange), and fill "
+    "prev + (next-prev) * dt-fraction. The fraction is an integer-"
+    "microsecond ratio, so the fill is three IEEE ops in fixed order "
+    "— bit-exact both engines. Interior spine hours always have both "
+    "brackets (spine spans observed min..max). The ffill-only case "
+    "is t_resample_ffill; this is the telemetry/sensor variant. At "
+    "100 TB the spine explode is |series| x span/granularity rows — "
+    "generated distributed, never on the driver.",
+    tags=("temporal", "window", "extension"),
+)
+def t_interp_linear(spark, sf_dir):
+    from pyspark.sql import Window
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hh"))
+        .agg(dsum("value").alias("v"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hh").alias("h0"), F.max("hh").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hh"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "hh"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hh")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("hh"))
+    b = j.select(
+        "event_type",
+        "hh",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(known_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(known_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    frac = (
+        F.unix_micros("hh") - F.unix_micros("prev_h")
+    ).cast("double") / (F.unix_micros("next_h") - F.unix_micros("prev_h")).cast(
+        "double"
+    )
+    return b.select(
+        "event_type",
+        F.date_format("hh", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v").alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("value_interp"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
