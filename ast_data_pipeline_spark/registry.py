@@ -64,15 +64,80 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # Grading priority: the driver's correctness gate walks ``load_all()``
 # in iteration order (and may stop at a budgeted prefix, historically
-# 50). Window layout: 1-6 changed-oracle queries, 7-23 the 17
-# never-driver-graded queries from VERDICT r4 (its top ask), 24-50 the
-# most substantive new r5 operators. Everything else follows; nothing
+# 50). Round-6 window layout (VERDICT r5 ask #1): slots 1-40 are the 40
+# queries that have never received a driver CORRECTNESS row (all r5
+# late additions), slot 41 is x_range_partition_bounds (implementation
+# re-parameterized this round), slots 42-50 re-prove the oldest r2/r3
+# greens across sections. Everything else follows; duplicates later in
+# the tuple are harmless (dict insertion keeps first position); nothing
 # is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # 1-6: oracles new or changed this round (flagship under the full
-    # hash gate, LSH-routed embedding near-dup, decodable-path
-    # multimodal oracles, reprojection series, star-CC)
+    # 1-8: robust-stats block
+    "a_exact_quantiles",
+    "a_weighted_median",
+    "a_histogram_equidepth",
+    "a_benford_digits",
+    "a_chi2_independence",
+    "x_classifier_eval",
+    "x_minhash_est_quality",
+    "x_snapshot_diff",
+    # 9-15: temporal block
+    "t_ewma",
+    "t_interp_linear",
+    "t_interval_union_length",
+    "t_peak_concurrency",
+    "t_asof_tolerance",
+    "t_resample_ffill",
+    "e_gap_fill_daily",
+    # 16-22: events block
+    "e_dow_seasonality",
+    "e_event_paths",
+    "e_interarrival_stats",
+    "e_pct_change_daily",
+    "e_rfm_scores",
+    "e_user_activity_zscore",
+    "x_sentence_stats",
+    # 23-26: graph / dedup-analysis block
+    "x_triangle_count",
+    "x_dedup_transitivity",
+    "x_dedup_rate_by_source",
+    "x_gini_source_concentration",
+    # 27-31: sources / streams / joins block
+    "s14_schema_evolution",
+    "s15_corrupt_record_quarantine",
+    "s_stream_upsert_snapshot",
+    "j_salted_skew_join",
+    "j_skew_report",
+    # 32-40: text / eval / sampling tail
+    "x_bigram_model",
+    "x_pmi_collocations",
+    "x_vocab_growth",
+    "x_ngram_novelty",
+    "x_bpe_efficiency",
+    "x_centroid_cosine_matrix",
+    "x_kfold_assign",
+    "x_negative_sampling",
+    "x_training_assembly",
+    # 41: implementation re-parameterized this round (scale-aware
+    # sample gate), same oracle
+    "x_range_partition_bounds",
+    # 42-50: re-proof of the oldest greens (§2 core last driver-graded
+    # r2/r3), one per section family
     "flagship_tank_inventory",
+    "d_a1_bbox_merge",
+    "d_j8_county_argmax",
+    "d_global_bbox_utm",
+    "d_label_standardize",
+    "j5_disambiguating_join",
+    "a3_crosstab_margins",
+    "u4_integrity_check",
+    "w_topk_per_group",
+    # --- below the historical 50-slot budget: previous window order ---
+    "x_embedding_neardup",
+    "x_multimodal_resize",
+    "x_multimodal_frames",
+    "d_reproject_roundtrip",
+    "x_dedup_clusters_star",
     "x_embedding_neardup",
     "x_multimodal_resize",
     "x_multimodal_frames",
