@@ -429,3 +429,83 @@ def test_incremental_dedup_and_sampler_plan_claims(spark, sf_dir):
     # CDC chunking: codegen-only projection — no exchange at all
     cdc = _plan(specs["x_cdc_chunking"].fn(spark, sf_dir))
     assert "Exchange" not in cdc, cdc[:1200]
+
+
+def test_range_bounds_two_level_rank_and_scale_aware_gate(spark, sf_dir):
+    # VERDICT r5 #2: (a) the fact-side row_number must partition by the
+    # monotone value bucket vb — an un-partitioned window over the
+    # sample was the one remaining single-reducer; (b) the gate cutoff
+    # must shrink with input size instead of staying a fixed 12.5%.
+    from ast_data_pipeline_spark.queries.sampling import (
+        RANGE_GATE_SPACE,
+        RANGE_N_BUCKETS,
+        range_partition_bounds,
+        range_sample_cut,
+    )
+    from ast_data_pipeline_spark.registry import load_all
+
+    plan = _plan(load_all()["x_range_partition_bounds"].fn(spark, sf_dir))
+    fact = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln and "o_totalprice" in ln
+    ]
+    assert fact and all("vb" in ln for ln in fact), plan[:2000]
+
+    # gate sizing: tiny inputs keep everything; at 100 TB-ish row
+    # counts the kept sample lands within ~2x of the 524288-row target
+    assert range_sample_cut(15_000, 8, 65_536) == RANGE_GATE_SPACE
+    for n in (10**9, 10**11, 10**13):
+        cut = range_sample_cut(n, 8, 65_536)
+        kept = n * cut / RANGE_GATE_SPACE
+        assert 8 * 65_536 <= kept < 2 * 8 * 65_536, (n, cut, kept)
+    assert range_sample_cut(0, 8, 65_536) == RANGE_GATE_SPACE
+    assert range_sample_cut(10**15, 8, 65_536) == 1  # never 0
+
+    # the gated branch (cut < max) must stay correct: bounds from a
+    # ~25% sample still partition the full table monotonically
+    orders = load(spark, sf_dir, "orders")
+    rows = (
+        range_partition_bounds(orders, RANGE_N_BUCKETS, RANGE_GATE_SPACE // 4)
+        .orderBy("bucket_id")
+        .collect()
+    )
+    assert [r["bucket_id"] for r in rows] == list(range(RANGE_N_BUCKETS))
+    ubs = [r["upper_bound"] for r in rows]
+    assert ubs == sorted(ubs)
+    n_sample = sum(r["sample_rows"] for r in rows)
+    # 64/256 = 25% +- binomial noise
+    assert abs(n_sample / orders.count() - 0.25) < 0.03
+    counts = [r["sample_rows"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # equi-depth by construction
+
+
+def test_minhash_band_shuffle_excludes_shingles(spark, sf_dir):
+    # VERDICT r5 watch item: at a production band count (128 hashes x
+    # 4 rows/band = 32 bands) the band self-join must shuffle only
+    # (doc_id, band_id, band_val); the shingle sets cross a shuffle at
+    # most twice (the verify fetch-join sides), independent of n_bands.
+    from ast_data_pipeline_spark.operators.dedup import minhash_neardup_compact
+
+    docs = load(spark, sf_dir, "documents")
+    docsets = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("shingles"),
+    )
+    # force the shuffle-join shape the band self-join takes at scale
+    # (locally the band table broadcasts, hiding the exchange payload)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(minhash_neardup_compact(docsets, 128, 4, 0.7))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    band_ex = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "band_val" in ln
+    ]
+    assert band_ex, plan[:2000]
+    assert all("shingle" not in ln and "set_a" not in ln for ln in band_ex), band_ex
+    for side in ("set_a", "set_b"):
+        side_ex = [
+            ln for ln in plan.splitlines() if "Exchange" in ln and side in ln
+        ]
+        assert len(side_ex) <= 1, side_ex
