@@ -71,3 +71,62 @@ def test_upsert_snapshot_multi_batch_merge(spark, sf_dir, tmp_path):
         2: ("2024-01-04 10:00:00", "view", 5.0),
         3: ("2024-01-01 00:00:00", "view", 6.0),
     }
+
+
+def test_sessionize_gap_boundary_exact(spark, tmp_path):
+    # r5 late find / VERDICT r5 #3: Spark's session_window merges
+    # sessions that TOUCH at the gap boundary — an event arriving
+    # exactly `gap` after its predecessor JOINS the session; only
+    # strictly-greater gaps start a new one. The batch gaps-and-islands
+    # query uses the same `> gap` rule, so both faces must merge the
+    # exact-1800s pair and split the 1801s pair. Fixture-driven: the
+    # synthetic corpus has no boundary-exact pair below sf0.1.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sfd = tmp_path / "sf_boundary"
+    sfd.mkdir()
+    ts = pa.array(
+        [
+            "2024-01-01 10:00:00",  # u1 session head
+            "2024-01-01 10:30:00",  # u1: exactly gap later -> MERGES
+            "2024-01-01 10:00:00",  # u2 session head
+            "2024-01-01 10:30:01",  # u2: gap+1s -> SPLITS
+            "2024-01-01 20:00:00",  # u3: pushes terminal watermark
+        ]
+    ).cast(pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array([""] * 5),
+        }
+    )
+    pq.write_table(tbl, sfd / "events.parquet")
+
+    specs = load_all()
+    batch = {
+        (r.user_id, r.session_start): r
+        for r in specs["e_sessionize"].fn(spark, str(sfd)).toPandas().itertuples()
+    }
+    # u1: ONE session spanning both events; u2: TWO one-event sessions
+    assert batch[(1, "2024-01-01 10:00:00")].n_events == 2
+    assert batch[(1, "2024-01-01 10:00:00")].session_end == "2024-01-01 10:30:00"
+    assert batch[(2, "2024-01-01 10:00:00")].n_events == 1
+    assert batch[(2, "2024-01-01 10:30:01")].n_events == 1
+    assert len([k for k in batch if k[0] == 2]) == 2
+
+    stream = {
+        (r.user_id, r.session_start): r
+        for r in specs["s_stream_sessionize"].fn(spark, str(sfd)).toPandas().itertuples()
+    }
+    # u3's open session is withheld by the watermark; u1/u2 finalized
+    assert stream[(1, "2024-01-01 10:00:00")].n_events == 2
+    # session_window end = last_ts + gap
+    assert stream[(1, "2024-01-01 10:00:00")].session_end == "2024-01-01 11:00:00"
+    assert stream[(2, "2024-01-01 10:00:00")].n_events == 1
+    assert stream[(2, "2024-01-01 10:30:01")].n_events == 1
+    assert not any(k[0] == 3 for k in stream)
