@@ -84,6 +84,11 @@ def kmeans_lloyd(
     (a stand-in for kmeans|| — at scale you'd seed from
     ``x_hash_sample``'s md5 gate instead of an orderBy+limit).
     """
+    # Round-boundary lineage cut (same trick as pagerank/BPE): every
+    # Lloyd round re-reads the input, so pin it to local blocks once
+    # instead of re-scanning parquet + re-decoding the vectors per
+    # round (PROFILE.md r5: the two Lloyd queries were the sweep tail).
+    df = df.localCheckpoint(eager=False)
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -156,6 +161,8 @@ def kmeans_lloyd_exact(
     """
     from ..functions.exact import davg
 
+    # same round-boundary lineage cut as kmeans_lloyd
+    df = df.localCheckpoint(eager=False)
     seed_rows = (
         df.filter(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
     )

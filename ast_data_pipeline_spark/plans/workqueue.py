@@ -29,33 +29,46 @@ def allocate_round(
     return allocated, rest
 
 
-def check_integrity(allocated: DataFrame, remaining: DataFrame, total: int) -> None:
-    """U4 (ref: src/az_proc.py:442-445): raise if the split lost rows."""
+def check_integrity(
+    allocated: DataFrame, remaining: DataFrame, total: int
+) -> tuple[int, int]:
+    """U4 (ref: src/az_proc.py:442-445): raise if the split lost rows.
+    Returns (n_allocated, n_remaining) so callers reuse the counts."""
     n_a, n_r = allocated.count(), remaining.count()
     if n_a + n_r != total:
         raise AssertionError(
             f"queue integrity violated: allocated={n_a} + remaining={n_r} != {total}"
         )
+    return n_a, n_r
 
 
 def run_rounds(queue: DataFrame, key: str, n: int, rounds: int) -> DataFrame:
     """Run ``rounds`` allocation rounds; returns the per-round summary
-    (round, n_allocated) plus the final queue state."""
+    (round, n_allocated) plus the final queue state.
+
+    Round-boundary lineage cuts (PROFILE.md r5 tail item): without
+    them the anti-join chain deepens by one join per round and every
+    per-round count re-executes the whole chain from the scan — round
+    R paid O(R) joins, the integrity check another O(R), and the final
+    counts a third. With the cuts each frame is computed once; the
+    integrity counts double as the materialization, so the summary
+    needs no extra jobs.
+    """
     pool = queue.count()
-    labeled: DataFrame | None = None
-    remaining = queue
+    remaining = queue.localCheckpoint(eager=False)
     summaries: list[tuple[int, int]] = []
+    labeled_n = 0
+    n_r = pool
     for r in range(1, rounds + 1):
         allocated, remaining = allocate_round(remaining, n, key)
-        check_integrity(allocated, remaining, pool)
-        n_alloc = allocated.count()
+        allocated = allocated.localCheckpoint(eager=False)
+        remaining = remaining.localCheckpoint(eager=False)
+        n_alloc, n_r = check_integrity(allocated, remaining, pool)
         pool -= n_alloc
-        labeled = allocated if labeled is None else labeled.unionByName(allocated)
+        labeled_n += n_alloc
         summaries.append((r, n_alloc))
     spark = queue.sparkSession
     out = spark.createDataFrame(summaries, "round int, n_allocated long")
-    remaining_n = remaining.count()
-    labeled_n = labeled.count() if labeled is not None else 0
-    return out.withColumn("n_remaining_final", F.lit(remaining_n)).withColumn(
+    return out.withColumn("n_remaining_final", F.lit(n_r)).withColumn(
         "n_labeled_final", F.lit(labeled_n)
     )

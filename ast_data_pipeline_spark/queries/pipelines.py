@@ -411,7 +411,12 @@ def x_training_assembly(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     survivors = curate(spark, docs).select("doc_id", "source", "n_tokens")
-    wds = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    # the split-words frame feeds BOTH the benchmark extract and the
+    # contamination probe; cut the lineage so the regex split runs once
+    # (PROFILE.md r5 tail item)
+    wds = docs.select("doc_id", words_col(F.col("text")).alias("w")).localCheckpoint(
+        eager=False
+    )
     bench = wds.filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 18)).select(
         F.slice("w", 4, 15).alias("w")
     )
