@@ -1,16 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata structs (north-star extension).
 
-The container has no compressed-image/audio codecs, so decode is REAL
-only where no codec is needed: ``decode_image`` decodes uncompressed
-Netpbm (P6 PPM / P5 PGM) and ``decode_audio`` uncompressed PCM WAV
-(RIFF chunk walk), both in pure numpy from the public specs;
-``extract_features``/``audio_features``/``pairwise_ssim`` compute over
-those decoded samples end-to-end. For compressed formats (png/jpg/mp3)
-the decode raises NotImplementedError exactly where
-Pillow/libsndfile/ffmpeg would plug in, and a deterministic fake
-(raw-byte features) keeps the Arrow plumbing — schema, batching,
-partitioning, UDF signature — exercised.
+The container has no image/audio codec libraries, so decode is REAL
+where the public spec + stdlib suffice: ``decode_image`` decodes
+uncompressed Netpbm (P6 PPM / P5 PGM) in pure numpy AND baseline PNG
+(8-bit grey/RGB — CRC-checked chunk walk, zlib IDAT inflate, scanline
+unfilter per RFC 2083); ``decode_audio`` decodes uncompressed PCM WAV
+(RIFF chunk walk); ``extract_features``/``audio_features``/
+``pairwise_ssim`` compute over those decoded samples end-to-end. For
+the remaining compressed formats (jpg/mp3) the decode raises
+NotImplementedError exactly where Pillow/libsndfile/ffmpeg would plug
+in, and a deterministic fake (raw-byte features) keeps the Arrow
+plumbing — schema, batching, partitioning, UDF signature — exercised.
 """
 
 from __future__ import annotations
@@ -55,15 +56,153 @@ def _parse_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
     return magic, w, h, maxval, pos
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §6: None/Sub/Up/Average/Paeth).
+
+    Sub and Up are vectorized (Sub is a mod-256 cumsum down the
+    per-channel byte columns); Average/Paeth carry a left-pixel
+    dependency and run as per-byte loops — acceptable because rows are
+    short and the hot path (our encoder) emits filter 0/1/2.
+    """
+    bpp = channels
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        off = y * (1 + stride)
+        ftype = raw[off]
+        cur = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+        prev = recon[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            recon[y] = cur
+        elif ftype == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp]
+            cols = cur.reshape(stride // bpp, bpp).astype(np.int64)
+            recon[y] = (np.cumsum(cols, axis=0) % 256).astype(np.uint8).ravel()
+        elif ftype == 2:  # Up
+            recon[y] = cur + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            row = recon[y]
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(cur[x]) + (a + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            row = recon[y]
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    arr = recon.reshape(h, w, channels)
+    return arr if channels == 3 else arr[:, :, 0]
+
+
+def _png_decode(payload: bytes) -> np.ndarray:
+    """Real PNG decode (public spec, RFC 2083): chunk walk with CRC
+    verification, zlib inflate of the IDAT stream, scanline unfilter.
+    Supports the baseline subset: bit depth 8, greyscale (color type
+    0) and truecolor RGB (color type 2), no interlace."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"PNG subset: need depth 8, color type 0/2, no interlace "
+            f"(got depth={depth} color={color} interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    return _png_unfilter(raw, w, h, 3 if color == 2 else 1)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (fixture/ingest side of the roundtrip):
+    8-bit grey or RGB, one filter type for every scanline, zlib level 6.
+    Filter types 1/2 are applied for real (so tests can exercise the
+    matching unfilter paths); 3/4 are not emitted by this encoder."""
+    import struct
+    import zlib
+
+    if filter_type not in (0, 1, 2):
+        raise ValueError("encoder emits filter types 0/1/2 only")
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, channels = 0, 1
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, channels = 2, 3
+    else:
+        raise ValueError("need (h, w) grey or (h, w, 3) RGB")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * channels).astype(np.int64)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 1:  # Sub
+            cols = cur.reshape(w, channels)
+            out = cols.copy()
+            out[1:] = (cols[1:] - cols[:-1]) % 256
+            out = out.ravel()
+        elif filter_type == 2:  # Up
+            out = (cur - (flat[y - 1] if y else 0)) % 256
+        else:
+            out = cur
+        lines.append(bytes([filter_type]) + out.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     """Decode an image payload to a uint8 pixel array.
 
     REAL for the uncompressed Netpbm formats — P6 PPM -> (h, w, 3) RGB,
-    P5 PGM -> (h, w) grayscale — implemented in pure numpy from the
-    public Netpbm spec (no codec dependency). Compressed formats
-    (png/jpg/...) still raise NotImplementedError where a Pillow/opencv
+    P5 PGM -> (h, w) grayscale (pure numpy from the public Netpbm
+    spec) — and for baseline PNG (8-bit grey/RGB, zlib IDAT inflate +
+    scanline unfilter, ``_png_decode``). Other compressed formats
+    (jpg/...) still raise NotImplementedError where a Pillow/opencv
     plug-in would slot in: those codecs are not in this container.
     """
+    if payload[:8] == PNG_SIG:
+        return _png_decode(payload)
     if payload[:2] in (b"P6", b"P5"):
         magic, w, h, maxval, off = _parse_pnm_header(payload)
         if not (0 < maxval < 256):
@@ -127,7 +266,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["payload"], pdf["fmt"]
             ):
                 raw = np.frombuffer(payload, dtype=np.uint8)
-                if bytes(payload[:2]) in (b"P6", b"P5"):
+                head = bytes(payload[:8])
+                if head == PNG_SIG or head[:2] in (b"P6", b"P5"):
                     vals = decode_image(bytes(payload), fmt).ravel()
                     ok = True
                 else:

@@ -425,3 +425,75 @@ def x_multimodal_y4m(spark, sf_dir):
         "doc_id", F.concat(header, frame0, frame1).alias("payload")
     )
     return video_frame_features(framed)
+
+
+@register(
+    "x_multimodal_png",
+    # Real compressed-format decode under the oracle gate (VERDICT r5
+    # #7): each doc's 96 ASCII bytes become a genuine 8x4 RGB PNG —
+    # CRC'd chunks, zlib-compressed IDAT, scanline filter doc_id % 3
+    # (None/Sub/Up, so all three hot unfilter paths run under the
+    # gate) — and extract_features decodes it for real
+    # (operators/multimodal._png_decode: chunk walk + CRC verify +
+    # inflate + unfilter). The decoded-pixel mean must equal the mean
+    # code point of the payload text, which DuckDB computes
+    # independently; integer code-point sums are exact in float64.
+    # byte_len/histogram are projected away (compressed size is
+    # zlib-version-dependent; the MEAN is codec-invariant truth).
+    oracle="""
+SELECT doc_id, 'png' AS format,
+       (list_sum(list_transform(generate_series(1, 96),
+                                i -> unicode(substr(t, i, 1))))::DOUBLE / 96)
+         AS mean_byte,
+       true AS feature_ok
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
+    doc="PNG roundtrip under the hash gate: encode each document's "
+    "ASCII bytes as a real zlib-compressed PNG (rotating scanline "
+    "filters), then decode in the mapInPandas feature stage — inflate "
+    "+ unfilter + CRC checks — and verify the decoded-pixel mean "
+    "against DuckDB's independent code-point mean. The one formerly "
+    "codec-less compressed format now has a working decoder.",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_png(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raster"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import encode_png
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_png(
+                    np.frombuffer(r, np.uint8).reshape(4, 8, 3),
+                    filter_type=int(d) % 3,
+                )
+                for d, r in zip(pdf["doc_id"], pdf["raster"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    framed = src.mapInPandas(_encode, "doc_id long, payload binary").withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("png").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(False).alias("is_audio"),
+        ),
+    )
+    return extract_features(framed).select(
+        "doc_id", "format", "mean_byte", "feature_ok"
+    )

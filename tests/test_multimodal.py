@@ -192,3 +192,90 @@ def test_decode_video_y4m_plane_layout():
     assert (frames[0, 0].ravel() == y0).all()
     assert (frames[0, 1] == 100).all() and (frames[0, 2] == 200).all()
     assert (frames[1].ravel() == np.frombuffer(f1, dtype=np.uint8)).all()
+
+
+def test_png_roundtrip_all_encoder_filters():
+    import numpy as np
+
+    from ast_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (5, 9, 3), dtype=np.uint8)
+    grey = rng.randint(0, 256, (6, 11), dtype=np.uint8)
+    for ft in (0, 1, 2):
+        assert (decode_image(encode_png(rgb, ft), "png") == rgb).all()
+        assert (decode_image(encode_png(grey, ft), "png") == grey).all()
+
+
+def test_png_unfilter_average_and_paeth():
+    # the encoder never emits filters 3/4; build the filtered raster by
+    # hand from the spec's reconstruction equations and check the
+    # decoder inverts them
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ast_data_pipeline_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_image,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    h, w, bpp = img.shape
+    flat = img.reshape(h, w * bpp).astype(int)
+    lines = b""
+    for y, ft in zip(range(h), (0, 3, 4, 3)):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * bpp, int)
+        out = []
+        for x in range(w * bpp):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(cur[x]) - pred) % 256)
+        lines += bytes([ft]) + bytes(out)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_image(payload, "png") == img).all()
+
+
+def test_png_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from ast_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    good = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside a chunk -> CRC mismatch
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad), "png")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg", "jpg")
