@@ -118,10 +118,12 @@ _PRIORITY: tuple[str, ...] = (
     "x_kfold_assign",
     "x_negative_sampling",
     "x_training_assembly",
-    # 41-42: implementation re-parameterized / NEW this round
+    # 41-44: implementation re-parameterized / NEW this round
     "x_range_partition_bounds",
     "x_multimodal_png",
-    # 43-50: re-proof of the oldest greens (§2 core last driver-graded
+    "x_cosine_topk_multiprobe",
+    "x_ann_recall_multiprobe",
+    # 45-50: re-proof of the oldest greens (§2 core last driver-graded
     # r2/r3), one per section family
     "flagship_tank_inventory",
     "d_a1_bbox_merge",
@@ -129,8 +131,6 @@ _PRIORITY: tuple[str, ...] = (
     "d_global_bbox_utm",
     "d_label_standardize",
     "j5_disambiguating_join",
-    "a3_crosstab_margins",
-    "u4_integrity_check",
     # --- below the historical 50-slot budget: previous window order ---
     "x_embedding_neardup",
     "x_multimodal_resize",
