@@ -81,6 +81,53 @@ def winnow_fingerprint_sql(words: str, k: int = 5) -> str:
     )
 
 
+# TRUE winnowing (Schleimer/Wilkerson/Aiken, MOSS): hash every word
+# k-gram, then keep the MIN hash of every sliding window of ``win``
+# consecutive k-gram hashes — the distinct selected set. Guarantee:
+# any shared run of >= win + k - 1 words between two documents shares
+# at least one selected fingerprint, while expected density stays
+# 2/(win+1) — the local, position-robust dedup primitive a single
+# whole-document min-hash (``winnow_fingerprint``) cannot provide.
+# Two stages so the k-gram hash list is computed ONCE per doc (inlining
+# it in the per-window lambda would re-hash the doc per window =
+# O(n^2) md5 calls in both engines). Hashes are the first 8 md5 hex
+# digits as BIGINT (engine-identical); the plain value min is
+# deterministic because equal hashes select the same value. Pure
+# expression code — per-row, no shuffle.
+
+
+def gram_hashes(words: str, k: int = 4) -> Column:
+    """BIGINT hash per overlapping word k-gram, in position order."""
+    joined = " || ' ' || ".join(f"{words}[i + {j}]" for j in range(k))
+    return F.expr(
+        f"transform(sequence(0, size({words}) - {k}), "
+        f"i -> cast(conv(substring(md5({joined}), 1, 8), 16, 10) as bigint))"
+    )
+
+
+def gram_hashes_sql(words: str, k: int = 4) -> str:
+    joined = " || ' ' || ".join(f"{words}[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(generate_series(1, len({words}) - {k - 1}), "
+        f"i -> ('0x' || substr(md5({joined}), 1, 8))::BIGINT)"
+    )
+
+
+def winnow_from_hashes(hs: str, win: int = 4) -> Column:
+    """Distinct window-min selection over a precomputed hash array."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, size({hs}) - {win - 1}), "
+        f"j -> array_min(slice({hs}, j, {win}))))"
+    )
+
+
+def winnow_from_hashes_sql(hs: str, win: int = 4) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({hs}) - {win - 1}), "
+        f"j -> list_min({hs}[j:j + {win - 1}])))"
+    )
+
+
 def quality_score(words: str, text: Column) -> Column:
     """The [0,1] Gopher/C4-style quality score used by x_text_quality:
     0.4*length-in-range + 0.4*capped stopword signal + 0.2*inverse

@@ -1688,3 +1688,108 @@ def x_classifier_eval(spark, sf_dir):
         r.alias("recall"),
         f1.alias("f1"),
     )
+
+
+_WINNOW_CTES = """
+wdocs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+wh AS (SELECT doc_id, {hs} AS hs FROM wdocs WHERE len(w) >= 7),
+wsel AS (SELECT doc_id, len(hs)::INT AS n_grams, {sel} AS fps FROM wh)
+"""
+
+
+def _winnow_ctes() -> str:
+    from ..operators.text import gram_hashes_sql, winnow_from_hashes_sql
+
+    return _WINNOW_CTES.format(
+        hs=gram_hashes_sql("w"), sel=winnow_from_hashes_sql("hs")
+    )
+
+
+@register(
+    "x_winnow_fingerprints",
+    oracle=f"""
+WITH {_winnow_ctes()}
+SELECT doc_id, n_grams, len(fps)::INT AS n_selected,
+       list_reduce(fps, (a, b) -> xor(a, b)) AS fp_xor,
+       len(fps)::DOUBLE / n_grams AS density
+FROM wsel
+""",
+    doc="TRUE winnowing fingerprints (Schleimer et al., the MOSS "
+    "algorithm): per doc, the distinct min-hash of every sliding "
+    "window of 4 consecutive word-4-gram hashes — guarantees any "
+    "shared run of >= 7 words between two docs shares a fingerprint "
+    "at ~2/(win+1) density, the local plagiarism/near-dup primitive a "
+    "whole-document min-hash (x_fingerprint) cannot give. Pure "
+    "per-row expression code, no shuffle; the set crosses the gate as "
+    "count + xor-fold (sequential left folds in both engines).",
+    tags=("text", "dedup", "extension"),
+)
+def x_winnow_fingerprints(spark, sf_dir):
+    from ..operators.text import gram_hashes, winnow_from_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    h = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 7)
+        .select("doc_id", gram_hashes("w").alias("hs"))
+    )
+    sel = h.select(
+        "doc_id",
+        F.size("hs").cast("int").alias("n_grams"),
+        winnow_from_hashes("hs").alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("int").alias("n_selected"),
+        F.expr(
+            "aggregate(fps, cast(0 as bigint), (acc, x) -> acc ^ x)"
+        ).alias("fp_xor"),
+        (F.size("fps").cast("double") / F.col("n_grams")).alias("density"),
+    )
+
+
+@register(
+    "x_winnow_overlap",
+    oracle=f"""
+WITH {_winnow_ctes()},
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM wsel),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+""",
+    doc="Winnowing overlap detection (the MOSS report): doc pairs "
+    "sharing >= 3 selected fingerprints — local plagiarism/boilerplate "
+    "overlap that whole-document similarity misses. Candidates come "
+    "from a fingerprint equi-join (selected fps are ~2/(win+1) of the "
+    "grams, so the exploded table is a fraction of the corpus and the "
+    "join is hash-bucketed, never all-pairs) + a count aggregate — "
+    "the same bounded-candidates shape as the LSH band join.",
+    tags=("text", "dedup", "extension"),
+)
+def x_winnow_overlap(spark, sf_dir):
+    from ..operators.text import gram_hashes, winnow_from_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    fp = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 7)
+        .select("doc_id", gram_hashes("w").alias("hs"))
+        .select("doc_id", F.explode(winnow_from_hashes("hs")).alias("fp"))
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
