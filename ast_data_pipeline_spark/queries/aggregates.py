@@ -1267,3 +1267,82 @@ def a_chi2_independence(spark, sf_dir):
         "expected",
         dsum_over("term", Window.partitionBy()).alias("chi2_total"),
     )
+
+
+@register(
+    "a_skyline_2d",
+    # Dominance rule (maximize price, minimize date): A dominates B
+    # iff price_A >= price_B AND date_A <= date_B with one strict;
+    # equal (price, date) points do not dominate each other. The
+    # single-pass formulation below is equivalent to NOT EXISTS
+    # dominator (proof pinned brute-force in tests/test_skyline.py):
+    # a row survives iff its date equals the min date AT its price and
+    # beats the min date over all strictly higher prices.
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey, o_totalprice AS x, o_orderdate AS y FROM orders
+),
+gx AS (SELECT x, min(y) AS gmin FROM pts GROUP BY x),
+h AS (
+  SELECT x, gmin,
+         min(gmin) OVER (ORDER BY x DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hmin
+  FROM gx
+)
+SELECT p.o_orderkey, p.x AS o_totalprice,
+       strftime(p.y, '%Y-%m-%d') AS o_orderdate
+FROM pts p JOIN h ON p.x = h.x
+WHERE p.y = h.gmin AND (h.hmin IS NULL OR p.y < h.hmin)
+""",
+    doc="2-D skyline (Pareto front): the orders no other order beats "
+    "on BOTH price (higher) and date (earlier) — multi-criteria "
+    "shortlisting without a scoring function. Plan: one groupBy(price) "
+    "shuffle, then the x_data_mixture two-level trick for the "
+    "running min over strictly-higher prices — per-price-bucket mins "
+    "form a tiny table whose exclusive prefix-min broadcasts back, and "
+    "the within-bucket window partitions by bucket (distinct prices "
+    "per row, so the ROWS frame is exact) — no un-partitioned window "
+    "over the fact at any size. The oracle states the same skyline as "
+    "one global window; tests/test_skyline.py proves both equal the "
+    "quadratic NOT-EXISTS dominance definition.",
+    tags=("aggregates", "window", "extension"),
+)
+def a_skyline_2d(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderdate").alias("y"),
+    )
+    gx = pts.groupBy("x").agg(F.min("y").alias("gmin")).withColumn(
+        "xb", F.floor(F.col("x") / F.lit(4096.0))
+    )
+    bkt = gx.groupBy("xb").agg(F.min("gmin").alias("bmin"))
+    w_hi = Window.orderBy(F.col("xb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = bkt.select("xb", F.min("bmin").over(w_hi).alias("hb"))
+    w_in = Window.partitionBy("xb").orderBy(F.col("x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    h = (
+        gx.join(F.broadcast(boff), "xb")
+        .withColumn("hin", F.min("gmin").over(w_in))
+        # Spark least() skips nulls, so this is min-over-present
+        .withColumn("hmin", F.least("hb", "hin"))
+        .select("x", "gmin", "hmin")
+    )
+    return (
+        pts.join(h, "x")
+        .filter(
+            (F.col("y") == F.col("gmin"))
+            & (F.col("hmin").isNull() | (F.col("y") < F.col("hmin")))
+        )
+        .select(
+            "o_orderkey",
+            F.col("x").alias("o_totalprice"),
+            F.date_format("y", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )

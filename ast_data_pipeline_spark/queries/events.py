@@ -915,3 +915,70 @@ def e_rfm_scores(spark, sf_dir):
         "segment",
         F.concat_ws("-", "r_score", "f_score", "m_score"),
     )
+
+
+@register(
+    "e_delta_agg_maintenance",
+    # The oracle IS the full recompute over all events; the Spark side
+    # produces the same rows by MERGING a pre-cutoff aggregate with a
+    # delta-batch aggregate (full-outer on the key, decimal partial
+    # sums added raw, ONE round at the end). Exact-decimal addition is
+    # associative, so incremental == recompute bit-for-bit — the
+    # property that makes incremental view maintenance safe to ship;
+    # with float sums the two paths drift and a maintained view slowly
+    # diverges from truth.
+    oracle="""
+WITH c AS (SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events)
+SELECT user_id,
+       sum(CASE WHEN ts < cutoff THEN 1 ELSE 0 END)::BIGINT AS n_base,
+       sum(CASE WHEN ts >= cutoff THEN 1 ELSE 0 END)::BIGINT AS n_delta,
+       count(*)::BIGINT AS n_events,
+       round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS total_value
+FROM events, c
+GROUP BY user_id
+""",
+    doc="Incremental view maintenance: the per-user aggregate is "
+    "maintained by merging the standing pre-cutoff state with the "
+    "last-7-days delta batch (full-outer join on the key; counts add; "
+    "DECIMAL partial sums add raw and round once at the end) and must "
+    "equal the full recompute — which is exactly what the oracle runs. "
+    "At 100 TB this is the difference between re-reading the fact "
+    "table per refresh and touching only the delta; exact decimal "
+    "sums are what make the merged path bit-identical to recompute "
+    "(float partial sums drift with aggregation order).",
+    tags=("events", "extension"),
+)
+def e_delta_agg_maintenance(spark, sf_dir):
+    from ..functions.exact import DEC, RSCALE
+
+    ev = load(spark, sf_dir, "events")
+    # planning-pass scalar (one timestamp to the driver) so both
+    # branch filters stay literal and pushdown-able
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("c")
+    ).collect()[0]["c"]
+    base = ev.filter(F.col("ts") < F.lit(cutoff))
+    delta = ev.filter(F.col("ts") >= F.lit(cutoff))
+    b = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum(F.col("value").cast(DEC)).alias("s_base"),
+    )
+    d = delta.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.sum(F.col("value").cast(DEC)).alias("s_delta"),
+    )
+    zero = F.lit(0).cast(DEC)
+    return b.join(d, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+        (F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        F.round(
+            F.coalesce(F.col("s_base"), zero) + F.coalesce(F.col("s_delta"), zero),
+            RSCALE,
+        )
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -118,13 +118,18 @@ _PRIORITY: tuple[str, ...] = (
     "x_kfold_assign",
     "x_negative_sampling",
     "x_training_assembly",
-    # 41-44: implementation re-parameterized / NEW this round
+    # 41-49: implementation re-parameterized / NEW this round
     "x_range_partition_bounds",
     "x_multimodal_png",
     "x_cosine_topk_multiprobe",
     "x_ann_recall_multiprobe",
-    # 45-50: re-proof of the oldest greens (§2 core last driver-graded
-    # r2/r3), one per section family
+    "x_winnow_fingerprints",
+    "x_winnow_overlap",
+    "x_entity_resolution",
+    "a_skyline_2d",
+    "e_delta_agg_maintenance",
+    # 50: flagship re-proof; more re-proofs of the oldest greens
+    # follow immediately in case the driver budget is larger
     "flagship_tank_inventory",
     "d_a1_bbox_merge",
     "d_j8_county_argmax",
