@@ -1346,3 +1346,95 @@ def a_skyline_2d(spark, sf_dir):
             F.date_format("y", "yyyy-MM-dd").alias("o_orderdate"),
         )
     )
+
+
+KMV_K = 256
+_HEX12 = float(16 ** 12)  # hash space for the 12-hex-digit KMV hash
+
+
+@register(
+    "a_kmv_distinct_sketch",
+    # KMV (k-minimum-values) distinct sketch, made exactly
+    # reproducible: hashes are the first 12 md5 hex digits (uniform,
+    # engine-identical), so the k-th smallest hash — and therefore the
+    # estimate (k-1) * 16^12 / h_k — is deterministic, unlike HLL
+    # whose register layout differs per engine. (k-1)*16^12 is a
+    # single exact double multiply (255 * 2^48 needs 8 mantissa bits);
+    # the divide is one IEEE op. Sources with fewer than k distinct
+    # tokens fall back to the exact count (the sketch holds every
+    # value). Mergeable: union of per-shard KMV sets -> k smallest.
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, a[i - 1] || ' ' || a[i] AS tok
+    FROM (SELECT source, string_split(lower(text), ' ') AS a FROM documents),
+         LATERAL unnest(generate_series(2, len(a))) t(i)
+    WHERE a[i - 1] <> '' AND a[i] <> ''
+  )
+),
+h AS (
+  SELECT source, tok, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS hv
+  FROM toks
+),
+ranked AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv, tok) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_exact
+  FROM h
+),
+kth AS (SELECT source, hv AS hk, n_exact FROM ranked WHERE rn = {KMV_K}),
+base AS (SELECT source, max(n_exact)::BIGINT AS n_exact FROM ranked GROUP BY 1)
+SELECT b.source, b.n_exact,
+       coalesce(({KMV_K} - 1)::DOUBLE * {_HEX12!r} / k.hk,
+                b.n_exact::DOUBLE) AS kmv_est,
+       abs(coalesce(({KMV_K} - 1)::DOUBLE * {_HEX12!r} / k.hk,
+                    b.n_exact::DOUBLE) - b.n_exact) / b.n_exact AS rel_err
+FROM base b LEFT JOIN kth k USING (source)
+""",
+    doc="Per-source distinct-bigram estimate via a KMV sketch vs the "
+    "exact count, with relative error — the mergeable-sketch pattern "
+    "(union shards, keep k smallest hashes) that replaces exact "
+    "count-distinct at 100 TB, here with a deterministic md5 hash "
+    "family so both engines compute the identical estimate. Per-group "
+    "rank <= k compiles to WindowGroupLimit (per-partition top-k "
+    "before the exchange), so the sketch build never sorts a group "
+    "through one reducer.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_kmv_distinct_sketch(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.split(F.lower("text"), " ").alias("a"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select("source", F.concat_ws(" ", "p.w1", "p.w2").alias("tok"))
+        .distinct()
+    )
+    h = toks.withColumn(
+        "hv",
+        F.expr("cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)"),
+    )
+    w = Window.partitionBy("source").orderBy("hv", "tok")
+    ranked = h.withColumn("rn", F.row_number().over(w))
+    base = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    kth = ranked.filter(F.col("rn") == KMV_K).select("source", F.col("hv").alias("hk"))
+    est = F.coalesce(
+        F.lit(float(KMV_K - 1)) * F.lit(_HEX12) / F.col("hk").cast("double"),
+        F.col("n_exact").cast("double"),
+    )
+    return base.join(F.broadcast(kth), "source", "left").select(
+        "source",
+        "n_exact",
+        est.alias("kmv_est"),
+        (F.abs(est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+    )

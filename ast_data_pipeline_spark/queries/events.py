@@ -982,3 +982,63 @@ def e_delta_agg_maintenance(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "e_cohort_retention",
+    oracle="""
+WITH wk AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT // 604800 AS week FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+act AS (
+  SELECT DISTINCT w.user_id, c.cohort_week,
+         w.week - c.cohort_week AS week_offset
+  FROM wk w JOIN cohort c USING (user_id)
+),
+sz AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1)
+SELECT a.cohort_week, a.week_offset, count(*)::BIGINT AS n_active,
+       s.cohort_size::BIGINT AS cohort_size,
+       count(*)::DOUBLE / s.cohort_size AS retention
+FROM act a JOIN sz s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+""",
+    doc="Cohort retention matrix: users grouped by first-activity week "
+    "(epoch-week integers — no calendar/timezone arithmetic to "
+    "diverge), retention = share of the cohort active at each week "
+    "offset. Two key-partitioned shuffles (per-user min week, then the "
+    "distinct per-(user, offset) activity) + a tiny cohort-size join — "
+    "the product-analytics staple, shaped so neither pass ever "
+    "serializes through one reducer.",
+    tags=("events", "extension"),
+)
+def e_cohort_retention(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", (F.col("ts").cast("long") / F.lit(604800)).cast("long").alias("week")
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        wk.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sz = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

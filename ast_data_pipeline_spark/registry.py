@@ -128,8 +128,10 @@ _PRIORITY: tuple[str, ...] = (
     "x_entity_resolution",
     "a_skyline_2d",
     "e_delta_agg_maintenance",
-    # 50: flagship re-proof; more re-proofs of the oldest greens
-    # follow immediately in case the driver budget is larger
+    "e_cohort_retention",
+    "a_kmv_distinct_sketch",
+    # 52+: re-proofs of the oldest greens (flagship first) in case the
+    # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
     "d_a1_bbox_merge",
     "d_j8_county_argmax",
