@@ -1042,3 +1042,69 @@ def e_cohort_retention(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "e_attribution_last_touch",
+    oracle="""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+attributed AS (
+  SELECT c.conv_id, c.value, t.event_type,
+         row_number() OVER (
+           PARTITION BY c.conv_id
+           ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.ts <= c.conv_ts
+   AND t.ts >= c.conv_ts - INTERVAL 3 DAY
+)
+SELECT event_type AS channel,
+       count(*)::BIGINT AS n_conversions,
+       round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS attributed_value
+FROM attributed WHERE rn = 1
+GROUP BY event_type
+""",
+    doc="Last-touch attribution: each purchase credits the most recent "
+    "click/view touchpoint by the same user inside a 3-day lookback "
+    "window — the marketing-analytics staple. The as-of pick is the "
+    "(ts DESC, event_id DESC) rank chain (unique key: deterministic "
+    "under ties); the conversion-touch join is user-partitioned with "
+    "a bounded time band. Attributed revenue goes through the exact "
+    "decimal path.",
+    tags=("events", "window", "extension"),
+)
+def e_attribution_last_touch(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    attributed = (
+        conv.join(
+            touch,
+            (conv.user_id == touch.user_id)
+            & (touch.ts <= conv.conv_ts)
+            & (touch.ts >= conv.conv_ts - F.expr("INTERVAL 3 DAY")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return attributed.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        dsum("value").alias("attributed_value"),
+    )

@@ -229,3 +229,91 @@ def x_triangle_count(spark, sf_dir):
             ),
         )
     )
+
+
+_KCORE_K = 48
+_KCORE_ROUNDS = 3
+
+_KCORE_EDGES_SQL = """
+pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS c_node,
+                  's' || l.l_suppkey::VARCHAR AS s_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+)
+"""
+
+
+def _kcore_oracle() -> str:
+    # fixed peel rounds unrolled as plain CTEs (a recursive CTE may
+    # reference itself only once, but each round needs the remaining
+    # set on BOTH edge endpoints)
+    ctes = ["r0 AS (SELECT DISTINCT src AS node FROM edges)"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"r{r} AS (SELECT e.src AS node FROM edges e "
+            f"JOIN r{r - 1} a ON e.src = a.node "
+            f"JOIN r{r - 1} b ON e.dst = b.node "
+            f"GROUP BY 1 HAVING count(*) >= {_KCORE_K})"
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT {r}::INT AS round, (SELECT count(*) FROM r{r})::BIGINT AS n_nodes"
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    return f"WITH {_KCORE_EDGES_SQL}, {', '.join(ctes)}\n{rounds}"
+
+
+@register(
+    "x_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition by iterative peeling (k={_KCORE_K}, "
+    f"{_KCORE_ROUNDS} fixed rounds on the customer-supplier bipartite "
+    "graph): each round drops nodes whose degree WITHIN the surviving "
+    "subgraph is below k, and removals cascade (sf0.01 census: 1600 -> "
+    "193 -> 148 -> 55). Per round: two semi-joins against the "
+    "surviving node set + one degree aggregate — all key-partitioned "
+    "shuffles; the node set is localCheckpoint'ed per round (the same "
+    "round-boundary cut as pagerank) so round R never re-derives "
+    "rounds 1..R-1. Integer degrees make every round bit-exact, so "
+    "the ITERATED cascade sits under the hash gate via unrolled-CTE "
+    "SQL. Output is the per-round survivor census (stable schema at "
+    "any scale; membership is the r-th CTE).",
+    tags=("extension", "graph", "iterative"),
+)
+def x_kcore_peel(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    census = [(0, nodes.count())]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        surv = (
+            edges.join(nodes.withColumnRenamed("node", "src"), "src")
+            .join(nodes.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        ).localCheckpoint(eager=False)
+        census.append((r, surv.count()))
+        nodes = surv
+    return spark.createDataFrame(census, "round int, n_nodes long")

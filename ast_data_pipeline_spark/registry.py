@@ -130,6 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "e_delta_agg_maintenance",
     "e_cohort_retention",
     "a_kmv_distinct_sketch",
+    "x_kcore_peel",
+    "e_attribution_last_touch",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
