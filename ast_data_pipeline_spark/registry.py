@@ -140,19 +140,12 @@ _PRIORITY: tuple[str, ...] = (
     "d_global_bbox_utm",
     "d_label_standardize",
     "j5_disambiguating_join",
-    # --- below the historical 50-slot budget: previous window order ---
+    # --- below the driver budget: previous window order ---
     "x_embedding_neardup",
     "x_multimodal_resize",
     "x_multimodal_frames",
     "d_reproject_roundtrip",
     "x_dedup_clusters_star",
-    "x_embedding_neardup",
-    "x_multimodal_resize",
-    "x_multimodal_frames",
-    "d_reproject_roundtrip",
-    "x_dedup_clusters_star",
-    # 7-23: the 17 never-driver-graded queries from VERDICT r4 —
-    # keeping these inside the ~50-slot window is that verdict's #1 ask
     "x_data_mixture",
     "x_shard_assign",
     "x_bpe_tokenize",
