@@ -66,11 +66,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # in iteration order (and may stop at a budgeted prefix, historically
 # 50). Round-6 window layout (VERDICT r5 ask #1): slots 1-40 are the 40
 # queries that have never received a driver CORRECTNESS row (all r5
-# late additions), slot 41 is x_range_partition_bounds (implementation
-# re-parameterized this round), slots 42-50 re-prove the oldest r2/r3
-# greens across sections. Everything else follows; duplicates later in
-# the tuple are harmless (dict insertion keeps first position); nothing
-# is dropped.
+# late additions); slots 41-53 are this round's re-parameterized and
+# NEW operators; re-proofs of the oldest r2/r3 greens follow for any
+# budget beyond the historical ~50. Duplicates later in the tuple are
+# harmless (dict insertion keeps first position); nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
     # 1-8: robust-stats block
     "a_exact_quantiles",
