@@ -1438,3 +1438,110 @@ def a_kmv_distinct_sketch(spark, sf_dir):
         est.alias("kmv_est"),
         (F.abs(est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+@register(
+    "a_countmin_sketch",
+    # Count-min sketch made exactly reproducible: row r hashes token t
+    # to column ('0x' || substr(md5(r || '|' || t), 1, 6)) % width, so
+    # the d x w counter table — and therefore every estimate
+    # min_r(cell[r][h_r(t)]) — is identical in both engines and
+    # mergeable across shards by cell-wise addition. Evaluated on the
+    # 20 most frequent tokens: est >= truth always (one-sided error),
+    # over-estimate = collision mass in the narrowest row.
+    oracle=f"""
+WITH toks AS (
+  SELECT a[i - 1] || ' ' || a[i] AS tok
+  FROM (SELECT string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL unnest(generate_series(2, len(a))) t(i)
+  WHERE a[i - 1] <> '' AND a[i] <> ''
+),
+counted AS (
+  SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok
+),
+cells AS (
+  SELECT r,
+         (('0x' || substr(md5(r::VARCHAR || '|' || tok), 1, 6))::BIGINT
+          % {CMS_WIDTH}) AS col,
+         sum(n)::BIGINT AS cell
+  FROM counted, unnest(generate_series(0, {CMS_DEPTH - 1})) t(r)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok)::INT AS rank
+  FROM counted QUALIFY rank <= 20
+)
+SELECT t.tok, t.rank, t.n AS true_count,
+       min(c.cell)::BIGINT AS cms_est,
+       (min(c.cell) - t.n)::BIGINT AS overestimate
+FROM top t
+JOIN cells c
+  ON c.col = (('0x' || substr(md5(c.r::VARCHAR || '|' || t.tok), 1, 6))::BIGINT
+              % {CMS_WIDTH})
+GROUP BY t.tok, t.rank, t.n
+""",
+    doc="Count-min sketch over the bigram stream ({d}x{w} counters, "
+    "md5 hash family so both engines build the identical table), "
+    "evaluated against exact counts for the 20 heaviest tokens. The "
+    "sketch build is one groupBy(row, col) over d-exploded counts — "
+    "mergeable cell-wise across 1000 executors; estimates are the "
+    "row-wise min, never below truth. The streaming-friendly "
+    "frequency sketch for when exact per-token counts stop fitting "
+    "anywhere.".format(d=CMS_DEPTH, w=CMS_WIDTH),
+    tags=("aggregates", "stats", "extension"),
+)
+def a_countmin_sketch(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.split(F.lower("text"), " ").alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select(F.concat_ws(" ", "p.w1", "p.w2").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r")
+    hashed = counted.select("tok", "n", rows).withColumn(
+        "col",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(r as string), '|', tok)), 1, 6),"
+            f" 16, 10) as bigint) % {CMS_WIDTH}"
+        ),
+    )
+    cells = hashed.groupBy("r", "col").agg(F.sum("n").alias("cell"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    top = (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("tok", "rank", F.col("n").alias("true_count"))
+    )
+    probe = top.select(
+        "tok", "rank", "true_count", rows
+    ).withColumn(
+        "col",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(r as string), '|', tok)), 1, 6),"
+            f" 16, 10) as bigint) % {CMS_WIDTH}"
+        ),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("tok", "rank", "true_count")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+        .withColumn(
+            "overestimate", (F.col("cms_est") - F.col("true_count")).cast("long")
+        )
+    )

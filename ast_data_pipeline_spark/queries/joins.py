@@ -522,3 +522,82 @@ def x_entity_resolution(spark, sf_dir):
             (F.col("entity_id") == F.col("dirty_id")).alias("is_correct"),
         )
     )
+
+
+_RI_RELS = [
+    # (label, child table, fk col, parent table, pk col)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for label, child, fk, parent, pk in _RI_RELS:
+        parts.append(f"""
+SELECT '{label}' AS relationship,
+       (SELECT count(*) FROM {child})::BIGINT AS n_child,
+       (SELECT count(DISTINCT {fk}) FROM {child})::BIGINT AS n_distinct_fk,
+       (SELECT count(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+       )::BIGINT AS n_orphan_rows,
+       (SELECT count(*) FROM {parent})::BIGINT AS n_parent,
+       (SELECT count(*) FROM {parent} p
+        WHERE EXISTS (SELECT 1 FROM {child} c WHERE c.{fk} = p.{pk})
+       )::BIGINT AS n_parent_referenced,
+       (SELECT count(*) FROM {parent} p
+        WHERE EXISTS (SELECT 1 FROM {child} c WHERE c.{fk} = p.{pk}))::DOUBLE
+         / (SELECT count(*) FROM {parent}) AS parent_coverage""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "x_referential_integrity",
+    oracle=_ri_oracle(),
+    doc="Referential-integrity audit across the star schema's five FK "
+    "relationships: child row/distinct-FK counts, orphaned child rows "
+    "(anti-join to the parent), and parent coverage (parents ever "
+    "referenced — semi-join) per relationship. The data-contract "
+    "check an ingest pipeline runs before promoting a snapshot; every "
+    "probe is a key-partitioned semi/anti join, and the per-relation "
+    "results union into one fixed-schema report.",
+    tags=("joins", "extension"),
+)
+def x_referential_integrity(spark, sf_dir):
+    out = None
+    for label, child, fk, parent, pk in _RI_RELS:
+        c = load(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.countDistinct("fk").alias("n_distinct_fk"),
+        )
+        orphans = c.join(p, c.fk == p.pk, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphan_rows")
+        )
+        psz = p.agg(F.count(F.lit(1)).alias("n_parent"))
+        pref = p.join(c, c.fk == p.pk, "left_semi").agg(
+            F.count(F.lit(1)).alias("n_parent_referenced")
+        )
+        row = (
+            stats.crossJoin(orphans)
+            .crossJoin(psz)
+            .crossJoin(pref)
+            .select(
+                F.lit(label).alias("relationship"),
+                "n_child",
+                "n_distinct_fk",
+                "n_orphan_rows",
+                "n_parent",
+                "n_parent_referenced",
+                (
+                    F.col("n_parent_referenced").cast("double")
+                    / F.col("n_parent")
+                ).alias("parent_coverage"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -131,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "a_kmv_distinct_sketch",
     "x_kcore_peel",
     "e_attribution_last_touch",
+    "a_countmin_sketch",
+    "x_referential_integrity",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
