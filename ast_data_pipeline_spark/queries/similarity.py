@@ -788,3 +788,126 @@ def x_ann_recall_multiprobe(spark, sf_dir):
             (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
         )
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_ND_CORPUS_SQL},
+cents AS (
+  SELECT vec_id AS cid, emb AS cvec FROM base WHERE vec_id < {K_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {dot_sql('e.emb', 'c.cvec')}
+               / ({norm_sql('e.emb')} * {norm_sql('c.cvec')}) DESC, c.cid) AS rn
+    FROM corpus e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {dot_sql('a.emb', 'b.emb')}
+          / ({norm_sql('a.emb')} * {norm_sql('b.emb')}) >= {NEARDUP_T}
+),
+dropped AS (SELECT cid, vec_b FROM pairs GROUP BY cid, vec_b)
+SELECT s.cid AS centroid_id,
+       count(*)::BIGINT AS n_vectors,
+       coalesce(max(p.n_pairs), 0)::BIGINT AS n_dup_pairs,
+       coalesce(max(d.n_dropped), 0)::BIGINT AS n_dropped,
+       (count(*) - coalesce(max(d.n_dropped), 0))::BIGINT AS n_kept
+FROM assigned s
+LEFT JOIN (SELECT cid, count(*) AS n_pairs FROM pairs GROUP BY 1) p USING (cid)
+LEFT JOIN (SELECT cid, count(*) AS n_dropped FROM dropped GROUP BY 1) d USING (cid)
+GROUP BY s.cid
+"""
+
+
+@register(
+    "x_semantic_dedup",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="SemDeDup (Abbas et al.): k-means-cluster the embedding space "
+    "(deterministic seed centroids, argmax-cosine assignment), then "
+    "drop near-duplicates WITHIN each cluster (cosine >= 0.99, keep "
+    "the lowest id) — clustering bounds the quadratic so the pairwise "
+    "pass never crosses clusters; at 100 TB K scales with n to cap "
+    "cluster size, and candidates here are additionally routed through "
+    "rh-LSH buckets inside each cluster ((cid, bucket) equi-join, the "
+    "x_embedding_neardup shape). Planted deterministic twins provide "
+    "real semantic dups; the oracle is brute-force within-cluster "
+    "all-pairs, so the gate proves the bucket routing loses nothing. "
+    "Output: per-cluster dedup census (vectors, dup pairs, dropped, "
+    "kept).",
+    tags=("similarity", "dedup", "extension"),
+)
+def x_semantic_dedup(spark, sf_dir):
+    from ..operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    twins = base.filter(F.col("vec_id") % _ND_TWIN_MOD == 0).select(
+        (F.col("vec_id") + _ND_TWIN_OFFSET).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(emb, (x, i) -> x * (cast(1.0 as double) + "
+            "(((cast(conv(substring(md5(concat('nd|', cast(vec_id as string), '|', "
+            "cast(i as string))), 1, 2), 16, 10) as int) % 16) "
+            "- cast(7.5 as double)) / cast(10000.0 as double))))"
+        ).alias("emb"),
+    )
+    corpus = base.unionByName(twins)
+    cents = base.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "cid",
+        (dot("emb", "cvec") / (norm("emb") * norm("cvec"))).alias("csim"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "emb"), F.struct(F.col("csim"), -F.col("cid"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.emb").alias("emb"))
+        .withColumn("bucket", rh_lsh_bucket("emb", LSH_PLANES, EMB_DIM))
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), "cid", "bucket", F.col("emb").alias("emb_a")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), "cid", "bucket", F.col("emb").alias("emb_b")
+    )
+    pairs = (
+        a.join(b, ["cid", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b")))
+        .filter(F.col("sim") >= NEARDUP_T)
+        .select("cid", "vec_a", "vec_b")
+    )
+    dropped = pairs.select("cid", "vec_b").distinct().groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    np_ = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    census = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        census.join(F.broadcast(np_), "cid", "left")
+        .join(F.broadcast(dropped), "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_attribution_last_touch",
     "a_countmin_sketch",
     "x_referential_integrity",
+    "x_semantic_dedup",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
