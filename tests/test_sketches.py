@@ -1,0 +1,88 @@
+"""Mergeability proofs for the deterministic sketches: a sketch built
+from unioned shard sketches must equal the sketch built in one pass —
+the property that lets 1000 executors build them independently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ast_data_pipeline_spark.queries.aggregates import CMS_DEPTH, CMS_WIDTH, KMV_K
+from ast_data_pipeline_spark.sources.catalog import load
+
+
+def _bigrams(docs):
+    return (
+        docs.select("source", F.split(F.lower("text"), " ").alias("a"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select("source", F.concat_ws(" ", "p.w1", "p.w2").alias("tok"))
+    )
+
+
+def test_kmv_sketch_merges_across_shards(spark, sf_dir):
+    # per-shard KMV = k smallest distinct hashes; union of shard
+    # sketches -> k smallest == single-pass sketch (so the k-th value,
+    # hence the estimate, is identical)
+    docs = load(spark, sf_dir, "documents")
+    h = (
+        _bigrams(docs)
+        .distinct()
+        .withColumn(
+            "hv",
+            F.expr("cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)"),
+        )
+    )
+    full = [
+        r.hv
+        for r in h.select("hv").distinct().orderBy("hv").limit(KMV_K).collect()
+    ]
+    shard_sketches = []
+    for s in range(4):
+        shard = h.filter(F.crc32(F.col("tok")) % 4 == s)
+        shard_sketches.extend(
+            r.hv
+            for r in shard.select("hv").distinct().orderBy("hv").limit(KMV_K).collect()
+        )
+    merged = sorted(set(shard_sketches))[:KMV_K]
+    assert merged == full
+
+
+def test_cms_cells_merge_cellwise(spark, sf_dir):
+    # CMS built on each half of the corpus, added cell-wise, equals
+    # the CMS built on the whole corpus
+    docs = load(spark, sf_dir, "documents")
+
+    def cms(d):
+        counted = _bigrams(d).groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            counted.select(
+                "tok",
+                "n",
+                F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+            )
+            .withColumn(
+                "col",
+                F.expr(
+                    "cast(conv(substring(md5(concat(cast(r as string), '|', tok)),"
+                    f" 1, 6), 16, 10) as bigint) % {CMS_WIDTH}"
+                ),
+            )
+            .groupBy("r", "col")
+            .agg(F.sum("n").alias("cell"))
+        )
+
+    full = {(r.r, r.col): r.cell for r in cms(docs).collect()}
+    lo = cms(docs.filter(F.col("doc_id") % 2 == 0))
+    hi = cms(docs.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for r in lo.collect() + hi.collect():
+        merged[(r.r, r.col)] = merged.get((r.r, r.col), 0) + r.cell
+    assert merged == full
