@@ -509,3 +509,33 @@ def test_minhash_band_shuffle_excludes_shingles(spark, sf_dir):
             ln for ln in plan.splitlines() if "Exchange" in ln and side in ln
         ]
         assert len(side_ex) <= 1, side_ex
+
+
+def test_r6_additions_plan_claims(spark, sf_dir):
+    from ast_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    # skyline: the fact-side running-min window must partition by the
+    # price bucket (un-partitioned = one reducer over distinct prices)
+    sky = _plan(specs["a_skyline_2d"].fn(spark, sf_dir))
+    fact = [ln for ln in sky.splitlines() if "Window" in ln and "gmin" in ln]
+    assert fact and all("xb" in ln for ln in fact), sky[:2000]
+    # entity resolution: blocked equi-joins only — never a cartesian /
+    # nested-loop candidate generator
+    er = _plan(specs["x_entity_resolution"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in er and "BroadcastNestedLoopJoin" not in er
+    # winnow overlap: candidates come from a fingerprint equi-join
+    wo = _plan(specs["x_winnow_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in wo and "BroadcastNestedLoopJoin" not in wo
+    joins = [ln for ln in wo.splitlines() if "HashJoin" in ln]
+    assert joins and any("fp" in ln for ln in joins), wo[:1500]
+    # semantic dedup: the pair join is equi-keyed on (cid, bucket) —
+    # HashJoin or SMJ, never a nested loop on the theta filter alone
+    sd = _plan(specs["x_semantic_dedup"].fn(spark, sf_dir))
+    sd_joins = [
+        ln
+        for ln in sd.splitlines()
+        if ("HashJoin" in ln or "SortMergeJoin" in ln) and "bucket" in ln
+    ]
+    assert sd_joins, sd[:2000]
+    assert "CartesianProduct" not in sd and "BroadcastNestedLoopJoin" not in sd
