@@ -63,7 +63,11 @@ def adjacency_predicate_sql(a: str, b: str, dist_limit: int) -> str:
 )"""
 
 
-def assign_county_argmax(tanks: DataFrame, counties_df: DataFrame) -> DataFrame:
+def assign_county_argmax(
+    tanks: DataFrame,
+    counties_df: DataFrame,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
     """J8 (ref: src/form_calcs.py:992-1037): tank bbox x county polygon
     intersect join; on multi-county overlap keep the county with max
     intersection-area / tank-area. Counties broadcast; argmax via
@@ -71,6 +75,17 @@ def assign_county_argmax(tanks: DataFrame, counties_df: DataFrame) -> DataFrame:
 
     Expects tanks with utm_minx/miny/maxx/maxy and a unique key column
     ``annot_id``; counties with c_minx/c_miny/c_maxx/c_maxy + fips.
+
+    ``payload_cols``: optional narrowed list of tank columns to carry
+    through the argmax — the max_by payload is this operator's ONLY
+    fact-width shuffle, so callers that need just a column or two cut
+    shuffle bytes proportionally (the r6 shuffle audit measured
+    d_distribution_by_county at 30.7 MB/sf0.1 with the default
+    full-row payload — utm doubles, annot_id, overlap_frac and
+    county_name all riding along for a query that keeps only
+    object_class + fips). Default keeps the original full-row
+    behavior; narrowed mode returns annot_id (the group key) +
+    payload_cols + the county fields.
     """
     t, c = tanks.alias("t"), F.broadcast(counties_df).alias("c")
     inter_w = F.least(F.col("t.utm_maxx"), F.col("c.c_maxx")) - F.greatest(
@@ -94,17 +109,22 @@ def assign_county_argmax(tanks: DataFrame, counties_df: DataFrame) -> DataFrame:
     # whole join at sf0.1, so the tank columns ride inside the max_by
     # payload instead — the buffer copies them only on a new max, ~1.07
     # candidate rows per tank.
-    row_payload = F.struct(
-        *[F.col(f"t.{name}").alias(name) for name in tanks.columns],
-        F.col("c.county_name").alias("county_name"),
+    keep = tanks.columns if payload_cols is None else list(payload_cols)
+    fields = [F.col(f"t.{name}").alias(name) for name in keep] + [
         F.col("c.state_fips").alias("state_fips"),
         F.col("c.county_fips").alias("county_fips"),
-        F.col("overlap_frac").alias("overlap_frac"),
-    )
+    ]
+    if payload_cols is None:
+        # full-row mode also carries the display name + the winning
+        # fraction (narrowed mode keeps the fips pair only)
+        fields.insert(len(keep), F.col("c.county_name").alias("county_name"))
+        fields.append(F.col("overlap_frac").alias("overlap_frac"))
     best = joined.groupBy(F.col("t.annot_id")).agg(
-        F.max_by(row_payload, F.struct(F.col("overlap_frac"), -county_num)).alias("r")
+        F.max_by(F.struct(*fields), F.struct(F.col("overlap_frac"), -county_num)).alias("r")
     )
-    return best.select("r.*")
+    if payload_cols is None:
+        return best.select("r.*")
+    return best.select("annot_id", "r.*")
 
 
 ARGMAX_COUNTY_SQL_BODY = """

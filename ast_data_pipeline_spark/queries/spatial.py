@@ -191,7 +191,9 @@ def d_distribution_by_county(spark, sf_dir):
         "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy",
         standardize_label(F.col("raw_label"), "undefined_object").alias("object_class"),
     )
-    located = assign_county_argmax(g, counties(spark, sf_dir)).select(
+    located = assign_county_argmax(
+        g, counties(spark, sf_dir), payload_cols=["object_class"]
+    ).select(
         F.concat("state_fips", "county_fips").alias("county_id"), "object_class"
     )
     return crosstab_with_margins(

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Shuffle-byte audit of the headline queries ("measure, don't guess").
+
+Runs each bench-tagged query at $SPARK_GRAFT_SF_DIR under the
+materialized-views deployment profile (same as bench.py) with the
+Spark UI enabled, and reads per-stage metrics from the status REST API
+to attribute shuffle-write / shuffle-read / input bytes to each query.
+Writes SHUFFLE.md — the artifact backing SCALING.md's "one key
+shuffle" claims with numbers instead of prose.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import urllib.request
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("SPARK_GRAFT_CACHE_VIEWS", "0")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from ast_data_pipeline_spark.registry import load_all
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("shuffle-audit")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+
+    def rest(path: str):
+        with urllib.request.urlopen(f"{ui}/api/v1/{path}") as r:
+            return json.load(r)
+
+    app_id = rest("applications")[0]["id"]
+
+    def totals() -> tuple[int, int, int]:
+        sw = sr = inp = 0
+        for s in rest(f"applications/{app_id}/stages"):
+            if s.get("status") not in ("COMPLETE", "SKIPPED"):
+                continue
+            sw += s.get("shuffleWriteBytes", 0)
+            sr += s.get("shuffleReadBytes", 0)
+            inp += s.get("inputBytes", 0)
+        return sw, sr, inp
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    specs = load_all()
+    bench_names = sorted(n for n, s in specs.items() if "bench" in s.tags)
+
+    from ast_data_pipeline_spark.sources.domain_views import materialized_views
+    from ast_data_pipeline_spark.sources.materialize import materialize_domain_views
+
+    materialize_domain_views(spark, sf_dir, buckets=cpus)
+
+    rows = []
+    with materialized_views():
+        for name in bench_names:
+            before = totals()
+            df = specs[name].fn(spark, sf_dir)
+            n = df.count()
+            after = totals()
+            rows.append(
+                (name, n, after[0] - before[0], after[1] - before[1], after[2] - before[2])
+            )
+            print(name, rows[-1], flush=True)
+
+    def mb(b: int) -> str:
+        return f"{b / 1e6:.1f}"
+
+    out = f"""# SHUFFLE — per-query shuffle bytes at {sf_dir} (local[{cpus}])
+
+Measured from the Spark status API (per-stage shuffleWrite/shuffleRead/
+input bytes, attributed per query; materialized-views profile, same as
+bench.py). Shuffle WRITE is the number that scales with cluster
+network cost — SCALING.md's "one key shuffle" claims, audited.
+
+| query | rows out | shuffle write MB | shuffle read MB | input MB |
+|---|---|---|---|---|
+"""
+    for name, n, sw, sr, inp in rows:
+        out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} |\n"
+    tot = [sum(r[i] for r in rows) for i in (2, 3, 4)]
+    out += f"| **total** | | **{mb(tot[0])}** | **{mb(tot[1])}** | **{mb(tot[2])}** |\n"
+    (REPO / "SHUFFLE.md").write_text(out)
+    print("wrote SHUFFLE.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
