@@ -1545,3 +1545,152 @@ def a_countmin_sketch(spark, sf_dir):
             "overestimate", (F.col("cms_est") - F.col("true_count")).cast("long")
         )
     )
+
+
+JOINCARD_WIDTH = 4096  # sized to the key count (2k parts): w >= n_keys
+
+
+@register(
+    "a_cms_join_cardinality",
+    # Join-size estimation from count-min sketches (the AGMS/CMS inner
+    # product): |A self-join| = sum_k f(k)^2 is estimated per sketch
+    # row by sum_c cell^2, taking the min across rows — the optimizer
+    # trick that prices a join from two sketch scans without touching
+    # the data. One-sided like the point estimate: never below truth.
+    # All-integer until the final ratio division.
+    oracle=f"""
+WITH f AS (
+  SELECT l_partkey AS k, count(*)::BIGINT AS n FROM lineitem GROUP BY 1
+),
+truth AS (SELECT sum(n * n)::BIGINT AS true_pairs,
+                 count(*)::BIGINT AS n_keys FROM f),
+cells AS (
+  SELECT r,
+         (('0x' || substr(md5(r::VARCHAR || '|' || k::VARCHAR), 1, 6))::BIGINT
+          % {JOINCARD_WIDTH}) AS col,
+         sum(n)::BIGINT AS cell
+  FROM f, unnest(generate_series(0, {CMS_DEPTH - 1})) t(r)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT min(row_est)::BIGINT AS cms_est_pairs
+  FROM (SELECT r, sum(cell * cell) AS row_est FROM cells GROUP BY r)
+)
+SELECT t.n_keys, t.true_pairs, e.cms_est_pairs,
+       e.cms_est_pairs::DOUBLE / t.true_pairs AS overestimate_ratio
+FROM truth t, est e
+""",
+    doc="CMS inner-product join-cardinality estimate for the lineitem "
+    "part-key self-join: sketch each side (here: the same side twice), "
+    "estimate the join size as the min over rows of the cell-wise "
+    "product sum, and report it against the exact sum of squared "
+    "frequencies. The estimate prices a 100 TB join from two "
+    "kilobyte sketches — the sketch-based stats a join planner uses "
+    "when exact NDV/frequency stats are stale or absent.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_cms_join_cardinality(spark, sf_dir):
+    f = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = f.agg(
+        F.sum(F.col("n") * F.col("n")).alias("true_pairs"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    cells = (
+        f.select(
+            "k",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+        )
+        .withColumn(
+            "col",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(r as string), '|', "
+                f"cast(k as string))), 1, 6), 16, 10) as bigint) % {JOINCARD_WIDTH}"
+            ),
+        )
+        .groupBy("r", "col")
+        .agg(F.sum("n").alias("cell"))
+    )
+    est = (
+        cells.groupBy("r")
+        .agg(F.sum(F.col("cell") * F.col("cell")).alias("row_est"))
+        .agg(F.min("row_est").cast("long").alias("cms_est_pairs"))
+    )
+    return truth.crossJoin(est).select(
+        "n_keys",
+        "true_pairs",
+        "cms_est_pairs",
+        (F.col("cms_est_pairs").cast("double") / F.col("true_pairs")).alias(
+            "overestimate_ratio"
+        ),
+    )
+
+
+@register(
+    "a_dp_noisy_counts",
+    # Differentially-private count release (Laplace mechanism,
+    # epsilon=1, sensitivity 1) with a DETERMINISTIC noise draw:
+    # u ~ U(0,1) comes from the first 12 md5 hex digits of the release
+    # key (a real deployment uses a sealed per-release seed — the
+    # draw must be reproducible for audit but unpredictable to the
+    # adversary, which a keyed hash gives), and Laplace noise is the
+    # inverse CDF -b*sign(u-.5)*ln(1-2|u-.5|). ln() is 1-ulp across
+    # engines, so the noise is quantized at 7 dp per release row (the
+    # smallest frame) before the addition; count + quantized-noise is
+    # one exact double add.
+    oracle="""
+WITH g AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+u AS (
+  SELECT source, n_docs,
+         (('0x' || substr(md5('dp1|' || source), 1, 12))::BIGINT)::DOUBLE
+           / 281474976710656.0 - 0.5::DOUBLE AS uc
+  FROM g
+),
+nz AS (
+  SELECT source, n_docs,
+         printf('%.7f', -1.0::DOUBLE * sign(uc)
+                * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(uc)))::DOUBLE AS noise
+  FROM u
+)
+SELECT source, n_docs, noise, n_docs + noise AS released_count
+FROM nz
+""",
+    doc="Differentially-private per-source doc-count release: Laplace "
+    "(eps=1) noise from a keyed-hash inverse-CDF draw — reproducible "
+    "for audit, engine-identical (1-ulp ln absorbed by the %.7f "
+    "quantization recipe), and embarrassingly parallel (noise is a "
+    "per-row expression over the aggregated group table; the fact "
+    "table never re-shuffles). The privacy-release pattern a data "
+    "clearinghouse runs before publishing corpus statistics.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_dp_noisy_counts(spark, sf_dir):
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    uc = (
+        F.expr(
+            "cast(cast(conv(substring(md5(concat('dp1|', source)), 1, 12), 16, 10)"
+            " as bigint) as double)"
+        )
+        / F.lit(281474976710656.0)
+        - F.lit(0.5)
+    )
+    noise = F.format_string(
+        "%.7f",
+        F.lit(-1.0)
+        * F.signum(uc)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uc)),
+    ).cast("double")
+    return g.select(
+        "source",
+        "n_docs",
+        noise.alias("noise"),
+        (F.col("n_docs") + noise).alias("released_count"),
+    )

@@ -134,6 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "a_countmin_sketch",
     "x_referential_integrity",
     "x_semantic_dedup",
+    "a_cms_join_cardinality",
+    "a_dp_noisy_counts",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
