@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, davg_sql, dsum, dsum_sql
+from ..functions.exact import davg, davg_sql, dsum, dsum_over_sql, dsum_sql
 from ..registry import register
 from ..sources.catalog import load
 
@@ -1107,4 +1107,148 @@ def e_attribution_last_touch(spark, sf_dir):
     return attributed.groupBy(F.col("event_type").alias("channel")).agg(
         F.count(F.lit(1)).alias("n_conversions"),
         dsum("value").alias("attributed_value"),
+    )
+
+
+@register(
+    "e_theilsen_trend",
+    # Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    # day-to-day slopes — up to ~29% of the points can be corrupted
+    # before the estimate moves (OLS breaks on one bad day). Daily
+    # totals go through the exact-decimal sum, so every pairwise slope
+    # is one subtraction + one division on identical doubles; the
+    # median picks ranked slopes by a unique (slope, day_i, day_j)
+    # chain and averages the two middles (one add + one halving —
+    # exact). The pair join runs on the (type, day) AGGREGATE (|days|^2
+    # pairs per type over a 30-row frame), never the fact.
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, (epoch(ts::DATE) // 86400)::BIGINT AS day,
+         {dsum_sql('value')} AS total
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         (b.total - a.total) / (b.day - a.day)::DOUBLE AS slope,
+         a.day AS di, b.day AS dj
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, di, dj) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes
+)
+SELECT event_type, max(n)::BIGINT AS n_pairs,
+       (min(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+        + min(CASE WHEN rn = (n + 2) // 2 THEN slope END)) / 2.0::DOUBLE
+         AS theilsen_slope
+FROM ranked
+GROUP BY event_type
+""",
+    doc="Theil-Sen robust trend estimate of daily value totals per "
+    "event type: median of all pairwise slopes over the tiny daily "
+    "aggregate — the fact table aggregates once; the quadratic pair "
+    "join touches |types| x |days|^2 rows of a 150-row frame. The "
+    "trend number a monitoring pipeline alerts on when OLS would "
+    "chase a single outlier day.",
+    tags=("events", "stats", "extension"),
+)
+def e_theilsen_trend(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.to_date("ts").cast("timestamp").cast("long") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    ).agg(dsum("value").alias("total"))
+    a = daily.select(
+        "event_type", F.col("day").alias("di"), F.col("total").alias("ta")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("dj"),
+        F.col("total").alias("tb"),
+    )
+    slopes = (
+        a.join(b, (a.event_type == b.et_b) & (a.di < b.dj))
+        .select(
+            "event_type",
+            ((F.col("tb") - F.col("ta")) / (F.col("dj") - F.col("di")).cast("double")).alias("slope"),
+            "di",
+            "dj",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lower = F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope")))
+    upper = F.min(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("slope")))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        ((lower + upper) / F.lit(2.0)).alias("theilsen_slope"),
+    )
+
+
+@register(
+    "e_cusum_changepoint",
+    # CUSUM change detection on the daily total series: cumulative sum
+    # of deviations from the global mean peaks at the regime change.
+    # Exactness: prefix totals through the decimal window, the mean is
+    # one division, i*mean one multiply, the deviation one subtract —
+    # all on identical doubles; the argmax day uses the unique
+    # (|dev| desc, day) chain.
+    oracle=f"""
+WITH daily AS (
+  SELECT (epoch(ts::DATE) // 86400)::BIGINT AS day,
+         {dsum_sql('value')} AS total
+  FROM events GROUP BY 1
+),
+m AS (SELECT {davg_sql('total')} AS mu, count(*)::BIGINT AS n FROM daily),
+c AS (
+  SELECT day, total,
+         {dsum_over_sql('total', 'ORDER BY day ROWS UNBOUNDED PRECEDING')}
+           - (row_number() OVER (ORDER BY day))::DOUBLE * m.mu AS cum_dev
+  FROM daily, m
+)
+SELECT day, total, cum_dev,
+       (row_number() OVER (ORDER BY abs(cum_dev) DESC, day) = 1)
+         AS is_changepoint
+FROM c
+""",
+    doc="CUSUM change-point scan over daily value totals: the day "
+    "where the cumulative deviation from the series mean peaks — the "
+    "classic drift detector for ingest monitoring. The fact "
+    "aggregates once to a |days|-row frame; prefix sums, the mean "
+    "subtraction and the argmax all run on that tiny series.",
+    tags=("events", "stats", "extension"),
+)
+def e_cusum_changepoint(spark, sf_dir):
+    from ..functions.exact import davg, dsum_over
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.to_date("ts").cast("timestamp").cast("long") / F.lit(86400))
+        .cast("long")
+        .alias("day")
+    ).agg(dsum("value").alias("total"))
+    m = daily.agg(davg("total").alias("mu"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "total",
+        (
+            dsum_over("total", wd)
+            - F.row_number().over(Window.orderBy("day")).cast("double") * F.col("mu")
+        ).alias("cum_dev"),
+    )
+    wr = Window.orderBy(F.abs(F.col("cum_dev")).desc(), "day")
+    return c.select(
+        "day", "total", "cum_dev", (F.row_number().over(wr) == 1).alias("is_changepoint")
     )

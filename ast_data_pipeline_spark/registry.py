@@ -136,6 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_semantic_dedup",
     "a_cms_join_cardinality",
     "a_dp_noisy_counts",
+    "e_theilsen_trend",
+    "e_cusum_changepoint",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
