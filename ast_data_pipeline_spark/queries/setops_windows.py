@@ -366,3 +366,76 @@ def u5_bag_setops(spark, sf_dir):
         F.count(F.lit(1)).alias("multiplicity")
     ).select(F.lit("intersect_all").alias("op"), "*")
     return exg.unionByName(iag)
+
+
+@register(
+    "w_ntile_quartiles",
+    oracle="""
+WITH t AS (
+  SELECT c_mktsegment, c_acctbal, c_custkey,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile::INT AS quartile,
+       count(*)::BIGINT AS n,
+       min(c_acctbal) AS lo, max(c_acctbal) AS hi
+FROM t GROUP BY 1, 2
+""",
+    doc="ntile(4) quartile assignment per market segment (unique "
+    "(acctbal, custkey) order chain so bucket boundaries are "
+    "deterministic), reduced to per-(segment, quartile) census with "
+    "value bounds — the windowed bucketing that feeds equal-count "
+    "binning and band pricing. Window partitions by segment; the "
+    "aggregate shares the partitioning.",
+    tags=("window", "extension"),
+)
+def w_ntile_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", F.col("quartile").cast("int").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+@register(
+    "a_cube_shipping",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n,
+       sum(l_quantity)::BIGINT AS total_qty
+FROM (SELECT l_returnflag, l_linestatus, l_quantity::BIGINT AS l_quantity
+      FROM lineitem)
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over (returnflag, linestatus): all four grouping sets — "
+    "cells, both one-way margins, and the grand total — in ONE "
+    "aggregation pass (completes the grouping-set family next to the "
+    "crosstab's rollup). NULL grouping keys surface as 'ALL'; "
+    "quantities are integral in the synthetic data so the sum stays "
+    "in exact BIGINT.",
+    tags=("aggregates", "extension"),
+)
+def a_cube_shipping(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("long").alias("q")
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("total_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_qty",
+        )
+    )

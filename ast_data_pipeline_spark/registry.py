@@ -138,6 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "a_dp_noisy_counts",
     "e_theilsen_trend",
     "e_cusum_changepoint",
+    "w_ntile_quartiles",
+    "a_cube_shipping",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
