@@ -1694,3 +1694,138 @@ def a_dp_noisy_counts(spark, sf_dir):
         noise.alias("noise"),
         (F.col("n_docs") + noise).alias("released_count"),
     )
+
+
+QSKETCH_BINS = 256
+_QPROBS = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def _hist_est_sql(num: int, den: int) -> str:
+    # first bin whose cumulative count reaches rank ceil(q*n), linear
+    # interpolation inside the bin — operation order matches the Spark
+    # expression token for token
+    return f"""(
+  SELECT min(lo + (hi - lo) *
+             ((bin::DOUBLE + ((n * {num} + {den} - 1) // {den} - cum_before)::DOUBLE
+               / bin_n::DOUBLE) / {QSKETCH_BINS}.0::DOUBLE))
+  FROM hist WHERE cum >= (n * {num} + {den} - 1) // {den}
+    AND cum_before < (n * {num} + {den} - 1) // {den}
+)"""
+
+
+@register(
+    "a_quantile_sketch_eval",
+    oracle=f"""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+         count(*)::BIGINT AS n
+  FROM orders
+),
+binned AS (
+  SELECT least({QSKETCH_BINS - 1},
+               floor((o_totalprice - b.lo) / (b.hi - b.lo)
+                     * {QSKETCH_BINS}.0::DOUBLE)::BIGINT) AS bin
+  FROM orders, b
+),
+hist AS (
+  SELECT bin, count(*)::BIGINT AS bin_n,
+         sum(count(*)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         (sum(count(*)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+          - count(*))::BIGINT AS cum_before,
+         (SELECT lo FROM b) AS lo, (SELECT hi FROM b) AS hi,
+         (SELECT n FROM b) AS n
+  FROM binned GROUP BY bin
+),
+exact AS (
+  SELECT
+    {', '.join(f'''min(CASE WHEN rn = (n * {num} + {den} - 1) // {den}
+         THEN o_totalprice END) AS {label}_exact''' for label, num, den in _QPROBS)}
+  FROM (SELECT o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM orders)
+)
+SELECT (SELECT n FROM b) AS n,
+       {', '.join(f'{_hist_est_sql(num, den)} AS {label}_est, exact.{label}_exact'
+                  for label, num, den in _QPROBS)}
+FROM exact
+""",
+    doc="Histogram-quantile estimation vs exact: a 256-bin equi-width "
+    "histogram (bin counts are MERGEABLE — shards add cell-wise, the "
+    "t-digest role without its merge-order nondeterminism) estimates "
+    "P50/P90/P99 of order totals by linear interpolation inside the "
+    "crossing bin, reported next to the exact rank-selected values. "
+    "The histogram build is one groupBy(bin) with map-side partials; "
+    "bounds come from one min/max pass. The estimate-vs-exact gap is "
+    "the number that decides whether the cheap mergeable sketch is "
+    "good enough for a given column at 100 TB.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_quantile_sketch_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = orders.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(QSKETCH_BINS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.lit(float(QSKETCH_BINS))
+            ).cast("long"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+        "n",
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist = (
+        binned.groupBy("bin", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("bin_n"))
+        .withColumn("cum", F.sum("bin_n").over(wc))
+        .withColumn("cum_before", F.col("cum") - F.col("bin_n"))
+    )
+    # exact side: distributed rank selection on the same value buckets
+    from ..operators.quantiles import exact_group_quantiles
+
+    exact = exact_group_quantiles(
+        orders.withColumn("g", F.lit("all")),
+        "g",
+        "o_totalprice",
+        "o_orderkey",
+        _QPROBS,
+        F.floor(F.col("o_totalprice") / 10000).cast("long"),
+    )
+    out = exact.select(
+        *[F.col(label).alias(f"{label}_exact") for label, _, _ in _QPROBS]
+    )
+    for label, num, den in _QPROBS:
+        target = F.expr(f"(n * {num} + {den} - 1) div {den}")
+        est = (
+            hist.filter((F.col("cum") >= target) & (F.col("cum_before") < target))
+            .select(
+                F.min(
+                    F.col("lo")
+                    + (F.col("hi") - F.col("lo"))
+                    * (
+                        (
+                            F.col("bin").cast("double")
+                            + (target - F.col("cum_before")).cast("double")
+                            / F.col("bin_n").cast("double")
+                        )
+                        / F.lit(float(QSKETCH_BINS))
+                    )
+                ).alias(f"{label}_est")
+            )
+        )
+        out = out.crossJoin(F.broadcast(est))
+    n1 = b.select(F.col("n").alias("n"))
+    cols = ["n"]
+    for label, _, _ in _QPROBS:
+        cols += [f"{label}_est", f"{label}_exact"]
+    return out.crossJoin(F.broadcast(n1)).select(*cols)

@@ -742,3 +742,77 @@ def x_quality_weighted_sample(spark, sf_dir):
         )
         .filter(F.col("hash_byte") < F.floor(F.col("quality_score") * F.lit(256.0)))
     )
+
+
+ES_SAMPLE_K = 50
+
+
+def _es_oracle() -> str:
+    from ..operators.text import quality_score_sql
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         {quality_score_sql('w', 'text')} + 0.01::DOUBLE AS wt,
+         (('0x' || substr(md5('es|' || doc_id::VARCHAR), 1, 12))::BIGINT + 1)::DOUBLE
+           / 281474976710657.0 AS u
+  FROM (SELECT doc_id, source, text,
+               string_split(lower(text), ' ') AS w FROM documents)
+),
+ekeyed AS (
+  SELECT doc_id, source, wt,
+         printf('%.7f', pow(u, 1.0::DOUBLE / wt))::DOUBLE AS es_key
+  FROM w
+)
+SELECT doc_id, source, wt, es_key
+FROM ekeyed
+ORDER BY es_key DESC, doc_id
+LIMIT {ES_SAMPLE_K}
+"""
+
+
+@register(
+    "x_weighted_sample_es",
+    # Efraimidis-Spirakis weighted sampling WITHOUT replacement: each
+    # doc draws u ~ U(0,1) from a keyed md5 and gets key u^(1/w); the
+    # k largest keys are the sample — inclusion probability
+    # proportional to weight, one pass, mergeable (union shard top-ks,
+    # keep the global top-k: the same heap shape as TakeOrdered).
+    # pow(double, double) is 1-ulp across engines, so the key is
+    # quantized at 7 dp (per row — the smallest frame) before the
+    # rank; the (key DESC, doc_id) chain breaks quantized ties.
+    oracle=_es_oracle(),
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis): "
+    "top-{k} docs by u^(1/quality_weight) with a keyed-hash u — the "
+    "fixed-SIZE counterpart to the Bernoulli quality-weighted sampler, "
+    "reproducible across re-runs and engines. Compiles to "
+    "TakeOrderedAndProject (per-partition heaps), never a global "
+    "sort.".format(k=ES_SAMPLE_K),
+    tags=("sampling", "extension"),
+)
+def x_weighted_sample_es(spark, sf_dir):
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    wt = quality_score("w", F.col("text")) + F.lit(0.01)
+    u = (
+        (
+            F.expr(
+                "cast(conv(substring(md5(concat('es|', cast(doc_id as string))),"
+                " 1, 12), 16, 10) as bigint)"
+            )
+            + F.lit(1)
+        ).cast("double")
+        / F.lit(281474976710657.0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        wt.alias("wt"),
+        F.format_string("%.7f", F.pow(u, F.lit(1.0) / wt)).cast("double").alias(
+            "es_key"
+        ),
+    )
+    return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(ES_SAMPLE_K)

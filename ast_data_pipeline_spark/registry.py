@@ -140,6 +140,8 @@ _PRIORITY: tuple[str, ...] = (
     "e_cusum_changepoint",
     "w_ntile_quartiles",
     "a_cube_shipping",
+    "a_quantile_sketch_eval",
+    "x_weighted_sample_es",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
