@@ -1801,15 +1801,16 @@ def a_quantile_sketch_eval(spark, sf_dir):
         _QPROBS,
         F.floor(F.col("o_totalprice") / 10000).cast("long"),
     )
-    out = exact.select(
-        *[F.col(label).alias(f"{label}_exact") for label, _, _ in _QPROBS]
-    )
+    # all three interpolated estimates fall out of ONE aggregate over
+    # the 256-row histogram (conditional min per target, like the
+    # oracle's exact CTE) — one crossJoin of two 1-row frames total
+    est_cols = []
     for label, num, den in _QPROBS:
         target = F.expr(f"(n * {num} + {den} - 1) div {den}")
-        est = (
-            hist.filter((F.col("cum") >= target) & (F.col("cum_before") < target))
-            .select(
-                F.min(
+        est_cols.append(
+            F.min(
+                F.when(
+                    (F.col("cum") >= target) & (F.col("cum_before") < target),
                     F.col("lo")
                     + (F.col("hi") - F.col("lo"))
                     * (
@@ -1819,13 +1820,15 @@ def a_quantile_sketch_eval(spark, sf_dir):
                             / F.col("bin_n").cast("double")
                         )
                         / F.lit(float(QSKETCH_BINS))
-                    )
-                ).alias(f"{label}_est")
-            )
+                    ),
+                )
+            ).alias(f"{label}_est")
         )
-        out = out.crossJoin(F.broadcast(est))
-    n1 = b.select(F.col("n").alias("n"))
+    ests = hist.agg(F.max("n").cast("long").alias("n"), *est_cols)
+    out = exact.select(
+        *[F.col(label).alias(f"{label}_exact") for label, _, _ in _QPROBS]
+    )
     cols = ["n"]
     for label, _, _ in _QPROBS:
         cols += [f"{label}_est", f"{label}_exact"]
-    return out.crossJoin(F.broadcast(n1)).select(*cols)
+    return ests.crossJoin(F.broadcast(out)).select(*cols)
