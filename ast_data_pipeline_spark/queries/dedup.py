@@ -1225,3 +1225,107 @@ def x_ngram_novelty(spark, sf_dir):
             (uniq.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+PPJOIN_T = 0.7
+
+
+def _prefix_join_oracle() -> str:
+    # identical algorithm in DuckDB: global (df, token) order, per-doc
+    # Jaccard prefix of length n - ceil(t*n) + 1, prefix equi-join
+    # candidates, exact-Jaccard verify
+    return f"""
+WITH d AS (
+  SELECT doc_id, {word_shingles_sql('text', 2)} AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+),
+tok AS (SELECT doc_id, unnest(sh) AS t FROM d),
+dfq AS (SELECT t, count(*)::BIGINT AS df FROM tok GROUP BY t),
+sorted_toks AS (
+  SELECT tok.doc_id, list(tok.t ORDER BY dfq.df, tok.t) AS toks
+  FROM tok JOIN dfq ON tok.t = dfq.t
+  GROUP BY tok.doc_id
+),
+pref AS (
+  SELECT doc_id,
+         toks[1 : len(toks) - ceil(0.7::DOUBLE * len(toks))::INT + 1] AS prefix
+  FROM sorted_toks
+),
+pt AS (SELECT doc_id, unnest(prefix) AS t FROM pref),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pt a JOIN pt b ON a.t = b.t AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+FROM cand c
+JOIN d sa ON sa.doc_id = c.doc_a
+JOIN d sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE >= {PPJOIN_T}
+"""
+
+
+@register(
+    "x_prefix_filter_join",
+    oracle=_prefix_join_oracle(),
+    doc="EXACT set-similarity join via prefix filtering (AllPairs/"
+    "PPJoin, Bayardo et al. / Xiao et al.): order every doc's bigram "
+    "set by global rarity, index only the Jaccard prefix (the first "
+    "n - ceil(t*n) + 1 rarest tokens — any pair with J >= t MUST "
+    "share a prefix token under a common order), equi-join prefixes "
+    "for candidates, verify exact Jaccard on candidates only. The "
+    "exact, zero-false-negative complement to MinHash LSH: no "
+    "probability knob, candidates bounded by rare-token postings "
+    "instead of band collisions. tests/test_lsh_recall.py pins "
+    "equality with the quadratic brute-force truth.",
+    tags=("dedup", "extension"),
+)
+def x_prefix_filter_join(spark, sf_dir):
+    from ..operators.dedup import word_shingles, words_col
+
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    d = docs.filter(F.size("w") >= 2).select(
+        "doc_id", word_shingles(F.col("text"), 2).alias("sh")
+    ).localCheckpoint(eager=False)
+    tok = d.select("doc_id", F.explode("sh").alias("t"))
+    dfq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    sorted_toks = (
+        tok.join(F.broadcast(dfq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(df, t))), s -> s.t)")
+            .alias("toks")
+        )
+    )
+    pt = sorted_toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "slice(toks, 1, size(toks) - cast(ceil(cast(0.7 as double) "
+                "* size(toks)) as int) + 1)"
+            )
+        ).alias("t"),
+    )
+    a = pt.select(F.col("doc_id").alias("doc_a"), "t")
+    b = pt.select(F.col("doc_id").alias("doc_b"), "t")
+    cand = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= PPJOIN_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -48,3 +48,15 @@ def test_multiprobe_lifts_recall_over_single_table(spark, sf_dir):
     assert (m.n_hits >= s.n_hits).all()
     # and on these embeddings it measurably lifts recall@3
     assert m.recall.mean() > s.recall.mean()
+
+
+def test_prefix_filter_join_is_exact(spark, sf_dir):
+    # prefix filtering is EXACT: the verified pair set must equal the
+    # quadratic brute-force truth at the same threshold — no misses
+    # (the prefix theorem) and no extras (the verify step)
+    truth = {
+        (r.a, r.b) for r in run_oracle_sql(_BRUTE, sf_dir).itertuples()
+    }
+    got = load_all()["x_prefix_filter_join"].fn(spark, sf_dir).toPandas()
+    found = {(r.doc_a, r.doc_b) for r in got.itertuples()}
+    assert found == truth
