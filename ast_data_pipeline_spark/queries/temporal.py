@@ -785,3 +785,69 @@ def t_interp_linear(spark, sf_dir):
         .alias("value_interp"),
         F.col("v").isNull().alias("is_interpolated"),
     )
+
+
+@register(
+    "t_twap_per_user",
+    # Time-weighted average of the user's value signal: the signal
+    # holds each event's value until the next event (a step function),
+    # so TWAP = sum(value_i * dt_i) / total_dt over the user's
+    # observation span. Irregular sampling makes the plain mean wrong
+    # whenever gaps correlate with level — the metric ops/finance
+    # pipelines use instead. dt is integer seconds (epoch diffs);
+    # value * dt is one exact double multiply per row; the weighted
+    # sum goes through exact decimal; one final division.
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, floor(epoch(ts))::BIGINT AS sec,
+         lead(floor(epoch(ts))::BIGINT) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+  FROM events
+),
+seg AS (
+  SELECT user_id, value, (next_sec - sec)::BIGINT AS dt
+  FROM seq WHERE next_sec IS NOT NULL AND next_sec > sec
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_segments,
+       sum(dt)::BIGINT AS total_seconds,
+       round(sum((value * dt::DOUBLE)::DECIMAL(30,10)), 4)::DOUBLE
+         / sum(dt)::DOUBLE AS twap
+FROM seg GROUP BY user_id
+""",
+    doc="Per-user time-weighted average (TWAP) of the event value "
+    "signal: each value is weighted by how long it held (step-function "
+    "semantics via a lead window on the user's timeline), so sparse "
+    "quiet periods count by duration, not by sample count. One "
+    "user-partitioned window + one aggregate, both sharing the "
+    "user_id partitioning.",
+    tags=("temporal", "window", "extension"),
+)
+def t_twap_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.exact import DEC, RSCALE
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+    ).withColumn("next_sec", F.lead("sec").over(w))
+    seg = seq.filter(
+        F.col("next_sec").isNotNull() & (F.col("next_sec") > F.col("sec"))
+    ).withColumn("dt", (F.col("next_sec") - F.col("sec")).cast("long"))
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt").alias("total_seconds"),
+        (
+            F.round(
+                F.sum((F.col("value") * F.col("dt").cast("double")).cast(DEC)),
+                RSCALE,
+            ).cast("double")
+            / F.sum("dt").cast("double")
+        ).alias("twap"),
+    )
