@@ -279,3 +279,28 @@ def s_stream_incremental_dedup(spark, sf_dir):
     from ..streaming.dedup_stream import streaming_incremental_dedup
 
     return streaming_incremental_dedup(spark, sf_dir)
+
+
+@register(
+    "s_stream_agg_maintenance",
+    # The oracle is the BATCH recompute over all events; the streaming
+    # side maintained (count, decimal-sum) state across micro-batches
+    # and must land on identical bits — the IVM associativity claim of
+    # e_delta_agg_maintenance, proven on the streaming runtime.
+    oracle="""
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS total_value
+FROM events GROUP BY user_id
+""",
+    doc="Streaming incremental view maintenance: per-user running "
+    "(count, total) kept as a foreachBatch-merged state table with "
+    "DECIMAL partial sums (round once at read) — batch-boundary "
+    "independent by decimal associativity, hash-equal to the batch "
+    "recompute the oracle runs. The streaming face of "
+    "e_delta_agg_maintenance.",
+    tags=("streaming", "extension"),
+)
+def s_stream_agg_maintenance(spark, sf_dir):
+    from ..streaming.upsert import streaming_agg_maintenance
+
+    return streaming_agg_maintenance(spark, sf_dir)

@@ -83,3 +83,54 @@ def run_upsert(spark: SparkSession, ev: DataFrame) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+def streaming_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    return run_agg_maintenance(spark, ev)
+
+
+def run_agg_maintenance(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Streaming incremental view maintenance via foreachBatch: a
+    per-user (count, decimal-sum) state table merged with each
+    micro-batch's partial aggregate — the streaming face of
+    e_delta_agg_maintenance. Decimal partial sums add raw and round
+    ONCE at read time, so the maintained view is bit-identical to a
+    batch recompute no matter how the stream was micro-batched
+    (tests/test_streaming.py forces a 3-batch replay); float state
+    would drift with batch boundaries.
+    """
+    snap_root = tempfile.mkdtemp(prefix="snap_aggmaint_")
+    state: dict[str, str | None] = {"path": None}
+    dec = "decimal(30,10)"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(dec)).alias("s"),
+        )
+        if state["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["path"])
+            part = (
+                prev.unionByName(part)
+                .groupBy("user_id")
+                .agg(F.sum("n").alias("n"), F.sum(F.col("s").cast(dec)).alias("s"))
+            )
+        new_path = os.path.join(snap_root, f"v{batch_id}")
+        part.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(snap_root, "_chk"))
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    snap = spark.read.parquet(state["path"])
+    return snap.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("s").cast(dec), 4).cast("double").alias("total_value"),
+    )

@@ -130,3 +130,55 @@ def test_sessionize_gap_boundary_exact(spark, tmp_path):
     assert stream[(2, "2024-01-01 10:00:00")].n_events == 1
     assert stream[(2, "2024-01-01 10:30:01")].n_events == 1
     assert not any(k[0] == 3 for k in stream)
+
+
+def test_agg_maintenance_batch_boundary_independent(spark, tmp_path):
+    # The maintained (count, decimal-sum) state must land on identical
+    # bits no matter how the stream is micro-batched: replay the same
+    # rows as 1 batch and as 3 batches (maxFilesPerTrigger=1) and
+    # compare against the plain batch aggregate. Values chosen so
+    # float addition order WOULD matter (1e15 + 1 + -1e15 style) —
+    # the decimal state is what keeps the paths equal.
+    from ast_data_pipeline_spark.streaming.upsert import run_agg_maintenance
+
+    rows = [
+        (1, 1e15), (1, 1.0), (1, -1e15), (1, 2.5),
+        (2, 0.1), (2, 0.2), (2, 0.3),
+        (3, 7.0),
+    ]
+    schema = "user_id long, value double"
+    src = tmp_path / "ev3"
+    src.mkdir()
+    chunks = [rows[:3], rows[3:6], rows[6:]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+    batch = {
+        (r.user_id): (r.n_events, r.total_value)
+        for r in spark.read.parquet(str(src) + "/part*")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    got3 = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in run_agg_maintenance(spark, stream3).collect()
+    }
+    stream1 = spark.readStream.schema(schema).parquet(str(src) + "/part*")
+    got1 = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in run_agg_maintenance(spark, stream1).collect()
+    }
+    assert got3 == batch == got1
+    assert batch[1] == (4, 3.5)  # the float-order trap case
