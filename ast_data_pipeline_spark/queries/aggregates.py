@@ -1832,3 +1832,66 @@ def a_quantile_sketch_eval(spark, sf_dir):
     for label, _, _ in _QPROBS:
         cols += [f"{label}_est", f"{label}_exact"]
     return ests.crossJoin(F.broadcast(out)).select(*cols)
+
+
+@register(
+    "a_table_checksum",
+    # Order-insensitive content checksum per table: bit_xor of a
+    # 60-bit md5-derived row hash — the anti-entropy check two
+    # replicas (or two engines, or two snapshots) compare without
+    # moving rows. xxhash64 seeds differ across engines, so the row
+    # hash is md5 over a canonical '|'-joined rendering; dates render
+    # as ISO strings and doubles are excluded (engine float-to-string
+    # formatting differs — measures are checksummed via their exact
+    # decimal totals instead, which the count/sum columns carry).
+    oracle="""
+SELECT 'orders' AS table_name, count(*)::BIGINT AS n_rows,
+       bit_xor(('0x' || substr(md5(
+         o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+         o_orderstatus || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+         o_orderpriority), 1, 15))::BIGINT)::BIGINT AS content_hash,
+       round(sum(o_totalprice::DECIMAL(30,10)), 4)::DOUBLE AS total_measure
+FROM orders
+UNION ALL
+SELECT 'customer', count(*)::BIGINT,
+       bit_xor(('0x' || substr(md5(
+         c_custkey::VARCHAR || '|' || c_name || '|' || c_mktsegment || '|' ||
+         c_nationkey::VARCHAR), 1, 15))::BIGINT)::BIGINT,
+       round(sum(c_acctbal::DECIMAL(30,10)), 4)::DOUBLE
+FROM customer
+""",
+    doc="Table content checksums: per table, an order-insensitive "
+    "bit_xor of md5 row hashes over the canonical key/dimension "
+    "rendering plus the exact-decimal measure total — the "
+    "anti-entropy fingerprint replicas and migration targets compare "
+    "instead of shipping rows. XOR is commutative/associative, so "
+    "1000 executors each fold their partition and the combine is "
+    "free; any single changed, dropped or duplicated row flips the "
+    "hash.",
+    tags=("aggregates", "extension"),
+)
+def a_table_checksum(spark, sf_dir):
+    from ..functions.exact import dsum
+
+    orders = load(spark, sf_dir, "orders")
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(concat_ws('|', "
+            "cast(o_orderkey as string), cast(o_custkey as string), "
+            "o_orderstatus, date_format(o_orderdate, 'yyyy-MM-dd'), "
+            "o_orderpriority)), 1, 15), 16, 10) as bigint))"
+        ).cast("long").alias("content_hash"),
+        dsum("o_totalprice").alias("total_measure"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "content_hash", "total_measure")
+    cust = load(spark, sf_dir, "customer")
+    c = cust.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(concat_ws('|', "
+            "cast(c_custkey as string), c_name, c_mktsegment, "
+            "cast(c_nationkey as string))), 1, 15), 16, 10) as bigint))"
+        ).cast("long").alias("content_hash"),
+        dsum("c_acctbal").alias("total_measure"),
+    ).select(F.lit("customer").alias("table_name"), "n_rows", "content_hash", "total_measure")
+    return o.unionByName(c)

@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_prefix_filter_join",
     "t_twap_per_user",
     "s_stream_agg_maintenance",
+    "a_table_checksum",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
