@@ -86,3 +86,36 @@ def test_cms_cells_merge_cellwise(spark, sf_dir):
     for r in lo.collect() + hi.collect():
         merged[(r.r, r.col)] = merged.get((r.r, r.col), 0) + r.cell
     assert merged == full
+
+
+def test_table_checksum_detects_any_mutation(spark, sf_dir):
+    # the anti-entropy claim, concretely: change one row, drop one
+    # row, or duplicate one row and the xor-of-row-hashes must move
+    import pyspark.sql.functions as F
+
+    from ast_data_pipeline_spark.sources.catalog import load
+
+    def checksum(df):
+        return df.agg(
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat_ws('|', "
+                "cast(c_custkey as string), c_name, c_mktsegment, "
+                "cast(c_nationkey as string))), 1, 15), 16, 10) as bigint))"
+            ).alias("h")
+        ).collect()[0]["h"]
+
+    cust = load(spark, sf_dir, "customer")
+    base = checksum(cust)
+    mutated = cust.withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") == 0, F.lit("Customer#MUTATED")).otherwise(
+            F.col("c_name")
+        ),
+    )
+    dropped = cust.filter(F.col("c_custkey") != 0)
+    duped = cust.unionByName(cust.filter(F.col("c_custkey") == 0))
+    assert checksum(mutated) != base
+    assert checksum(dropped) != base
+    assert checksum(duped) != base  # xor of a dup row cancels ITS hash only
+    # reordering/partitioning must NOT move it
+    assert checksum(cust.repartition(7)) == base
