@@ -446,14 +446,25 @@ def pairwise_ssim(df: DataFrame) -> DataFrame:
     ).mapInPandas(_ssim, schema=SSIM_SCHEMA)
 
 
-def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode an uncompressed PCM WAV payload to (samples, rate).
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear PCM16, the ITU expansion formula
+    (sign/exponent/mantissa with bias 0x84) in vectorized numpy."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
 
-    REAL, pure-numpy RIFF/WAVE parsing from the public spec (PCM is
-    uncompressed — no codec needed): walks the chunk list, reads the
-    fmt chunk (PCM only), returns the data chunk as uint8 (8-bit) or
-    int16 little-endian (16-bit) samples. Compressed audio (mp3/aac)
-    would still need a codec and has no entry point here.
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM or G.711 mu-law WAV payload to (samples, rate).
+
+    REAL, pure-numpy RIFF/WAVE parsing from the public specs: walks
+    the chunk list, reads the fmt chunk, and returns linear samples —
+    uint8 / int16 for PCM (format 1), and mu-law bytes (format 7)
+    expanded through the ITU G.711 formula to int16. Compressed audio
+    (mp3/aac) would still need a codec and has no entry point here.
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -469,9 +480,13 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
         elif cid == b"data":
-            if fmt_code != 1:
-                raise ValueError(f"not PCM (fmt {fmt_code})")
-            if bits == 8:
+            if fmt_code == 7:  # G.711 mu-law: 8-bit codes -> PCM16
+                if bits not in (None, 8):
+                    raise ValueError(f"mu-law must be 8-bit (got {bits})")
+                samples = mulaw_expand(np.frombuffer(body, dtype=np.uint8))
+            elif fmt_code != 1:
+                raise ValueError(f"not PCM/mu-law (fmt {fmt_code})")
+            elif bits == 8:
                 samples = np.frombuffer(body, dtype=np.uint8)
             elif bits == 16:
                 samples = np.frombuffer(body, dtype="<i2")

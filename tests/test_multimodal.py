@@ -279,3 +279,26 @@ def test_png_rejects_corruption():
         decode_image(bytes(bad), "png")
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg", "jpg")
+
+
+def test_mulaw_expansion_matches_itu_table_points():
+    import numpy as np
+
+    from ast_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        mulaw_expand,
+    )
+
+    # canonical G.711 table anchors
+    codes = np.array([0x00, 0x7F, 0xFF, 0x80], dtype=np.uint8)
+    got = mulaw_expand(codes)
+    assert got.tolist() == [-32124, 0, 0, 32124]
+    # monotone decreasing magnitude as code moves toward 0x7F/0xFF
+    neg = mulaw_expand(np.arange(0x00, 0x80, dtype=np.uint8))
+    assert (np.diff(neg) > 0).all() and (neg < 0).sum() == 127
+    # a fmt-7 WAV routes through the expansion
+    from ast_data_pipeline_spark.queries.multimodal import _mulaw_wav_header
+
+    payload = _mulaw_wav_header(4) + bytes([0x00, 0x7F, 0xFF, 0x80])
+    samples, rate = decode_audio(payload)
+    assert rate == 8000 and samples.tolist() == [-32124, 0, 0, 32124]
