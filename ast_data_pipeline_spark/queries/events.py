@@ -1252,3 +1252,41 @@ def e_cusum_changepoint(spark, sf_dir):
     return c.select(
         "day", "total", "cum_dev", (F.row_number().over(wr) == 1).alias("is_changepoint")
     )
+
+
+@register(
+    "e_json_props_stats",
+    # Semi-structured extraction: the JSON props column parsed by each
+    # engine's native JSON path API (get_json_object ~ json_extract),
+    # integer payloads so the per-type stats are exact. The
+    # schema-on-read pattern for event streams whose properties bag
+    # evolves faster than the table schema.
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_with_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON property extraction over the event props bag via the "
+    "native JSON path APIs (Spark get_json_object == DuckDB "
+    "json_extract on this shape), aggregated per event type with "
+    "exact integer stats — the schema-on-read surface for evolving "
+    "event payloads; extraction is a per-row expression, so the "
+    "filter/agg pipeline is unchanged.",
+    tags=("events", "extension"),
+)
+def e_json_props_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(k.isNotNull(), 1).otherwise(0)).cast("long").alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )

@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_agg_maintenance",
     "a_table_checksum",
     "x_multimodal_mulaw",
+    "e_json_props_stats",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
