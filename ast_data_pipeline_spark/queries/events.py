@@ -1290,3 +1290,57 @@ def e_json_props_stats(spark, sf_dir):
         F.max(k).alias("max_k"),
         F.sum(k).alias("sum_k"),
     )
+
+
+@register(
+    "e_longest_streak",
+    # Gaps-and-islands on the per-user active-day set: day_index minus
+    # dense day rank is constant within a consecutive run, so the
+    # longest streak is a max over (user, island) counts — two
+    # aggregates and one user-partitioned rank, all integer.
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, (epoch(ts::DATE) // 86400)::BIGINT AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, count(*)::BIGINT AS len,
+         min(day)::BIGINT AS start_day
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, max(len)::BIGINT AS longest_streak,
+       count(*)::BIGINT AS n_streaks,
+       min(start_day)::BIGINT AS first_day
+FROM runs GROUP BY user_id
+""",
+    doc="Longest consecutive-active-day streak per user "
+    "(gaps-and-islands: epoch-day minus per-user day rank is constant "
+    "inside a run) plus streak count — the engagement metric behind "
+    "every retention dashboard. Distinct-days, the rank window and "
+    "both aggregates all share the user_id partitioning: one shuffle "
+    "chain, no global ordering anywhere.",
+    tags=("events", "window", "extension"),
+)
+def e_longest_streak(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        (F.to_date("ts").cast("timestamp").cast("long") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.min("start_day").cast("long").alias("first_day"),
+    )

@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_table_checksum",
     "x_multimodal_mulaw",
     "e_json_props_stats",
+    "e_longest_streak",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
