@@ -1522,10 +1522,14 @@ def a_countmin_sketch(spark, sf_dir):
         ),
     )
     cells = hashed.groupBy("r", "col").agg(F.sum("n").alias("cell"))
+    # TakeOrdered (per-partition heaps) selects the 20 heaviest; the
+    # rank window then runs on the 20-row result — never a global
+    # window over the whole (corpus-growing) vocabulary
     w = Window.orderBy(F.col("n").desc(), "tok")
     top = (
-        counted.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        counted.orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("tok", "rank", F.col("n").alias("true_count"))
     )
     probe = top.select(

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Registry-wide single-reducer audit: list every physical Window node
+with NO partition spec but WITH an ordering (the global-sort smell) in
+every registered query's plan at sf0.01.
+
+A hit is not automatically a defect — the repo intentionally runs
+un-partitioned windows over TINY frames (bucket-count tables, daily
+series, post-TakeOrdered top-k results); the audit exists so every hit
+is a *reviewed* decision. Current classification of the r6 audit:
+
+- tiny bucket/offset tables (two-level prefix pattern): a_ks_two_sample,
+  a_skyline_2d, a_quantile_sketch_eval, x_range_partition_bounds,
+  x_data_mixture, e_cusum_changepoint, x_vocab_growth, t_peak_concurrency
+- post-TakeOrdered top-k rank (window sees <= k*partitions rows):
+  e_topk_users_by_value, x_heavy_hitters, a_countmin_sketch, j_skew_report
+- entity-sized frames mirroring reference semantics (global allocation
+  order over the blank-chip subset): d_f7_verifier_allocation,
+  d_tracking_pipeline; source-count frames: x_gini_source_concentration
+- WATCH: e_rfm_scores ntile over the user table — user-entity-sized;
+  would need the two-level banding (a_mode_median's) past ~100M users.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def unpartitioned_ordered_windows(plan: str) -> list[str]:
+    out = []
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if not ("Window [" in s and "windowspecdefinition(" in s):
+            continue
+        spec = s.split("windowspecdefinition(", 1)[1]
+        # partition columns come first with no ASC/DESC marker; an
+        # ordered-but-unpartitioned spec starts straight at "col ASC"
+        first_arg = spec.split(",", 1)[0]
+        if re.search(r"(ASC|DESC)", first_arg):
+            out.append(s[:160])
+    return out
+
+
+def main() -> None:
+    from ast_data_pipeline_spark.registry import load_all
+    from ast_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("window-audit")
+    hits = {}
+    for name, spec in load_all().items():
+        try:
+            plan = (
+                spec.fn(spark, "/root/testdata/sf0.01")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # pragma: no cover
+            print("ERR", name, str(e)[:120])
+            continue
+        bad = unpartitioned_ordered_windows(plan)
+        if bad:
+            hits[name] = bad
+    for name, bad in sorted(hits.items()):
+        print(name, "n=", len(bad), "::", bad[0])
+    print("TOTAL", len(hits))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
