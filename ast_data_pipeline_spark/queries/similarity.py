@@ -911,3 +911,131 @@ def x_semantic_dedup(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+_PI_ITERS = 3
+
+
+def _power_oracle() -> str:
+    # 3 unrolled power-iteration rounds; every step mirrors the Spark
+    # computation token for token (per-row fold dot product, decimal
+    # per-dim sums, left-fold sum of squares, one sqrt, one division)
+    def y_cte(tag: str, v_expr: str) -> str:
+        return f"""
+y{tag} AS (
+  SELECT b.vec_id, b.emb,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(generate_series(1, {EMB_DIM}),
+                          i -> b.emb[i] * {v_expr})),
+           (a, b) -> a + b) AS y
+  FROM base b{', v' + tag[0] if not v_expr.startswith('0.125') else ''}
+)"""
+
+    ctes = [
+        f"base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings)",
+        f"dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS d)",
+    ]
+    prev_v = "0.125::DOUBLE"  # v0 = 1/sqrt(64), exact in binary
+    for k in range(1, _PI_ITERS + 1):
+        if k == 1:
+            ctes.append(y_cte("1", prev_v))
+        else:
+            ctes.append(
+                f"""
+y{k} AS (
+  SELECT b.vec_id, b.emb,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(generate_series(1, {EMB_DIM}),
+                          i -> b.emb[i] * vv.v[i])),
+           (a, b) -> a + b) AS y
+  FROM base b, v{k - 1} vv
+)"""
+            )
+        ctes.append(
+            f"""
+s{k} AS (
+  SELECT d.d, round(sum((y{k}.y * y{k}.emb[d.d])::DECIMAL(30,10)), 4)::DOUBLE AS s
+  FROM y{k}, dims d GROUP BY d.d
+)"""
+        )
+        ctes.append(
+            f"""
+n{k} AS (
+  SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(s ORDER BY d)),
+              (a, b) -> a + b * b)) AS nrm
+  FROM s{k}
+)"""
+        )
+        if k < _PI_ITERS:
+            ctes.append(
+                f"v{k} AS (SELECT list(s / (SELECT nrm FROM n{k}) ORDER BY d) AS v FROM s{k})"
+            )
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT s{_PI_ITERS}.d::INT AS dim,
+       s{_PI_ITERS}.s / (SELECT nrm FROM n{_PI_ITERS}) AS loading,
+       (SELECT nrm FROM n{_PI_ITERS}) AS sigma
+FROM s{_PI_ITERS}
+"""
+    )
+
+
+@register(
+    "x_power_iteration_pc1",
+    oracle=_power_oracle(),
+    doc="Top principal direction of the embedding corpus by POWER "
+    "ITERATION (3 fixed rounds, matrix-free): per round, one fold dot "
+    "product per row (y = <x, v>, codegen), one partial-agg shuffle "
+    "producing the 64 per-dim sums s_d = sum(y * x_d) through exact "
+    "decimal, then a driver-side normalize of 64 scalars — the same "
+    "driver-traffic contract as Lloyd (K x dim doubles per round, "
+    "localCheckpoint round cut on the input). Deterministic start "
+    "v0 = 1/sqrt(64) (exact in binary) and identical left-fold / "
+    "division order make the ITERATED eigenvector bit-exact across "
+    "engines — the PCA-whitening precursor, oracled via 3 unrolled "
+    "CTE rounds. Output: 64 loadings + the top singular-value-squared "
+    "scale sigma = ||X'Xv||.",
+    tags=("similarity", "extension", "iterative"),
+)
+def x_power_iteration_pc1(spark, sf_dir):
+    from functools import reduce as freduce
+    import math
+
+    from ..functions.exact import DEC
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    ).localCheckpoint(eager=False)
+    v = [0.125] * EMB_DIM
+    s_frame = None
+    norm = None
+    for _ in range(_PI_ITERS):
+        lit_v = F.array(*[F.lit(float(x)) for x in v])
+        y = F.aggregate(
+            F.zip_with(F.col("emb"), lit_v, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        rows = emb.withColumn("y", y)
+        s_frame = rows.agg(
+            *[
+                F.round(
+                    F.sum((F.col("y") * F.element_at("emb", d + 1)).cast(DEC)), 4
+                )
+                .cast("double")
+                .alias(f"s{d}")
+                for d in range(EMB_DIM)
+            ]
+        )
+        s = list(s_frame.collect()[0])
+        norm = math.sqrt(freduce(lambda a, x: a + x * x, s, 0.0))
+        v = [x / norm for x in s]
+    return s_frame.select(
+        F.posexplode(F.array(*[F.col(f"s{d}") for d in range(EMB_DIM)])).alias(
+            "pos", "s"
+        )
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        (F.col("s") / F.lit(norm)).alias("loading"),
+        F.lit(norm).alias("sigma"),
+    )

@@ -149,6 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_multimodal_mulaw",
     "e_json_props_stats",
     "e_longest_streak",
+    "x_power_iteration_pc1",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",

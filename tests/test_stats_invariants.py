@@ -112,3 +112,32 @@ def test_interval_union_vs_brute_force(spark, sf_dir):
     m = df.merge(brute, on="user_id")
     assert len(m) == len(df)
     assert (m.covered_seconds == m.covered).all()
+
+
+def test_power_iteration_unit_norm_and_positive_scale(spark, sf_dir):
+    from ast_data_pipeline_spark.registry import load_all
+
+    pc = load_all()["x_power_iteration_pc1"].fn(spark, sf_dir).toPandas()
+    assert len(pc) == 64
+    assert abs((pc.loading ** 2).sum() - 1.0) < 1e-9  # unit eigenvector
+    assert (pc.sigma > 0).all()
+    # iterating must not diverge: sigma (||X'Xv|| for unit v) is
+    # bounded by the largest eigenvalue of X'X <= trace = total sum of
+    # squared entries
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.sources.catalog import load
+
+    trace = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            F.aggregate(
+                F.expr("transform(embedding, x -> cast(x as double))"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            ).alias("sq")
+        )
+        .agg(F.sum("sq"))
+        .collect()[0][0]
+    )
+    assert 0 < pc.sigma.iloc[0] <= trace
