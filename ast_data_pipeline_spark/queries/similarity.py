@@ -1039,3 +1039,123 @@ def x_power_iteration_pc1(spark, sf_dir):
         (F.col("s") / F.lit(norm)).alias("loading"),
         F.lit(norm).alias("sigma"),
     )
+
+
+def _pc1_var_oracle() -> str:
+    # reuse the 3-round power-iteration CTEs, then project every
+    # vector onto the final unit direction and compare the projected
+    # variance against the total variance (sum of per-dim variances),
+    # all through decimal-exact moments
+    base_oracle = _power_oracle()
+    ctes = base_oracle.split("\nSELECT s3.d::INT AS dim")[0]
+    return (
+        ctes
+        + f""",
+vf AS (SELECT list(s / (SELECT nrm FROM n3) ORDER BY d) AS v FROM s3),
+proj AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(generate_series(1, {EMB_DIM}),
+                          i -> b.emb[i] * vv.v[i])),
+           (a, b) -> a + b) AS y
+  FROM base b, vf vv
+),
+pm AS (
+  SELECT count(*)::BIGINT AS n,
+         round(sum(y::DECIMAL(30,10)), 4)::DOUBLE AS sy,
+         round(sum((y * y)::DECIMAL(30,10)), 4)::DOUBLE AS syy
+  FROM proj
+),
+tm AS (
+  SELECT round(sum((e.v * e.v)::DECIMAL(30,10)), 4)::DOUBLE AS sxx,
+         round(sum(e.v::DECIMAL(30,10)), 4)::DOUBLE AS sx,
+         count(*)::BIGINT AS nn
+  FROM (SELECT d.d, b.emb[d.d] AS v FROM base b, dims d) e
+)
+SELECT pm.n,
+       pm.syy / pm.n - (pm.sy / pm.n) * (pm.sy / pm.n) AS var_pc1,
+       tm.sxx / pm.n - {EMB_DIM} * ((tm.sx / tm.nn) * (tm.sx / tm.nn)) AS naive_total_var,
+       (pm.syy / pm.n - (pm.sy / pm.n) * (pm.sy / pm.n))
+         / (tm.sxx / pm.n) AS explained_sq_ratio
+FROM pm, tm
+"""
+    )
+
+
+@register(
+    "x_pc1_explained_variance",
+    oracle=_pc1_var_oracle(),
+    doc="Explained variance along the power-iteration PC1: every "
+    "embedding projects onto the converged unit direction (fold dot "
+    "product), and the projected variance is compared against the "
+    "total second moment — the number that says whether one direction "
+    "dominates the corpus (a collapsed-embedding red flag in training "
+    "pipelines). Moments go through exact decimal; the projection "
+    "reuses the bit-exact 3-round iteration so both engines project "
+    "onto the identical vector.",
+    tags=("similarity", "stats", "extension"),
+)
+def x_pc1_explained_variance(spark, sf_dir):
+    from functools import reduce as freduce
+    import math
+
+    from ..functions.exact import DEC
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    ).localCheckpoint(eager=False)
+    v = [0.125] * EMB_DIM
+    for _ in range(_PI_ITERS):
+        lit_v = F.array(*[F.lit(float(x)) for x in v])
+        y = F.aggregate(
+            F.zip_with(F.col("emb"), lit_v, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        s = list(
+            emb.withColumn("y", y)
+            .agg(
+                *[
+                    F.round(
+                        F.sum((F.col("y") * F.element_at("emb", d + 1)).cast(DEC)), 4
+                    )
+                    .cast("double")
+                    .alias(f"s{d}")
+                    for d in range(EMB_DIM)
+                ]
+            )
+            .collect()[0]
+        )
+        norm = math.sqrt(freduce(lambda a, x: a + x * x, s, 0.0))
+        v = [x / norm for x in s]
+    lit_v = F.array(*[F.lit(float(x)) for x in v])
+    y = F.aggregate(
+        F.zip_with(F.col("emb"), lit_v, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    pm = emb.withColumn("y", y).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("y").cast(DEC)), 4).cast("double").alias("sy"),
+        F.round(F.sum((F.col("y") * F.col("y")).cast(DEC)), 4)
+        .cast("double")
+        .alias("syy"),
+    )
+    el = emb.select(F.explode("emb").alias("x"))
+    tm = el.agg(
+        F.round(F.sum((F.col("x") * F.col("x")).cast(DEC)), 4)
+        .cast("double")
+        .alias("sxx"),
+        F.round(F.sum(F.col("x").cast(DEC)), 4).cast("double").alias("sx"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    n = F.col("n")
+    sy, syy = F.col("sy"), F.col("syy")
+    sxx, sx, nn = F.col("sxx"), F.col("sx"), F.col("nn")
+    return pm.crossJoin(F.broadcast(tm)).select(
+        "n",
+        (syy / n - (sy / n) * (sy / n)).alias("var_pc1"),
+        (sxx / n - F.lit(float(EMB_DIM)) * ((sx / nn) * (sx / nn))).alias(
+            "naive_total_var"
+        ),
+        ((syy / n - (sy / n) * (sy / n)) / (sxx / n)).alias("explained_sq_ratio"),
+    )
