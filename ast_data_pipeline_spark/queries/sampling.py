@@ -816,3 +816,113 @@ def x_weighted_sample_es(spark, sf_dir):
         ),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(ES_SAMPLE_K)
+
+
+N_SUBSAMPLES = 50
+
+
+def _subsample_ci_oracle() -> str:
+    from ..operators.text import quality_score_sql
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, {quality_score_sql('w', 'text')} AS quality
+  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
+),
+reps AS (
+  SELECT b.b,
+         round(sum(CASE WHEN ('0x' || substr(md5(b.b::VARCHAR || '|' || q.doc_id::VARCHAR), 1, 2))::INT < 128
+                        THEN (q.quality)::DECIMAL(30,10) END), 4)::DOUBLE
+           / sum(CASE WHEN ('0x' || substr(md5(b.b::VARCHAR || '|' || q.doc_id::VARCHAR), 1, 2))::INT < 128
+                      THEN 1 ELSE 0 END) AS m
+  FROM q, unnest(generate_series(0, {N_SUBSAMPLES - 1})) b(b)
+  GROUP BY b.b
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM reps
+),
+full_mean AS (
+  SELECT round(sum(quality::DECIMAL(30,10)), 4)::DOUBLE / count(*) AS mu FROM q
+)
+SELECT (SELECT mu FROM full_mean) AS point_estimate,
+       min(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+       min(CASE WHEN rn = {N_SUBSAMPLES - 1} THEN m END) AS ci_hi,
+       {N_SUBSAMPLES}::INT AS n_replicates
+FROM ranked
+"""
+
+
+@register(
+    "x_subsample_ci",
+    oracle=_subsample_ci_oracle(),
+    doc="Subsampling confidence interval (Politis-Romano) for the mean "
+    "quality score: 50 deterministic half-samples via keyed md5 gates "
+    "(replicate membership is a stateless per-(replicate, doc) "
+    "expression — one explode + one aggregate, no rand(), identical "
+    "in re-runs and both engines), replicate means through the exact "
+    "decimal path, CI endpoints by rank selection over the 50-row "
+    "frame. The uncertainty quantification every corpus health number "
+    "should ship with.",
+    tags=("sampling", "stats", "extension"),
+)
+def x_subsample_ci(spark, sf_dir):
+    from ..functions.exact import DEC
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    q = docs.select("doc_id", quality_score("w", F.col("text")).alias("quality"))
+    reps = (
+        q.select(
+            "doc_id",
+            "quality",
+            F.explode(F.sequence(F.lit(0), F.lit(N_SUBSAMPLES - 1))).alias("b"),
+        )
+        .withColumn(
+            "inb",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("b").cast("string"),
+                            F.lit("|"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            < 128,
+        )
+        .groupBy("b")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.when(F.col("inb"), F.col("quality").cast(DEC))), 4
+                ).cast("double")
+                / F.sum(F.when(F.col("inb"), 1).otherwise(0))
+            ).alias("m")
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    fm = q.agg(
+        (F.round(F.sum(F.col("quality").cast(DEC)), 4).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == N_SUBSAMPLES - 1, F.col("m"))).alias("ci_hi"),
+    )
+    return fm.crossJoin(F.broadcast(ci)).select(
+        F.col("mu").alias("point_estimate"),
+        "ci_lo",
+        "ci_hi",
+        F.lit(N_SUBSAMPLES).cast("int").alias("n_replicates"),
+    )
