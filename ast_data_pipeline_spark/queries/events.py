@@ -1344,3 +1344,63 @@ def e_longest_streak(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.min("start_day").cast("long").alias("first_day"),
     )
+
+
+@register(
+    "e_metric_decomposition",
+    # Root-cause decomposition: the day-over-day change of the total
+    # value metric is exactly the sum of per-event-type deltas, so the
+    # report shows each type's contribution (and share of the total
+    # move). Additivity is exact because daily totals go through
+    # decimal sums: total_delta == sum(type_delta) bit-for-bit.
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day,
+         {dsum_sql('value')} AS total
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, day, total,
+         total - lag(total) OVER (PARTITION BY event_type ORDER BY day)
+           AS delta
+  FROM daily
+),
+t AS (
+  SELECT day, round(sum((delta)::DECIMAL(30,10)), 4)::DOUBLE AS total_delta
+  FROM d WHERE delta IS NOT NULL GROUP BY day
+)
+SELECT d.day, d.event_type, d.delta, t.total_delta,
+       d.delta / t.total_delta AS contribution_share
+FROM d JOIN t USING (day)
+WHERE d.delta IS NOT NULL
+""",
+    doc="Metric change decomposition: each day's move in total value "
+    "split into per-event-type contributions with shares — the "
+    "root-cause table behind every 'why did the metric move' "
+    "question. Decimal-exact daily totals make the decomposition "
+    "additive to the bit (type deltas sum exactly to the total "
+    "delta); everything past the one (type, day) aggregate runs on "
+    "the tiny daily frame.",
+    tags=("events", "window", "extension"),
+)
+def e_metric_decomposition(spark, sf_dir):
+    from ..functions.exact import DEC
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(dsum("value").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("delta", F.col("total") - F.lag("total").over(w)).filter(
+        F.col("delta").isNotNull()
+    )
+    t = d.groupBy("day").agg(
+        F.round(F.sum(F.col("delta").cast(DEC)), 4).cast("double").alias("total_delta")
+    )
+    return d.join(F.broadcast(t), "day").select(
+        "day",
+        "event_type",
+        "delta",
+        "total_delta",
+        (F.col("delta") / F.col("total_delta")).alias("contribution_share"),
+    )
