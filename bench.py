@@ -83,11 +83,21 @@ def main() -> None:
     # ladder made the contract test the flakiest in the suite under
     # parallel-suite contention (VERDICT r3, What's wrong #2).
     max_samples, settle = (1, 1) if sf is not None and sf <= 0.001 else (5, 3)
+    # Hold a strong reference to every sampled plan for the run's
+    # lifetime: rebinding `df` lets py4j release the JVM Dataset, whose
+    # SQL-metric accumulators then get garbage-collected while the
+    # DAGScheduler event loop is still draining that plan's task
+    # completions — the source of the `Failed to update accumulator
+    # (Unknown class)` ERROR spam observed mid-run (the events are
+    # applied asynchronously after save() returns). A few hundred plan
+    # handles are negligible memory.
+    plan_refs: list = []
     with materialized_views():
         for name in bench_names:
             samples: list[float] = []
             while True:
                 df = specs[name].fn(spark, sf_dir)
+                plan_refs.append(df)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
@@ -122,6 +132,7 @@ def main() -> None:
     sys.stdout.flush()
     import gc
 
+    plan_refs.clear()
     gc.collect()
     time.sleep(0.5)
     spark.sparkContext.setLogLevel("FATAL")
