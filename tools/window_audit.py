@@ -8,6 +8,7 @@ un-partitioned windows over TINY frames (bucket-count tables, daily
 series, post-TakeOrdered top-k results); the audit exists so every hit
 is a *reviewed* decision. Current classification of the r6 audit:
 
+- fixed-replicate frames (50-row subsample means): x_subsample_ci
 - tiny bucket/offset tables (two-level prefix pattern): a_ks_two_sample,
   a_skyline_2d, a_quantile_sketch_eval, x_range_partition_bounds,
   x_data_mixture, e_cusum_changepoint, x_vocab_growth, t_peak_concurrency
