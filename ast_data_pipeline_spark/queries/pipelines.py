@@ -509,3 +509,112 @@ def x_corpus_health(spark, sf_dir):
             davg("entropy_bits").alias("avg_entropy"),
         )
     )
+
+
+def _dataset_card_oracle() -> str:
+    from ..functions.exact import davg_sql
+    from ..operators.text import quality_score_sql
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, lang, n_chars, md5(lower(text)) AS h,
+         len(string_split(text, ' '))::BIGINT AS ws_tokens,
+         {quality_score_sql('w', 'text')} AS quality,
+         CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, source, lang, n_chars, text,
+               string_split(lower(text), ' ') AS w FROM documents)
+),
+lang_top AS (
+  SELECT lang FROM q GROUP BY lang
+  ORDER BY count(*) DESC, lang LIMIT 1
+)
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       (SELECT lang FROM lang_top) AS top_lang,
+       sum(ws_tokens)::BIGINT AS total_ws_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       1.0::DOUBLE - count(DISTINCT h)::DOUBLE / count(*) AS exact_dup_rate,
+       {davg_sql('quality')} AS mean_quality,
+       sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+       sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+FROM q
+"""
+
+
+@register(
+    "x_dataset_card",
+    oracle=_dataset_card_oracle(),
+    doc="The dataset release card: one row with the numbers a dataset "
+    "consumer reads first — volume (docs/tokens/chars), source and "
+    "language spread with the dominant language, exact-duplicate "
+    "rate, mean quality, and the train/val/test split census — all "
+    "composed from the engine's already-oracled operators in ONE "
+    "aggregation pass over the corpus (plus the tiny top-lang "
+    "argmax). The artifact a release pipeline publishes next to the "
+    "shard manifest.",
+    tags=("pipeline", "text", "extension"),
+)
+def x_dataset_card(spark, sf_dir):
+    from ..functions.exact import davg
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    q = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.lower("text")).alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        quality_score("w", F.col("text")).alias("quality"),
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    top_lang = (
+        q.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    card = q.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+        davg("quality").alias("mean_quality"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    return card.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "top_lang",
+        "total_ws_tokens",
+        "total_chars",
+        "exact_dup_rate",
+        "mean_quality",
+        "n_train",
+        "n_val",
+        "n_test",
+    )
