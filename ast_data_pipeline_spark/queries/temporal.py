@@ -851,3 +851,78 @@ def t_twap_per_user(spark, sf_dir):
             / F.sum("dt").cast("double")
         ).alias("twap"),
     )
+
+
+@register(
+    "t_rolling_corr",
+    # 7-day rolling Pearson correlation between the click and purchase
+    # daily value series: window sums over the tiny aligned daily
+    # frame go through exact decimal, and the closed-form correlation
+    # (n*sxy - sx*sy over the product of root variances) is computed
+    # in the identical operation order in both engines. Emitted only
+    # for full 7-day windows.
+    oracle=f"""
+WITH daily AS (
+  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+         {dsum_sql("CASE WHEN event_type = 'click' THEN value ELSE 0.0 END")} AS x,
+         {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS y
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS rn,
+         round(sum((x)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sx,
+         round(sum((y)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sy,
+         round(sum((x * y)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sxy,
+         round(sum((x * x)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sxx,
+         round(sum((y * y)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS syy
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       (7.0::DOUBLE * sxy - sx * sy)
+         / (sqrt(7.0::DOUBLE * sxx - sx * sx) * sqrt(7.0::DOUBLE * syy - sy * sy))
+         AS rolling_corr_7d
+FROM w WHERE rn >= 7
+""",
+    doc="7-day rolling Pearson correlation between the click and "
+    "purchase daily revenue series — the co-movement monitor behind "
+    "channel-interaction dashboards. The fact aggregates once to the "
+    "aligned daily frame; all five rolling moments come from decimal "
+    "window sums over that tiny series, and the closed-form "
+    "correlation is bit-identical across engines.",
+    tags=("temporal", "window", "stats", "extension"),
+)
+def t_rolling_corr(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.exact import DEC, dsum
+
+    ev = load(spark, sf_dir, "events")
+    x = F.when(F.col("event_type") == "click", F.col("value")).otherwise(F.lit(0.0))
+    y = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+        F.lit(0.0)
+    )
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(dsum(x).alias("x"), dsum(y).alias("y"))
+    win = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+
+    def rs(col):
+        return F.round(F.sum(col.cast(DEC)).over(win), 4).cast("double")
+
+    w = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        rs(F.col("x")).alias("sx"),
+        rs(F.col("y")).alias("sy"),
+        rs(F.col("x") * F.col("y")).alias("sxy"),
+        rs(F.col("x") * F.col("x")).alias("sxx"),
+        rs(F.col("y") * F.col("y")).alias("syy"),
+    )
+    seven = F.lit(7.0)
+    corr = (seven * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(seven * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(seven * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return w.filter(F.col("rn") >= 7).select("day", corr.alias("rolling_corr_7d"))

@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_subsample_ci",
     "e_metric_decomposition",
     "x_dataset_card",
+    "t_rolling_corr",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
