@@ -1404,3 +1404,48 @@ def e_metric_decomposition(spark, sf_dir):
         "total_delta",
         (F.col("delta") / F.col("total_delta")).alias("contribution_share"),
     )
+
+
+@register(
+    "e_new_vs_returning",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, strftime(ts::DATE, '%Y-%m-%d') AS day FROM events
+),
+first_day AS (SELECT user_id, min(day) AS fd FROM act GROUP BY 1)
+SELECT a.day,
+       count(*)::BIGINT AS dau,
+       sum(CASE WHEN a.day = f.fd THEN 1 ELSE 0 END)::BIGINT AS new_users,
+       sum(CASE WHEN a.day > f.fd THEN 1 ELSE 0 END)::BIGINT AS returning_users,
+       sum(CASE WHEN a.day > f.fd THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS returning_share
+FROM act a JOIN first_day f USING (user_id)
+GROUP BY a.day
+""",
+    doc="Daily actives decomposed into new vs returning (first-seen "
+    "day from a per-user min, joined back to the distinct activity "
+    "days) — the DAU decomposition every growth dashboard leads with. "
+    "Two user-partitioned passes + one day aggregate; the share is a "
+    "single exact integer division.",
+    tags=("events", "extension"),
+)
+def e_new_vs_returning(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).distinct()
+    first_day = act.groupBy("user_id").agg(F.min("day").alias("fd"))
+    j = act.join(first_day, "user_id")
+    return j.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.when(F.col("day") == F.col("fd"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("fd"), 1).otherwise(0))
+        .cast("long")
+        .alias("returning_users"),
+        (
+            F.sum(F.when(F.col("day") > F.col("fd"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("returning_share"),
+    )

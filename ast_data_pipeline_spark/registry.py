@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_metric_decomposition",
     "x_dataset_card",
     "t_rolling_corr",
+    "e_new_vs_returning",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
