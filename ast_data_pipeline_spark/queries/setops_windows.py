@@ -439,3 +439,46 @@ def a_cube_shipping(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+@register(
+    "u6_symmetric_difference",
+    oracle="""
+WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderdate < DATE '1997-01-01'),
+b AS (SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice >= 100000),
+only_a AS (SELECT o_orderkey FROM a EXCEPT SELECT o_orderkey FROM b),
+only_b AS (SELECT o_orderkey FROM b EXCEPT SELECT o_orderkey FROM a)
+SELECT 'only_a' AS side, count(*)::BIGINT AS n_keys,
+       min(o_orderkey)::BIGINT AS min_key, max(o_orderkey)::BIGINT AS max_key
+FROM only_a JOIN a USING (o_orderkey)
+UNION ALL
+SELECT 'only_b', count(*)::BIGINT, min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
+FROM only_b JOIN b USING (o_orderkey)
+""",
+    doc="Symmetric difference census between two overlapping order "
+    "snapshots (early orders vs high-value orders): keys in exactly "
+    "one side, via the two anti-join halves — the reconciliation "
+    "primitive completing the set-ops family (U1 union, U2 except, "
+    "U3 intersect, U5 bag forms). Both halves are key-partitioned "
+    "anti joins; no full-row comparison needed for a key census.",
+    tags=("setops", "extension"),
+)
+def u6_symmetric_difference(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select(
+        "o_orderkey"
+    )
+    b = orders.filter(F.col("o_totalprice") >= 100000).select("o_orderkey")
+    only_a = a.join(b, "o_orderkey", "left_anti")
+    only_b = b.join(a, "o_orderkey", "left_anti")
+
+    def census(df, side):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        ).select(F.lit(side).alias("side"), "n_keys", "min_key", "max_key")
+
+    return census(only_a, "only_a").unionByName(census(only_b, "only_b"))

@@ -156,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_dataset_card",
     "t_rolling_corr",
     "e_new_vs_returning",
+    "u6_symmetric_difference",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
