@@ -1899,3 +1899,74 @@ def a_table_checksum(spark, sf_dir):
         dsum("c_acctbal").alias("total_measure"),
     ).select(F.lit("customer").alias("table_name"), "n_rows", "content_hash", "total_measure")
     return o.unionByName(c)
+
+
+@register(
+    "a_winsorized_mean",
+    # Winsorized mean of order totals: clamp to the exact rank-selected
+    # P05/P95 (lower-element convention, unique (value, key) chain),
+    # then the decimal-exact mean — the robust location estimate that
+    # keeps every row (unlike the trimmed mean) while bounding tail
+    # influence. Plain mean reported alongside for the influence gap.
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+),
+cuts AS (
+  SELECT min(CASE WHEN rn = (n * 5 + 99) // 100 THEN o_totalprice END) AS lo,
+         min(CASE WHEN rn = (n * 95 + 99) // 100 THEN o_totalprice END) AS hi
+  FROM ranked
+)
+SELECT (SELECT max(n) FROM ranked)::BIGINT AS n,
+       c.lo AS p05, c.hi AS p95,
+       round(sum((CASE WHEN o_totalprice < c.lo THEN c.lo
+                       WHEN o_totalprice > c.hi THEN c.hi
+                       ELSE o_totalprice END)::DECIMAL(30,10)), 4)::DOUBLE
+         / count(*) AS winsorized_mean,
+       round(sum((o_totalprice)::DECIMAL(30,10)), 4)::DOUBLE / count(*)
+         AS plain_mean
+FROM orders, cuts c
+GROUP BY c.lo, c.hi
+""",
+    doc="Winsorized mean (5%/95%) of order totals next to the plain "
+    "mean: cutoffs come from the distributed rank-selection machinery "
+    "(bucket counts locate the two target ranks; only the selected "
+    "buckets sort), the clamp is a per-row expression with the "
+    "cutoffs broadcast, and both means go through exact decimal — "
+    "the robust location estimate for skew-prone revenue columns.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_winsorized_mean(spark, sf_dir):
+    from ..functions.exact import DEC
+    from ..operators.quantiles import exact_group_quantiles
+
+    orders = load(spark, sf_dir, "orders")
+    cuts = exact_group_quantiles(
+        orders.withColumn("g", F.lit("all")),
+        "g",
+        "o_totalprice",
+        "o_orderkey",
+        [("p05", 5, 100), ("p95", 95, 100)],
+        F.floor(F.col("o_totalprice") / 10000).cast("long"),
+    ).select(F.col("p05").alias("lo"), F.col("p95").alias("hi"))
+    w = F.when(F.col("o_totalprice") < F.col("lo"), F.col("lo")).when(
+        F.col("o_totalprice") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("o_totalprice"))
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").alias("p05"),
+            F.min("hi").alias("p95"),
+            (
+                F.round(F.sum(w.cast(DEC)), 4).cast("double") / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+            (
+                F.round(F.sum(F.col("o_totalprice").cast(DEC)), 4).cast("double")
+                / F.count(F.lit(1))
+            ).alias("plain_mean"),
+        )
+    )

@@ -157,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_rolling_corr",
     "e_new_vs_returning",
     "u6_symmetric_difference",
+    "a_winsorized_mean",
     # 52+: re-proofs of the oldest greens (flagship first) in case the
     # driver budget is larger than the historical ~50
     "flagship_tank_inventory",
