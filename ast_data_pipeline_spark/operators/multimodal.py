@@ -5,10 +5,13 @@ The container has no image/audio codec libraries, so decode is REAL
 where the public spec + stdlib suffice: ``decode_image`` decodes
 uncompressed Netpbm (P6 PPM / P5 PGM) in pure numpy AND baseline PNG
 (8-bit grey/RGB — CRC-checked chunk walk, zlib IDAT inflate, scanline
-unfilter per RFC 2083); ``decode_audio`` decodes uncompressed PCM WAV
-(RIFF chunk walk); ``extract_features``/``audio_features``/
-``pairwise_ssim`` compute over those decoded samples end-to-end. For
-the remaining compressed formats (jpg/mp3) the decode raises
+unfilter per RFC 2083) AND GIF87a/89a (block walk, sub-block
+reassembly, a full variable-width LZW codec with table resets,
+palette mapping — ``_gif_decode``); ``decode_audio`` decodes
+uncompressed PCM WAV (RIFF chunk walk); ``extract_features``/
+``audio_features``/``pairwise_ssim`` compute over those decoded
+samples end-to-end. For the remaining compressed formats (jpg/mp3)
+the decode raises
 NotImplementedError exactly where Pillow/libsndfile/ffmpeg would plug
 in, and a deterministic fake (raw-byte features) keeps the Arrow
 plumbing — schema, batching, partitioning, UDF signature — exercised.
@@ -191,18 +194,225 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_compress(data: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW (variable 9..12-bit codes, LSB-first packing).
+
+    Emits the initial clear code, grows the code width when the next
+    free index passes the current width's capacity (GIF timing: the
+    encoder runs one table entry ahead of the decoder, so the encoder
+    boundary is ``(1 << width) + 1`` where the decoder's is
+    ``1 << width``), and resets the table with a clear code at the
+    4096-entry cap.
+    """
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, nxt, width = fresh()
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, nxt, width = fresh()
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> bytes:
+    """Inverse of ``_lzw_compress`` (GIF 89a spec appendix F): handles
+    clear codes mid-stream, the KwKwK just-assigned-code case, and
+    width growth at the decoder boundary ``len(table) == 1 << width``."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = nbits = pos = 0
+    width = mcs + 1
+    table: list[bytes] | None = None
+    prev: int | None = None
+
+    def read_code() -> int | None:
+        nonlocal buf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code is None:
+            raise ValueError("truncated LZW stream (no EOI code)")
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if table is None:
+            raise ValueError("LZW data before the initial clear code")
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first LZW code after clear must be a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK: code assigned by this very step
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"LZW code {code} out of table range {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return bytes(out)
+
+
+def _gif_decode(payload: bytes) -> np.ndarray:
+    """Real GIF decode (public GIF87a/89a spec): logical-screen walk,
+    global/local color table, sub-block reassembly, LZW decompression,
+    palette mapping. Returns (h, w) grey when the palette is pure grey,
+    else (h, w, 3) RGB. Interlaced images raise NotImplementedError."""
+    import struct
+
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    pos = 6
+    _w, _h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        introducer = payload[pos]
+        pos += 1
+        if introducer == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif introducer == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while True:
+                blen = payload[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                chunks.append(payload[pos : pos + blen])
+                pos += blen
+            idx = np.frombuffer(
+                _lzw_decompress(b"".join(chunks), mcs), np.uint8
+            )
+            if len(idx) != iw * ih:
+                raise ValueError("GIF raster size mismatch")
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF pixel index outside the color table")
+            rgb = table[idx.reshape(ih, iw)]
+            if (table[:, 0] == table[:, 1]).all() and (
+                table[:, 1] == table[:, 2]
+            ).all():
+                return rgb[:, :, 0]
+            return rgb
+        elif introducer == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block introducer 0x{introducer:02x}")
+    raise ValueError("GIF missing an image descriptor")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Minimal GIF87a encoder (fixture/ingest side of the roundtrip):
+    8-bit greyscale, 256-entry grey global color table, one image
+    block, real LZW compression with width growth and table resets."""
+    import struct
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encoder writes 8-bit greyscale GIF only")
+    h, w = arr.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    # packed 0xF7: global color table, 8-bit color resolution, 256 entries
+    out += bytes([0xF7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([8])  # LZW minimum code size
+    comp = _lzw_compress(arr.tobytes(), 8)
+    for i in range(0, len(comp), 255):
+        blk = comp[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     """Decode an image payload to a uint8 pixel array.
 
     REAL for the uncompressed Netpbm formats — P6 PPM -> (h, w, 3) RGB,
     P5 PGM -> (h, w) grayscale (pure numpy from the public Netpbm
-    spec) — and for baseline PNG (8-bit grey/RGB, zlib IDAT inflate +
-    scanline unfilter, ``_png_decode``). Other compressed formats
-    (jpg/...) still raise NotImplementedError where a Pillow/opencv
-    plug-in would slot in: those codecs are not in this container.
+    spec) — for baseline PNG (8-bit grey/RGB, zlib IDAT inflate +
+    scanline unfilter, ``_png_decode``), and for GIF87a/89a (LZW
+    decompression + palette mapping, ``_gif_decode``). The remaining
+    compressed format (jpg) still raises NotImplementedError where a
+    Pillow/opencv plug-in would slot in: that codec is not in this
+    container.
     """
     if payload[:8] == PNG_SIG:
         return _png_decode(payload)
+    if payload[:6] in GIF_SIGS:
+        return _gif_decode(payload)
     if payload[:2] in (b"P6", b"P5"):
         magic, w, h, maxval, off = _parse_pnm_header(payload)
         if not (0 < maxval < 256):
@@ -267,7 +477,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             ):
                 raw = np.frombuffer(payload, dtype=np.uint8)
                 head = bytes(payload[:8])
-                if head == PNG_SIG or head[:2] in (b"P6", b"P5"):
+                if head == PNG_SIG or head[:6] in GIF_SIGS or head[:2] in (b"P6", b"P5"):
                     vals = decode_image(bytes(payload), fmt).ravel()
                     ok = True
                 else:

@@ -1741,8 +1741,11 @@ hist AS (
   FROM binned GROUP BY bin
 ),
 exact AS (
+  -- lower-element rank ((n-1)*q)//den + 1 — token-for-token the
+  -- exact_group_quantiles convention (the histogram-estimate side
+  -- keeps its ceil rank, mirrored identically in both engines)
   SELECT
-    {', '.join(f'''min(CASE WHEN rn = (n * {num} + {den} - 1) // {den}
+    {', '.join(f'''min(CASE WHEN rn = ((n - 1) * {num}) // {den} + 1
          THEN o_totalprice END) AS {label}_exact''' for label, num, den in _QPROBS)}
   FROM (SELECT o_totalprice,
                row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
@@ -1916,8 +1919,10 @@ WITH ranked AS (
   FROM orders
 ),
 cuts AS (
-  SELECT min(CASE WHEN rn = (n * 5 + 99) // 100 THEN o_totalprice END) AS lo,
-         min(CASE WHEN rn = (n * 95 + 99) // 100 THEN o_totalprice END) AS hi
+  -- lower-element convention ((n-1)*q)//den + 1, token-for-token the
+  -- exact_group_quantiles rank (the ceil form only agreed at n%20==0)
+  SELECT min(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN o_totalprice END) AS lo,
+         min(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN o_totalprice END) AS hi
   FROM ranked
 )
 SELECT (SELECT max(n) FROM ranked)::BIGINT AS n,

@@ -689,6 +689,176 @@ def x_span_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "x_substring_dedup_census",
+    # ExactSubstr dedup, the REMOVAL side (Lee et al. 2022 §4:
+    # "Deduplicating Training Data Makes Language Models Better"):
+    # x_span_dedup only LISTS cross-doc duplicated k-word spans; this
+    # query actually marks every non-canonical occurrence for removal
+    # (canonical = first by (doc_id, position) per span), merges each
+    # doc's overlapping removal windows into maximal intervals
+    # (gaps-and-islands on the position axis, partitioned by doc), and
+    # reports the cleaned-corpus census per source: how many words the
+    # dedup pass would delete and in how many contiguous cut regions.
+    # All integer arithmetic until the final rate division.
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+doc_words AS (SELECT doc_id, source, len(ws)::BIGINT AS n_words FROM w),
+p AS (
+  SELECT doc_id, unnest(range(1, len(ws) - {SPAN_K - 2})) AS i, ws
+  FROM w WHERE len(ws) >= {SPAN_K}
+),
+s AS (
+  SELECT doc_id, i, array_to_string(ws[i:i + {SPAN_K - 1}], ' ') AS span
+  FROM p
+),
+dup AS (
+  SELECT span FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT s.doc_id, s.i,
+         row_number() OVER (PARTITION BY s.span
+                            ORDER BY s.doc_id, s.i) AS rn
+  FROM s JOIN dup USING (span)
+),
+removable AS (SELECT doc_id, i FROM occ WHERE rn >= 2),
+merged AS (
+  SELECT doc_id, i,
+         max(i) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_i
+  FROM removable
+),
+contrib AS (
+  SELECT doc_id,
+         greatest(0, (i + {SPAN_K - 1})
+                     - greatest(coalesce(prev_i + {SPAN_K - 1}, 0), i - 1))
+           AS covered,
+         CASE WHEN prev_i IS NULL OR prev_i + {SPAN_K - 1} < i
+              THEN 1 ELSE 0 END AS new_island
+  FROM merged
+),
+per_doc AS (
+  SELECT doc_id, sum(covered)::BIGINT AS removed_words,
+         sum(new_island)::BIGINT AS n_intervals
+  FROM contrib GROUP BY doc_id
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN pd.removed_words IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs_affected,
+       sum(d.n_words)::BIGINT AS total_words,
+       coalesce(sum(pd.removed_words), 0)::BIGINT AS removed_words,
+       coalesce(sum(pd.n_intervals), 0)::BIGINT AS n_removal_intervals,
+       coalesce(sum(pd.removed_words), 0)::DOUBLE / sum(d.n_words)
+         AS removal_rate
+FROM doc_words d LEFT JOIN per_doc pd USING (doc_id)
+GROUP BY d.source
+""",
+    doc=f"ExactSubstr removal census (Lee et al. §4): every cross-doc "
+    f"duplicated {SPAN_K}-word span keeps ONE canonical occurrence "
+    "(first by (doc_id, position) under a span-partitioned "
+    "row_number) and marks the rest for deletion; each doc's removal "
+    "windows merge into maximal intervals with a doc-partitioned "
+    "running-max window (equal-length intervals, so prev-max start "
+    "is prev-max end). Per-source output: docs touched, words "
+    "deleted, contiguous cut regions, removal rate. Shuffles on span "
+    "then doc_id — both high-cardinality keys; nothing global.",
+    tags=("dedup", "text", "extension"),
+)
+def x_substring_dedup_census(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    base = docs.select("doc_id", "source", ws.alias("ws"))
+    doc_words = base.select(
+        "doc_id", "source", F.size("ws").cast("long").alias("n_words")
+    )
+    spans = (
+        base.filter(F.size("ws") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (SPAN_K - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(F.slice(F.col("ws"), i, SPAN_K), " ").alias(
+                            "span"
+                        ),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", F.col("o.i").alias("i"), F.col("o.span").alias("span"))
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    w_span = Window.partitionBy("span").orderBy("doc_id", "i")
+    removable = (
+        spans.join(dup, "span")
+        .withColumn("rn", F.row_number().over(w_span))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "i")
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = removable.withColumn("prev_i", F.max("i").over(w_doc))
+    k1 = F.lit(SPAN_K - 1)
+    covered = F.greatest(
+        F.lit(0),
+        (F.col("i") + k1)
+        - F.greatest(F.coalesce(F.col("prev_i") + k1, F.lit(0)), F.col("i") - 1),
+    )
+    new_island = F.when(
+        F.col("prev_i").isNull() | (F.col("prev_i") + k1 < F.col("i")), 1
+    ).otherwise(0)
+    per_doc = (
+        merged.select("doc_id", covered.alias("covered"), new_island.alias("ni"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("covered").cast("long").alias("removed_words"),
+            F.sum("ni").cast("long").alias("n_intervals"),
+        )
+    )
+    return (
+        doc_words.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("removed_words").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.coalesce(F.sum("removed_words"), F.lit(0))
+            .cast("long")
+            .alias("removed_words"),
+            F.coalesce(F.sum("n_intervals"), F.lit(0))
+            .cast("long")
+            .alias("n_removal_intervals"),
+            (
+                F.coalesce(F.sum("removed_words"), F.lit(0)).cast("double")
+                / F.sum("n_words")
+            ).alias("removal_rate"),
+        )
+    )
+
+
 OVERLAP_K = 5  # words per overlap shingle
 
 

@@ -851,15 +851,45 @@ per_user AS (
          count(*)::BIGINT AS frequency,
          {dsum_sql('value')} AS monetary
   FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+         row_number() OVER (ORDER BY frequency, user_id)    AS rf,
+         row_number() OVER (ORDER BY monetary, user_id)     AS rm,
+         count(*) OVER () AS n
+  FROM per_user
+),
+cuts AS (
+  SELECT
+    min(CASE WHEN rr = ((n - 1) * 1) // 4 + 1 THEN recency_days END)::DOUBLE AS r25,
+    min(CASE WHEN rr = ((n - 1) * 2) // 4 + 1 THEN recency_days END)::DOUBLE AS r50,
+    min(CASE WHEN rr = ((n - 1) * 3) // 4 + 1 THEN recency_days END)::DOUBLE AS r75,
+    min(CASE WHEN rf = ((n - 1) * 1) // 4 + 1 THEN frequency END)::DOUBLE    AS f25,
+    min(CASE WHEN rf = ((n - 1) * 2) // 4 + 1 THEN frequency END)::DOUBLE    AS f50,
+    min(CASE WHEN rf = ((n - 1) * 3) // 4 + 1 THEN frequency END)::DOUBLE    AS f75,
+    min(CASE WHEN rm = ((n - 1) * 1) // 4 + 1 THEN monetary END)::DOUBLE     AS m25,
+    min(CASE WHEN rm = ((n - 1) * 2) // 4 + 1 THEN monetary END)::DOUBLE     AS m50,
+    min(CASE WHEN rm = ((n - 1) * 3) // 4 + 1 THEN monetary END)::DOUBLE     AS m75
+  FROM ranked
+),
+scored AS (
+  SELECT p.user_id, p.recency_days, p.frequency, p.monetary,
+         (4 - ((p.recency_days::DOUBLE > c.r25)::INT
+             + (p.recency_days::DOUBLE > c.r50)::INT
+             + (p.recency_days::DOUBLE > c.r75)::INT))::BIGINT AS r_score,
+         (1 + (p.frequency::DOUBLE > c.f25)::INT
+            + (p.frequency::DOUBLE > c.f50)::INT
+            + (p.frequency::DOUBLE > c.f75)::INT)::BIGINT AS f_score,
+         (1 + (p.monetary > c.m25)::INT
+            + (p.monetary > c.m50)::INT
+            + (p.monetary > c.m75)::INT)::BIGINT AS m_score
+  FROM per_user p, cuts c
 )
-SELECT user_id, recency_days, frequency, monetary,
-       ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
-       ntile(4) OVER (ORDER BY frequency, user_id)          AS f_score,
-       ntile(4) OVER (ORDER BY monetary, user_id)           AS m_score,
-       ntile(4) OVER (ORDER BY recency_days DESC, user_id) || '-'
-         || ntile(4) OVER (ORDER BY frequency, user_id) || '-'
-         || ntile(4) OVER (ORDER BY monetary, user_id)      AS segment
-FROM per_user
+SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       r_score::VARCHAR || '-' || f_score::VARCHAR || '-' || m_score::VARCHAR
+         AS segment
+FROM scored
 """
 
 
@@ -868,18 +898,22 @@ FROM per_user
     oracle=_RFM_ORACLE,
     doc="RFM segmentation: per-user recency (whole days from the "
     "user's last event to the corpus anchor day), frequency, and "
-    "exact-decimal monetary total, each quartiled with ntile(4) over "
-    "a UNIQUE order chain (metric, user_id) — ntile on a total order "
-    "is engine-identical (SQL standard: earlier buckets take the "
-    "remainder rows), ties without the user_id tiebreak would not "
-    "be. Scores orient so 4 = best (most recent / most frequent / "
-    "highest spend). The three ntiles are global windows — fine for "
-    "a user-dimension table (|users| << |events|; the heavy shuffle "
-    "is the per-user agg); for a billion-user table swap in the "
-    "two-level rank decomposition used by x_shard_assign.",
+    "exact-decimal monetary total, banded into quartiles by the "
+    "rank-selected P25/P50/P75 cut VALUES (lower-element convention, "
+    "(value, user_id) order chain) — ties share a score, which is the "
+    "honest RFM semantics AND the scalable plan: the cuts come from "
+    "the distributed rank-selection machinery (bucket counts locate "
+    "the ranks; only the holding buckets sort, partitioned by metric) "
+    "and the banding is a per-row broadcast CASE. No un-partitioned "
+    "window anywhere — this replaced r6's three global ntile(4) "
+    "sorts, the repo's last single-reducer WATCH item (VERDICT r6 "
+    "#2). Scores orient so 4 = best (most recent / most frequent / "
+    "highest spend).",
     tags=("events", "window", "extension"),
 )
 def e_rfm_scores(spark, sf_dir):
+    from ..operators.quantiles import exact_group_quantiles
+
     ev = load(spark, sf_dir, "events")
     anchor = ev.agg(F.date_trunc("day", F.max("ts")).alias("a"))
     per_user = (
@@ -898,18 +932,63 @@ def e_rfm_scores(spark, sf_dir):
             "frequency",
             "monetary",
         )
+        .localCheckpoint(eager=False)  # consumed by cuts pass + band pass
     )
-    w_r = Window.orderBy(F.col("recency_days").desc(), "user_id")
-    w_f = Window.orderBy("frequency", "user_id")
-    w_m = Window.orderBy("monetary", "user_id")
-    scored = per_user.select(
+    # unpivot the three metrics (exactly representable as double) so ONE
+    # rank-selection pass, partitioned by metric, finds all nine cuts
+    long_form = per_user.select(
+        "user_id",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    F.col("frequency").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    F.col("monetary").alias("val"),
+                ),
+            )
+        ),
+    )
+    cuts = exact_group_quantiles(
+        long_form,
+        "metric",
+        "val",
+        "user_id",
+        [("c25", 1, 4), ("c50", 2, 4), ("c75", 3, 4)],
+        F.floor(F.col("val")).cast("long"),
+    )
+    wide = cuts.groupBy().agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col(f"c{q}"))).alias(f"{m}{q}")
+            for m in ("r", "f", "m")
+            for q in (25, 50, 75)
+        ]
+    )
+
+    def band(col, prefix):
+        return sum(
+            F.when(col > F.col(f"{prefix}{q}"), 1).otherwise(0)
+            for q in (25, 50, 75)
+        )
+
+    scored = per_user.crossJoin(F.broadcast(wide)).select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(w_r).alias("r_score"),
-        F.ntile(4).over(w_f).alias("f_score"),
-        F.ntile(4).over(w_m).alias("m_score"),
+        (F.lit(4) - band(F.col("recency_days").cast("double"), "r"))
+        .cast("long")
+        .alias("r_score"),
+        (F.lit(1) + band(F.col("frequency").cast("double"), "f"))
+        .cast("long")
+        .alias("f_score"),
+        (F.lit(1) + band(F.col("monetary"), "m")).cast("long").alias("m_score"),
     )
     return scored.withColumn(
         "segment",
@@ -985,7 +1064,7 @@ def e_delta_agg_maintenance(spark, sf_dir):
 
 
 @register(
-    "e_cohort_retention",
+    "e_cohort_retention_matrix",
     oracle="""
 WITH wk AS (
   SELECT user_id, floor(epoch(ts))::BIGINT // 604800 AS week FROM events
@@ -1012,7 +1091,7 @@ GROUP BY a.cohort_week, a.week_offset, s.cohort_size
     "serializes through one reducer.",
     tags=("events", "extension"),
 )
-def e_cohort_retention(spark, sf_dir):
+def e_cohort_retention_matrix(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     wk = ev.select(
         "user_id", (F.col("ts").cast("long") / F.lit(604800)).cast("long").alias("week")

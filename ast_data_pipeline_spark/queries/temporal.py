@@ -880,9 +880,12 @@ w AS (
   WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT day,
-       (7.0::DOUBLE * sxy - sx * sy)
-         / (sqrt(7.0::DOUBLE * sxx - sx * sx) * sqrt(7.0::DOUBLE * syy - sy * sy))
-         AS rolling_corr_7d
+       CASE WHEN 7.0::DOUBLE * sxx - sx * sx > 0.0::DOUBLE
+             AND 7.0::DOUBLE * syy - sy * sy > 0.0::DOUBLE
+            THEN (7.0::DOUBLE * sxy - sx * sy)
+                 / (sqrt(7.0::DOUBLE * sxx - sx * sx)
+                    * sqrt(7.0::DOUBLE * syy - sy * sy))
+            ELSE NULL END AS rolling_corr_7d
 FROM w WHERE rn >= 7
 """,
     doc="7-day rolling Pearson correlation between the click and "
@@ -921,8 +924,15 @@ def t_rolling_corr(spark, sf_dir):
         rs(F.col("y") * F.col("y")).alias("syy"),
     )
     seven = F.lit(7.0)
-    corr = (seven * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(seven * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(seven * F.col("syy") - F.col("sy") * F.col("sy"))
+    # A (near-)constant window can round 7*sxx - sx*sx to a tiny
+    # negative: DuckDB raises on sqrt(<0) while Spark yields NaN.
+    # Guard the variance terms identically in both engines and emit
+    # NULL when either is non-positive (correlation is undefined).
+    vx = seven * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = seven * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > F.lit(0.0)) & (vy > F.lit(0.0)),
+        (seven * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return w.filter(F.col("rn") >= 7).select("day", corr.alias("rolling_corr_7d"))

@@ -56,6 +56,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            # Last-wins dict semantics silently shadowed a query once
+            # (r6: two e_cohort_retention registrations) — fail loudly.
+            raise ValueError(f"duplicate query registration: {name!r}")
         _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
         return fn
 
@@ -64,83 +68,35 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # Grading priority: the driver's correctness gate walks ``load_all()``
 # in iteration order (and may stop at a budgeted prefix, historically
-# 50). Round-6 window layout (VERDICT r5 ask #1): slots 1-40 are the 40
-# queries that have never received a driver CORRECTNESS row (all r5
-# late additions); slots 41-53 are this round's re-parameterized and
-# NEW operators; re-proofs of the oldest r2/r3 greens follow for any
-# budget beyond the historical ~50. Duplicates later in the tuple are
-# harmless (dict insertion keeps first position); nothing is dropped.
+# 50). Round-7 window layout (VERDICT r6 ask #1): slots 1-7 are the
+# queries whose oracle or implementation changed THIS round (ADVICE r6
+# rank-convention fixes, the e_rfm_scores de-ntile rewrite, the
+# un-shadowed cohort pair); slots 8-33 are the remaining never-driver-
+# graded r6 additions (r6 graded slots 1-50, these sat at 51-80);
+# slots 34+ are round-7 NEW operators, then re-proofs of the oldest
+# greens. Duplicates later in the tuple are harmless (dict insertion
+# keeps first position); nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # 1-8: robust-stats block
-    "a_exact_quantiles",
-    "a_weighted_median",
-    "a_histogram_equidepth",
-    "a_benford_digits",
-    "a_chi2_independence",
-    "x_classifier_eval",
-    "x_minhash_est_quality",
-    "x_snapshot_diff",
-    # 9-15: temporal block
-    "t_ewma",
-    "t_interp_linear",
-    "t_interval_union_length",
-    "t_peak_concurrency",
-    "t_asof_tolerance",
-    "t_resample_ffill",
-    "e_gap_fill_daily",
-    # 16-22: events block
-    "e_dow_seasonality",
-    "e_event_paths",
-    "e_interarrival_stats",
-    "e_pct_change_daily",
+    # 1-7: changed oracle/implementation this round — must re-grade
     "e_rfm_scores",
-    "e_user_activity_zscore",
-    "x_sentence_stats",
-    # 23-26: graph / dedup-analysis block
-    "x_triangle_count",
-    "x_dedup_transitivity",
-    "x_dedup_rate_by_source",
-    "x_gini_source_concentration",
-    # 27-31: sources / streams / joins block
-    "s14_schema_evolution",
-    "s15_corrupt_record_quarantine",
-    "s_stream_upsert_snapshot",
-    "j_salted_skew_join",
-    "j_skew_report",
-    # 32-40: text / eval / sampling tail
-    "x_bigram_model",
-    "x_pmi_collocations",
-    "x_vocab_growth",
-    "x_ngram_novelty",
-    "x_bpe_efficiency",
-    "x_centroid_cosine_matrix",
-    "x_kfold_assign",
-    "x_negative_sampling",
-    "x_training_assembly",
-    # 41-49: implementation re-parameterized / NEW this round
-    "x_range_partition_bounds",
-    "x_multimodal_png",
-    "x_cosine_topk_multiprobe",
-    "x_ann_recall_multiprobe",
-    "x_winnow_fingerprints",
-    "x_winnow_overlap",
-    "x_entity_resolution",
-    "a_skyline_2d",
-    "e_delta_agg_maintenance",
     "e_cohort_retention",
+    "e_cohort_retention_matrix",
+    "a_winsorized_mean",
+    "a_quantile_sketch_eval",
+    "t_rolling_corr",
+    "x_semantic_dedup",
+    # 8-33: the r6 ops that have never received a driver CORRECTNESS row
     "a_kmv_distinct_sketch",
     "x_kcore_peel",
     "e_attribution_last_touch",
     "a_countmin_sketch",
     "x_referential_integrity",
-    "x_semantic_dedup",
     "a_cms_join_cardinality",
     "a_dp_noisy_counts",
     "e_theilsen_trend",
     "e_cusum_changepoint",
     "w_ntile_quartiles",
     "a_cube_shipping",
-    "a_quantile_sketch_eval",
     "x_weighted_sample_es",
     "x_prefix_filter_join",
     "t_twap_per_user",
@@ -154,12 +110,14 @@ _PRIORITY: tuple[str, ...] = (
     "x_subsample_ci",
     "e_metric_decomposition",
     "x_dataset_card",
-    "t_rolling_corr",
     "e_new_vs_returning",
     "u6_symmetric_difference",
-    "a_winsorized_mean",
-    # 52+: re-proofs of the oldest greens (flagship first) in case the
-    # driver budget is larger than the historical ~50
+    # 34+: round-7 NEW operators (append here as each lands — names
+    # must exist in the registry; test_contract enforces it)
+    "x_substring_dedup_census",
+    "x_multimodal_gif",
+    # re-proofs of the oldest greens (flagship first) for any budget
+    # beyond the window
     "flagship_tank_inventory",
     "d_a1_bbox_merge",
     "d_j8_county_argmax",

@@ -60,3 +60,101 @@ def test_prefix_filter_join_is_exact(spark, sf_dir):
     got = load_all()["x_prefix_filter_join"].fn(spark, sf_dir).toPandas()
     found = {(r.doc_a, r.doc_b) for r in got.itertuples()}
     assert found == truth
+
+
+def test_semantic_dedup_bucket_no_loss(sf_dir):
+    # The x_semantic_dedup oracle mirrors the Spark plan's (cid, LSH
+    # bucket) candidate routing structurally (ADVICE r6), so the hash
+    # gate can no longer catch a routing recall loss by construction.
+    # This pins the no-loss property it used to prove incidentally:
+    # every within-cluster cosine>=T pair must also collide in the
+    # rh-LSH bucket (true for the planted twins: a relative per-dim
+    # perturbation of ~1e-3 cannot flip a hyperplane sign unless the
+    # projection is degenerate on this corpus — verified here).
+    from ast_data_pipeline_spark.queries.similarity import (
+        _ND_CORPUS_SQL,
+        _SEMDEDUP_ORACLE,  # noqa: F401  (import proves it still builds)
+        EMB_DIM,
+        K_CENTROIDS,
+        LSH_PLANES,
+        NEARDUP_T,
+    )
+    from ast_data_pipeline_spark.operators.similarity import (
+        dot_sql,
+        norm_sql,
+        rh_lsh_bucket_sql,
+    )
+
+    sql = f"""
+WITH {_ND_CORPUS_SQL},
+cents AS (
+  SELECT vec_id AS cid, emb AS cvec FROM base WHERE vec_id < {K_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, emb, cid,
+         {rh_lsh_bucket_sql('emb', LSH_PLANES, EMB_DIM)} AS bucket
+  FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {dot_sql('e.emb', 'c.cvec')}
+               / ({norm_sql('e.emb')} * {norm_sql('c.cvec')}) DESC, c.cid) AS rn
+    FROM corpus e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+brute AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         (a.bucket = b.bucket)::INT AS collided
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {dot_sql('a.emb', 'b.emb')}
+          / ({norm_sql('a.emb')} * {norm_sql('b.emb')}) >= {NEARDUP_T}
+)
+SELECT count(*)::BIGINT AS n_pairs, sum(collided)::BIGINT AS n_collided
+FROM brute
+"""
+    res = run_oracle_sql(sql, sf_dir)
+    n_pairs = int(res.n_pairs.iloc[0])
+    n_collided = int(res.n_collided.iloc[0] or 0)
+    assert n_pairs > 0, "corpus lost its planted twins"
+    assert n_collided == n_pairs, (
+        f"bucket routing lost {n_pairs - n_collided}/{n_pairs} "
+        "within-cluster near-dup pairs"
+    )
+
+
+def test_substring_dedup_census_matches_brute_force(spark, sf_dir):
+    # Independent (non-mirrored) recompute of the removal census: both
+    # engines share the windowed interval-merge formula, so the oracle
+    # gate alone can't catch a shared semantic bug (the r6 quantile
+    # lesson). Here the union length is recomputed brute-force with
+    # Python sets of covered word positions.
+    from ast_data_pipeline_spark.registry import load_all
+
+    K = 8
+    got = load_all()["x_substring_dedup_census"].fn(spark, sf_dir).toPandas()
+    docs = run_oracle_sql("SELECT doc_id, source, text FROM documents", sf_dir)
+    spans = {}  # span -> list[(doc_id, pos)]
+    words = {}
+    for r in docs.itertuples():
+        ws = [w for w in r.text.split() if w]
+        words[r.doc_id] = (r.source, len(ws))
+        for i in range(len(ws) - K + 1):
+            spans.setdefault(" ".join(ws[i : i + K]), []).append((r.doc_id, i + 1))
+    covered: dict[int, set[int]] = {}
+    for occs in spans.values():
+        if len({d for d, _ in occs}) < 2:
+            continue
+        for d, i in sorted(occs)[1:]:  # canonical (first) kept
+            covered.setdefault(d, set()).update(range(i, i + K))
+    agg: dict[str, list[int]] = {}
+    for doc_id, (source, n_words) in words.items():
+        a = agg.setdefault(source, [0, 0, 0, 0])  # docs, affected, words, removed
+        a[0] += 1
+        a[2] += n_words
+        if doc_id in covered:
+            a[1] += 1
+            a[3] += len(covered[doc_id])
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        e = agg[r.source]
+        assert (r.n_docs, r.n_docs_affected, r.total_words, r.removed_words) == tuple(e), r.source

@@ -302,3 +302,71 @@ def test_mulaw_expansion_matches_itu_table_points():
     payload = _mulaw_wav_header(4) + bytes([0x00, 0x7F, 0xFF, 0x80])
     samples, rate = decode_audio(payload)
     assert rate == 8000 and samples.tolist() == [-32124, 0, 0, 32124]
+
+
+def test_gif_roundtrip_random_and_runs():
+    import numpy as np
+
+    from ast_data_pipeline_spark.operators.multimodal import (
+        _gif_decode,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    # random 12x8 (the query shape), 1x1 degenerate, and a 64x70 noise
+    # image (4480 px: crosses the 512/1024/2048/4096 width boundaries
+    # AND forces a mid-stream table reset at the 4096-entry cap)
+    for shape in [(12, 8), (1, 1), (64, 70), (3, 500)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        d = _gif_decode(encode_gif(a))
+        assert d.shape == a.shape and (d == a).all(), shape
+    # maximal runs exercise deep LZW chains + the KwKwK code case
+    a = np.zeros((80, 80), np.uint8)
+    assert (_gif_decode(encode_gif(a)) == a).all()
+    a = np.tile(np.arange(16, dtype=np.uint8).repeat(13), 40).reshape(40, -1)
+    assert (_gif_decode(encode_gif(a)) == a).all()
+    # decode_image routes by magic
+    a = rng.randint(0, 256, (12, 8)).astype(np.uint8)
+    assert (decode_image(encode_gif(a), "gif") == a).all()
+
+
+def test_gif_decoder_edge_cases():
+    import numpy as np
+    import pytest
+
+    from ast_data_pipeline_spark.operators.multimodal import (
+        _gif_decode,
+        _lzw_compress,
+        _lzw_decompress,
+        encode_gif,
+    )
+
+    # small-palette LZW streams (mcs < 8) roundtrip
+    rng = np.random.RandomState(11)
+    for mcs in (2, 4, 7):
+        data = bytes(rng.randint(0, 1 << mcs, size=3000).astype(np.uint8))
+        assert _lzw_decompress(_lzw_compress(data, mcs), mcs) == data
+    good = bytearray(encode_gif(np.arange(96, dtype=np.uint8).reshape(12, 8)))
+    # GIF89a signature + a skippable extension block before the image
+    g89 = bytearray(good)
+    g89[:6] = b"GIF89a"
+    lsd_end = 6 + 7 + 768  # header + logical screen descriptor + 256-grey GCT
+    ext = b"\x21\xfe\x05hello\x00"  # comment extension, one sub-block
+    g89 = g89[:lsd_end] + ext + g89[lsd_end:]
+    assert (
+        _gif_decode(bytes(g89)) == np.arange(96, dtype=np.uint8).reshape(12, 8)
+    ).all()
+    # interlace flag -> NotImplementedError (descriptor packed byte)
+    bad = bytearray(good)
+    bad[lsd_end + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        _gif_decode(bytes(bad))
+    # truncated LZW stream (strip trailer + last sub-block) -> ValueError
+    with pytest.raises(ValueError):
+        _lzw_decompress(b"", 8)
+    # non-grey palette returns RGB
+    rgb_gif = bytearray(good)
+    rgb_gif[lsd_end - 768 + 1] = 200  # palette entry 0: green channel differs
+    out = _gif_decode(bytes(rgb_gif))
+    assert out.ndim == 3 and out.shape == (12, 8, 3)

@@ -84,13 +84,31 @@ def test_interp_linear_brackets(spark, sf_dir):
             assert lo - 1e-9 <= interp[i] <= hi + 1e-9, (et, i)
 
 
-def test_rfm_quartiles_balanced(spark, sf_dir):
+def test_rfm_quartiles_banded(spark, sf_dir):
+    # r7 semantics: quartile banding by rank-selected cut VALUES (no
+    # global ntile) — ties share a score, bands are monotone in the
+    # metric, and each band holds at most ~a quartile of the rank mass
+    # plus whatever ties straddle the cut.
     out = _run(spark, sf_dir, "e_rfm_scores")
+    n = len(out)
     assert out["user_id"].is_unique
-    for col in ("r_score", "f_score", "m_score"):
+    metric_of = {"r_score": "recency_days", "f_score": "frequency",
+                 "m_score": "monetary"}
+    for col, metric in metric_of.items():
         assert set(out[col]) <= {1, 2, 3, 4}
-        sizes = out[col].value_counts()
-        assert sizes.max() - sizes.min() <= 1, (col, sizes.to_dict())
+        # ties share a score
+        assert (out.groupby(metric)[col].nunique() == 1).all(), col
+        # banding is monotone in the metric (descending for recency)
+        srt = out.sort_values(metric)[col]
+        diffs = srt.diff().dropna()
+        assert (diffs >= 0).all() if col != "r_score" else (diffs <= 0).all(), col
+        # the sub-cut mass of each band is at most the quartile rank:
+        # strictly-below-band-k rows never exceed k/4 of the population
+        for k in (1, 2, 3):
+            below = (out[col] <= k).sum() if col != "r_score" else (out[col] >= 5 - k).sum()
+            # ties straddling a cut inflate the band; bound by the tie mass
+            biggest_tie = out.groupby(metric).size().max()
+            assert below <= (n * k) // 4 + biggest_tie, (col, k, below)
     # Orientation: score 4 = best (lowest recency_days / highest freq+spend).
     assert (
         out[out["r_score"] == 4]["recency_days"].max()

@@ -6,19 +6,25 @@ every registered query's plan at sf0.01.
 A hit is not automatically a defect — the repo intentionally runs
 un-partitioned windows over TINY frames (bucket-count tables, daily
 series, post-TakeOrdered top-k results); the audit exists so every hit
-is a *reviewed* decision. Current classification of the r6 audit:
+is a *reviewed* decision. Current classification of the r7 audit
+(17 hits, zero WATCH — r6's sole WATCH item, the e_rfm_scores global
+ntile(4) over the user table, was rewritten to exact_group_quantiles
+rank-selected cuts + broadcast banding and no longer appears):
 
 - fixed-replicate frames (50-row subsample means): x_subsample_ci
 - tiny bucket/offset tables (two-level prefix pattern): a_ks_two_sample,
-  a_skyline_2d, a_quantile_sketch_eval, x_range_partition_bounds,
-  x_data_mixture, e_cusum_changepoint, x_vocab_growth, t_peak_concurrency
+  a_skyline_2d, a_quantile_sketch_eval (256-bin histogram),
+  x_range_partition_bounds, e_cusum_changepoint (daily series),
+  x_vocab_growth, t_peak_concurrency, a_winsorized_mean (the
+  exact_group_quantiles bucket-count table; its lit-constant group col
+  is constant-folded out of the partition spec, so it prints as
+  un-partitioned — the frame is the ~bucket-count rows, not the fact)
+- daily-series frames (<= one row per calendar day): t_rolling_corr
 - post-TakeOrdered top-k rank (window sees <= k*partitions rows):
   e_topk_users_by_value, x_heavy_hitters, a_countmin_sketch, j_skew_report
 - entity-sized frames mirroring reference semantics (global allocation
   order over the blank-chip subset): d_f7_verifier_allocation,
   d_tracking_pipeline; source-count frames: x_gini_source_concentration
-- WATCH: e_rfm_scores ntile over the user table — user-entity-sized;
-  would need the two-level banding (a_mode_median's) past ~100M users.
 """
 
 from __future__ import annotations
