@@ -35,15 +35,10 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
-
-
-def _sq_dist(vec_col: str, centroid: list[float]) -> Column:
+def _sq_dist(vec_col: str | Column, centroid: Column) -> Column:
     """Squared Euclidean distance as a sequential left fold (JVM-side)."""
-    diffs = F.zip_with(
-        F.col(vec_col), _lit_vec(centroid), lambda a, b: (a - b) * (a - b)
-    )
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    diffs = F.zip_with(vec, centroid, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -54,14 +49,22 @@ def assign_to_centroids(
 
     Pure expression code: array_min over (dist, cid) structs compares
     dist first, then cid — a deterministic argmin with no shuffle.
+
+    The K x dim centroid matrix enters the plan as ONE nested-array
+    ``Literal`` (not a CreateArray tree of K*dim scalar literals).
+    Complex-typed literals land in the codegen ``references[]`` array
+    rather than the generated Java source, so every Lloyd round emits
+    byte-identical source and hits the codegen cache — the per-round
+    compile floor that made the Lloyd pair the PROFILE.md tail
+    (VERDICT r6 #6) disappears, while the arithmetic (per-element
+    widen, sequential left fold, ties to lowest cid) is unchanged.
     """
-    pairs = F.array(
-        *[
-            F.struct(
-                _sq_dist(vec_col, c).alias("d"), F.lit(i).alias("cid")
-            )
-            for i, c in enumerate(centroids)
-        ]
+    cl = F.lit([[float(x) for x in c] for c in centroids])
+    pairs = F.transform(
+        cl,
+        lambda c, i: F.struct(
+            _sq_dist(vec_col, c).alias("d"), i.alias("cid")
+        ),
     )
     best = F.array_min(pairs)
     return df.withColumn("_best", best).withColumn(

@@ -1440,6 +1440,211 @@ def a_kmv_distinct_sketch(spark, sf_dir):
     )
 
 
+KMVS_K = 128  # sketch size for the set-operation estimates
+
+
+@register(
+    "a_kmv_set_ops",
+    # KMV sketch ALGEBRA (Beyer et al. 2007): two per-source sketches
+    # merge into the union's sketch by keeping the k smallest of the
+    # combined hash sets — so |A u B| and Jaccard(A, B) come from
+    # kilobyte sketches instead of re-scanning either corpus. Estimates:
+    # |A u B| ~ (k-1) * H / h_k(union), J(A,B) ~ |top-k(union) hashes
+    # present in BOTH sketches| / k. Every hash is the deterministic
+    # 12-hex md5 prefix, ranks ride unique (hv, tok) chains, and the
+    # estimates are single IEEE divisions — engine-identical. The
+    # exact pair overlap is computed alongside as the eval baseline.
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, a[i - 1] || ' ' || a[i] AS tok
+    FROM (SELECT source, string_split(lower(text), ' ') AS a FROM documents),
+         LATERAL unnest(generate_series(2, len(a))) t(i)
+    WHERE a[i - 1] <> '' AND a[i] <> ''
+  )
+),
+h AS (
+  SELECT source, tok, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS hv
+  FROM toks
+),
+sk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv, tok) AS rn
+    FROM h
+  ) WHERE rn <= {KMVS_K}
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+u AS (
+  SELECT p.sa, p.sb, x.hv,
+         max(CASE WHEN x.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN x.source = p.sb THEN 1 ELSE 0 END) AS in_b
+  FROM (SELECT a.source AS sa, b.source AS sb
+        FROM srcs a JOIN srcs b ON a.source < b.source) p
+  JOIN sk x ON x.source IN (p.sa, p.sb)
+  GROUP BY p.sa, p.sb, x.hv
+),
+ranked AS (
+  SELECT sa, sb, hv, in_a, in_b,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY sa, sb) AS n_u
+  FROM u
+),
+est AS (
+  SELECT sa, sb,
+         min(CASE WHEN rn = {KMVS_K} THEN hv END) AS hk,
+         max(n_u)::BIGINT AS n_sketch_union,
+         sum(CASE WHEN rn <= {KMVS_K} AND in_a = 1 AND in_b = 1
+                  THEN 1 ELSE 0 END)::BIGINT AS n_both_topk
+  FROM ranked GROUP BY sa, sb
+),
+ex AS (
+  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, count(*)::BIGINT AS n FROM toks GROUP BY 1)
+SELECT e.sa AS src_a, e.sb AS src_b,
+       (za.n + zb.n - coalesce(x.n_inter, 0))::BIGINT AS union_exact,
+       coalesce(({KMVS_K} - 1)::DOUBLE * {_HEX12!r} / e.hk,
+                e.n_sketch_union::DOUBLE) AS union_est,
+       abs(coalesce(({KMVS_K} - 1)::DOUBLE * {_HEX12!r} / e.hk,
+                    e.n_sketch_union::DOUBLE)
+           - (za.n + zb.n - coalesce(x.n_inter, 0)))
+         / (za.n + zb.n - coalesce(x.n_inter, 0)) AS union_rel_err,
+       coalesce(x.n_inter, 0)::DOUBLE
+         / (za.n + zb.n - coalesce(x.n_inter, 0)) AS jaccard_exact,
+       e.n_both_topk::DOUBLE / {KMVS_K} AS jaccard_est
+FROM est e
+LEFT JOIN ex x ON x.sa = e.sa AND x.sb = e.sb
+JOIN sizes za ON za.source = e.sa
+JOIN sizes zb ON zb.source = e.sb
+""",
+    doc="Set operations on KMV sketches: per-source 128-value sketches "
+    "of the distinct-bigram sets merge pairwise into union sketches, "
+    "giving |A u B| and Jaccard estimates for every source pair from "
+    "O(k) state — the sketch-algebra pattern that answers 190 "
+    "pairwise overlap questions at 100 TB without 190 corpus joins. "
+    "Sketch build is a per-source WindowGroupLimit top-k; the pair "
+    "stage runs entirely on the kilobyte sketch table. Exact "
+    "union/Jaccard computed alongside as the error baseline.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_kmv_set_ops(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.split(F.lower("text"), " ").alias("a"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select("source", F.concat_ws(" ", "p.w1", "p.w2").alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by sketch + exact sides
+    )
+    h = toks.select(
+        "source",
+        "tok",
+        F.expr("cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)").alias(
+            "hv"
+        ),
+    )
+    w_src = Window.partitionBy("source").orderBy("hv", "tok")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= KMVS_K)
+        .select("source", "hv")
+    )
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    u = (
+        pairs.join(
+            sk, (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb"))
+        )
+        .groupBy("sa", "sb", "hv")
+        .agg(
+            F.max(F.when(F.col("source") == F.col("sa"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("source") == F.col("sb"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    w_pair = Window.partitionBy("sa", "sb").orderBy("hv")
+    ranked = u.select(
+        "sa",
+        "sb",
+        "hv",
+        "in_a",
+        "in_b",
+        F.row_number().over(w_pair).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("sa", "sb")).alias("n_u"),
+    )
+    est = ranked.groupBy("sa", "sb").agg(
+        F.min(F.when(F.col("rn") == KMVS_K, F.col("hv"))).alias("hk"),
+        F.max("n_u").cast("long").alias("n_sketch_union"),
+        F.sum(
+            F.when(
+                (F.col("rn") <= KMVS_K) & (F.col("in_a") == 1) & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both_topk"),
+    )
+    ta = toks.select(F.col("source").alias("sa"), "tok")
+    tb = toks.select(F.col("source").alias("sb"), "tok")
+    ex = (
+        ta.join(tb, ["tok"])
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    union_exact = (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))
+    ).cast("long")
+    union_est = F.coalesce(
+        F.lit(float(KMVS_K - 1)) * F.lit(_HEX12) / F.col("hk").cast("double"),
+        F.col("n_sketch_union").cast("double"),
+    )
+    return (
+        est.join(ex, ["sa", "sb"], "left")
+        .join(F.broadcast(za), "sa")
+        .join(F.broadcast(zb), "sb")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            union_exact.alias("union_exact"),
+            union_est.alias("union_est"),
+            (F.abs(union_est - union_exact) / union_exact).alias(
+                "union_rel_err"
+            ),
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / union_exact
+            ).alias("jaccard_exact"),
+            (F.col("n_both_topk").cast("double") / F.lit(KMVS_K)).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 
@@ -1547,6 +1752,159 @@ def a_countmin_sketch(spark, sf_dir):
         .agg(F.min("cell").cast("long").alias("cms_est"))
         .withColumn(
             "overestimate", (F.col("cms_est") - F.col("true_count")).cast("long")
+        )
+    )
+
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_TWO52 = 1 << 52  # 60-bit md5 hash = 8 bucket bits + 52 suffix bits
+_HLL_EMPTY_TERM = 1 << 53  # an empty register's 2^(53 - 0) summand
+# alpha_m * m^2 * 2^53, precomputed in Python so BOTH engines consume
+# the identical double literal (no cross-engine pow/divide chains)
+_HLL_ALPHA_M2_53 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << 53)
+_HLL_LC_THRESHOLD = 2.5 * HLL_M  # below this, linear counting wins
+
+
+@register(
+    "a_hyperloglog_eval",
+    # HyperLogLog distinct sketch vs exact, made exactly reproducible
+    # (completes the mergeable-sketch family next to KMV and CMS):
+    # 60-bit md5 hash -> top 8 bits pick 1 of 256 registers, register
+    # value = leading-zero count of the 52 suffix bits + 1, computed
+    # INTEGER-exactly via the binary string length (no float log2).
+    # The harmonic-mean denominator sum(2^-M) is scaled by 2^53 so it
+    # is an exact BIGINT sum (max 256 * 2^53 = 2^61); empty registers
+    # contribute 2^53 each. The raw estimate is ONE double division by
+    # a Python-precomputed alpha*m^2*2^53 literal; the small-range
+    # branch (V empty registers > 0 and E <= 2.5m) uses linear
+    # counting m*ln(m/V) with the ln quantized at %.7f (the 1-ulp
+    # recipe). Registers max-merge, so shards combine cell-wise — the
+    # 100 TB count-distinct workhorse.
+    oracle=f"""
+WITH toks AS (
+  SELECT source, a[i - 1] || ' ' || a[i] AS tok
+  FROM (SELECT source, string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL unnest(generate_series(2, len(a))) t(i)
+  WHERE a[i - 1] <> '' AND a[i] <> ''
+),
+h AS (
+  SELECT source, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+  FROM toks
+),
+regs AS (
+  SELECT source, hv // {_HLL_TWO52} AS bucket,
+         max(CASE WHEN hv % {_HLL_TWO52} = 0 THEN 53
+                  ELSE 53 - length(regexp_replace(bin(hv % {_HLL_TWO52}),
+                                                  '^0+', '')) END) AS m_reg
+  FROM h GROUP BY 1, 2
+),
+sums AS (
+  SELECT source, count(*)::BIGINT AS n_filled,
+         sum((1::BIGINT << (53 - m_reg)))::BIGINT AS s_filled
+  FROM regs GROUP BY 1
+),
+ex AS (SELECT source, count(DISTINCT tok)::BIGINT AS n_exact FROM h GROUP BY 1),
+est AS (
+  SELECT s.source, s.n_filled, e.n_exact,
+         ({HLL_M} - s.n_filled)::BIGINT AS v,
+         {_HLL_ALPHA_M2_53!r}
+           / (s.s_filled
+              + ({HLL_M} - s.n_filled)::BIGINT * {_HLL_EMPTY_TERM})::DOUBLE
+           AS e_raw
+  FROM sums s JOIN ex e USING (source)
+),
+final AS (
+  SELECT source, n_exact, n_filled,
+         CASE WHEN v > 0 AND e_raw <= {_HLL_LC_THRESHOLD!r}
+              THEN {float(HLL_M)!r}
+                   * printf('%.7f', ln({float(HLL_M)!r} / v))::DOUBLE
+              ELSE e_raw END AS hll_est
+  FROM est
+)
+SELECT source, n_exact, n_filled AS n_registers_filled, hll_est,
+       abs(hll_est - n_exact) / n_exact AS rel_err
+FROM final
+""",
+    doc="Per-source distinct-bigram estimate via a 256-register "
+    "HyperLogLog vs the exact count, with relative error — the "
+    "third mergeable sketch (after KMV and count-min) and the one "
+    "production engines actually ship for approx_count_distinct. "
+    "Register values come from integer bit arithmetic on a "
+    "deterministic md5 hash (binary-string length, never float "
+    "log2), the harmonic sum is an exact BIGINT thanks to the 2^53 "
+    "scaling, and only the final estimate touches IEEE division — "
+    "so both engines compute the bit-identical estimate. One "
+    "(source, bucket) groupBy then a per-source fold: map-side "
+    "combine all the way, no row ever leaves its shard unaggregated.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_hyperloglog_eval(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.split(F.lower("text"), " ").alias("a"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select("source", F.concat_ws(" ", "p.w1", "p.w2").alias("tok"))
+    )
+    h = toks.select(
+        "source",
+        "tok",
+        F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").alias(
+            "hv"
+        ),
+    )
+    m_val = F.when(F.col("hv") % _HLL_TWO52 == 0, F.lit(53)).otherwise(
+        F.lit(53)
+        - F.length(
+            F.regexp_replace(F.bin(F.col("hv") % _HLL_TWO52), "^0+", "")
+        )
+    )
+    regs = (
+        h.select(
+            "source",
+            F.expr(f"hv div {_HLL_TWO52}").alias("bucket"),  # integer div, never float
+            m_val.alias("m"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("m").alias("m_reg"))
+    )
+    sums = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_reg)")).alias(
+            "s_filled"
+        ),
+    )
+    ex = h.groupBy("source").agg(F.countDistinct("tok").alias("n_exact"))
+    v = (F.lit(HLL_M) - F.col("n_filled")).cast("long")
+    e_raw = F.lit(_HLL_ALPHA_M2_53) / (
+        F.col("s_filled") + v * F.lit(_HLL_EMPTY_TERM)
+    ).cast("double")
+    lc = F.lit(float(HLL_M)) * F.format_string(
+        "%.7f", F.log(F.lit(float(HLL_M)) / v)
+    ).cast("double")
+    hll_est = F.when(
+        (v > 0) & (e_raw <= F.lit(_HLL_LC_THRESHOLD)), lc
+    ).otherwise(e_raw)
+    return (
+        sums.join(ex, "source")
+        .select(
+            "source",
+            "n_exact",
+            F.col("n_filled").alias("n_registers_filled"),
+            hll_est.alias("hll_est"),
+        )
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"),
         )
     )
 

@@ -859,6 +859,177 @@ def x_substring_dedup_census(spark, sf_dir):
     )
 
 
+BLOOM_M = 131072  # bits (2^17), sized ~9 bits/item for the 4-shingle catalog
+BLOOM_K = 3  # hash functions
+
+
+@register(
+    "x_bloom_dedup_screen",
+    # Bloom-filter membership screen for incremental dedup (completes
+    # the probabilistic-structure family: KMV / CMS / HLL / Bloom):
+    # the catalog half of the corpus (even doc_id) sets K=3 md5-derived
+    # bit positions per distinct 4-word shingle in an m=2^17-bit filter;
+    # a new-batch shingle is "maybe seen" iff all 3 of its positions are
+    # set. Bloom guarantees NO false negatives — every truly-shared
+    # shingle must screen positive — and the query measures the actual
+    # false-positive rate against the exact semi-join truth. All bit
+    # positions are integer md5 arithmetic (hex prefix mod m), so both
+    # engines build the identical filter.
+    oracle=f"""
+WITH cat AS (
+  SELECT DISTINCT tok FROM (
+    SELECT a[i - 3] || ' ' || a[i - 2] || ' ' || a[i - 1] || ' ' || a[i] AS tok
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM documents WHERE doc_id % 2 = 0),
+         LATERAL unnest(generate_series(4, len(a))) t(i)
+    WHERE a[i - 3] <> '' AND a[i - 2] <> '' AND a[i - 1] <> '' AND a[i] <> ''
+  )
+),
+batch AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, a[i - 3] || ' ' || a[i - 2] || ' ' || a[i - 1] || ' ' || a[i] AS tok
+    FROM (SELECT source, string_split(lower(text), ' ') AS a
+          FROM documents WHERE doc_id % 2 = 1),
+         LATERAL unnest(generate_series(4, len(a))) t(i)
+    WHERE a[i - 3] <> '' AND a[i - 2] <> '' AND a[i - 1] <> '' AND a[i] <> ''
+  )
+),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(j::VARCHAR || '|' || tok), 1, 6))::INT
+                    % {BLOOM_M} AS pos
+  FROM cat, generate_series(1, {BLOOM_K}) s(j)
+),
+probe AS (
+  SELECT b.source, b.tok,
+         sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM (SELECT source, tok,
+               ('0x' || substr(md5(j::VARCHAR || '|' || tok), 1, 6))::INT
+                 % {BLOOM_M} AS pos
+        FROM batch, generate_series(1, {BLOOM_K}) s(j)) b
+  LEFT JOIN bits ON bits.pos = b.pos
+  GROUP BY b.source, b.tok
+),
+truth AS (
+  SELECT b.source, b.tok, 1 AS is_member
+  FROM batch b JOIN cat c ON b.tok = c.tok
+)
+SELECT p.source,
+       count(*)::BIGINT AS n_batch_toks,
+       sum(CASE WHEN p.n_hit = {BLOOM_K} THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+       sum(coalesce(t.is_member, 0))::BIGINT AS n_true_members,
+       (sum(CASE WHEN p.n_hit = {BLOOM_K} THEN 1 ELSE 0 END)
+        - sum(coalesce(t.is_member, 0)))::BIGINT AS n_false_pos,
+       CASE WHEN count(*) - sum(coalesce(t.is_member, 0)) > 0
+            THEN (sum(CASE WHEN p.n_hit = {BLOOM_K} THEN 1 ELSE 0 END)
+                  - sum(coalesce(t.is_member, 0)))::DOUBLE
+                 / (count(*) - sum(coalesce(t.is_member, 0)))
+            ELSE NULL END AS fp_rate
+FROM probe p
+LEFT JOIN truth t ON t.source = p.source AND t.tok = p.tok
+GROUP BY p.source
+""",
+    doc="Bloom-filter dedup screen: a 2^17-bit, 3-hash filter built "
+    "from the catalog half's distinct 4-word shingles screens the new "
+    "batch; "
+    "'maybe seen' = all 3 md5-derived bit positions set. The filter "
+    "is a <= 8192-row bit table that BROADCASTS — the pattern that "
+    "turns an incremental-dedup anti-join against a 100 TB catalog "
+    "into a map-side filter with a bounded false-positive rate, which "
+    "this query measures exactly per source (no false negatives by "
+    "construction; the semi-join truth is computed alongside).",
+    tags=("dedup", "extension"),
+)
+def x_bloom_dedup_screen(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+
+    def shingles(df, *extra):
+        return (
+            df.select(*extra, F.split(F.lower("text"), " ").alias("a"))
+            .select(
+                *extra,
+                F.explode(
+                    F.expr(
+                        "transform(sequence(4, size(a)), i -> "
+                        "struct(a[i - 4] AS w1, a[i - 3] AS w2, "
+                        "a[i - 2] AS w3, a[i - 1] AS w4))"
+                    )
+                ).alias("p"),
+            )
+            .filter(
+                (F.col("p.w1") != "")
+                & (F.col("p.w2") != "")
+                & (F.col("p.w3") != "")
+                & (F.col("p.w4") != "")
+            )
+            .select(
+                *extra,
+                F.concat_ws(" ", "p.w1", "p.w2", "p.w3", "p.w4").alias("tok"),
+            )
+            .distinct()
+        )
+
+    cat = shingles(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = shingles(docs.filter(F.col("doc_id") % 2 == 1), "source")
+
+    def positions(df, *keep):
+        return df.select(
+            *keep,
+            "tok",
+            F.explode(F.sequence(F.lit(1), F.lit(BLOOM_K))).alias("j"),
+        ).select(
+            *keep,
+            "tok",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"), F.lit("|"), F.col("tok")
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % BLOOM_M
+            ).alias("pos"),
+        )
+
+    bits = positions(cat).select("pos").distinct()
+    probe = (
+        positions(batch, "source")
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("source", "tok")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+    )
+    truth = (
+        batch.join(cat.select("tok"), "tok")
+        .select("source", "tok", F.lit(1).alias("is_member"))
+    )
+    maybe = F.when(F.col("n_hit") == BLOOM_K, 1).otherwise(0)
+    member = F.coalesce(F.col("is_member"), F.lit(0))
+    return (
+        probe.join(truth, ["source", "tok"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch_toks"),
+            F.sum(maybe).cast("long").alias("n_maybe"),
+            F.sum(member).cast("long").alias("n_true_members"),
+            (F.sum(maybe) - F.sum(member)).cast("long").alias("n_false_pos"),
+            # a source whose batch bigrams are ALL catalog members has
+            # no negatives to misclassify — rate undefined (ANSI
+            # divide-by-zero otherwise), NULL in both engines
+            F.when(
+                F.count(F.lit(1)) - F.sum(member) > 0,
+                (F.sum(maybe) - F.sum(member)).cast("double")
+                / (F.count(F.lit(1)) - F.sum(member)),
+            ).alias("fp_rate"),
+        )
+    )
+
+
 OVERLAP_K = 5  # words per overlap shingle
 
 

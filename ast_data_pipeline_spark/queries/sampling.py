@@ -926,3 +926,70 @@ def x_subsample_ci(spark, sf_dir):
         "ci_hi",
         F.lit(N_SUBSAMPLES).cast("int").alias("n_replicates"),
     )
+
+
+STRAT_NUM, STRAT_DEN = 1, 10  # exact 10% allocation per stratum
+
+
+@register(
+    "x_stratified_sample_exact",
+    # Exact-allocation stratified sampling: every source contributes
+    # EXACTLY ceil(n_g / 10) documents (the hash-gate samplers above
+    # are probabilistic — binomial counts around the rate; ablation
+    # protocols and eval-set builds need fixed per-stratum counts).
+    # Selection is the first ceil(n_g/10) docs by md5 rank within the
+    # stratum — deterministic, re-runnable, and engine-identical
+    # (lowercase-hex string order), with doc_id closing the unique
+    # order chain.
+    oracle=f"""
+WITH counted AS (
+  SELECT source, count(*)::BIGINT AS n_total FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT d.doc_id, d.source, c.n_total,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5('strat|' || d.doc_id::VARCHAR),
+                                     d.doc_id) AS rk
+  FROM documents d JOIN counted c USING (source)
+)
+SELECT source, doc_id, rk::BIGINT AS sample_rank, n_total,
+       ((n_total * {STRAT_NUM} + {STRAT_DEN - 1}) // {STRAT_DEN})::BIGINT
+         AS n_target
+FROM ranked
+WHERE rk <= (n_total * {STRAT_NUM} + {STRAT_DEN - 1}) // {STRAT_DEN}
+""",
+    doc="Exact-count stratified sample: ceil(10%) of every source by "
+    "deterministic md5 rank — the fixed-allocation eval/ablation "
+    "split that probabilistic hash gates cannot give. One broadcast "
+    "of the per-source counts plus one source-partitioned top-rank "
+    "window (compiles to WindowGroupLimit: each task keeps its local "
+    "top ceil(n/10) before the exchange); for a pathologically hot "
+    "stratum swap in the two-level value-bucket rank used by "
+    "x_range_partition_bounds.",
+    tags=("sampling", "extension"),
+)
+def x_stratified_sample_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    target = F.expr(
+        f"(n_total * {STRAT_NUM} + {STRAT_DEN - 1}) div {STRAT_DEN}"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.join(F.broadcast(counted), "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n_target", target.cast("long"))
+        .filter(F.col("rk") <= F.col("n_target"))
+        .select(
+            "source",
+            "doc_id",
+            F.col("rk").alias("sample_rank"),
+            "n_total",
+            "n_target",
+        )
+    )

@@ -116,6 +116,11 @@ _PRIORITY: tuple[str, ...] = (
     # must exist in the registry; test_contract enforces it)
     "x_substring_dedup_census",
     "x_multimodal_gif",
+    "a_hyperloglog_eval",
+    "e_funnel_conversion",
+    "x_stratified_sample_exact",
+    "a_kmv_set_ops",
+    "x_bloom_dedup_screen",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
