@@ -103,21 +103,21 @@ def kmeans_lloyd(
     for _ in range(max_iter):
         iters += 1
         assigned = assign_to_centroids(df, centroids, vec_col)
-        # One partial-agg shuffle: K rows x (dim means + count) out.
+        # One partial-agg shuffle: K x dim (mean) rows out. The update
+        # is a posexplode + SINGLE avg, not dim separate agg columns —
+        # same multiset of floats summed, but the per-iteration plan
+        # Catalyst must analyze/optimize/compile shrinks from 64 agg
+        # expressions to one (the Lloyd pair sat at the PROFILE.md
+        # tail purely on that per-round planning floor, VERDICT r6 #6).
         stats = (
-            assigned.groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ],
-            )
+            assigned.select("cid", F.posexplode(F.col(vec_col)))
+            .groupBy("cid", "pos")
+            .agg(F.avg("col").alias("m"))
             .collect()
         )
         new_centroids = [list(c) for c in centroids]
         for row in stats:  # empty clusters keep their old centroid
-            new_centroids[row["cid"]] = [row[f"m{i}"] for i in range(dim)]
+            new_centroids[row["cid"]][row["pos"]] = row["m"]
         shift = max(
             math.sqrt(sum((a - b) * (a - b) for a, b in zip(old, new)))
             for old, new in zip(centroids, new_centroids)
@@ -175,24 +175,25 @@ def kmeans_lloyd_exact(
 
     for _ in range(iters):
         assigned = assign_to_centroids(df, centroids, vec_col)
+        # posexplode + ONE davg per (cid, dim) — the same shape the
+        # recursive-CTE oracle uses (its d.dim fan-out), the same
+        # order-free decimal sum per cell, and a per-round plan small
+        # enough that planning stops dominating toy-scale runs
+        # (VERDICT r6 #6). K x dim rows to the driver, as before.
         stats = (
-            assigned.groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    davg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"m{i}")
-                    for i in range(dim)
-                ],
-            )
+            assigned.select("cid", F.posexplode(F.col(vec_col)))
+            .groupBy("cid", "pos")
+            .agg(davg(F.col("col").cast("double")).alias("m"))
             .collect()
         )
-        if len(stats) < k:
+        touched = {row["cid"] for row in stats}
+        if len(touched) < k:
             raise ValueError(
                 "kmeans_lloyd_exact: a cluster emptied — the recursive "
                 "oracle would drop it; reseed or use kmeans_lloyd"
             )
         for row in stats:
-            centroids[row["cid"]] = [row[f"m{i}"] for i in range(dim)]
+            centroids[row["cid"]][row["pos"]] = row["m"]
 
     return assign_to_centroids(df, centroids, vec_col).select(
         id_col, F.col("cid").cast("int").alias("cid")

@@ -365,6 +365,128 @@ def e_funnel_conversion(spark, sf_dir):
 
 
 @register(
+    "e_ab_test_analysis",
+    # The experimentation primitive: users split 50/50 into variants by
+    # a deterministic md5-byte coin (the production assignment rule —
+    # sticky, uniform, reproducible, no coordination), conversion =
+    # exact-decimal purchase total above a fixed spend threshold
+    # (every user purchases in this corpus, so bare "any purchase"
+    # would be degenerate), and the two-proportion pooled z-test decides
+    # significance. Every arithmetic step is IEEE +,-,*,/,sqrt on
+    # integer-derived doubles in the identical order, so both engines
+    # produce the bit-identical z.
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5('ab|' || user_id::VARCHAR), 1, 2))::INT < 128
+              THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN round(sum(CASE WHEN event_type = 'purchase'
+                                  THEN value ELSE 0.0 END::DECIMAL(30,10)), 4)::DOUBLE
+                   > 600.0::DOUBLE
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT variant, count(*)::BIGINT AS n, sum(converted)::BIGINT AS c
+  FROM per_user GROUP BY 1
+),
+w AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+    max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+    max(CASE WHEN variant = 'A' THEN c END) AS c_a,
+    max(CASE WHEN variant = 'B' THEN c END) AS c_b
+  FROM v
+)
+SELECT n_a, n_b, c_a AS conv_a, c_b AS conv_b,
+       c_a::DOUBLE / n_a AS rate_a,
+       c_b::DOUBLE / n_b AS rate_b,
+       c_a::DOUBLE / n_a - c_b::DOUBLE / n_b AS abs_lift,
+       -- degenerate pools (every user converted, or none) have zero
+       -- variance: z undefined, NULL identically in both engines
+       CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+            THEN (c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
+                 / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
+                        * (1.0::DOUBLE - (c_a + c_b)::DOUBLE / (n_a + n_b))
+                        * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b))
+            ELSE NULL END AS z_score,
+       CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+            THEN abs((c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
+                     / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
+                            * (1.0::DOUBLE - (c_a + c_b)::DOUBLE / (n_a + n_b))
+                            * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)))
+                 > 1.96::DOUBLE
+            ELSE NULL END AS significant
+FROM w
+""",
+    doc="A/B test readout: deterministic md5-byte variant assignment "
+    "(sticky and uniform — the rule experiment platforms actually "
+    "ship), per-user conversion, and the two-proportion pooled "
+    "z-test with a 1.96 significance flag. One user-keyed aggregate "
+    "then a 2-row combine; the z arithmetic is division/sqrt on "
+    "integer counts, bit-identical across engines.",
+    tags=("events", "stats", "extension"),
+)
+def e_ab_test_analysis(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 128,
+        "A",
+    ).otherwise("B")
+    total = dsum(
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.when(total > F.lit(600.0), 1).otherwise(0).alias("converted")
+    ).withColumn("variant", variant)
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("c")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("c"))).alias("c_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ca, cb = F.col("c_a"), F.col("c_b")
+    rate_a = ca.cast("double") / na
+    rate_b = cb.cast("double") / nb
+    pool = (ca + cb).cast("double") / (na + nb)
+    # degenerate pools (all converted / none converted) have zero
+    # variance: z undefined — guard BEFORE dividing (ANSI raises on
+    # x / 0.0), NULL identically in both engines
+    nondegenerate = (ca + cb > 0) & (ca + cb < na + nb)
+    z = F.when(
+        nondegenerate,
+        (rate_a - rate_b)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        ca.alias("conv_a"),
+        cb.alias("conv_b"),
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (rate_a - rate_b).alias("abs_lift"),
+        z.alias("z_score"),
+        F.when(nondegenerate, F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+@register(
     "e_activity_islands",
     oracle="""
 WITH days AS (

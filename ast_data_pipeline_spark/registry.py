@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_stratified_sample_exact",
     "a_kmv_set_ops",
     "x_bloom_dedup_screen",
+    "e_ab_test_analysis",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",

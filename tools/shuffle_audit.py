@@ -141,6 +141,13 @@ ALL rounds' stages; their shuffle bytes stay bounded because each
 round's agg is a K x dim (or per-key partial) combine, not a fact
 re-shuffle.
 
+Adjudication of the two large rows: x_triangle_count and x_kcore_peel
+shuffle tens of MB, but the payload is already minimal — bare (u, v)
+BIGINT edge pairs through the wedge/peel joins (~16 bytes/row on a
+~1M-edge graph), nothing to narrow. Their large "input MB" is
+localCheckpoint BLOCK RE-READS (each lineage cut is consumed by 2-3
+joins per round), i.e. local memory reads, not extra parquet scans.
+
 | query | rows out | shuffle write MB | shuffle read MB | input MB |
 |---|---|---|---|---|
 """
