@@ -317,3 +317,91 @@ def x_kcore_peel(spark, sf_dir):
         census.append((r, surv.count()))
         nodes = surv
     return spark.createDataFrame(census, "round int, n_nodes long")
+
+
+_BFS_ROUNDS = 3
+_BFS_SEED_MAX = 8  # seeds: customer nodes with custkey < 8
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        f"l0 AS (SELECT DISTINCT src AS node FROM edges "
+        f"WHERE src LIKE 'c%' AND substr(src, 2)::BIGINT < {_BFS_SEED_MAX})",
+        "r0 AS (SELECT node FROM l0)",
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"l{r} AS (SELECT DISTINCT e.dst AS node "
+            f"FROM edges e JOIN l{r - 1} f ON e.src = f.node "
+            f"EXCEPT SELECT node FROM r{r - 1})"
+        )
+        ctes.append(
+            f"r{r} AS (SELECT node FROM r{r - 1} "
+            f"UNION SELECT node FROM l{r})"
+        )
+    layers = "\nUNION ALL\n".join(
+        f"SELECT {r}::INT AS dist, (SELECT count(*) FROM l{r})::BIGINT AS n_nodes"
+        for r in range(_BFS_ROUNDS + 1)
+    )
+    return f"WITH {_KCORE_EDGES_SQL}, {', '.join(ctes)}\n{layers}"
+
+
+@register(
+    "x_bfs_layers",
+    oracle=_bfs_oracle(),
+    doc=f"Multi-source BFS over the customer-supplier bipartite graph "
+    f"(seeds: customer nodes with key < {_BFS_SEED_MAX}; "
+    f"{_BFS_ROUNDS} frontier expansions): per round, the frontier "
+    "joins the edge table (key-partitioned shuffle), new nodes = "
+    "neighbors EXCEPT already-reached, both sets "
+    "localCheckpoint'ed at round boundaries (the pagerank/k-core "
+    "cut). Set semantics are exact — no float anywhere — so the "
+    "iterated layer census sits under the hash gate via unrolled-CTE "
+    "SQL. The Pregel SSSP/reachability primitive next to pagerank "
+    "(value propagation), k-core (peeling), and CC (label "
+    "convergence); output is the per-distance layer census.",
+    tags=("extension", "graph", "iterative"),
+)
+def x_bfs_layers(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        edges.filter(
+            F.col("src").startswith("c")
+            & (F.substring("src", 2, 100).cast("long") < _BFS_SEED_MAX)
+        )
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    reached = frontier
+    census = [(0, frontier.count())]
+    for r in range(1, _BFS_ROUNDS + 1):
+        frontier = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .exceptAll(reached)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        reached = reached.unionByName(frontier).distinct().localCheckpoint(
+            eager=False
+        )
+        census.append((r, frontier.count()))
+    return spark.createDataFrame(census, "dist int, n_nodes long")

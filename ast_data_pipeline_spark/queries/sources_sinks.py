@@ -497,3 +497,97 @@ def s15_corrupt_record_quarantine(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "s16_binaryfile_ingest",
+    # Binary-file directory source: real GIF files on disk (written by
+    # the repo's own LZW encoder, one per document) ingested with
+    # spark.read.format("binaryFile") — the (path, length, content)
+    # source a multimodal pipeline starts from — then doc ids parsed
+    # from file NAMES and pixels decoded from file BYTES inside
+    # mapInPandas. The oracle is the identity expectation off the
+    # documents table: the decoded-pixel mean must equal each doc's
+    # mean ASCII code point (the GIF roundtrip is lossless), proving
+    # name parsing, content transport, and decode end-to-end.
+    oracle="""
+SELECT doc_id, 12 AS height, 8 AS width,
+       (list_sum(list_transform(generate_series(1, 96),
+                                i -> unicode(substr(t, i, 1))))::DOUBLE / 96)
+         AS mean_byte,
+       true AS is_valid
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
+    doc="S16 binary-file directory source: per-doc GIF files written "
+    "by executors (foreachPartition; on a cluster the target is "
+    "shared storage), re-ingested via the binaryFile format source, "
+    "doc ids regexp-parsed from paths, payloads decoded in Arrow "
+    "batches. Completes the source matrix next to "
+    "CSV/JSONL/ORC/XML/GeoJSON/fixed-width: the ingest shape used "
+    "when the corpus arrives as a bucket of media objects rather "
+    "than rows.",
+    tags=("source", "multimodal", "extension"),
+)
+def s16_binaryfile_ingest(spark, sf_dir):
+    import shutil
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = os.path.join(
+        tempfile.gettempdir(), "ast_binfiles", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raster"))
+
+    def write_part(rows) -> None:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import encode_gif
+
+        for r in rows:
+            arr = np.frombuffer(bytes(r.raster), np.uint8).reshape(12, 8)
+            with open(os.path.join(tmp, f"doc_{r.doc_id}.gif"), "wb") as f:
+                f.write(encode_gif(arr))
+
+    src.foreachPartition(write_part)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(tmp)
+    )
+    parsed = back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.gif$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import _gif_decode
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "height": [], "width": [], "mean_byte": [],
+                   "is_valid": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                arr = _gif_decode(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(int(arr.shape[0]))
+                out["width"].append(int(arr.shape[1]))
+                out["mean_byte"].append(float(arr.astype(np.float64).mean()))
+                out["is_valid"].append(True)
+            yield pd.DataFrame(out)
+
+    return parsed.mapInPandas(
+        decode, "doc_id long, height int, width int, mean_byte double, is_valid boolean"
+    )

@@ -122,6 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "a_kmv_set_ops",
     "x_bloom_dedup_screen",
     "e_ab_test_analysis",
+    "s16_binaryfile_ingest",
+    "x_bfs_layers",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
