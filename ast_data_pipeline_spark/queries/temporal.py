@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, dsum_sql
+from ..functions.exact import davg_sql, dsum, dsum_over_sql, dsum_sql
 from ..operators.temporal import asof_join, range_join_binned
 from ..registry import register
 from ..sources.catalog import load
@@ -936,3 +936,79 @@ def t_rolling_corr(spark, sf_dir):
         / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return w.filter(F.col("rn") >= 7).select("day", corr.alias("rolling_corr_7d"))
+
+
+@register(
+    "t_seasonal_decompose",
+    # Classical additive seasonal decomposition of the daily revenue
+    # series: trend = centered 7-day exact-decimal moving mean (full
+    # windows only), seasonal = per-ISO-weekday exact-decimal mean of
+    # the detrended series, residual = value - trend - seasonal.
+    # Every mean is round(sum(DECIMAL))/count and every subtraction is
+    # the same IEEE op on identical doubles, so the whole
+    # decomposition is bit-identical across engines.
+    oracle=f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, {dsum_sql('value')} AS v
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT day, v,
+         {dsum_over_sql('v', 'ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING')}
+           / 7 AS trend,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS n_win
+  FROM daily
+),
+det AS (
+  SELECT day, v, trend, v - trend AS detrended, isodow(day)::INT AS dow
+  FROM tr WHERE n_win = 7
+),
+seas AS (
+  SELECT dow, {davg_sql('detrended')} AS seasonal FROM det GROUP BY dow
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.v AS value, d.trend,
+       s.seasonal, d.v - d.trend - s.seasonal AS residual
+FROM det d JOIN seas s USING (dow)
+""",
+    doc="Additive seasonal decomposition (trend / weekly seasonal / "
+    "residual) of daily revenue: centered 7-day decimal moving mean, "
+    "per-ISO-weekday decimal mean of the detrended series, residual "
+    "by subtraction — the forecasting-prep staple. The fact table "
+    "aggregates once to the daily grain; every window after that runs "
+    "on the tiny daily series (the t_rolling_corr pattern), and the "
+    "7-row seasonal table broadcasts back.",
+    tags=("temporal", "window", "stats", "extension"),
+)
+def t_seasonal_decompose(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.exact import davg, dsum, dsum_over
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(dsum("value").alias("v"))
+    win = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "v",
+        (dsum_over(F.col("v"), win) / F.lit(7)).alias("trend"),
+        F.count(F.lit(1)).over(win).alias("n_win"),
+    )
+    det = tr.filter(F.col("n_win") == 7).select(
+        "day",
+        "v",
+        "trend",
+        (F.col("v") - F.col("trend")).alias("detrended"),
+        ((F.dayofweek("day") + 5) % 7 + 1).cast("int").alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(davg("detrended").alias("seasonal"))
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("v").alias("value"),
+            "trend",
+            "seasonal",
+            (F.col("v") - F.col("trend") - F.col("seasonal")).alias("residual"),
+        )
+    )

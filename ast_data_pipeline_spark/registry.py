@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_ab_test_analysis",
     "s16_binaryfile_ingest",
     "x_bfs_layers",
+    "t_seasonal_decompose",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
