@@ -2333,3 +2333,84 @@ def a_winsorized_mean(spark, sf_dir):
             ).alias("plain_mean"),
         )
     )
+
+
+@register(
+    "a_linreg_trend",
+    # Per-event-type OLS trend of the daily value series: slope /
+    # intercept / R^2 from the five closed-form moments, every moment
+    # an exact-decimal sum and the final algebra a fixed IEEE op
+    # order — the deterministic little-sibling of MLlib's
+    # LinearRegression for the 1-feature trend-line case (and the
+    # global-fit complement of e_theilsen_trend's robust slope).
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS x,
+         {dsum_sql('value')} AS y
+  FROM events GROUP BY event_type, x
+),
+m AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS sxx,
+         {dsum_sql('y')} AS sy,
+         {dsum_sql('(x::DOUBLE * y)')} AS sxy,
+         {dsum_sql('(y * y)')} AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       (n::DOUBLE * sxy - sx::DOUBLE * sy)
+         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope,
+       (sy - (n::DOUBLE * sxy - sx::DOUBLE * sy)
+               / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             * sx::DOUBLE) / n AS intercept,
+       CASE WHEN n::DOUBLE * syy - sy * sy > 0.0::DOUBLE
+            THEN ((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                  * (n::DOUBLE * sxy - sx::DOUBLE * sy))
+                 / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy - sy * sy))
+            ELSE NULL END AS r2
+FROM m
+""",
+    doc="OLS daily-revenue trend per event type: slope, intercept, R^2 "
+    "from decimal-exact moments (integer x sums are exact BIGINTs; y "
+    "moments ride the decimal path; the closed-form algebra is the "
+    "identical IEEE sequence in both engines, zero-variance guarded). "
+    "One shuffle to the daily grain, one to the per-type moments — "
+    "the same two-pass shape at any scale.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_linreg_trend(spark, sf_dir):
+    from ..functions.exact import dsum
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(dsum("value").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    denx = n_d * sxx_d - sx_d * sx_d
+    deny = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * sx_d) / F.col("n")).alias("intercept"),
+        F.when(deny > F.lit(0.0), (num * num) / (denx * deny)).alias("r2"),
+    )

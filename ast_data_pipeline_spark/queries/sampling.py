@@ -993,3 +993,135 @@ def x_stratified_sample_exact(spark, sf_dir):
             "n_target",
         )
     )
+
+
+def _morton_expr(xcol: str, ycol: str) -> str:
+    """Bit-interleave two 16-bit ints into a 32-bit Morton key — the
+    SAME generated expression text runs in Spark SQL and DuckDB (shift
+    / and / or arithmetic only), so the layout key is engine-identical
+    by construction."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+ZORDER_BUCKETS_LOG2 = 4  # 16 files per layout
+
+
+@register(
+    "x_zorder_layout",
+    # Z-order vs linear data layout, measured: events normalize to a
+    # 16-bit (user, time) grid; the z-order layout buckets rows by the
+    # top-4 Morton-key bits, the linear layout by the top-4 time bits.
+    # Per layout the report is the average per-file min-max extent in
+    # EACH dimension — the numbers that decide how much a file-skipping
+    # scan (parquet zone maps / Delta-Iceberg data skipping) can prune
+    # for single-dimension predicates. Linear time layout: perfect
+    # time extents, full-range user extents (user predicates prune
+    # nothing); z-order: both dimensions at ~1/4 range. All integer
+    # arithmetic; the Morton expression text is shared verbatim.
+    oracle=f"""
+WITH b AS (
+  SELECT min(user_id)::BIGINT AS x0, max(user_id)::BIGINT AS x1,
+         min(floor(epoch(ts)))::BIGINT AS y0, max(floor(epoch(ts)))::BIGINT AS y1
+  FROM events
+),
+norm AS (
+  SELECT least(65535, ((user_id - b.x0) * 65535) // greatest(b.x1 - b.x0, 1))
+           AS xn,
+         least(65535, ((floor(epoch(ts))::BIGINT - b.y0) * 65535)
+                        // greatest(b.y1 - b.y0, 1)) AS yn
+  FROM events, b
+),
+keyed AS (
+  SELECT xn, yn, ({_morton_expr('xn', 'yn')}) AS zkey FROM norm
+),
+layouts AS (
+  SELECT 'zorder' AS layout, zkey >> {32 - ZORDER_BUCKETS_LOG2} AS bucket,
+         xn, yn FROM keyed
+  UNION ALL
+  SELECT 'linear_time' AS layout, yn >> {16 - ZORDER_BUCKETS_LOG2} AS bucket,
+         xn, yn FROM keyed
+),
+per_bucket AS (
+  SELECT layout, bucket,
+         max(xn) - min(xn) AS ext_x,
+         max(yn) - min(yn) AS ext_y,
+         count(*)::BIGINT AS n_rows
+  FROM layouts GROUP BY 1, 2
+)
+SELECT layout,
+       count(*)::BIGINT AS n_files,
+       sum(n_rows)::BIGINT AS n_rows,
+       sum(ext_x)::DOUBLE / count(*) AS avg_user_extent,
+       sum(ext_y)::DOUBLE / count(*) AS avg_time_extent,
+       sum(ext_x * ext_y)::DOUBLE / count(*) AS avg_cell_area
+FROM per_bucket
+GROUP BY layout
+""",
+    doc="Z-order layout evaluation: Morton-interleave the normalized "
+    "(user, time) coordinates, bucket by the key's top bits, and "
+    "compare per-file min-max extents against the linear time layout "
+    "— the data-skipping math behind Delta/Iceberg Z-ORDER at 100 TB "
+    "(a file's min-max extent IS what zone-map pruning can skip). "
+    "Pure integer bit arithmetic from a Python-generated expression "
+    "shared verbatim by both engines; one min-max pass plus one "
+    "bucket aggregate.",
+    tags=("sampling", "extension"),
+)
+def x_zorder_layout(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("user_id").alias("x0"),
+        F.max("user_id").alias("x1"),
+        F.min(F.col("ts").cast("long")).alias("y0"),
+        F.max(F.col("ts").cast("long")).alias("y1"),
+    )
+    norm = ev.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(65535),
+            F.expr("((user_id - x0) * 65535) div greatest(x1 - x0, 1)"),
+        ).alias("xn"),
+        F.least(
+            F.lit(65535),
+            F.expr("((cast(ts as long) - y0) * 65535) div greatest(y1 - y0, 1)"),
+        ).alias("yn"),
+    )
+    keyed = norm.withColumn("zkey", F.expr(_morton_expr("xn", "yn")))
+    z = keyed.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"zkey >> {32 - ZORDER_BUCKETS_LOG2}").alias("bucket"),
+        "xn",
+        "yn",
+    )
+    lin = keyed.select(
+        F.lit("linear_time").alias("layout"),
+        F.expr(f"yn >> {16 - ZORDER_BUCKETS_LOG2}").alias("bucket"),
+        "xn",
+        "yn",
+    )
+    per_bucket = (
+        z.unionByName(lin)
+        .groupBy("layout", "bucket")
+        .agg(
+            (F.max("xn") - F.min("xn")).alias("ext_x"),
+            (F.max("yn") - F.min("yn")).alias("ext_y"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return per_bucket.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        (F.sum("ext_x").cast("double") / F.count(F.lit(1))).alias(
+            "avg_user_extent"
+        ),
+        (F.sum("ext_y").cast("double") / F.count(F.lit(1))).alias(
+            "avg_time_extent"
+        ),
+        (
+            F.sum(F.col("ext_x") * F.col("ext_y")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_cell_area"),
+    )

@@ -125,6 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "s16_binaryfile_ingest",
     "x_bfs_layers",
     "t_seasonal_decompose",
+    "a_linreg_trend",
+    "x_zorder_layout",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
