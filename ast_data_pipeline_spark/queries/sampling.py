@@ -961,11 +961,12 @@ WHERE rk <= (n_total * {STRAT_NUM} + {STRAT_DEN - 1}) // {STRAT_DEN}
     doc="Exact-count stratified sample: ceil(10%) of every source by "
     "deterministic md5 rank — the fixed-allocation eval/ablation "
     "split that probabilistic hash gates cannot give. One broadcast "
-    "of the per-source counts plus one source-partitioned top-rank "
-    "window (compiles to WindowGroupLimit: each task keeps its local "
-    "top ceil(n/10) before the exchange); for a pathologically hot "
-    "stratum swap in the two-level value-bucket rank used by "
-    "x_range_partition_bounds.",
+    "of the per-source counts plus one source-PARTITIONED rank "
+    "window (the per-stratum bound is a column, so Spark's "
+    "WindowGroupLimit literal-limit pruning does not apply — each "
+    "stratum sorts within its partition, which scales with stratum "
+    "size); for a pathologically hot stratum swap in the two-level "
+    "value-bucket rank used by x_range_partition_bounds.",
     tags=("sampling", "extension"),
 )
 def x_stratified_sample_exact(spark, sf_dir):

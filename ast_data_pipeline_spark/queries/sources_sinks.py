@@ -482,6 +482,13 @@ def s15_corrupt_record_quarantine(spark, sf_dir):
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(tmp)
+        # Pin the parsed batch: consumers that prune down to the group
+        # key alone (df.count() over the census) would otherwise leave
+        # the JSON scan referencing ONLY _corrupt_record, which Spark
+        # rejects (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN
+        # — found by the r7 profile sweep). Materializing the full row
+        # once is also what a real quarantine pass does before fan-out.
+        .localCheckpoint(eager=False)
     )
     parsed = back.select(
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
