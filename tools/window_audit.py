@@ -7,7 +7,7 @@ A hit is not automatically a defect — the repo intentionally runs
 un-partitioned windows over TINY frames (bucket-count tables, daily
 series, post-TakeOrdered top-k results); the audit exists so every hit
 is a *reviewed* decision. Current classification of the r7 audit
-(17 hits, zero WATCH — r6's sole WATCH item, the e_rfm_scores global
+(18 hits, zero WATCH — r6's sole WATCH item, the e_rfm_scores global
 ntile(4) over the user table, was rewritten to exact_group_quantiles
 rank-selected cuts + broadcast banding and no longer appears):
 
@@ -19,7 +19,9 @@ rank-selected cuts + broadcast banding and no longer appears):
   exact_group_quantiles bucket-count table; its lit-constant group col
   is constant-folded out of the partition spec, so it prints as
   un-partitioned — the frame is the ~bucket-count rows, not the fact)
-- daily-series frames (<= one row per calendar day): t_rolling_corr
+- daily-series frames (<= one row per calendar day): t_rolling_corr,
+  t_seasonal_decompose (centered 7-day trend + full-window count over
+  the daily grain — the fact table aggregated away first)
 - post-TakeOrdered top-k rank (window sees <= k*partitions rows):
   e_topk_users_by_value, x_heavy_hitters, a_countmin_sketch, j_skew_report
 - entity-sized frames mirroring reference semantics (global allocation
