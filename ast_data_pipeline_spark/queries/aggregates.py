@@ -1757,6 +1757,7 @@ def a_countmin_sketch(spark, sf_dir):
 
 
 HLL_P = 8  # 2^8 = 256 registers
+
 HLL_M = 1 << HLL_P
 _HLL_TWO52 = 1 << 52  # 60-bit md5 hash = 8 bucket bits + 52 suffix bits
 _HLL_EMPTY_TERM = 1 << 53  # an empty register's 2^(53 - 0) summand
@@ -1764,6 +1765,80 @@ _HLL_EMPTY_TERM = 1 << 53  # an empty register's 2^(53 - 0) summand
 # the identical double literal (no cross-engine pow/divide chains)
 _HLL_ALPHA_M2_53 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << 53)
 _HLL_LC_THRESHOLD = 2.5 * HLL_M  # below this, linear counting wins
+
+
+def hll_tokens(docs):
+    """(source, tok, hv): per-doc bigrams with the 60-bit md5 hash —
+    shared by the batch query and the streaming register-merge twin."""
+    toks = (
+        docs.select("source", F.split(F.lower("text"), " ").alias("a"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select("source", F.concat_ws(" ", "p.w1", "p.w2").alias("tok"))
+    )
+    return toks.select(
+        "source",
+        "tok",
+        F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").alias(
+            "hv"
+        ),
+    )
+
+
+def hll_registers(h):
+    """(source, bucket, m_reg): HLL registers from hashed tokens.
+    Registers MAX-merge — across shards, micro-batches, or snapshots —
+    which is what makes the sketch maintainable incrementally."""
+    m_val = F.when(F.col("hv") % _HLL_TWO52 == 0, F.lit(53)).otherwise(
+        F.lit(53)
+        - F.length(
+            F.regexp_replace(F.bin(F.col("hv") % _HLL_TWO52), "^0+", "")
+        )
+    )
+    return (
+        h.select(
+            "source",
+            F.expr(f"hv div {_HLL_TWO52}").alias("bucket"),  # integer div, never float
+            m_val.alias("m"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("m").alias("m_reg"))
+    )
+
+
+def hll_estimate(regs):
+    """(source, n_registers_filled, hll_est) from a register table —
+    the read-time finalization (BIGINT harmonic sum, raw-vs-linear-
+    counting branch), identical to the oracle's arithmetic."""
+    sums = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_reg)")).alias(
+            "s_filled"
+        ),
+    )
+    v = (F.lit(HLL_M) - F.col("n_filled")).cast("long")
+    e_raw = F.lit(_HLL_ALPHA_M2_53) / (
+        F.col("s_filled") + v * F.lit(_HLL_EMPTY_TERM)
+    ).cast("double")
+    lc = F.lit(float(HLL_M)) * F.format_string(
+        "%.7f", F.log(F.lit(float(HLL_M)) / v)
+    ).cast("double")
+    hll_est = F.when(
+        (v > 0) & (e_raw <= F.lit(_HLL_LC_THRESHOLD)), lc
+    ).otherwise(e_raw)
+    return sums.select(
+        "source",
+        F.col("n_filled").alias("n_registers_filled"),
+        hll_est.alias("hll_est"),
+    )
 
 
 @register(
@@ -1841,67 +1916,12 @@ FROM final
 )
 def a_hyperloglog_eval(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    toks = (
-        docs.select("source", F.split(F.lower("text"), " ").alias("a"))
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(2, size(a)), i -> "
-                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
-                )
-            ).alias("p"),
-        )
-        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
-        .select("source", F.concat_ws(" ", "p.w1", "p.w2").alias("tok"))
-    )
-    h = toks.select(
-        "source",
-        "tok",
-        F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").alias(
-            "hv"
-        ),
-    )
-    m_val = F.when(F.col("hv") % _HLL_TWO52 == 0, F.lit(53)).otherwise(
-        F.lit(53)
-        - F.length(
-            F.regexp_replace(F.bin(F.col("hv") % _HLL_TWO52), "^0+", "")
-        )
-    )
-    regs = (
-        h.select(
-            "source",
-            F.expr(f"hv div {_HLL_TWO52}").alias("bucket"),  # integer div, never float
-            m_val.alias("m"),
-        )
-        .groupBy("source", "bucket")
-        .agg(F.max("m").alias("m_reg"))
-    )
-    sums = regs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_filled"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_reg)")).alias(
-            "s_filled"
-        ),
-    )
+    h = hll_tokens(docs)
+    est = hll_estimate(hll_registers(h))
     ex = h.groupBy("source").agg(F.countDistinct("tok").alias("n_exact"))
-    v = (F.lit(HLL_M) - F.col("n_filled")).cast("long")
-    e_raw = F.lit(_HLL_ALPHA_M2_53) / (
-        F.col("s_filled") + v * F.lit(_HLL_EMPTY_TERM)
-    ).cast("double")
-    lc = F.lit(float(HLL_M)) * F.format_string(
-        "%.7f", F.log(F.lit(float(HLL_M)) / v)
-    ).cast("double")
-    hll_est = F.when(
-        (v > 0) & (e_raw <= F.lit(_HLL_LC_THRESHOLD)), lc
-    ).otherwise(e_raw)
     return (
-        sums.join(ex, "source")
-        .select(
-            "source",
-            "n_exact",
-            F.col("n_filled").alias("n_registers_filled"),
-            hll_est.alias("hll_est"),
-        )
+        est.join(ex, "source")
+        .select("source", "n_exact", "n_registers_filled", "hll_est")
         .withColumn(
             "rel_err",
             F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"),
@@ -2413,4 +2433,92 @@ def a_linreg_trend(spark, sf_dir):
         slope.alias("slope"),
         ((F.col("sy") - slope * sx_d) / F.col("n")).alias("intercept"),
         F.when(deny > F.lit(0.0), (num * num) / (denx * deny)).alias("r2"),
+    )
+
+
+BASKET_MIN_SUPPORT = 3  # pair must co-occur in >= 3 orders
+
+
+@register(
+    "a_market_basket_lift",
+    # Market-basket association mining (the Apriori 2-itemset pass):
+    # per-order part pairs -> support counts -> confidence and lift
+    # from exact integer counts. The pair space is bounded the same
+    # way the triangle count bounds wedges: pairs are generated
+    # per-order (never a global part x part cross), and a min-support
+    # HAVING prunes the long tail before the dimension joins. Top-20
+    # by lift under a unique (lift, part_a, part_b) order chain.
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM lineitem),
+item AS (SELECT l_partkey, count(*)::BIGINT AS n_item FROM op GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_pair
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_pair,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       n_pair::DOUBLE / (SELECT n FROM n_orders) AS support,
+       n_pair::DOUBLE / ia.n_item AS confidence_a_to_b,
+       (n_pair::DOUBLE * (SELECT n FROM n_orders))
+         / (ia.n_item::DOUBLE * ib.n_item::DOUBLE) AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+""",
+    doc="Market-basket 2-itemset mining: per-order part-pair supports "
+    "(generated per order, never a global cross product), min-support "
+    "pruning BEFORE the per-item joins, then confidence and lift from "
+    "exact integer counts — single IEEE divisions, identical in both "
+    "engines. Top-20 by lift with a unique order chain. The shape "
+    "scales because the pair explosion is bounded by per-order basket "
+    "size (sum of k_i^2), not by catalog size.",
+    tags=("aggregates", "extension"),
+)
+def a_market_basket_lift(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )  # consumed by item counts AND both sides of the pair join
+    n_orders = op.select("l_orderkey").distinct().count()
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    b = op.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        op.join(b, (op.l_orderkey == b.o2) & (op.l_partkey < b.part_b))
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (F.col("n_pair").cast("double") / F.lit(n_orders)).alias("support"),
+            (F.col("n_pair").cast("double") / F.col("n_a")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                (F.col("n_pair").cast("double") * F.lit(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
     )

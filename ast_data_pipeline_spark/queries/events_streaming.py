@@ -304,3 +304,59 @@ def s_stream_agg_maintenance(spark, sf_dir):
     from ..streaming.upsert import streaming_agg_maintenance
 
     return streaming_agg_maintenance(spark, sf_dir)
+
+
+@register(
+    "s_stream_hll_distinct",
+    # The oracle is the BATCH sketch finalization over all documents
+    # (the sketch-only columns of a_hyperloglog_eval): the streaming
+    # side max-merged per-(source, bucket) registers across
+    # micro-batches and must land on identical registers — max is
+    # associative/commutative, the mergeability claim of every sketch
+    # in the family, proven here on the streaming runtime.
+    oracle=f"""
+WITH toks AS (
+  SELECT source, a[i - 1] || ' ' || a[i] AS tok
+  FROM (SELECT source, string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL unnest(generate_series(2, len(a))) t(i)
+  WHERE a[i - 1] <> '' AND a[i] <> ''
+),
+h AS (
+  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+),
+regs AS (
+  SELECT source, hv // {4503599627370496} AS bucket,
+         max(CASE WHEN hv % {4503599627370496} = 0 THEN 53
+                  ELSE 53 - length(regexp_replace(bin(hv % {4503599627370496}),
+                                                  '^0+', '')) END) AS m_reg
+  FROM h GROUP BY 1, 2
+),
+sums AS (
+  SELECT source, count(*)::BIGINT AS n_filled,
+         sum((1::BIGINT << (53 - m_reg)))::BIGINT AS s_filled
+  FROM regs GROUP BY 1
+)
+SELECT source, n_filled AS n_registers_filled,
+       CASE WHEN (256 - n_filled) > 0
+             AND {0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 53)!r}
+                 / (s_filled + (256 - n_filled)::BIGINT * {1 << 53})::DOUBLE
+                 <= {2.5 * 256!r}
+            THEN 256.0::DOUBLE
+                 * printf('%.7f', ln(256.0::DOUBLE / (256 - n_filled)))::DOUBLE
+            ELSE {0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 53)!r}
+                 / (s_filled + (256 - n_filled)::BIGINT * {1 << 53})::DOUBLE
+            END AS hll_est
+FROM sums
+""",
+    doc="Streaming HyperLogLog maintenance: per-(source, bucket) "
+    "registers MAX-merged across micro-batches in foreachBatch, "
+    "estimate finalized at read — register max is associative, so "
+    "the maintained sketch is bit-identical to the batch build the "
+    "oracle runs (the mergeable-sketch claim proven on the streaming "
+    "runtime; kilobytes of standing state per group at any scale).",
+    tags=("streaming", "stats", "extension"),
+)
+def s_stream_hll_distinct(spark, sf_dir):
+    from ..streaming.sketches_stream import streaming_hll_distinct
+
+    return streaming_hll_distinct(spark, sf_dir)

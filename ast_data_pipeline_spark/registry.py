@@ -127,6 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     "t_seasonal_decompose",
     "a_linreg_trend",
     "x_zorder_layout",
+    "a_market_basket_lift",
+    "s_stream_hll_distinct",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",

@@ -48,3 +48,38 @@ def test_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     a = streamed.sort_values(key).reset_index(drop=True)[batch.columns]
     b = batch.sort_values(key).reset_index(drop=True)
     assert a.equals(b), (len(a), len(b))
+
+
+def test_streaming_hll_batch_boundary_independence(spark, sf_dir, tmp_path):
+    """Register max-merge across micro-batches must land on the exact
+    registers (and therefore the exact estimate) of the all-at-once
+    batch sketch — replay the documents stream as 3 single-file
+    micro-batches and compare bit-for-bit."""
+    from ast_data_pipeline_spark.queries.aggregates import (
+        hll_estimate,
+        hll_registers,
+        hll_tokens,
+    )
+    from ast_data_pipeline_spark.sources.catalog import load
+    from ast_data_pipeline_spark.streaming.sketches_stream import (
+        run_hll_maintenance,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    src = str(tmp_path / "docs_stream")
+    for i in range(3):
+        docs.filter(F.crc32(F.col("text")) % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files >= 3
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = run_hll_maintenance(spark, stream).toPandas()
+    batch = hll_estimate(hll_registers(hll_tokens(docs))).toPandas()
+    a = streamed.sort_values("source").reset_index(drop=True)[batch.columns]
+    b = batch.sort_values("source").reset_index(drop=True)
+    assert a.equals(b), (len(a), len(b))
