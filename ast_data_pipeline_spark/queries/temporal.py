@@ -1012,3 +1012,96 @@ def t_seasonal_decompose(spark, sf_dir):
             (F.col("v") - F.col("trend") - F.col("seasonal")).alias("residual"),
         )
     )
+
+
+@register(
+    "t_forecast_eval",
+    # Forecast backtest on the last-7-day holdout of the daily revenue
+    # series: the NAIVE forecast repeats the final training day, the
+    # SEASONAL-NAIVE forecast repeats the value 7 days earlier (same
+    # weekday). MAE and RMSE per method through the exact-decimal mean
+    # (abs/square of identical doubles, one sqrt at the end) — the
+    # baseline pair every forecasting model must beat, and the
+    # evaluation harness shape for any of them.
+    oracle=f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, {dsum_sql('value')} AS v
+  FROM events GROUP BY 1
+),
+cut AS (SELECT max(day) - INTERVAL 6 DAY AS c FROM daily),
+test AS (SELECT day, v FROM daily, cut WHERE day >= c),
+last_train AS (
+  SELECT v AS naive_fc FROM daily, cut WHERE day = c - INTERVAL 1 DAY
+),
+joined AS (
+  SELECT t.day, t.v,
+         (SELECT naive_fc FROM last_train) AS f_naive,
+         s.v AS f_seasonal
+  FROM test t JOIN daily s ON s.day = t.day - INTERVAL 7 DAY
+),
+errs AS (
+  SELECT 'naive' AS method, abs(v - f_naive) AS ae,
+         (v - f_naive) * (v - f_naive) AS se FROM joined
+  UNION ALL
+  SELECT 'seasonal_naive', abs(v - f_seasonal),
+         (v - f_seasonal) * (v - f_seasonal) FROM joined
+)
+SELECT method, count(*)::BIGINT AS n_days,
+       {davg_sql('ae')} AS mae,
+       sqrt({davg_sql('se')}) AS rmse
+FROM errs GROUP BY method
+""",
+    doc="Forecast backtest (naive vs seasonal-naive) on the last-7-day "
+    "holdout: point forecasts by date arithmetic (no model state), "
+    "errors through the exact-decimal mean, one sqrt for RMSE — "
+    "engine-identical. The shape is the evaluation harness for any "
+    "real forecaster: everything runs on the tiny daily grain after "
+    "one fact-table aggregate.",
+    tags=("temporal", "stats", "extension"),
+)
+def t_forecast_eval(spark, sf_dir):
+    from ..functions.exact import davg, dsum
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("v")
+    ).localCheckpoint(eager=False)  # consumed 4x below
+    cut = daily.agg(F.date_sub(F.max("day"), 6).alias("c"))
+    test = daily.crossJoin(F.broadcast(cut)).filter(F.col("day") >= F.col("c"))
+    last_train = (
+        daily.crossJoin(F.broadcast(cut))
+        .filter(F.col("day") == F.date_sub(F.col("c"), 1))
+        .select(F.col("v").alias("f_naive"))
+    )
+    seasonal = daily.select(
+        F.date_add("day", 7).alias("day"), F.col("v").alias("f_seasonal")
+    )
+    joined = (
+        test.join(seasonal, "day")
+        .crossJoin(F.broadcast(last_train))
+        .select("day", "v", "f_naive", "f_seasonal")
+    )
+    naive = joined.select(
+        F.lit("naive").alias("method"),
+        F.abs(F.col("v") - F.col("f_naive")).alias("ae"),
+        ((F.col("v") - F.col("f_naive")) * (F.col("v") - F.col("f_naive"))).alias(
+            "se"
+        ),
+    )
+    seas = joined.select(
+        F.lit("seasonal_naive").alias("method"),
+        F.abs(F.col("v") - F.col("f_seasonal")).alias("ae"),
+        (
+            (F.col("v") - F.col("f_seasonal"))
+            * (F.col("v") - F.col("f_seasonal"))
+        ).alias("se"),
+    )
+    return (
+        naive.unionByName(seas)
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            davg("ae").alias("mae"),
+            F.sqrt(davg("se")).alias("rmse"),
+        )
+    )

@@ -1793,3 +1793,117 @@ def x_winnow_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "x_js_divergence",
+    # Pairwise Jensen-Shannon divergence between source unigram
+    # distributions — the symmetric, bounded distribution-shift
+    # measure mixture designers use where KL blows up on disjoint
+    # support. Computed via the entropy identity JS(a,b) =
+    # H((a+b)/2) - (H(a) + H(b))/2: per-source entropies need no
+    # pairing, and the mixture entropy comes from fanning each
+    # (source, token, p) row out to the 19 pairs containing it
+    # (sum of <= 2 doubles per (pair, token) — commutative-exact).
+    # log2 is quantized %.7f per distinct term (the 1-ulp recipe);
+    # term sums ride the decimal path.
+    oracle=f"""
+WITH w AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+cnt AS (
+  SELECT source, tok, count(*)::BIGINT AS n
+  FROM w WHERE tok <> '' GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(n)::BIGINT AS total FROM cnt GROUP BY 1),
+p AS (
+  SELECT c.source, c.tok, c.n::DOUBLE / t.total AS p
+  FROM cnt c JOIN tot t USING (source)
+),
+hsrc AS (
+  SELECT source,
+         -({dsum_sql("(p * printf('%.7f', log2(p))::DOUBLE)")}) AS h
+  FROM p GROUP BY source
+),
+fan AS (
+  SELECT least(p.source, o.source) AS sa,
+         greatest(p.source, o.source) AS sb,
+         p.tok, p.p
+  FROM p CROSS JOIN (SELECT DISTINCT source FROM documents) o
+  WHERE o.source <> p.source
+),
+mix AS (
+  SELECT sa, sb, tok, sum(p) / 2.0::DOUBLE AS m
+  FROM fan GROUP BY 1, 2, 3
+),
+hmix AS (
+  SELECT sa, sb,
+         -({dsum_sql("(m * printf('%.7f', log2(m))::DOUBLE)")}) AS hm
+  FROM mix GROUP BY 1, 2
+)
+SELECT hmix.sa AS src_a, hmix.sb AS src_b,
+       ha.h AS entropy_a, hb.h AS entropy_b, hmix.hm AS entropy_mix,
+       hmix.hm - (ha.h + hb.h) / 2.0::DOUBLE AS js_divergence
+FROM hmix
+JOIN hsrc ha ON ha.source = hmix.sa
+JOIN hsrc hb ON hb.source = hmix.sb
+""",
+    doc="Pairwise Jensen-Shannon divergence (bits) between all 190 "
+    "source unigram distributions via the entropy identity — the "
+    "distribution-shift number behind mixture rebalancing and drift "
+    "alarms. Scales because nothing is pairwise-quadratic in DATA: "
+    "per-source entropies are one aggregate, and the mixture entropy "
+    "fans each probability row to its pairs (vocab x n_sources rows, "
+    "grouped by key) rather than joining corpora.",
+    tags=("text", "stats", "extension"),
+)
+def x_js_divergence(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = w.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("total"))
+    p = cnt.join(tot, "source").select(
+        "source", "tok", (F.col("n").cast("double") / F.col("total")).alias("p")
+    ).localCheckpoint(eager=False)  # consumed by hsrc AND the pair fan-out
+
+    def log2q(col):
+        return F.format_string("%.7f", F.log2(col)).cast("double")
+
+    hsrc = p.groupBy("source").agg(
+        (-dsum(F.col("p") * log2q(F.col("p")))).alias("h")
+    )
+    srcs = docs.select("source").distinct().select(F.col("source").alias("o"))
+    fan = (
+        p.join(F.broadcast(srcs), F.col("o") != F.col("source"))
+        .select(
+            F.least("source", "o").alias("sa"),
+            F.greatest("source", "o").alias("sb"),
+            "tok",
+            "p",
+        )
+    )
+    mix = fan.groupBy("sa", "sb", "tok").agg(
+        (F.sum("p") / F.lit(2.0)).alias("m")
+    )
+    hmix = mix.groupBy("sa", "sb").agg(
+        (-dsum(F.col("m") * log2q(F.col("m")))).alias("hm")
+    )
+    ha = hsrc.select(F.col("source").alias("sa"), F.col("h").alias("entropy_a"))
+    hb = hsrc.select(F.col("source").alias("sb"), F.col("h").alias("entropy_b"))
+    return (
+        hmix.join(F.broadcast(ha), "sa")
+        .join(F.broadcast(hb), "sb")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            "entropy_a",
+            "entropy_b",
+            F.col("hm").alias("entropy_mix"),
+            (
+                F.col("hm")
+                - (F.col("entropy_a") + F.col("entropy_b")) / F.lit(2.0)
+            ).alias("js_divergence"),
+        )
+    )

@@ -129,6 +129,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_zorder_layout",
     "a_market_basket_lift",
     "s_stream_hll_distinct",
+    "t_forecast_eval",
+    "x_js_divergence",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
