@@ -1758,3 +1758,116 @@ def e_new_vs_returning(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("returning_share"),
     )
+
+
+@register(
+    "e_out_of_order_census",
+    # Out-of-orderness census — the number that SIZES A WATERMARK:
+    # within each user's ARRIVAL order, an event is late by (running
+    # max event-time so far) - (its event time). The synthetic corpus
+    # is perfectly ordered, so arrival is modeled as event time plus a
+    # deterministic md5-keyed transport delay (0-7199 s, the mobile-
+    # upload batching scale; per-user interarrivals here are hours) —
+    # the census
+    # then measures real disorder. The histogram of that lateness is
+    # exactly the distribution a `withWatermark` delay must cover;
+    # pick the bucket that bounds your tolerated drop rate. Integer
+    # epoch arithmetic; per-user window, then a tiny bucket aggregate.
+    oracle="""
+WITH arr AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec,
+         floor(epoch(ts))::BIGINT
+           + ('0x' || substr(md5('ooo|' || event_id::VARCHAR), 1, 2))::INT % 7200
+           AS arrival_sec
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_id, sec,
+         max(sec) OVER (
+           PARTITION BY user_id ORDER BY arrival_sec, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM arr
+),
+late AS (
+  SELECT greatest(0, coalesce(prev_max, 0) - sec) AS late_by
+  FROM seq WHERE prev_max IS NOT NULL
+),
+bucketed AS (
+  SELECT CASE WHEN late_by = 0 THEN 'a_in_order'
+              WHEN late_by < 60 THEN 'b_under_1m'
+              WHEN late_by < 600 THEN 'c_under_10m'
+              WHEN late_by < 3600 THEN 'd_under_1h'
+              ELSE 'e_1h_plus' END AS lateness_bucket,
+         late_by
+  FROM late
+)
+SELECT lateness_bucket,
+       count(*)::BIGINT AS n_events,
+       max(late_by)::BIGINT AS max_late_seconds,
+       count(*)::DOUBLE / (SELECT count(*) FROM late) AS share
+FROM bucketed GROUP BY lateness_bucket
+""",
+    doc="Watermark-sizing census: per-user lateness of each event "
+    "against the running max event time in arrival order (modeled as "
+    "event time + deterministic md5-keyed transport delay, 0-2 h), "
+    "bucketed into the delays a withWatermark would need to cover — "
+    "the batch diagnostic behind every streaming watermark choice. "
+    "One user-partitioned window over the fact table, then a 5-row "
+    "bucket aggregate.",
+    tags=("events", "streaming", "extension"),
+)
+def e_out_of_order_census(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        (
+            F.col("ts").cast("long")
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("ooo|"), F.col("event_id").cast("string"))
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 7200
+        ).alias("arrival_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = arr.withColumn("prev_max", F.max("sec").over(w))
+    late = (
+        seq.filter(F.col("prev_max").isNotNull())
+        .select(
+            F.greatest(
+                F.lit(0), F.coalesce("prev_max", F.lit(0)) - F.col("sec")
+            ).alias("late_by")
+        )
+        .localCheckpoint(eager=False)  # consumed by the census + the total
+    )
+    total = late.count()
+    bucket = (
+        F.when(F.col("late_by") == 0, "a_in_order")
+        .when(F.col("late_by") < 60, "b_under_1m")
+        .when(F.col("late_by") < 600, "c_under_10m")
+        .when(F.col("late_by") < 3600, "d_under_1h")
+        .otherwise("e_1h_plus")
+    )
+    return (
+        late.groupBy(bucket.alias("lateness_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_by").cast("long").alias("max_late_seconds"),
+        )
+        .withColumn(
+            "share", F.col("n_events").cast("double") / F.lit(total)
+        )
+    )

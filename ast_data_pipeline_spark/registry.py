@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_hll_distinct",
     "t_forecast_eval",
     "x_js_divergence",
+    "e_out_of_order_census",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
