@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum_sql
+from ..operators.spatial import morton_key, morton_key_sql
 from ..registry import register
 from ..sources.catalog import load
 
@@ -996,19 +997,10 @@ def x_stratified_sample_exact(spark, sf_dir):
     )
 
 
-def _morton_expr(xcol: str, ycol: str) -> str:
-    """Bit-interleave two 16-bit ints into a 32-bit Morton key — the
-    SAME generated expression text runs in Spark SQL and DuckDB (shift
-    / and / or arithmetic only), so the layout key is engine-identical
-    by construction."""
-    terms = []
-    for i in range(16):
-        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i + 1})")
-        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i})")
-    return " + ".join(terms)
-
-
 ZORDER_BUCKETS_LOG2 = 4  # 16 files per layout
+# Morton math shared with the spatial domain (operators/spatial.py:
+# morton_key / morton_key_sql — magic-mask bit spreading, x in even
+# bits, y in odd; bit-identical in both engines).
 
 
 @register(
@@ -1037,7 +1029,7 @@ norm AS (
   FROM events, b
 ),
 keyed AS (
-  SELECT xn, yn, ({_morton_expr('xn', 'yn')}) AS zkey FROM norm
+  SELECT xn, yn, {morton_key_sql('xn', 'yn')} AS zkey FROM norm
 ),
 layouts AS (
   SELECT 'zorder' AS layout, zkey >> {32 - ZORDER_BUCKETS_LOG2} AS bucket,
@@ -1067,8 +1059,8 @@ GROUP BY layout
     "compare per-file min-max extents against the linear time layout "
     "— the data-skipping math behind Delta/Iceberg Z-ORDER at 100 TB "
     "(a file's min-max extent IS what zone-map pruning can skip). "
-    "Pure integer bit arithmetic from a Python-generated expression "
-    "shared verbatim by both engines; one min-max pass plus one "
+    "Pure integer bit arithmetic via the shared morton_key/morton_key_sql "
+    "pair from the spatial domain; one min-max pass plus one "
     "bucket aggregate.",
     tags=("sampling", "extension"),
 )
@@ -1090,7 +1082,7 @@ def x_zorder_layout(spark, sf_dir):
             F.expr("((cast(ts as long) - y0) * 65535) div greatest(y1 - y0, 1)"),
         ).alias("yn"),
     )
-    keyed = norm.withColumn("zkey", F.expr(_morton_expr("xn", "yn")))
+    keyed = norm.withColumn("zkey", morton_key(F.col("xn"), F.col("yn")))
     z = keyed.select(
         F.lit("zorder").alias("layout"),
         F.expr(f"zkey >> {32 - ZORDER_BUCKETS_LOG2}").alias("bucket"),

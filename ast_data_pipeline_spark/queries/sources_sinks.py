@@ -598,3 +598,60 @@ def s16_binaryfile_ingest(spark, sf_dir):
     return parsed.mapInPandas(
         decode, "doc_id long, height int, width int, mean_byte double, is_valid boolean"
     )
+
+
+@register(
+    "s17_hive_partitioned_roundtrip",
+    # Hive-style partitioned dataset roundtrip: orders write
+    # partitionBy(o_orderpriority) — the directory-per-value layout
+    # every 100 TB lake table uses — and the read-back filters ONE
+    # partition value, which must become partition PRUNING (directory
+    # listing, not data scanning; the pytest in test_scale_knobs-style
+    # plan checks is the partitionFilters line). The oracle is the
+    # equivalent filtered projection off the parquet table. The
+    # partition column comes back as a directory-derived string, so
+    # the roundtrip also exercises partition-column type recovery.
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice, 2) AS totalprice_2dp,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""",
+    doc="S17 hive-partitioned source/sink roundtrip: write orders "
+    "partitioned by priority (directory-per-value), read back with a "
+    "single-partition filter — the filter resolves at PLANNING time "
+    "to a directory listing (PartitionFilters), so a 100 TB table "
+    "scans only the selected partition's files. Completes the layout "
+    "story next to bucketed materialization (bench) and Z-order "
+    "(x_zorder_layout).",
+    tags=("source", "extension"),
+)
+def s17_hive_partitioned_roundtrip(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    tmp = os.path.join(
+        tempfile.gettempdir(), "ast_hive_part", os.path.basename(sf_dir.rstrip("/"))
+    )
+    (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(tmp)
+    )
+    back = spark.read.parquet(tmp).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice_2dp"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_orderpriority",
+    )

@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_forecast_eval",
     "x_js_divergence",
     "e_out_of_order_census",
+    "s17_hive_partitioned_roundtrip",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
