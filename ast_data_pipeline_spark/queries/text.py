@@ -1907,3 +1907,158 @@ def x_js_divergence(spark, sf_dir):
             ).alias("js_divergence"),
         )
     )
+
+
+KN_D = 0.75  # the canonical absolute-discount constant
+
+
+@register(
+    "x_lm_kneser_ney",
+    # Interpolated Kneser-Ney bigram LM (Chen & Goodman 1999) vs the
+    # add-one baseline on a HELD-OUT split (train = md5(doc_id) < 'cc'
+    # ~80%, eval = rest; discounting trades training-set fit for
+    # generalization, so the comparison only means something out of
+    # sample):
+    # P_kn(w2|w1) = max(c(w1w2) - d, 0)/c(w1)
+    #             + (d * N1+(w1,.)/c(w1)) * (N1+(.,w2)/N1+(..)).
+    # Closed-vocab eval: only bigrams whose w1 is a seen prefix and
+    # whose w2 is a seen continuation are scored (both models defined).
+    # Every ingredient is an exact integer count, d an exactly-
+    # representable 0.75, log2 quantized %.7f per DISTINCT eval bigram
+    # (the lm_doc_score recipe).
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, a[i - 1] AS w1, a[i] AS w2
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL unnest(generate_series(2, len(a))) t(i)
+  WHERE a[i - 1] <> '' AND a[i] <> ''
+),
+train AS (SELECT * FROM occ WHERE substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'),
+eval_occ AS (
+  SELECT * FROM occ WHERE substr(md5(doc_id::VARCHAR), 1, 2) >= 'cc'
+),
+vocab AS (SELECT w1, w2, count(*)::BIGINT AS c_bg FROM train GROUP BY 1, 2),
+prefix AS (
+  SELECT w1, sum(c_bg)::BIGINT AS c_prefix, count(*)::BIGINT AS n1p_fwd
+  FROM vocab GROUP BY 1
+),
+cont AS (SELECT w2, count(*)::BIGINT AS n1p_bwd FROM vocab GROUP BY 1),
+types AS (SELECT count(*)::BIGINT AS t FROM vocab),
+vsize AS (SELECT count(*)::BIGINT AS v FROM prefix),
+eval_bg AS (SELECT DISTINCT w1, w2 FROM eval_occ),
+lm AS (
+  SELECT e.w1, e.w2,
+         printf('%.7f', log2(
+           greatest(coalesce(vocab.c_bg, 0) - {KN_D}::DOUBLE, 0.0::DOUBLE)
+             / prefix.c_prefix
+           + ({KN_D}::DOUBLE * prefix.n1p_fwd / prefix.c_prefix)
+             * (cont.n1p_bwd::DOUBLE / types.t)
+         ))::DOUBLE AS l_kn,
+         printf('%.7f', log2((coalesce(vocab.c_bg, 0) + 1)::DOUBLE
+                             / (prefix.c_prefix + vsize.v)))::DOUBLE AS l_a1
+  FROM eval_bg e
+  JOIN prefix ON e.w1 = prefix.w1
+  JOIN cont ON e.w2 = cont.w2
+  LEFT JOIN vocab ON e.w1 = vocab.w1 AND e.w2 = vocab.w2, types, vsize
+),
+lmu AS (
+  SELECT lm.*, (v.w1 IS NULL)::INT AS unseen
+  FROM lm LEFT JOIN vocab v ON lm.w1 = v.w1 AND lm.w2 = v.w2
+)
+SELECT count(*)::BIGINT AS n_eval_bigrams,
+       sum(lm.unseen)::BIGINT AS n_unseen_bigrams,
+       {davg_sql('-l_kn')} AS avg_nll_kn,
+       {davg_sql('-l_a1')} AS avg_nll_addone,
+       {davg_sql('-l_a1')} - {davg_sql('-l_kn')} AS kn_advantage_bits
+FROM eval_occ o JOIN lmu lm ON o.w1 = lm.w1 AND o.w2 = lm.w2
+""",
+    doc="Held-out LM evaluation: interpolated Kneser-Ney bigram model "
+    "vs add-one smoothing, fit on the 80% md5-split train half and "
+    "scored on the eval half (closed vocab: eval bigrams need a seen "
+    "prefix and continuation). Absolute discount + continuation "
+    "backoff from four count tables over the bigram vocabulary; "
+    "log-probs quantized per distinct eval bigram and joined back on "
+    "the bigram key — vocabulary-keyed everything, the x_lm_doc_score "
+    "shuffle skeleton. On THIS corpus the train half "
+    "covers the entire eval bigram set (n_unseen_bigrams = 0 at every "
+    "scale), so discounting costs a hair (~0.001 bits) and "
+    "kn_advantage_bits is slightly negative — the honest reading; on "
+    "corpora with unseen mass the backoff flips it positive, pinned "
+    "by tests/test_stats_invariants.py::test_kneser_ney_beats_addone_"
+    "with_unseen_mass on a constructed split.",
+    tags=("text", "stats", "extension"),
+)
+def x_lm_kneser_ney(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id", F.split(F.lower("text"), " ", -1).alias("a")
+        )
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .localCheckpoint(eager=False)  # consumed by train + eval halves
+    )
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = occ.filter(gate < "cc")
+    eval_occ = occ.filter(gate >= "cc")
+    vocab = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = vocab.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_prefix"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = vocab.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = vocab.agg(F.count(F.lit(1)).alias("t"))
+    vsize = prefix.agg(F.count(F.lit(1)).alias("v"))
+
+    def log2q(col):
+        return F.format_string("%.7f", F.log2(col)).cast("double")
+
+    eval_bg = eval_occ.select("w1", "w2").distinct()
+    c_bg0 = F.coalesce(F.col("c_bg"), F.lit(0))
+    lm = (
+        eval_bg.join(prefix, "w1")
+        .join(cont, "w2")
+        .join(vocab, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_bg").isNull().cast("int").alias("unseen"),
+            log2q(
+                F.greatest(
+                    c_bg0 - F.lit(KN_D), F.lit(0.0)
+                )
+                / F.col("c_prefix")
+                + (F.lit(KN_D) * F.col("n1p_fwd") / F.col("c_prefix"))
+                * (F.col("n1p_bwd").cast("double") / F.col("t"))
+            ).alias("l_kn"),
+            log2q(
+                (c_bg0 + 1).cast("double")
+                / (F.col("c_prefix") + F.col("v"))
+            ).alias("l_a1"),
+        )
+    )
+    from ..functions.exact import davg
+
+    return (
+        eval_occ.join(lm, ["w1", "w2"])
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_bigrams"),
+            F.sum("unseen").cast("long").alias("n_unseen_bigrams"),
+            davg(-F.col("l_kn")).alias("avg_nll_kn"),
+            davg(-F.col("l_a1")).alias("avg_nll_addone"),
+            (davg(-F.col("l_a1")) - davg(-F.col("l_kn"))).alias(
+                "kn_advantage_bits"
+            ),
+        )
+    )

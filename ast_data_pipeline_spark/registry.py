@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_js_divergence",
     "e_out_of_order_census",
     "s17_hive_partitioned_roundtrip",
+    "x_lm_kneser_ney",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",

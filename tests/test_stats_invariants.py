@@ -141,3 +141,61 @@ def test_power_iteration_unit_norm_and_positive_scale(spark, sf_dir):
         .collect()[0][0]
     )
     assert 0 < pc.sigma.iloc[0] <= trace
+
+
+def test_kneser_ney_beats_addone_with_unseen_mass(spark, tmp_path):
+    """The synthetic corpus's train half covers every eval bigram, so
+    x_lm_kneser_ney honestly reports a hair of discounting cost there.
+    This pins the textbook property on a corpus WITH unseen mass: a
+    train half with a rich bigram inventory and an eval half whose
+    bigrams are plausible-but-unseen recombinations must score better
+    under interpolated KN than under add-one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 200-word vocab: add-one's +V smoothing tax on SEEN bigrams is
+    # what KN's absolute discount avoids — a tiny vocab hides the
+    # effect entirely (first attempt with 12 words had add-one win)
+    words = [f"w{i}" for i in range(200)]
+    train_rows = []
+    # train: chain bigrams (w_i, w_{i+1 mod 200}), repeated
+    for rep in range(3):
+        for i in range(200):
+            train_rows.append(" ".join([words[i], words[(i + 1) % 200]] * 3))
+    # eval: half seen chains (token mass where add-one pays the +V
+    # tax), half skip-one recombinations (unseen bigrams exercising
+    # the continuation backoff / max(c-d, 0) = 0 branch)
+    eval_rows = [
+        " ".join([words[i], words[(i + 1) % 200]] * 3) for i in range(100)
+    ] + [" ".join([words[i], words[(i + 2) % 200]] * 3) for i in range(100)]
+    texts = train_rows + eval_rows
+    # doc ids chosen so the md5 gate puts train_rows in train ('< cc')
+    # and eval_rows in eval: brute-force ids per side
+    import hashlib
+
+    def gate(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] < "cc"
+
+    train_ids = [i for i in range(10000) if gate(i)][: len(train_rows)]
+    eval_ids = [i for i in range(10000) if not gate(i)][: len(eval_rows)]
+    ids = train_ids + eval_ids
+    d = tmp_path / "kn"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(["s"] * len(ids)),
+                "lang": pa.array(["en"] * len(ids)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    from ast_data_pipeline_spark.registry import load_all
+
+    out = load_all()["x_lm_kneser_ney"].fn(spark, str(d)).toPandas()
+    assert int(out.n_unseen_bigrams.iloc[0]) > 0, "constructed unseen mass missing"
+    # measured ~0.146 bits on this construction; pin the sign with margin
+    assert float(out.kn_advantage_bits.iloc[0]) > 0.1, out.to_dict()
