@@ -1170,3 +1170,204 @@ def x_pc1_explained_variance(spark, sf_dir):
         ),
         ((syy / n - (sy / n) * (sy / n)) / (sxx / n)).alias("explained_sq_ratio"),
     )
+
+
+NPROBES = (1, 2, 4)
+
+
+def _ivf_sweep_oracle() -> str:
+    probes_list = ", ".join(str(p) for p in NPROBES)
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {K_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {dot_sql('e.embedding', 'c.cvec')}
+               / ({norm_sql('e.embedding')} * {norm_sql('c.cvec')}) DESC,
+             c.cid) AS rn
+    FROM corpus e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+cranked AS (
+  SELECT q.q_id, c.cid,
+         row_number() OVER (PARTITION BY q.q_id ORDER BY
+           {dot_sql('q.q_vec', 'c.cvec')}
+             / ({norm_sql('q.q_vec')} * {norm_sql('c.cvec')}) DESC,
+           c.cid) AS crank
+  FROM q CROSS JOIN cents c
+),
+probes AS (SELECT unnest([{probes_list}]) AS nprobe),
+cand AS (
+  SELECT p.nprobe, cr.q_id, a.vec_id
+  FROM probes p
+  JOIN cranked cr ON cr.crank <= p.nprobe
+  JOIN assigned a ON a.cid = cr.cid
+  WHERE a.vec_id <> cr.q_id
+),
+retr AS (
+  SELECT nprobe, q_id, vec_id FROM (
+    SELECT c.nprobe, c.q_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.nprobe, c.q_id ORDER BY
+             {dot_sql('q.q_vec', 'e.embedding')}
+               / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) DESC,
+             c.vec_id) AS rank
+    FROM cand c
+    JOIN q ON q.q_id = c.q_id
+    JOIN corpus e ON e.vec_id = c.vec_id
+  ) WHERE rank <= {IVF_TOPK}
+),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             {dot_sql('q.q_vec', 'e.embedding')}
+               / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) DESC,
+             e.vec_id) AS rank
+    FROM corpus e JOIN q ON q.q_id <> e.vec_id
+  ) WHERE rank <= {IVF_TOPK}
+),
+nq AS (SELECT count(*)::BIGINT AS n FROM q),
+nc AS (SELECT count(*)::BIGINT AS n FROM corpus),
+hits AS (
+  SELECT r.nprobe, count(*)::BIGINT AS n_hits
+  FROM retr r JOIN truth t ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+  GROUP BY r.nprobe
+),
+scans AS (
+  SELECT nprobe, count(*)::BIGINT AS total_candidates
+  FROM cand GROUP BY nprobe
+)
+SELECT s.nprobe::INT AS nprobe,
+       (SELECT n FROM nq) AS n_queries,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0)::DOUBLE
+         / ({IVF_TOPK} * (SELECT n FROM nq)) AS avg_recall,
+       s.total_candidates,
+       s.total_candidates::DOUBLE
+         / ((SELECT n FROM nq) * (SELECT n FROM nc)) AS scan_fraction
+FROM scans s LEFT JOIN hits h ON h.nprobe = s.nprobe
+"""
+
+
+@register(
+    "x_ivf_nprobe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    # Evaluation-as-a-query for the IVF tuning knob: recall@3 AND scan
+    # fraction at nprobe = 1/2/4 over 8 argmax-cosine cells — the two
+    # axes of the curve an ANN deployment actually tunes (more probes
+    # = more recall = more of the corpus scanned). Truth is the brute
+    # top-3; every ranking rides the deterministic (sim DESC, vec_id)
+    # chain, so the sweep is engine-identical.
+    doc="IVF nprobe sweep: assign the corpus to 8 coarse cells "
+    "(argmax cosine), rank cells per query, probe the top 1/2/4 "
+    "cells, and report recall@3 against brute-force truth NEXT TO "
+    "the scan fraction — the recall/cost trade-off curve that decides "
+    "an ANN config. All equi-joins on cell id; candidates are the "
+    "probed cells' members only; centroids broadcast. At 100 TB the "
+    "same sweep runs on a sampled query set (QUERY_MOD) — exactly how "
+    "production tunes nprobe.",
+    tags=("similarity", "extension"),
+)
+def x_ivf_nprobe_sweep(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (dot("embedding", "cvec") / (norm("embedding") * norm("cvec"))).alias(
+            "csim"
+        ),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(F.col("cid"), F.struct(F.col("csim"), -F.col("cid"))).alias(
+                "cid"
+            )
+        )
+        .localCheckpoint(eager=False)  # probed once per nprobe value
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cranked = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "cid",
+            (dot("q_vec", "cvec") / (norm("q_vec") * norm("cvec"))).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("csim").desc(), F.col("cid")
+                )
+            ),
+        )
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in NPROBES])).alias("nprobe")
+    )
+    cand = (
+        probes.join(cranked, F.col("crank") <= F.col("nprobe"))
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("nprobe", "q_id", "vec_id")
+        .localCheckpoint(eager=False)  # consumed by retr + scan counts
+    )
+    sim = dot("q_vec", "embedding") / (norm("q_vec") * norm("embedding"))
+    w = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    retr = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    truth = cosine_topk(q, emb, IVF_TOPK).select("q_id", "vec_id")
+    n_queries = q.count()
+    n_corpus = emb.count()
+    hits = (
+        retr.join(truth, ["q_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    scans = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("total_candidates")
+    )
+    return (
+        scans.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.lit(n_queries).cast("long").alias("n_queries"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(IVF_TOPK * n_queries)
+            ).alias("avg_recall"),
+            "total_candidates",
+            (
+                F.col("total_candidates").cast("double")
+                / F.lit(float(n_queries * n_corpus))
+            ).alias("scan_fraction"),
+        )
+    )

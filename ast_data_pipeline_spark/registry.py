@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_out_of_order_census",
     "s17_hive_partitioned_roundtrip",
     "x_lm_kneser_ney",
+    "x_ivf_nprobe_sweep",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
