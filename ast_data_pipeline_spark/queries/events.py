@@ -1871,3 +1871,127 @@ def e_out_of_order_census(spark, sf_dir):
             "share", F.col("n_events").cast("double") / F.lit(total)
         )
     )
+
+
+KM_VALUE_T = 150.0  # "conversion" = first purchase above this value
+
+
+@register(
+    "e_survival_km",
+    # Kaplan-Meier time-to-conversion: the survival event is a user's
+    # FIRST high-value purchase (value > 150 — ~47% of users ever
+    # have one, so censoring is real); users without one are censored
+    # at the corpus horizon. S(t) = prod over event times <= t of
+    # (1 - d_i / n_i). The product chain is the one float hazard: each
+    # factor's log2 is quantized %.7f (the repo's 1-ulp recipe), the
+    # cumulative sum runs over the tiny event-time table through the
+    # decimal window path, and the final pow(2, x) is quantized again
+    # — deterministic end to end.
+    oracle=f"""
+WITH horizon AS (SELECT max(ts) AS h FROM events),
+lt AS (
+  SELECT user_id,
+         CASE WHEN min(CASE WHEN event_type = 'purchase' AND value > {KM_VALUE_T}
+                            THEN ts END) IS NOT NULL
+              THEN date_diff('day', min(ts)::DATE,
+                             min(CASE WHEN event_type = 'purchase'
+                                       AND value > {KM_VALUE_T}
+                                      THEN ts END)::DATE)
+              ELSE date_diff('day', min(ts)::DATE, (SELECT h FROM horizon)::DATE)
+              END::BIGINT AS t_days,
+         (min(CASE WHEN event_type = 'purchase' AND value > {KM_VALUE_T}
+                   THEN ts END) IS NOT NULL)::INT AS converted
+  FROM events GROUP BY user_id
+),
+ev_times AS (
+  SELECT t_days, sum(converted)::BIGINT AS d
+  FROM lt WHERE converted = 1 GROUP BY t_days
+),
+risk AS (
+  SELECT e.t_days, e.d,
+         (SELECT count(*) FROM lt WHERE lt.t_days >= e.t_days)::BIGINT AS n
+  FROM ev_times e
+),
+chain AS (
+  SELECT t_days, d, n,
+         printf('%.7f', log2(1.0::DOUBLE - d::DOUBLE / n))::DOUBLE AS lf
+  FROM risk
+),
+cum AS (
+  SELECT t_days, d, n,
+         round(sum((lf)::DECIMAL(30,10)) OVER (
+           ORDER BY t_days ROWS UNBOUNDED PRECEDING), 4)::DOUBLE AS cl
+  FROM chain
+)
+SELECT t_days, n AS n_at_risk, d AS n_converted,
+       printf('%.7f', pow(2.0::DOUBLE, cl))::DOUBLE AS survival
+FROM cum
+""",
+    doc="Kaplan-Meier time-to-conversion curve: per-user days from "
+    "first activity to first high-value purchase (censored at the "
+    "horizon for the ~53% who never convert — real censoring, the "
+    "reason KM exists), risk sets from the lifetime distribution via "
+    "a cumulative count, and the survival product computed as a "
+    "quantized-log2 cumulative sum (decimal window over the ~30-row "
+    "event-time table) with a quantized pow at the end — the standard "
+    "survival estimator, engine-identical. The only fact-table pass "
+    "is the per-user conditional-min aggregate.",
+    tags=("events", "stats", "extension"),
+)
+def e_survival_km(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h")).collect()[0]["h"]
+    h_lit = F.lit(horizon)
+    conv_ts = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > KM_VALUE_T),
+            F.col("ts"),
+        )
+    )
+    lt = ev.groupBy("user_id").agg(
+        F.when(
+            conv_ts.isNotNull(),
+            F.datediff(F.to_date(conv_ts), F.to_date(F.min("ts"))),
+        )
+        .otherwise(F.datediff(F.to_date(h_lit), F.to_date(F.min("ts"))))
+        .cast("long")
+        .alias("t_days"),
+        conv_ts.isNotNull().cast("int").alias("converted"),
+    ).localCheckpoint(eager=False)  # consumed by event times AND risk sets
+    ev_times = (
+        lt.filter(F.col("converted") == 1)
+        .groupBy("t_days")
+        .agg(F.sum("converted").cast("long").alias("d"))
+    )
+    # risk set via a cumulative count over the tiny lifetime-value
+    # table: n(t) = total - #lifetimes < t (never a per-event-time
+    # correlated scan)
+    sizes = lt.groupBy("t_days").agg(F.count(F.lit(1)).alias("n_lt"))
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    total = lt.count()
+    below = sizes.select(
+        "t_days",
+        F.coalesce(F.sum("n_lt").over(w_cum), F.lit(0)).alias("n_below"),
+    )
+    risk = ev_times.join(below, "t_days").select(
+        "t_days", "d", (F.lit(total) - F.col("n_below")).cast("long").alias("n")
+    )
+    lf = F.format_string(
+        "%.7f", F.log2(F.lit(1.0) - F.col("d").cast("double") / F.col("n"))
+    ).cast("double")
+    from ..functions.exact import dsum_over
+
+    w_chain = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chain = risk.withColumn("lf", lf).withColumn(
+        "cl", dsum_over(F.col("lf"), w_chain)
+    )
+    return chain.select(
+        "t_days",
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_converted"),
+        F.format_string("%.7f", F.pow(F.lit(2.0), F.col("cl")))
+        .cast("double")
+        .alias("survival"),
+    )

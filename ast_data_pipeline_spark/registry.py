@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "s17_hive_partitioned_roundtrip",
     "x_lm_kneser_ney",
     "x_ivf_nprobe_sweep",
+    "e_survival_km",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
