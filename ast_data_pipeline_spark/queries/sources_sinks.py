@@ -655,3 +655,68 @@ def s17_hive_partitioned_roundtrip(spark, sf_dir):
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_orderpriority",
     )
+
+
+@register(
+    "s18_nested_json_explode",
+    # Nested-document ingestion: each order renders as a JSON document
+    # with an ARRAY OF LINEITEM STRUCTS (the API-payload / event-log
+    # shape), written as JSONL, read back with an explicit nested
+    # schema, and the items exploded back to rows. The oracle is the
+    # flat join projection the roundtrip must reproduce — from_json
+    # schema declaration, array-of-struct explode, and dotted-field
+    # extraction all under the hash gate. Per-order item arrays are
+    # sorted by linenumber on the WRITE side so array order is
+    # deterministic before the explode.
+    oracle="""
+SELECT o.o_orderkey, o.o_orderstatus,
+       l.l_linenumber::INT AS l_linenumber,
+       l.l_partkey, round(l.l_quantity, 2) AS quantity_2dp
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 20 = 0
+""",
+    doc="S18 nested JSONL source: orders nest their lineitems as an "
+    "array of structs (collect_list of sort_array'd structs on write "
+    "— deterministic array order), re-read with a declared nested "
+    "schema and exploded back to the flat relational shape the "
+    "oracle computes directly. The document-database ingestion face "
+    "next to flat JSONL (s12), corrupt-record quarantine (s15), and "
+    "schema evolution (s14).",
+    tags=("source", "extension"),
+)
+def s18_nested_json_explode(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    li = load(spark, sf_dir, "lineitem")
+    items = F.struct(
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.col("l_partkey").alias("l_partkey"),
+        F.round("l_quantity", 2).alias("quantity_2dp"),
+    )
+    nested = (
+        li.join(orders.select("o_orderkey", "o_orderstatus"),
+                li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.sort_array(F.collect_list(items)).alias("items"))
+    )
+    doc = F.to_json(F.struct("o_orderkey", "o_orderstatus", "items"))
+    tmp = os.path.join(
+        tempfile.gettempdir(), "ast_nested_jsonl", os.path.basename(sf_dir.rstrip("/"))
+    )
+    nested.select(doc.alias("value")).write.mode("overwrite").text(tmp)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, "
+        "items array<struct<l_linenumber:int, l_partkey:bigint, "
+        "quantity_2dp:double>>"
+    )
+    back = spark.read.schema(schema).json(tmp)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode("items").alias("it"),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("it.l_linenumber").alias("l_linenumber"),
+        F.col("it.l_partkey").alias("l_partkey"),
+        F.col("it.quantity_2dp").alias("quantity_2dp"),
+    )

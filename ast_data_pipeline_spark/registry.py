@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_lm_kneser_ney",
     "x_ivf_nprobe_sweep",
     "e_survival_km",
+    "s18_nested_json_explode",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
