@@ -2522,3 +2522,93 @@ def a_market_basket_lift(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "a_anova_oneway",
+    # One-way ANOVA of purchase value across event types: F statistic
+    # and eta-squared from the sums-of-squares identities
+    # SSB = sum_g S_g^2/n_g - S^2/n, SSW = sum x^2 - sum_g S_g^2/n_g.
+    # Group sums and the global sum-of-squares ride the exact decimal
+    # path; the per-group S_g^2/n_g terms are quantized %.7f before
+    # their (order-sensitive) 5-term float sum goes through the
+    # decimal path too — so the whole test statistic is
+    # engine-identical with NO transcendental anywhere (unlike the
+    # chi2/z companions, ANOVA is pure rational arithmetic).
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_g,
+         {dsum_sql('value')} AS s_g,
+         {dsum_sql('(value * value)')} AS ss_g
+  FROM events GROUP BY event_type
+),
+terms AS (
+  SELECT event_type, n_g, s_g, ss_g,
+         printf('%.7f', s_g * s_g / n_g)::DOUBLE AS t_g
+  FROM g
+),
+tot AS (
+  SELECT sum(n_g)::BIGINT AS n,
+         round(sum((s_g)::DECIMAL(30,10)), 4)::DOUBLE AS s,
+         round(sum((ss_g)::DECIMAL(30,10)), 4)::DOUBLE AS ss,
+         round(sum((t_g)::DECIMAL(30,10)), 4)::DOUBLE AS sum_t,
+         count(*)::BIGINT AS k
+  FROM terms
+)
+SELECT k, n,
+       sum_t - s * s / n AS ss_between,
+       ss - sum_t AS ss_within,
+       ((sum_t - s * s / n) / (k - 1))
+         / ((ss - sum_t) / (n - k)) AS f_stat,
+       (sum_t - s * s / n)
+         / (sum_t - s * s / n + (ss - sum_t)) AS eta_squared
+FROM tot
+""",
+    doc="One-way ANOVA (value by event type): F statistic and "
+    "eta-squared effect size from decimal-exact group sums and "
+    "sums-of-squares — one map-side-combined pass over the fact "
+    "table, then 5-row algebra. Completes the classical-test family "
+    "(chi2 independence, two-proportion z, KS two-sample) with the "
+    "k-group mean comparison; pure rational arithmetic, bit-identical "
+    "across engines.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_anova_oneway(spark, sf_dir):
+    from ..functions.exact import DEC, RSCALE, dsum
+
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        dsum("value").alias("s_g"),
+        dsum(F.col("value") * F.col("value")).alias("ss_g"),
+    )
+    terms = g.withColumn(
+        "t_g",
+        F.format_string(
+            "%.7f", F.col("s_g") * F.col("s_g") / F.col("n_g")
+        ).cast("double"),
+    )
+
+    def dsum_simple(c):
+        return F.round(F.sum(F.col(c).cast(DEC)), RSCALE).cast("double")
+
+    tot = terms.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        dsum_simple("s_g").alias("s"),
+        dsum_simple("ss_g").alias("ss"),
+        dsum_simple("t_g").alias("sum_t"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ssb = F.col("sum_t") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sum_t")
+    return tot.select(
+        "k",
+        "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))).alias(
+            "f_stat"
+        ),
+        (ssb / (ssb + ssw)).alias("eta_squared"),
+    )

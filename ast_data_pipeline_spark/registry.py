@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_ivf_nprobe_sweep",
     "e_survival_km",
     "s18_nested_json_explode",
+    "a_anova_oneway",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
