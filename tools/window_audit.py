@@ -7,7 +7,7 @@ A hit is not automatically a defect — the repo intentionally runs
 un-partitioned windows over TINY frames (bucket-count tables, daily
 series, post-TakeOrdered top-k results); the audit exists so every hit
 is a *reviewed* decision. Current classification of the r7 audit
-(18 hits, zero WATCH — r6's sole WATCH item, the e_rfm_scores global
+(19 hits, zero WATCH — r6's sole WATCH item, the e_rfm_scores global
 ntile(4) over the user table, was rewritten to exact_group_quantiles
 rank-selected cuts + broadcast banding and no longer appears):
 
@@ -21,7 +21,9 @@ rank-selected cuts + broadcast banding and no longer appears):
   un-partitioned — the frame is the ~bucket-count rows, not the fact)
 - daily-series frames (<= one row per calendar day): t_rolling_corr,
   t_seasonal_decompose (centered 7-day trend + full-window count over
-  the daily grain — the fact table aggregated away first)
+  the daily grain — the fact table aggregated away first),
+  e_survival_km (cumulative risk-set count + survival-product chain
+  over the ~30-row event-time table)
 - post-TakeOrdered top-k rank (window sees <= k*partitions rows):
   e_topk_users_by_value, x_heavy_hitters, a_countmin_sketch, j_skew_report
 - entity-sized frames mirroring reference semantics (global allocation
