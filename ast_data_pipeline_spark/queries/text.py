@@ -2062,3 +2062,140 @@ def x_lm_kneser_ney(spark, sf_dir):
             ),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 10
+
+
+@register(
+    "x_bm25_search",
+    # BM25 ranked retrieval — the search-engine scoring face next to
+    # TF-IDF's term weighting. Query terms are picked deterministically
+    # from the corpus itself (document-frequency ranks 10-12: past the
+    # stopword head, still common enough to exist at every scale).
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5)) quantized %.7f per term
+    # (1-ulp rule); each (doc, term) partial score is quantized before
+    # the per-doc sum rides the decimal path (a 3-term float sum is
+    # order-sensitive); length normalization uses the exact-decimal
+    # avgdl. Top-10 by (score DESC, doc_id) — deterministic limit.
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM w WHERE tok <> '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         round(sum((dl)::DECIMAL(30,10)), 4)::DOUBLE / count(dl) AS avgdl
+  FROM dl
+),
+df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qterms AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS rk FROM df
+  ) WHERE rk IN (10, 11, 12)
+),
+idf AS (
+  SELECT q.tok, q.df,
+         printf('%.7f', ln(1.0::DOUBLE
+           + ((SELECT n_docs FROM stats) - q.df + 0.5::DOUBLE)
+             / (q.df + 0.5::DOUBLE)))::DOUBLE AS idf
+  FROM qterms q
+),
+parts AS (
+  SELECT t.doc_id, t.tok,
+         printf('%.7f',
+           i.idf * (t.tf * ({BM25_K1!r} + 1.0::DOUBLE))
+             / (t.tf + {BM25_K1!r}
+                * (1.0::DOUBLE - {BM25_B!r}
+                   + {BM25_B!r} * (d.dl::DOUBLE / (SELECT avgdl FROM stats))))
+         )::DOUBLE AS part
+  FROM tf t
+  JOIN idf i ON i.tok = t.tok
+  JOIN dl d ON d.doc_id = t.doc_id
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_terms_matched,
+       round(sum((part)::DECIMAL(30,10)), 4)::DOUBLE AS bm25_score
+FROM parts
+GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id
+LIMIT {BM25_TOPN}
+""",
+    doc="BM25 ranked retrieval over the documents table: corpus-picked "
+    "query terms (df ranks 10-12), quantized per-term idf and partial "
+    "scores, decimal per-doc sum, top-10 under a unique order chain. "
+    "The postings shape is the scalable one: scoring joins the tf "
+    "table to a 3-row broadcast term list, so only matching postings "
+    "ever move — the inverted-index access pattern in DataFrame form.",
+    tags=("text", "extension"),
+)
+def x_bm25_search(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(
+        eager=False
+    )  # consumed by dl, df, and the scoring join
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), davg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        df_t.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("df").desc(), "tok"))
+        )
+        .filter(F.col("rk").isin(10, 11, 12))
+        .select("tok", "df")
+    )
+    idf = qterms.select(
+        "tok",
+        F.format_string(
+            "%.7f",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .cast("double")
+        .alias("idf"),
+    )
+    part = F.format_string(
+        "%.7f",
+        F.col("idf")
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl))
+            )
+        ),
+    ).cast("double")
+    parts = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .select("doc_id", part.alias("part"))
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            dsum("part").alias("bm25_score"),
+        )
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(BM25_TOPN)
+    )

@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_survival_km",
     "s18_nested_json_explode",
     "a_anova_oneway",
+    "x_bm25_search",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
