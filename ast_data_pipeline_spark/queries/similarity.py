@@ -1371,3 +1371,128 @@ def x_ivf_nprobe_sweep(spark, sf_dir):
             ).alias("scan_fraction"),
         )
     )
+
+
+RBO_P = 0.9
+# Each common neighbor first appears in both prefixes at depth
+# m = max(rank_a, rank_b) and then contributes to every deeper prefix:
+# C[m] = sum_{d=m..K} (1-p) p^(d-1) / d. Precomputed in Python so both
+# engines consume identical double literals (no cross-engine pow).
+_RBO_C = {
+    m: sum((1.0 - RBO_P) * RBO_P ** (d - 1) / d for d in range(m, TOPK + 1))
+    for m in range(1, TOPK + 1)
+}
+
+
+def _rbo_case_sql(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {m} THEN {_RBO_C[m]!r}" for m in range(1, TOPK + 1)
+    )
+    return f"(CASE {expr} {whens} END)"
+
+
+@register(
+    "x_rbo_rank_agreement",
+    # Rank-Biased Overlap (Webber et al. 2010), truncated at depth 5,
+    # between the brute-force cosine ranking and the multi-probe
+    # (Hamming-1) LSH ranking per query — the rank-AWARE agreement metric recall@k
+    # cannot give (it weighs agreement at rank 1 more than rank 5).
+    # RBO@K = (1-p) sum_d p^(d-1) |A_d ^ B_d| / d collapses to one
+    # constant per common neighbor keyed by max(rank_a, rank_b); the
+    # per-query sum of <= 5 literals rides the decimal path.
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {rh_lsh_bucket_sql('embedding', LSH_PLANES, EMB_DIM)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
+      WHERE vec_id % {QUERY_MOD} = 0),
+truth AS (
+  SELECT q_id, vec_id, rank FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             {dot_sql('q.q_vec', 'e.embedding')}
+               / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) DESC,
+             e.vec_id) AS rank
+    FROM embeddings e JOIN q ON q.q_id <> e.vec_id
+  ) WHERE rank <= {TOPK}
+),
+qp AS (
+  SELECT q_id, q_vec, {_probe_list_sql('bucket')} AS bucket FROM q
+),
+retr AS (
+  SELECT q_id, vec_id, rank FROM (
+    SELECT qp.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY qp.q_id ORDER BY
+             {dot_sql('qp.q_vec', 'e.embedding')}
+               / ({norm_sql('qp.q_vec')} * {norm_sql('e.embedding')}) DESC,
+             e.vec_id) AS rank
+    FROM b e JOIN qp ON qp.q_id <> e.vec_id AND qp.bucket = e.bucket
+  ) WHERE rank <= {TOPK}
+),
+common AS (
+  SELECT t.q_id,
+         {_rbo_case_sql('greatest(t.rank, r.rank)')} AS c
+  FROM truth t JOIN retr r ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+)
+SELECT q.q_id,
+       coalesce(n.n_common, 0)::BIGINT AS n_common,
+       coalesce(n.rbo, 0.0::DOUBLE) AS rbo
+FROM q
+LEFT JOIN (
+  SELECT q_id, count(*)::BIGINT AS n_common,
+         round(sum((c)::DECIMAL(30,10)), 4)::DOUBLE AS rbo
+  FROM common GROUP BY q_id
+) n USING (q_id)
+""",
+    doc="Rank-biased overlap (truncated RBO@5, p=0.9) between the "
+    "brute cosine ranking and the MULTI-PROBE LSH ranking per query: the "
+    "rank-weighted agreement number that separates 'found the right "
+    "neighbors in the right order' from bare recall. Each common "
+    "neighbor contributes one precomputed constant keyed by "
+    "max(rank_truth, rank_lsh); per-query sums ride the decimal "
+    "path. Same broadcast-queries / bucket-join shape as the recall "
+    "evals — nothing quadratic.",
+    tags=("similarity", "extension"),
+)
+def x_rbo_rank_agreement(spark, sf_dir):
+    from ..functions.exact import dsum
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", rh_lsh_bucket("embedding", LSH_PLANES, EMB_DIM)
+    )
+    truth = cosine_topk(
+        _queries(spark, sf_dir, False), emb.drop("bucket"), TOPK
+    ).select("q_id", "vec_id", F.col("rank").alias("rank_t"))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    retr = cosine_topk(_multiprobe_queries(emb), emb, TOPK, bucket="bucket").select(
+        "q_id", "vec_id", F.col("rank").alias("rank_r")
+    )
+    mx = F.greatest("rank_t", "rank_r")
+    c_col = None
+    for m in range(TOPK, 0, -1):
+        c_col = (
+            F.when(mx == m, F.lit(_RBO_C[m]))
+            if c_col is None
+            else F.when(mx == m, F.lit(_RBO_C[m])).otherwise(c_col)
+        )
+    common = truth.join(retr, ["q_id", "vec_id"]).select(
+        "q_id", c_col.alias("c")
+    )
+    agg = common.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_common"), dsum("c").alias("rbo")
+    )
+    return (
+        q.select("q_id")
+        .join(agg, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
+        )
+    )

@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "s18_nested_json_explode",
     "a_anova_oneway",
     "x_bm25_search",
+    "x_rbo_rank_agreement",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
