@@ -7,7 +7,8 @@ uncompressed Netpbm (P6 PPM / P5 PGM) in pure numpy AND baseline PNG
 (8-bit grey/RGB — CRC-checked chunk walk, zlib IDAT inflate, scanline
 unfilter per RFC 2083) AND GIF87a/89a (block walk, sub-block
 reassembly, a full variable-width LZW codec with table resets,
-palette mapping — ``_gif_decode``); ``decode_audio`` decodes
+palette mapping — ``_gif_decode``) AND 24-bit BMP (bottom-up rows,
+BGR order, 4-byte padding — ``_bmp_decode``); ``decode_audio`` decodes
 uncompressed PCM WAV (RIFF chunk walk); ``extract_features``/
 ``audio_features``/``pairwise_ssim`` compute over those decoded
 samples end-to-end. For the remaining compressed formats (jpg/mp3)
@@ -413,6 +414,8 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         return _png_decode(payload)
     if payload[:6] in GIF_SIGS:
         return _gif_decode(payload)
+    if payload[:2] == b"BM":
+        return _bmp_decode(payload)
     if payload[:2] in (b"P6", b"P5"):
         magic, w, h, maxval, off = _parse_pnm_header(payload)
         if not (0 < maxval < 256):
@@ -477,7 +480,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             ):
                 raw = np.frombuffer(payload, dtype=np.uint8)
                 head = bytes(payload[:8])
-                if head == PNG_SIG or head[:6] in GIF_SIGS or head[:2] in (b"P6", b"P5"):
+                if head == PNG_SIG or head[:6] in GIF_SIGS or head[:2] in (b"BM", b"P6", b"P5"):
                     vals = decode_image(bytes(payload), fmt).ravel()
                     ok = True
                 else:
@@ -819,3 +822,63 @@ def video_frame_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(_frames, schema=VIDEO_SCHEMA)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder: bottom-up rows, BGR byte
+    order, rows padded to 4-byte boundaries — the three quirks that
+    make BMP a worthwhile decode test despite being uncompressed."""
+    import struct
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)  # grey -> (v, v, v)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("need (h, w) grey or (h, w, 3) RGB")
+    h, w = arr.shape[:2]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1]  # RGB -> BGR
+        body += row.tobytes() + b"\x00" * pad
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(body)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, pixel_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+def _bmp_decode(payload: bytes) -> np.ndarray:
+    """Real BMP decode (public BITMAPINFOHEADER spec): 24-bit BI_RGB,
+    bottom-up (positive height) or top-down (negative), row padding,
+    BGR->RGB. Returns (h, w) grey when all channels agree."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP subset: 24-bit BI_RGB only (bpp={bpp}, compression={compression})"
+        )
+    h = abs(h_raw)
+    top_down = h_raw < 0
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if len(payload) < pixel_offset + stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = []
+    for i in range(h):
+        off = pixel_offset + i * stride
+        row = np.frombuffer(payload, np.uint8, row_bytes, off).reshape(w, 3)
+        rows.append(row[:, ::-1])  # BGR -> RGB
+    arr = np.stack(rows if top_down else rows[::-1], axis=0)
+    if (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 1] == arr[:, :, 2]).all():
+        return arr[:, :, 0]
+    return arr

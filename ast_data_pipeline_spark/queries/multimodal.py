@@ -636,3 +636,69 @@ def x_multimodal_mulaw(spark, sf_dir):
         ),
     )
     return audio_features(framed)
+
+
+@register(
+    "x_multimodal_bmp",
+    # Third real image decode under the oracle gate: each doc's 96
+    # ASCII bytes become a genuine 24-bit BMP (bottom-up row order,
+    # BGR byte order, 4-byte row padding — the three classic BMP
+    # decode traps) and extract_features decodes it for real
+    # (operators/multimodal._bmp_decode). The decoded-pixel mean must
+    # equal the mean code point of the payload text, which DuckDB
+    # computes independently. A 12x8 grey image has 24-byte rows
+    # (already 4-aligned), so the fixture uses 12 rows of 8 px — and
+    # the pytest covers the padded widths.
+    oracle="""
+SELECT doc_id, 'bmp' AS format,
+       (list_sum(list_transform(generate_series(1, 96),
+                                i -> unicode(substr(t, i, 1))))::DOUBLE / 96)
+         AS mean_byte,
+       true AS feature_ok
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
+    doc="BMP roundtrip under the hash gate: encode each document's "
+    "ASCII bytes as a real 24-bit bottom-up BGR BMP, decode in the "
+    "mapInPandas feature stage, verify the decoded-pixel mean against "
+    "DuckDB's independent code-point mean. With PNG, GIF, and BMP "
+    "real, jpg remains the sole image-codec plug point.",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_bmp(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raster"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_bmp(np.frombuffer(r, np.uint8).reshape(12, 8))
+                for r in pdf["raster"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    framed = src.mapInPandas(_encode, "doc_id long, payload binary").withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("bmp").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(12).alias("height"),
+            F.lit(False).alias("is_audio"),
+        ),
+    )
+    return extract_features(framed).select(
+        "doc_id", "format", "mean_byte", "feature_ok"
+    )

@@ -140,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_anova_oneway",
     "x_bm25_search",
     "x_rbo_rank_agreement",
+    "x_multimodal_bmp",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",

@@ -370,3 +370,40 @@ def test_gif_decoder_edge_cases():
     rgb_gif[lsd_end - 768 + 1] = 200  # palette entry 0: green channel differs
     out = _gif_decode(bytes(rgb_gif))
     assert out.ndim == 3 and out.shape == (12, 8, 3)
+
+
+def test_bmp_roundtrip_padding_and_orientation():
+    import numpy as np
+    import pytest
+
+    from ast_data_pipeline_spark.operators.multimodal import (
+        _bmp_decode,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(3)
+    # widths 6/7 force 2- and 3-byte row padding; 8 is 4-aligned
+    for shape in [(12, 8), (5, 6), (3, 7), (1, 1)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        d = _bmp_decode(encode_bmp(a))
+        assert d.shape == a.shape and (d == a).all(), shape
+    rgb = rng.randint(0, 256, (5, 6, 3)).astype(np.uint8)
+    assert (_bmp_decode(encode_bmp(rgb)) == rgb).all()
+    assert (decode_image(encode_bmp(rgb), "bmp") == rgb).all()
+    # orientation: encoder writes bottom-up; flipping to a negative
+    # height header must yield the vertically mirrored image
+    import struct
+
+    payload = bytearray(encode_bmp(rgb))
+    w, h = struct.unpack_from("<ii", payload, 18)
+    struct.pack_into("<ii", payload, 18, w, -h)
+    flipped = _bmp_decode(bytes(payload))
+    assert (flipped == rgb[::-1]).all()
+    # unsupported subsets raise, truncation raises
+    bad = bytearray(encode_bmp(rgb))
+    struct.pack_into("<H", bad, 28, 8)  # bpp = 8
+    with pytest.raises(NotImplementedError):
+        _bmp_decode(bytes(bad))
+    with pytest.raises(ValueError):
+        _bmp_decode(encode_bmp(rgb)[:-10])
