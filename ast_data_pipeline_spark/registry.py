@@ -112,33 +112,36 @@ _PRIORITY: tuple[str, ...] = (
     "x_dataset_card",
     "e_new_vs_returning",
     "u6_symmetric_difference",
-    # 34+: round-7 NEW operators (append here as each lands — names
-    # must exist in the registry; test_contract enforces it)
+    # 34-50: round-7 NEW operators, most substantive first (the driver
+    # budget historically stops at ~50; names must exist in the
+    # registry — test_contract enforces it)
     "x_substring_dedup_census",
     "x_multimodal_gif",
     "a_hyperloglog_eval",
-    "e_funnel_conversion",
-    "x_stratified_sample_exact",
+    "s_stream_hll_distinct",
     "a_kmv_set_ops",
     "x_bloom_dedup_screen",
+    "e_survival_km",
+    "x_lm_kneser_ney",
+    "x_ivf_nprobe_sweep",
     "e_ab_test_analysis",
+    "e_funnel_conversion",
+    "a_anova_oneway",
+    "x_bm25_search",
+    "x_js_divergence",
     "s16_binaryfile_ingest",
     "x_bfs_layers",
     "t_seasonal_decompose",
+    # 51+: the rest of the r7 additions (overflow — rotate into the
+    # r8 window head alongside anything the driver did not reach)
+    "x_stratified_sample_exact",
     "a_linreg_trend",
     "x_zorder_layout",
     "a_market_basket_lift",
-    "s_stream_hll_distinct",
     "t_forecast_eval",
-    "x_js_divergence",
     "e_out_of_order_census",
     "s17_hive_partitioned_roundtrip",
-    "x_lm_kneser_ney",
-    "x_ivf_nprobe_sweep",
-    "e_survival_km",
     "s18_nested_json_explode",
-    "a_anova_oneway",
-    "x_bm25_search",
     "x_rbo_rank_agreement",
     "x_multimodal_bmp",
     # re-proofs of the oldest greens (flagship first) for any budget
