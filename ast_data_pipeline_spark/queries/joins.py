@@ -601,3 +601,77 @@ def x_referential_integrity(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "j_null_aware_anti",
+    # NOT IN with a NULLABLE subquery — the SQL semantics trap: if the
+    # subquery produces even one NULL, `x NOT IN (...)` is never TRUE
+    # (three-valued logic), so the correct answer flips from "rows
+    # without a match" to EMPTY unless NULLs are filtered. Both
+    # branches are computed: the raw NOT IN (Spark plans a
+    # null-aware anti join) and the NULL-filtered variant, as a
+    # two-row census proving the engine implements the standard.
+    # The probe list: each customer's nation key, made NULL for
+    # every 7th of the first 40 customers — a probe subset small
+    # enough to leave several nations uncovered (real complement).
+    oracle="""
+WITH probe AS (
+  -- first 40 customers only, so several nations stay uncovered and
+  -- the filtered branch returns a real complement
+  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE c_nationkey END AS k
+  FROM customer WHERE c_custkey < 40
+),
+raw AS (
+  SELECT count(*)::BIGINT AS n FROM nation
+  WHERE n_nationkey NOT IN (SELECT k FROM probe)
+),
+filtered AS (
+  SELECT count(*)::BIGINT AS n FROM nation
+  WHERE n_nationkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
+)
+SELECT 'not_in_with_nulls' AS variant, (SELECT n FROM raw) AS n_rows
+UNION ALL
+SELECT 'not_in_nulls_filtered', (SELECT n FROM filtered)
+""",
+    doc="Null-aware anti join semantics census: `NOT IN` against a "
+    "probe list WITH NULLs must return zero rows (three-valued "
+    "logic), while the NULL-filtered variant returns the real "
+    "complement — both counts emitted side by side. Spark plans the "
+    "raw branch as BroadcastNestedLoopJoin/NullAwareAntiJoin and the "
+    "filtered one as a plain left-anti hash join; at 100 TB the "
+    "filtered form is the one you want, and this query is the "
+    "regression pin that the engine honors the standard either way.",
+    tags=("join", "extension"),
+)
+def j_null_aware_anti(spark, sf_dir):
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    probe = cust.filter(F.col("c_custkey") < 40).select(
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("k")
+    )
+    nation.createOrReplaceTempView("_naa_nation")
+    probe.createOrReplaceTempView("_naa_probe")
+    raw = nation.sparkSession.sql(
+        "SELECT count(*) AS n FROM _naa_nation "
+        "WHERE n_nationkey NOT IN (SELECT k FROM _naa_probe)"
+    )
+    filtered = nation.sparkSession.sql(
+        "SELECT count(*) AS n FROM _naa_nation "
+        "WHERE n_nationkey NOT IN (SELECT k FROM _naa_probe WHERE k IS NOT NULL)"
+    )
+    return (
+        raw.select(
+            F.lit("not_in_with_nulls").alias("variant"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+        .unionByName(
+            filtered.select(
+                F.lit("not_in_nulls_filtered").alias("variant"),
+                F.col("n").cast("long").alias("n_rows"),
+            )
+        )
+    )

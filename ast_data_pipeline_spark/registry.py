@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "s18_nested_json_explode",
     "x_rbo_rank_agreement",
     "x_multimodal_bmp",
+    "j_null_aware_anti",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
