@@ -360,3 +360,31 @@ def s_stream_hll_distinct(spark, sf_dir):
     from ..streaming.sketches_stream import streaming_hll_distinct
 
     return streaming_hll_distinct(spark, sf_dir)
+
+
+@register(
+    "s_stream_exactly_once_dedup",
+    # The oracle is the exactly-once expectation: per event type, the
+    # distinct event count of the original feed — the streaming side
+    # consumed an at-least-once feed (every 3rd event duplicated) and
+    # must emit each event_id exactly once. n_events == n_distinct in
+    # the output doubles as the internal consistency proof.
+    oracle="""
+SELECT event_type, count(DISTINCT event_id)::BIGINT AS n_events,
+       count(DISTINCT event_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type
+""",
+    doc="Exactly-once delivery from an at-least-once feed: "
+    "withWatermark + dropDuplicatesWithinWatermark(event_id) — "
+    "BOUNDED dedup state (keys expire once the watermark passes), "
+    "unlike bare dropDuplicates whose state grows forever. The "
+    "deduped stream appends to a parquet sink per micro-batch and "
+    "the per-type census must equal the original feed's distinct "
+    "counts. The eleventh streaming face; the redelivery model is "
+    "every 3rd event duplicated.",
+    tags=("streaming", "extension"),
+)
+def s_stream_exactly_once_dedup(spark, sf_dir):
+    from ..streaming.dedup_stream import streaming_exactly_once_dedup
+
+    return streaming_exactly_once_dedup(spark, sf_dir)

@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_rbo_rank_agreement",
     "x_multimodal_bmp",
     "j_null_aware_anti",
+    "s_stream_exactly_once_dedup",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",

@@ -80,3 +80,59 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_incremental_dedup_stream(
         spark, stream, cat, NUM_HASHES, ROWS_PER_BAND, JACCARD_T
     )
+
+
+def run_exactly_once_dedup(
+    spark: SparkSession, ev_stream: DataFrame
+) -> DataFrame:
+    """Exactly-once event delivery from an at-least-once feed:
+    ``withWatermark + dropDuplicatesWithinWatermark(event_id)`` holds
+    per-key state only until the watermark passes the event's time —
+    the BOUNDED-state production form of streaming dedup (a bare
+    dropDuplicates keeps every key forever). Deduped rows append to a
+    parquet sink per micro-batch; the census is computed at read."""
+    out_dir = tempfile.mkdtemp(prefix="snap_eodedup_")
+    sink = os.path.join(out_dir, "rows")
+
+    deduped = ev_stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+def streaming_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed: every event, with every 3rd event DUPLICATED (the
+    at-least-once redelivery model), written to a temp stream dir."""
+    from ..sources.catalog import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    feed = ev.withColumn(
+        "copies",
+        F.explode(
+            F.when(
+                F.col("event_id") % 3 == 0, F.array(F.lit(1), F.lit(2))
+            ).otherwise(F.array(F.lit(1)))
+        ),
+    ).drop("copies")
+    src = os.path.join(
+        tempfile.gettempdir(), "ast_eo_dedup", os.path.basename(sf_dir.rstrip("/"))
+    )
+    feed.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feed.schema).format("parquet").load(src)
+    )
+    return run_exactly_once_dedup(spark, stream)
