@@ -1118,3 +1118,53 @@ def x_zorder_layout(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("avg_cell_area"),
     )
+
+
+@register(
+    "x_percentile_normalize",
+    # Cross-source score calibration: raw quality scores are not
+    # comparable across heterogeneous sources (each source has its own
+    # score distribution), so mixture weighting and thresholding use
+    # the WITHIN-SOURCE percentile instead — rank / n over a
+    # (source)-partitioned window with the unique (score, doc_id)
+    # chain. Integer rank over integer count: one IEEE division,
+    # engine-identical. The rank-based twin of z-scoring that needs no
+    # distributional assumption.
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars::BIGINT AS n_chars,
+       rk::BIGINT AS rank_in_source,
+       rk::DOUBLE / n AS percentile
+FROM w
+""",
+    doc="Within-source percentile normalization of the document length "
+    "score: rank/n over a source-partitioned window (unique order "
+    "chain), producing the cross-source-comparable [0,1] score that "
+    "mixture weighting and global thresholds need — heterogeneous "
+    "sources can't share a raw-score cut. Partitioned window only; "
+    "for a pathologically hot source the two-level value-bucket rank "
+    "applies as everywhere else.",
+    tags=("sampling", "extension"),
+)
+def x_percentile_normalize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n = Window.partitionBy("source")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).cast("long").alias("rank_in_source"),
+        (
+            F.row_number().over(w).cast("double")
+            / F.count(F.lit(1)).over(n)
+        ).alias("percentile"),
+    )

@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_multimodal_bmp",
     "j_null_aware_anti",
     "s_stream_exactly_once_dedup",
+    "x_percentile_normalize",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
