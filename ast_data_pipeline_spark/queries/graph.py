@@ -323,10 +323,24 @@ _BFS_ROUNDS = 3
 _BFS_SEED_MAX = 8  # seeds: customer nodes with custkey < 8
 
 
+_BFS_EDGES_SQL = """
+pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                  l.l_suppkey * 2 + 1 AS s_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+)
+"""
+
+
 def _bfs_oracle() -> str:
     ctes = [
         f"l0 AS (SELECT DISTINCT src AS node FROM edges "
-        f"WHERE src LIKE 'c%' AND substr(src, 2)::BIGINT < {_BFS_SEED_MAX})",
+        f"WHERE src % 2 = 0 AND src < {2 * _BFS_SEED_MAX})",
         "r0 AS (SELECT node FROM l0)",
     ]
     for r in range(1, _BFS_ROUNDS + 1):
@@ -343,14 +357,15 @@ def _bfs_oracle() -> str:
         f"SELECT {r}::INT AS dist, (SELECT count(*) FROM l{r})::BIGINT AS n_nodes"
         for r in range(_BFS_ROUNDS + 1)
     )
-    return f"WITH {_KCORE_EDGES_SQL}, {', '.join(ctes)}\n{layers}"
+    return f"WITH {_BFS_EDGES_SQL}, {', '.join(ctes)}\n{layers}"
 
 
 @register(
     "x_bfs_layers",
     oracle=_bfs_oracle(),
     doc=f"Multi-source BFS over the customer-supplier bipartite graph "
-    f"(seeds: customer nodes with key < {_BFS_SEED_MAX}; "
+    f"(integer-encoded nodes: even = customer, odd = supplier — narrow "
+    f"8-byte shuffle keys; seeds: customer nodes with key < {_BFS_SEED_MAX}; "
     f"{_BFS_ROUNDS} frontier expansions): per round, the frontier "
     "joins the edge table (key-partitioned shuffle), new nodes = "
     "neighbors EXCEPT already-reached, both sets "
@@ -365,11 +380,15 @@ def _bfs_oracle() -> str:
 def x_bfs_layers(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Integer-encoded nodes (even = customer 2k, odd = supplier 2k+1):
+    # the frontier joins ship 8-byte BIGINTs instead of 'c12345'
+    # strings — the r7 shuffle audit measured the string form at
+    # 40.7 MB shuffle write at sf0.1; narrow keys halve it.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
     )
@@ -382,8 +401,7 @@ def x_bfs_layers(spark, sf_dir):
     )
     frontier = (
         edges.filter(
-            F.col("src").startswith("c")
-            & (F.substring("src", 2, 100).cast("long") < _BFS_SEED_MAX)
+            (F.col("src") % 2 == 0) & (F.col("src") < 2 * _BFS_SEED_MAX)
         )
         .select(F.col("src").alias("node"))
         .distinct()

@@ -92,6 +92,11 @@ def main() -> None:
             "x_classifier_eval",
             "x_semantic_dedup",
             "x_substring_dedup_census",
+            "a_kmv_set_ops",
+            "x_bfs_layers",
+            "a_market_basket_lift",
+            "x_js_divergence",
+            "x_bloom_dedup_screen",
         )
         if n in specs and n not in bench_names
     ]
