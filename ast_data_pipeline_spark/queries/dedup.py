@@ -1670,3 +1670,155 @@ def x_prefix_filter_join(spark, sf_dir):
         .filter(F.col("jaccard") >= PPJOIN_T)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+BAND_SWEEP_ROWS = (2, 3, 4)  # 6 / 4 / 3 bands over the 12-hash signature
+
+
+def _band_sweep_oracle() -> str:
+    b1, b2 = minhash_base_sql("shingle")
+    mins = ",\n         ".join(
+        f"min({minhash_hash_i_sql(i)}) AS h{i}" for i in range(NUM_HASHES)
+    )
+    ctes = [
+        f"""docsets AS (
+  SELECT doc_id, {word_shingles_sql('text', 2)} AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+),
+exploded AS (
+  SELECT doc_id, {b1} AS _mh1, {b2} AS _mh2
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM docsets)
+),
+sig AS (SELECT doc_id, {mins} FROM exploded GROUP BY doc_id)"""
+    ]
+    for r in BAND_SWEEP_ROWS:
+        n_bands = NUM_HASHES // r
+        band_exprs = ", ".join(
+            "(" + " || '|' || ".join(
+                f"h{b * r + i}::VARCHAR" for i in range(r)
+            ) + ")"
+            for b in range(n_bands)
+        )
+        ctes.append(
+            f"""bands{r} AS (
+  SELECT doc_id, band_id, bandvals[band_id] AS band_val
+  FROM (SELECT doc_id, [{band_exprs}] AS bandvals FROM sig),
+       unnest(generate_series(1, {n_bands})) t(band_id)
+),
+cand{r} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands{r} a JOIN bands{r} b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+ver{r} AS (
+  SELECT doc_a, doc_b
+  FROM cand{r} JOIN docsets sa ON cand{r}.doc_a = sa.doc_id
+               JOIN docsets sb ON cand{r}.doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE
+        >= {JACCARD_T}
+)"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {r}::INT AS rows_per_band, {NUM_HASHES // r}::INT AS n_bands,
+       (SELECT count(*) FROM cand{r})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM ver{r})::BIGINT AS n_verified,
+       CASE WHEN (SELECT count(*) FROM cand{r}) > 0
+            THEN (SELECT count(*) FROM ver{r})::DOUBLE
+                 / (SELECT count(*) FROM cand{r})
+            ELSE NULL END AS precision,
+       CASE WHEN (SELECT count(*) FROM ver2) > 0
+            THEN (SELECT count(*) FROM ver{r} v
+                  JOIN ver2 p ON v.doc_a = p.doc_a AND v.doc_b = p.doc_b)::DOUBLE
+                 / (SELECT count(*) FROM ver2)
+            ELSE NULL END AS coverage_vs_r2
+FROM (SELECT 1)"""
+        for r in BAND_SWEEP_ROWS
+    )
+    return f"WITH {', '.join(ctes)}\n{rows}"
+
+
+@register(
+    "x_minhash_band_sweep",
+    oracle=_band_sweep_oracle(),
+    # The dedup-side tuning curve (pairing x_ivf_nprobe_sweep's ANN
+    # one): the SAME 12-hash signatures banded three ways — 6 bands of
+    # 2 rows (permissive), 4x3, 3x4 (strict) — with candidate volume
+    # (the join cost), verified near-dups, precision, and coverage vs
+    # the most permissive config. The knob every LSH dedup deployment
+    # sets by exactly this sweep: collision prob = 1 - (1 - s^r)^b.
+    doc="MinHash banding sweep at rows-per-band 2/3/4 over one shared "
+    "signature table: candidate-pair volume vs verified near-dups vs "
+    "precision vs coverage — the cost/recall curve that sizes an LSH "
+    "dedup config. Signatures compute ONCE (the expensive shingle "
+    "pass is shared; only the banding re-derives), candidates come "
+    "from band equi-joins, and verification is exact Jaccard on the "
+    "candidate set only — never all-pairs.",
+    tags=("dedup", "extension"),
+)
+def x_minhash_band_sweep(spark, sf_dir):
+    from ..operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    docsets = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", word_shingles("w", 2).alias("shingles"))
+        .localCheckpoint(eager=False)  # shared by sig build + verification
+    )
+    sig = minhash_signatures(
+        docsets.select("doc_id", F.explode("shingles").alias("shingle")),
+        NUM_HASHES,
+    ).localCheckpoint(eager=False)  # banded three ways below
+    sa = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    per_r = {}
+    for r in BAND_SWEEP_ROWS:
+        cand = candidate_pairs(
+            lsh_bands(sig, NUM_HASHES, r)
+        ).localCheckpoint(eager=False)
+        ver = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(jac >= JACCARD_T)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+        per_r[r] = (cand.count(), ver)
+    ref = per_r[2][1]
+    n_ref = ref.count()
+    out = None
+    for r in BAND_SWEEP_ROWS:
+        n_cand, ver = per_r[r]
+        n_ver = ver.count()
+        n_cov = ver.join(ref, ["doc_a", "doc_b"]).count()
+        row = spark.createDataFrame(
+            [
+                (
+                    r,
+                    NUM_HASHES // r,
+                    n_cand,
+                    n_ver,
+                    (float(n_ver) / n_cand) if n_cand > 0 else None,
+                    (float(n_cov) / n_ref) if n_ref > 0 else None,
+                )
+            ],
+            "rows_per_band int, n_bands int, n_candidates long, "
+            "n_verified long, precision double, coverage_vs_r2 double",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "j_null_aware_anti",
     "s_stream_exactly_once_dedup",
     "x_percentile_normalize",
+    "x_minhash_band_sweep",
     # re-proofs of the oldest greens (flagship first) for any budget
     # beyond the window
     "flagship_tank_inventory",
