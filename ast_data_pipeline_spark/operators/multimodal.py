@@ -404,11 +404,13 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     REAL for the uncompressed Netpbm formats — P6 PPM -> (h, w, 3) RGB,
     P5 PGM -> (h, w) grayscale (pure numpy from the public Netpbm
     spec) — for baseline PNG (8-bit grey/RGB, zlib IDAT inflate +
-    scanline unfilter, ``_png_decode``), and for GIF87a/89a (LZW
-    decompression + palette mapping, ``_gif_decode``). The remaining
-    compressed format (jpg) still raises NotImplementedError where a
-    Pillow/opencv plug-in would slot in: that codec is not in this
-    container.
+    scanline unfilter, ``_png_decode``), for GIF87a/89a (LZW
+    decompression + palette mapping, ``_gif_decode``), for 24-bit BMP
+    (``_bmp_decode``), and for baseline JPEG (marker walk, stream
+    Huffman/quant tables, batched IDCT, chroma upsample, YCbCr->RGB —
+    ``_jpeg_decode``; the reference's own chip format, ref:
+    src/az_proc.py:524). Only progressive/arithmetic JPEG subsets
+    still raise NotImplementedError.
     """
     if payload[:8] == PNG_SIG:
         return _png_decode(payload)
@@ -416,6 +418,8 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         return _gif_decode(payload)
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_decode(payload)
     if payload[:2] in (b"P6", b"P5"):
         magic, w, h, maxval, off = _parse_pnm_header(payload)
         if not (0 < maxval < 256):
@@ -480,7 +484,11 @@ def extract_features(df: DataFrame) -> DataFrame:
             ):
                 raw = np.frombuffer(payload, dtype=np.uint8)
                 head = bytes(payload[:8])
-                if head == PNG_SIG or head[:6] in GIF_SIGS or head[:2] in (b"BM", b"P6", b"P5"):
+                if (
+                    head == PNG_SIG
+                    or head[:6] in GIF_SIGS
+                    or head[:2] in (b"BM", b"P6", b"P5", b"\xff\xd8")
+                ):
                     vals = decode_image(bytes(payload), fmt).ravel()
                     ok = True
                 else:
@@ -882,3 +890,496 @@ def _bmp_decode(payload: bytes) -> np.ndarray:
     if (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 1] == arr[:, :, 2]).all():
         return arr[:, :, 0]
     return arr
+
+
+# --- JPEG baseline codec (ITU-T T.81, public spec; pure numpy) -------
+#
+# Closes the last codec stub (VERDICT r7 #3): the reference's chips
+# are literally JPEGs (ref: src/az_proc.py:524 cv2.imwrite of .jpg
+# chips), so a user pointing the multimodal feature stage at real
+# reference output needs a working baseline-DCT decoder. The decoder
+# is GENERAL for baseline sequential files: marker walk, DQT/DHT
+# parsed from the stream (multiple tables), SOF0 with 1 or 3
+# components and 4:4:4 / 4:2:2 / 4:2:0 sampling factors, DRI/RSTn
+# restart handling, byte-unstuffing, per-component batched IDCT,
+# JFIF YCbCr->RGB. Progressive (SOF2) and arithmetic coding raise
+# NotImplementedError — honest subset guards like the PNG/GIF ones.
+#
+# The encoder writes valid baseline JFIF (grayscale, or RGB with
+# optional 4:2:0) using all-ones quantization tables. With quant=1,
+# an image whose 8x8 blocks are each CONSTANT round-trips EXACTLY:
+# the DCT of a constant block has one integer DC coefficient and
+# mathematically-zero ACs (float residue ~1e-13 rounds to 0), so the
+# oracle query can hash-verify decoded-pixel means against DuckDB's
+# independent code-point means — while the decoder stays fully
+# general for arbitrary real files.
+
+JPEG_SOI = b"\xff\xd8"
+
+# 8x8 DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# forward F = C @ f @ C.T, inverse f = C.T @ F @ C.
+_JPEG_C = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+_ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+       17, 24, 32, 25, 18, 11,  4,  5,
+       12, 19, 26, 33, 40, 48, 41, 34,
+       27, 20, 13,  6,  7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36,
+       29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46,
+       53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K.3.3.1/.2 standard luminance Huffman tables (public spec).
+# The encoder writes whatever tables it declares in DHT and the
+# decoder reads tables from the stream, so table CHOICE is free; the
+# standard luminance pair is used for every component here.
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman (T.81 C.2): {symbol: (code, length)}."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, vals):
+    """Canonical Huffman for decoding: {(length, code): symbol}."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC level (F.1.2.1.1)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _encode_block(writer, blk, pred, dc_codes, ac_codes) -> int:
+    """Entropy-code one quantized (8, 8) block; returns the new DC
+    predictor. Shared by the single-component and interleaved paths."""
+    zz = blk.ravel()[_ZIGZAG]
+    size, bits = _magnitude(int(zz[0]) - pred)
+    c, ln = dc_codes[size]
+    writer.put(c, ln)
+    if size:
+        writer.put(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:  # ZRL
+            c, ln = ac_codes[0xF0]
+            writer.put(c, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        writer.put(c, ln)
+        writer.put(bits, size)
+        run = 0
+    if last_nz < 63:  # EOB
+        c, ln = ac_codes[0x00]
+        writer.put(c, ln)
+    return int(zz[0])
+
+
+def _fdct_quant(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane -> (n_blocks, 8, 8) quantized (quant=1) int
+    coefficients, blocks in raster order."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", _JPEG_C, blocks - 128.0, _JPEG_C)
+    return np.rint(coef).astype(np.int32)
+
+
+def encode_jpeg(arr: np.ndarray, subsample: bool = False) -> bytes:
+    """Baseline JFIF encoder: (h, w) grayscale -> 1-component 4:4:4;
+    (h, w, 3) RGB -> YCbCr, 4:4:4 or (``subsample=True``) 4:2:0.
+    All-ones quantization tables — constant 8x8 blocks (per chroma
+    block when subsampled: constant 16x16 MCUs) round-trip exactly."""
+    import struct
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("need (h, w) grey or (h, w, 3) RGB")
+    h, w = arr.shape[:2]
+    mcu = 16 if (not gray and subsample) else 8
+    ph, pw = -h % mcu, -w % mcu
+    if ph or pw:  # edge-replicate to MCU multiples
+        pad = [(0, ph), (0, pw)] + ([] if gray else [(0, 0)])
+        arr = np.pad(arr, pad, mode="edge")
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        y, cb, cr = (np.clip(np.rint(p), 0, 255) for p in (y, cb, cr))
+        if subsample:
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+            cb, cr = np.rint(cb), np.rint(cr)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    coefs = [_fdct_quant(p) for p in planes]
+
+    out = bytearray(JPEG_SOI)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    qtab = np.ones(64, dtype=np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab.tobytes()
+    nc = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i, (sh, sv) in enumerate(samp):
+        out += bytes([i + 1, (sh << 4) | sv, 0])
+    for cls, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for i in range(nc):
+        out += bytes([i + 1, 0x00])
+    out += b"\x00\x3f\x00"  # Ss, Se, AhAl
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    writer = _BitWriter()
+    if nc == 1:
+        pred = 0
+        for blk in coefs[0]:
+            pred = _encode_block(writer, blk, pred, dc_codes, ac_codes)
+    else:
+        # interleaved MCU order: per MCU, each component's h*v blocks
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        H, W = planes[0].shape
+        mcux, mcuy = W // (8 * hmax), H // (8 * vmax)
+        preds = [0] * nc
+        bw = [planes[i].shape[1] // 8 for i in range(nc)]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (my * sv + by) * bw[ci] + (mx * sh + bx)
+                            preds[ci] = _encode_block(
+                                writer, coefs[ci][bi], preds[ci], dc_codes, ac_codes
+                            )
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing and RSTn awareness (F.2.2.5)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:  # EOI or other marker: feed 1-bits (spec padding)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _huff_read(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+        if length > 16:
+            raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _jpeg_decode(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG decode (ITU-T T.81): marker walk, stream
+    DQT/DHT tables, SOF0 (1 or 3 components, sampling factors up to
+    2x2), DRI/RSTn restarts, Huffman + magnitude decode, dequantize,
+    batched IDCT, chroma upsample, JFIF YCbCr->RGB. Progressive /
+    arithmetic / 12-bit raise NotImplementedError (subset guards in
+    the PNG/GIF style)."""
+    import struct
+
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
+    h_img = w_img = 0
+    restart_interval = 0
+    scan: list[tuple[int, int, int]] = []  # comp index, dc id, ac id
+    data_start = -1
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                qtabs[tq] = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h_img, w_img, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG not supported")
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG subset: baseline sequential (SOF0) only, got SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan.append((idx, tids >> 4, tids & 0xF))
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if not comps or data_start < 0:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    if len(comps) == 1:
+        # Single-component scans are non-interleaved (T.81 F.2.2.4):
+        # the MCU is one block and declared sampling factors only
+        # matter as ratios, so normalize to 1x1.
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    # per-component coefficient planes (block grids)
+    bw = [mcux * c[1] for c in comps]
+    bh = [mcuy * c[2] for c in comps]
+    coef = [np.zeros((bh[i] * bw[i], 64), np.int32) for i in range(len(comps))]
+
+    reader = _BitReader(payload, data_start)
+    preds = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart()
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        try:
+            for ci, dcid, acid in scan:
+                _, sh, sv, _ = comps[ci]
+                dct = huff[(0, dcid)]
+                act = huff[(1, acid)]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = coef[ci][(my * sv + by) * bw[ci] + (mx * sh + bx)]
+                        size = _huff_read(reader, dct)
+                        preds[ci] += _extend(reader.bits(size), size)
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            sym = _huff_read(reader, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0xF
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(reader.bits(size), size)
+                            k += 1
+        except _RestartMarker:
+            # tolerated early restart: realign handled next loop turn
+            reader.sync_restart()
+            preds = [0] * len(comps)
+
+    planes = []
+    for i, (cid, sh, sv, tq) in enumerate(comps):
+        dq = (coef[i] * qtabs[tq][np.newaxis, :]).astype(np.float64)
+        blocks = dq[:, _UNZIGZAG].reshape(-1, 8, 8)
+        pix = np.einsum("ux,nuv,vy->nxy", _JPEG_C, blocks, _JPEG_C)
+        pix = np.clip(np.rint(pix + 128.0), 0, 255)
+        plane = (
+            pix.reshape(bh[i], bw[i], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh[i] * 8, bw[i] * 8)
+        )
+        if sh < hmax or sv < vmax:
+            plane = np.repeat(np.repeat(plane, vmax // sv, 0), hmax // sh, 1)
+        planes.append(plane[:h_img, :w_img])
+
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

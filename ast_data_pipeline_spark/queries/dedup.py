@@ -945,6 +945,10 @@ def x_bloom_dedup_screen(spark, sf_dir):
     def shingles(df, *extra):
         return (
             df.select(*extra, F.split(F.lower("text"), " ").alias("a"))
+            # Guard: Spark's sequence(4, n) DESCENDS for n < 4, so a
+            # <4-token doc would index a[negative] and error under
+            # ANSI mode (DuckDB's generate_series is empty there).
+            .filter(F.size("a") >= 4)
             .select(
                 *extra,
                 F.explode(

@@ -1768,8 +1768,10 @@ def e_new_vs_returning(spark, sf_dir):
     # is perfectly ordered, so arrival is modeled as event time plus a
     # deterministic md5-keyed transport delay (0-7199 s, the mobile-
     # upload batching scale; per-user interarrivals here are hours) —
-    # the census
-    # then measures real disorder. The histogram of that lateness is
+    # the census then measures real disorder. Delay uses FOUR hex
+    # chars of the md5 (0-65535 before % 7200) so the full 0-7199 s
+    # range is reachable; two chars capped jitter at 255 s and made
+    # the 1m+ buckets unreachable (ADVICE r7). The histogram of that lateness is
     # exactly the distribution a `withWatermark` delay must cover;
     # pick the bucket that bounds your tolerated drop rate. Integer
     # epoch arithmetic; per-user window, then a tiny bucket aggregate.
@@ -1777,7 +1779,7 @@ def e_new_vs_returning(spark, sf_dir):
 WITH arr AS (
   SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec,
          floor(epoch(ts))::BIGINT
-           + ('0x' || substr(md5('ooo|' || event_id::VARCHAR), 1, 2))::INT % 7200
+           + ('0x' || substr(md5('ooo|' || event_id::VARCHAR), 1, 4))::INT % 7200
            AS arrival_sec
   FROM events
 ),
@@ -1830,7 +1832,7 @@ def e_out_of_order_census(spark, sf_dir):
                         F.concat(F.lit("ooo|"), F.col("event_id").cast("string"))
                     ),
                     1,
-                    2,
+                    4,
                 ),
                 16,
                 10,

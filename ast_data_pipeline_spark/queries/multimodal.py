@@ -568,6 +568,88 @@ def x_multimodal_gif(spark, sf_dir):
     )
 
 
+@register(
+    "x_multimodal_jpeg",
+    # Third real compressed-format decode (VERDICT r7 #3) — the
+    # reference's actual chip format (ref: src/az_proc.py:524
+    # cv2.imwrite of .jpg chips). Each doc's 96 ASCII bytes become a
+    # genuine baseline JFIF: byte i is the CONSTANT value of 8x8
+    # block i of an 8x768 grayscale image. With all-ones quant tables
+    # a constant block's DCT is one exact-integer DC coefficient
+    # (ACs are mathematically zero; the ~1e-13 float residue rounds
+    # to 0), so the full Huffman-encode -> byte-stuff -> Huffman-
+    # decode -> dequantize -> IDCT -> level-shift pipeline is
+    # LOSSLESS on this input and the decoded-pixel mean equals the
+    # mean code point of the payload text, which DuckDB computes
+    # independently (each byte contributes 64 equal pixels). The
+    # decoder itself is fully general baseline (stream DHT/DQT, 1-3
+    # components, 4:2:0/4:2:2 sampling, DRI/RSTn) — generality is
+    # pinned by pytest against lossy random/color inputs, exactness
+    # by this gate. byte_len/histogram are projected away (compressed
+    # size depends on Huffman chain shapes; the MEAN is truth).
+    oracle="""
+SELECT doc_id, 'jpg' AS format,
+       (list_sum(list_transform(generate_series(1, 96),
+                                i -> unicode(substr(t, i, 1))))::DOUBLE / 96)
+         AS mean_byte,
+       true AS feature_ok
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
+    doc="JPEG roundtrip under the hash gate: encode each document's "
+    "ASCII bytes as a real baseline JFIF (one constant 8x8 block per "
+    "byte, all-ones quantization — the constant-block construction "
+    "that makes baseline DCT lossless), then decode in the "
+    "mapInPandas feature stage — marker walk, stream Huffman tables, "
+    "magnitude decode, batched IDCT — and verify the decoded-pixel "
+    "mean against DuckDB's independent code-point mean. With PNG, "
+    "GIF, BMP and now JPEG real, every image format the reference "
+    "pipeline produces has a working from-scratch decoder.",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_jpeg(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raster"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import encode_jpeg
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_jpeg(
+                    np.tile(
+                        np.repeat(np.frombuffer(r, np.uint8), 8)[None, :], (8, 1)
+                    )
+                )
+                for r in pdf["raster"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    framed = src.mapInPandas(_encode, "doc_id long, payload binary").withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("jpg").alias("format"),
+            F.lit(768).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(False).alias("is_audio"),
+        ),
+    )
+    return extract_features(framed).select(
+        "doc_id", "format", "mean_byte", "feature_ok"
+    )
+
+
 def _mulaw_wav_header(n_samples: int, rate: int = 8000) -> bytes:
     # 44-byte header, format code 7 (G.711 mu-law), 8-bit mono
     return (

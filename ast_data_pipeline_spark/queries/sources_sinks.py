@@ -246,10 +246,19 @@ def d_tracking_pipeline(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # Only ranks <= 150 ever receive a verifier, so TakeOrdered the
+    # first 150 names (orderBy+limit -> per-partition heaps) and rank
+    # the 150-row result — the prior global row_number funneled every
+    # blank chip (chip-cardinality, grows with data) through one
+    # reducer (VERDICT r7 watch item). Rows past rank 150 simply have
+    # no alloc row -> NULL rn -> NULL verify_coverage, identical to
+    # the rn > 150 branch of the CASE.
     alloc = (
         repaired.filter(~F.col("has_annotation"))
+        .select("image_name")
+        .orderBy("image_name")
+        .limit(150)
         .withColumn("rn", F.row_number().over(Window.orderBy("image_name")))
-        .select("image_name", "rn")
     )
     verifiers = F.array(F.lit("amy"), F.lit("bob"), F.lit("cat"))
     return (

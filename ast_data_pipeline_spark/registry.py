@@ -68,16 +68,54 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # Grading priority: the driver's correctness gate walks ``load_all()``
 # in iteration order (and may stop at a budgeted prefix, historically
-# 50). Round-7 window layout (VERDICT r6 ask #1): slots 1-7 are the
-# queries whose oracle or implementation changed THIS round (ADVICE r6
-# rank-convention fixes, the e_rfm_scores de-ntile rewrite, the
-# un-shadowed cohort pair); slots 8-33 are the remaining never-driver-
-# graded r6 additions (r6 graded slots 1-50, these sat at 51-80);
-# slots 34+ are round-7 NEW operators, then re-proofs of the oldest
-# greens. Duplicates later in the tuple are harmless (dict insertion
-# keeps first position); nothing is dropped.
+# 50). Round-8 window layout (VERDICT r7 ask #1): slots 1-14 are the
+# ONLY queries never driver-graded (the r7 overflow that sat at slots
+# 51+; green rows here close cumulative driver coverage at 292/292);
+# slots 15+ are queries whose implementation or oracle changes THIS
+# round (BM25 window de-globalization, out-of-order-census jitter-width
+# fix, bloom short-doc guard, the two de-globalized allocation
+# pipelines), then round-8 NEW operators, then re-proofs. Duplicates
+# later in the tuple are harmless (dict insertion keeps first
+# position); nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # 1-7: changed oracle/implementation this round — must re-grade
+    # 1-14: never driver-graded (r7 overflow) — close coverage at 292/292
+    "x_stratified_sample_exact",
+    "a_linreg_trend",
+    "x_zorder_layout",
+    "a_market_basket_lift",
+    "t_forecast_eval",
+    "e_out_of_order_census",
+    "s17_hive_partitioned_roundtrip",
+    "s18_nested_json_explode",
+    "x_rbo_rank_agreement",
+    "x_multimodal_bmp",
+    "j_null_aware_anti",
+    "s_stream_exactly_once_dedup",
+    "x_percentile_normalize",
+    "x_minhash_band_sweep",
+    # 15-19: implementation/oracle changed this round — must re-grade
+    "x_bm25_search",
+    "x_bloom_dedup_screen",
+    "d_f7_verifier_allocation",
+    "d_tracking_pipeline",
+    "x_substring_dedup_census",
+    # 20+: round-8 NEW operators (most substantive first)
+    "x_multimodal_jpeg",
+    # re-proofs of recent/oldest greens for any budget beyond the window
+    "x_multimodal_gif",
+    "a_hyperloglog_eval",
+    "s_stream_hll_distinct",
+    "a_kmv_set_ops",
+    "e_survival_km",
+    "x_lm_kneser_ney",
+    "x_ivf_nprobe_sweep",
+    "e_ab_test_analysis",
+    "e_funnel_conversion",
+    "a_anova_oneway",
+    "x_js_divergence",
+    "s16_binaryfile_ingest",
+    "x_bfs_layers",
+    "t_seasonal_decompose",
     "e_rfm_scores",
     "e_cohort_retention",
     "e_cohort_retention_matrix",
@@ -85,7 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     "a_quantile_sketch_eval",
     "t_rolling_corr",
     "x_semantic_dedup",
-    # 8-33: the r6 ops that have never received a driver CORRECTNESS row
     "a_kmv_distinct_sketch",
     "x_kcore_peel",
     "e_attribution_last_touch",
@@ -112,44 +149,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_dataset_card",
     "e_new_vs_returning",
     "u6_symmetric_difference",
-    # 34-50: round-7 NEW operators, most substantive first (the driver
-    # budget historically stops at ~50; names must exist in the
-    # registry — test_contract enforces it)
-    "x_substring_dedup_census",
-    "x_multimodal_gif",
-    "a_hyperloglog_eval",
-    "s_stream_hll_distinct",
-    "a_kmv_set_ops",
-    "x_bloom_dedup_screen",
-    "e_survival_km",
-    "x_lm_kneser_ney",
-    "x_ivf_nprobe_sweep",
-    "e_ab_test_analysis",
-    "e_funnel_conversion",
-    "a_anova_oneway",
-    "x_bm25_search",
-    "x_js_divergence",
-    "s16_binaryfile_ingest",
-    "x_bfs_layers",
-    "t_seasonal_decompose",
-    # 51+: the rest of the r7 additions (overflow — rotate into the
-    # r8 window head alongside anything the driver did not reach)
-    "x_stratified_sample_exact",
-    "a_linreg_trend",
-    "x_zorder_layout",
-    "a_market_basket_lift",
-    "t_forecast_eval",
-    "e_out_of_order_census",
-    "s17_hive_partitioned_roundtrip",
-    "s18_nested_json_explode",
-    "x_rbo_rank_agreement",
-    "x_multimodal_bmp",
-    "j_null_aware_anti",
-    "s_stream_exactly_once_dedup",
-    "x_percentile_normalize",
-    "x_minhash_band_sweep",
-    # re-proofs of the oldest greens (flagship first) for any budget
-    # beyond the window
     "flagship_tank_inventory",
     "d_a1_bbox_merge",
     "d_j8_county_argmax",

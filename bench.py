@@ -60,14 +60,19 @@ def main() -> None:
     # The race is benign for grading — timings are measured Python-side
     # and a lost update only dims UI SQL metrics — and cannot be closed
     # from Python (the execution is unreachable by design), so drop
-    # that one logger to FATAL for this session. Real query failures
-    # still surface as Python exceptions -> rc != 0.
+    # that one logger to FATAL for the TIMED REGION ONLY — it is
+    # restored to ERROR right after the last timed run (ADVICE r7:
+    # a session-wide FATAL would also hide real scheduler diagnostics
+    # such as repeated task failures before job abort; those matter
+    # during the runs, and the accumulator race only spews at
+    # plan-teardown time anyway).
     jvm = spark.sparkContext._jvm
     jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.scheduler.DAGScheduler",
         jvm.org.apache.logging.log4j.Level.FATAL,
     )
     timings: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
 
     from ast_data_pipeline_spark.sources.domain_views import materialized_views
     from ast_data_pipeline_spark.sources.materialize import materialize_domain_views
@@ -126,7 +131,13 @@ def main() -> None:
                 ):
                     break
             timings[name] = round(min(samples), 3)
+            raw_samples[name] = [round(s, 3) for s in samples]
 
+    # Timed region over — restore scheduler diagnostics (ADVICE r7).
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -135,6 +146,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # min-of-N protocol (VERDICT r7 #6): every raw sample is
+                # recorded so a cross-round diff can distinguish a real
+                # plan regression (ALL samples moved) from one co-tenant
+                # burst (min unchanged, max spiked). `queries` stays the
+                # per-query min — the comparable number.
+                "samples": raw_samples,
                 "view_build_sec": view_build,
                 "profile": "materialized_views",
                 "sf": sf,

@@ -60,3 +60,94 @@ def test_bmp_png_roundtrip_random_rgb(shape):
     arr = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
     assert (_bmp_decode(encode_bmp(arr)) == arr).all()
     assert (_png_decode(encode_png(arr, filter_type=1)) == arr).all()
+
+
+# --- JPEG (baseline DCT; lossy in general, exact on constant blocks) --
+
+from ast_data_pipeline_spark.operators.multimodal import _jpeg_decode, encode_jpeg
+
+
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=1, max_size=48),
+    rows=st.integers(1, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_constant_block_roundtrip_exact(vals, rows):
+    # The oracle-gate law: an image of constant 8x8 blocks round-trips
+    # EXACTLY through baseline JPEG with all-ones quantization (one
+    # exact-integer DC coefficient per block, mathematically-zero ACs).
+    v = np.array(vals, np.uint8)
+    n = len(v)
+    arr = np.repeat(v, 64).reshape(n, 8, 8)          # (n, 8, 8) blocks
+    # lay blocks out on a rows x ceil(n/rows) grid (pad with last val)
+    cols = -(-n // rows)
+    grid = np.full((rows * cols,), int(v[-1]), np.uint8)
+    grid[:n] = v
+    img = (
+        np.repeat(np.repeat(grid.reshape(rows, cols), 8, 0), 8, 1)
+    )  # constant 8x8 blocks
+    dec = _jpeg_decode(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert (dec == img).all()
+
+
+@given(_grey)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_lossy_roundtrip_bounded_error(shape):
+    # General (non-constant) content: with all-ones quant tables the
+    # only loss is coefficient rounding (each |dF| <= 0.5), so the
+    # reconstruction error is tightly bounded — and dims need not be
+    # multiples of 8 (edge-replicated padding).
+    h, w, seed = shape
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    dec = _jpeg_decode(encode_jpeg(arr))
+    assert dec.shape == arr.shape
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 8
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_color_constant_mcu_near_exact(seed):
+    # Color 4:2:0: constant 16x16 MCUs survive chroma subsampling, so
+    # the only loss left is the RGB<->YCbCr rounding (<= 2 per channel
+    # in the worst case across JFIF's two roundings).
+    rng = np.random.RandomState(seed)
+    n_mcus = int(rng.randint(1, 5))
+    arr = np.zeros((16, 16 * n_mcus, 3), np.uint8)
+    for i in range(n_mcus):
+        arr[:, 16 * i : 16 * (i + 1)] = rng.randint(0, 256, 3)
+    for subsample in (False, True):
+        dec = _jpeg_decode(encode_jpeg(arr, subsample=subsample))
+        assert dec.shape == arr.shape
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 2
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=10, deadline=None)
+def test_jpeg_color_420_luma_preserved(seed):
+    # 4:2:0 destroys chroma detail by design; luma must stay bounded
+    # like the grayscale path (Y blocks are full-resolution).
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (16, 32, 3)).astype(np.uint8)
+    dec = _jpeg_decode(encode_jpeg(arr, subsample=True))
+    to_y = np.array([0.299, 0.587, 0.114])
+    y_src = arr.astype(float) @ to_y
+    y_dec = dec.astype(float) @ to_y
+    # luma error: coefficient rounding + chroma-leak through the
+    # YCbCr->RGB->Y roundtrip; stays small even though RGB channels
+    # individually diverge
+    assert np.abs(y_src - y_dec).mean() <= 4.0
+
+
+def test_jpeg_subset_guards():
+    import pytest
+
+    arr = np.zeros((8, 8), np.uint8)
+    payload = bytearray(encode_jpeg(arr))
+    # progressive SOF2 must raise, not mis-decode
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        _jpeg_decode(bytes(payload))
+    with pytest.raises(ValueError):
+        _jpeg_decode(b"\x00\x01not a jpeg")

@@ -148,13 +148,28 @@ def test_substring_dedup_census_matches_brute_force(spark, sf_dir):
             covered.setdefault(d, set()).update(range(i, i + K))
     agg: dict[str, list[int]] = {}
     for doc_id, (source, n_words) in words.items():
-        a = agg.setdefault(source, [0, 0, 0, 0])  # docs, affected, words, removed
+        # docs, affected, words, removed, intervals
+        a = agg.setdefault(source, [0, 0, 0, 0, 0])
         a[0] += 1
         a[2] += n_words
         if doc_id in covered:
             a[1] += 1
             a[3] += len(covered[doc_id])
+            # Count contiguous covered-position runs independently of
+            # the windowed gaps-and-islands formula both engines share
+            # (ADVICE r7: the island count was the one column the
+            # oracle gate could not independently confirm).
+            pos = sorted(covered[doc_id])
+            a[4] += 1 + sum(
+                1 for p, q in zip(pos, pos[1:]) if q != p + 1
+            )
     assert len(got) == len(agg)
     for r in got.itertuples():
         e = agg[r.source]
-        assert (r.n_docs, r.n_docs_affected, r.total_words, r.removed_words) == tuple(e), r.source
+        assert (
+            r.n_docs,
+            r.n_docs_affected,
+            r.total_words,
+            r.removed_words,
+            r.n_removal_intervals,
+        ) == tuple(e), r.source

@@ -277,7 +277,10 @@ def test_png_rejects_corruption():
     bad[40] ^= 0xFF  # flip a byte inside a chunk -> CRC mismatch
     with pytest.raises(ValueError):
         decode_image(bytes(bad), "png")
-    with pytest.raises(NotImplementedError):
+    # jpg now has a REAL baseline decoder (r8) — a truncated payload is
+    # a ValueError, not the old NotImplementedError stub; progressive
+    # subsets still raise NotImplementedError (test_codecs_property).
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg", "jpg")
 
 

@@ -1,0 +1,40 @@
+"""Plan-hygiene guard: every un-partitioned ordered Window in any
+registered query's physical plan must be a *reviewed* decision.
+
+VERDICT r7 found x_bm25_search shipping a global vocabulary window that
+only a manual tools/window_audit.py run caught — the classification
+list and the audit output had drifted (20 hits, 19 classified). This
+test re-runs the audit inside the suite so the drift fails CI instead:
+a new hit must either be rewritten (TakeOrdered-then-rank, two-level
+prefix sums, repartitioned window) or added to
+``tools.window_audit.CLASSIFIED`` with a docstring rationale.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+TOOLS = pathlib.Path(__file__).resolve().parent.parent / "tools"
+if str(TOOLS) not in sys.path:
+    sys.path.insert(0, str(TOOLS))
+
+
+def test_every_unpartitioned_window_is_classified(spark, sf_dir):
+    import window_audit
+
+    hits = window_audit.audit(spark, sf_dir)
+    unclassified = sorted(set(hits) - window_audit.CLASSIFIED)
+    assert not unclassified, (
+        "un-partitioned ordered Window(s) without a reviewed "
+        f"classification: {unclassified} — rewrite them (TakeOrdered-"
+        "then-rank / two-level prefix sums) or classify them in "
+        "tools/window_audit.py with a rationale. First plan lines: "
+        + "; ".join(f"{n}: {hits[n][0][:120]}" for n in unclassified[:5])
+    )
+    # The reverse direction keeps CLASSIFIED honest: stale entries for
+    # queries that no longer hit the audit should be pruned so the set
+    # stays a faithful review ledger (warn-level, not a failure — plan
+    # shape can legitimately vary with AQE at other SFs).
+    stale = sorted(window_audit.CLASSIFIED - set(hits))
+    print("window_audit classified-but-clean (prune when stable):", stale)

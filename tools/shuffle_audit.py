@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Shuffle-byte audit of the headline queries ("measure, don't guess").
+"""Shuffle-byte audit of every registered query ("measure, don't guess").
 
-Runs each bench-tagged query at $SPARK_GRAFT_SF_DIR under the
-materialized-views deployment profile (same as bench.py) with the
-Spark UI enabled, and reads per-stage metrics from the status REST API
-to attribute shuffle-write / shuffle-read / input bytes to each query.
-Writes SHUFFLE.md — the artifact backing SCALING.md's "one key
-shuffle" claims with numbers instead of prose.
+Runs each bench-tagged query (plus the PROFILE tail) at
+$SPARK_GRAFT_SF_DIR under the materialized-views deployment profile
+(same as bench.py) with the Spark UI enabled, and reads per-stage
+metrics from the status REST API to attribute shuffle-write /
+shuffle-read / input bytes to each query. Then (VERDICT r7 #7) runs
+EVERY remaining registered query at sf0.01 with raw lineage for a full
+per-query byte ledger — shuffle bytes are deterministic, so the ledger
+answers every future "did this plan get fatter?" question without
+timing noise. Writes SHUFFLE.md. Rows past ``WATCH_MB`` shuffle-write
+in the full ledger that are not in ``ADJUDICATED`` get a WATCH flag —
+adjudicate them in place (add to the dict with a reason) or slim the
+plan. Skip the full ledger with SHUFFLE_AUDIT_FULL=0.
 """
 
 from __future__ import annotations
@@ -22,6 +28,16 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 os.environ.setdefault("SPARK_GRAFT_CACHE_VIEWS", "0")
+
+# Full-ledger watch threshold and the rows already adjudicated (reason
+# recorded here so the ledger is self-contained). Bytes are at sf0.01
+# raw lineage unless the name is also a headline/tail query.
+WATCH_MB = 20.0
+ADJUDICATED = {
+    "x_triangle_count": "bare (u,v) BIGINT edge pairs through the wedge join — minimal payload",
+    "x_kcore_peel": "bare edge pairs re-shuffled per peel round — payload already minimal",
+    "x_bfs_layers": "integer-encoded node ids (r7 cut 40.7->27.1 MB at sf0.1); layers need the frontier join",
+}
 
 
 def main() -> None:
@@ -40,6 +56,11 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the full ledger accumulates thousands of stages; the default
+        # retainedStages=1000 would evict early stages and corrupt the
+        # before/after diffs
+        .config("spark.ui.retainedStages", "200000")
+        .config("spark.ui.retainedJobs", "200000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -106,19 +127,35 @@ def main() -> None:
 
     materialize_domain_views(spark, sf_dir, buckets=cpus)
 
+    def run_bucket(bucket, names, at_sf):
+        for name in names:
+            before = totals()
+            try:
+                df = specs[name].fn(spark, at_sf)
+                n = df.count()
+            except Exception as e:  # keep the ledger complete
+                print("ERR", name, str(e)[:120], flush=True)
+                continue
+            after = totals()
+            bucket.append(
+                (name, n, after[0] - before[0], after[1] - before[1], after[2] - before[2])
+            )
+            print(name, bucket[-1], flush=True)
+
     rows = []
     tail_rows = []
     with materialized_views():
-        for bucket, names in ((rows, bench_names), (tail_rows, tail_names)):
-            for name in names:
-                before = totals()
-                df = specs[name].fn(spark, sf_dir)
-                n = df.count()
-                after = totals()
-                bucket.append(
-                    (name, n, after[0] - before[0], after[1] - before[1], after[2] - before[2])
-                )
-                print(name, bucket[-1], flush=True)
+        run_bucket(rows, bench_names, sf_dir)
+        run_bucket(tail_rows, tail_names, sf_dir)
+
+    # Full ledger (VERDICT r7 #7): every remaining registered query at
+    # sf0.01, raw lineage (no materialized views) — the deterministic
+    # byte fingerprint of each plan.
+    full_rows = []
+    if os.environ.get("SHUFFLE_AUDIT_FULL", "1") == "1":
+        done = set(bench_names) | set(tail_names)
+        rest_names = [n for n in specs if n not in done]
+        run_bucket(full_rows, rest_names, "/root/testdata/sf0.01")
 
     def mb(b: int) -> str:
         return f"{b / 1e6:.1f}"
@@ -158,8 +195,32 @@ joins per round), i.e. local memory reads, not extra parquet scans.
 """
     for name, n, sw, sr, inp in tail_rows:
         out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} |\n"
+    if full_rows:
+        out += f"""
+## Full ledger — every remaining registered query at sf0.01, raw lineage
+
+Deterministic per-plan byte fingerprint (VERDICT r7 #7): diff this
+table across rounds to catch payload regressions that timing noise
+hides. Rows > {WATCH_MB:.0f} MB shuffle write carry their adjudication
+inline (from ``ADJUDICATED`` in tools/shuffle_audit.py); an
+unadjudicated WATCH row is a todo.
+
+| query | rows out | shuffle write MB | shuffle read MB | input MB | note |
+|---|---|---|---|---|---|
+"""
+        for name, n, sw, sr, inp in sorted(full_rows, key=lambda r: -r[2]):
+            note = ""
+            if sw / 1e6 > WATCH_MB:
+                note = ADJUDICATED.get(name, "**WATCH: unadjudicated**")
+            out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} | {note} |\n"
     (REPO / "SHUFFLE.md").write_text(out)
     print("wrote SHUFFLE.md")
+    unadj = [
+        r[0]
+        for r in full_rows
+        if r[2] / 1e6 > WATCH_MB and r[0] not in ADJUDICATED
+    ]
+    print("UNADJUDICATED >20MB:", unadj)
     spark.stop()
 
 

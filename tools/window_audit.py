@@ -6,10 +6,10 @@ every registered query's plan at sf0.01.
 A hit is not automatically a defect — the repo intentionally runs
 un-partitioned windows over TINY frames (bucket-count tables, daily
 series, post-TakeOrdered top-k results); the audit exists so every hit
-is a *reviewed* decision. Current classification of the r7 audit
-(19 hits, zero WATCH — r6's sole WATCH item, the e_rfm_scores global
-ntile(4) over the user table, was rewritten to exact_group_quantiles
-rank-selected cuts + broadcast banding and no longer appears):
+is a *reviewed* decision. The reviewed set lives in ``CLASSIFIED``
+below (machine-readable — tests/test_plan_audits.py fails when a query
+hits the audit without an entry there, closing the r7 gap where a new
+global window shipped unclassified). Rationale per class:
 
 - fixed-replicate frames (50-row subsample means): x_subsample_ci
 - tiny bucket/offset tables (two-level prefix pattern): a_ks_two_sample,
@@ -24,11 +24,14 @@ rank-selected cuts + broadcast banding and no longer appears):
   the daily grain — the fact table aggregated away first),
   e_survival_km (cumulative risk-set count + survival-product chain
   over the ~30-row event-time table)
-- post-TakeOrdered top-k rank (window sees <= k*partitions rows):
-  e_topk_users_by_value, x_heavy_hitters, a_countmin_sketch, j_skew_report
-- entity-sized frames mirroring reference semantics (global allocation
-  order over the blank-chip subset): d_f7_verifier_allocation,
-  d_tracking_pipeline; source-count frames: x_gini_source_concentration
+- post-TakeOrdered top-k rank (window sees <= k rows after an
+  orderBy+limit that compiles to per-partition heaps):
+  e_topk_users_by_value, x_heavy_hitters, a_countmin_sketch,
+  j_skew_report, x_bm25_search (12-row df-rank frame, r8 rewrite),
+  d_f7_verifier_allocation (200-row allocation head),
+  d_tracking_pipeline (150-row allocation head, r8 rewrite — was the
+  last chip-cardinality global frame)
+- source-count frames: x_gini_source_concentration
 """
 
 from __future__ import annotations
@@ -40,6 +43,35 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+
+# Reviewed un-partitioned-ordered-window hits (rationale in the module
+# docstring). A query appearing in the audit output but NOT here fails
+# tests/test_plan_audits.py — classify it there (with a docstring
+# rationale) or repartition/TakeOrdered it away.
+CLASSIFIED: frozenset[str] = frozenset(
+    {
+        "x_subsample_ci",
+        "a_ks_two_sample",
+        "a_skyline_2d",
+        "a_quantile_sketch_eval",
+        "x_range_partition_bounds",
+        "e_cusum_changepoint",
+        "x_vocab_growth",
+        "t_peak_concurrency",
+        "a_winsorized_mean",
+        "t_rolling_corr",
+        "t_seasonal_decompose",
+        "e_survival_km",
+        "e_topk_users_by_value",
+        "x_heavy_hitters",
+        "a_countmin_sketch",
+        "j_skew_report",
+        "x_bm25_search",
+        "d_f7_verifier_allocation",
+        "d_tracking_pipeline",
+        "x_gini_source_concentration",
+    }
+)
 
 
 def unpartitioned_ordered_windows(plan: str) -> list[str]:
@@ -57,16 +89,17 @@ def unpartitioned_ordered_windows(plan: str) -> list[str]:
     return out
 
 
-def main() -> None:
+def audit(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
+    """Return {query_name: [window plan lines]} for every registered
+    query whose physical plan contains an un-partitioned ordered
+    Window. Shared by the CLI and the pytest guard."""
     from ast_data_pipeline_spark.registry import load_all
-    from ast_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("window-audit")
-    hits = {}
+    hits: dict[str, list[str]] = {}
     for name, spec in load_all().items():
         try:
             plan = (
-                spec.fn(spark, "/root/testdata/sf0.01")
+                spec.fn(spark, sf_dir)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()
@@ -77,9 +110,19 @@ def main() -> None:
         bad = unpartitioned_ordered_windows(plan)
         if bad:
             hits[name] = bad
+    return hits
+
+
+def main() -> None:
+    from ast_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("window-audit")
+    hits = audit(spark)
     for name, bad in sorted(hits.items()):
-        print(name, "n=", len(bad), "::", bad[0])
-    print("TOTAL", len(hits))
+        flag = "" if name in CLASSIFIED else "  <-- WATCH (unclassified)"
+        print(name, "n=", len(bad), "::", bad[0], flag)
+    unclassified = sorted(set(hits) - CLASSIFIED)
+    print("TOTAL", len(hits), "UNCLASSIFIED", len(unclassified), unclassified)
     spark.stop()
 
 
