@@ -188,3 +188,57 @@ ent AS (
          -(round(sum((t)::DECIMAL(30,10)), 4)::DOUBLE) AS entropy_bits
   FROM cterm GROUP BY doc_id
 )"""
+
+
+def aho_corasick_build(keywords: list[str]) -> list[tuple[dict, int | None, int]]:
+    """Build an Aho-Corasick automaton (public algorithm, CACM 1975):
+    list of nodes ``(goto: {ch: state}, fail: state, out: bitmask of
+    keyword indexes ending here)``. Pure Python + tiny — the automaton
+    is O(sum of keyword lengths) regardless of corpus size, so it
+    broadcasts to every executor inside the mapInPandas closure and
+    tags k keywords in ONE text pass (vs k per-keyword scans)."""
+    goto: list[dict] = [{}]
+    out: list[int] = [0]
+    for ki, kw in enumerate(keywords):
+        s = 0
+        for ch in kw:
+            s_next = goto[s].get(ch)
+            if s_next is None:
+                goto.append({})
+                out.append(0)
+                s_next = len(goto) - 1
+                goto[s][ch] = s_next
+            s = s_next
+        out[s] |= 1 << ki
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque(goto[0].values())
+    while q:
+        s = q.popleft()
+        for ch, t in goto[s].items():
+            q.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+            out[t] |= out[fail[t]]
+    return list(zip(goto, fail, out))
+
+
+def aho_corasick_count(text: str, automaton, n_keywords: int) -> list[int]:
+    """All-occurrence match counts per keyword in one pass."""
+    counts = [0] * n_keywords
+    s = 0
+    for ch in text:
+        node = automaton[s]
+        while s and ch not in node[0]:
+            s = node[1]
+            node = automaton[s]
+        s = node[0].get(ch, 0)
+        o = automaton[s][2]
+        while o:
+            low = o & -o
+            counts[low.bit_length() - 1] += 1
+            o ^= low
+    return counts

@@ -24,7 +24,17 @@ from ..registry import register
 from ..sources.catalog import load
 
 NUM_HASHES = 12
-ROWS_PER_BAND = 2  # -> 6 bands
+# 4 bands of 3 (was 6 bands of 2 through r7). The r8 sf1 scale proof
+# caught the r=2 config going quadratic: this corpus's background
+# bigram-Jaccard sits near the 0.35 threshold, so 2-row bands collide
+# on random pairs and candidates grew 100x (69k -> 7.0M) for 10x docs
+# (max band bucket 64 -> 630). r=3 produces the IDENTICAL pair set at
+# sf0.001/0.01/0.1 (verified exhaustively) and cuts sf1 wall 23 s ->
+# 4.3 s; at sf1 it finds 276 of r=2's 308 pairs — the recall/cost
+# trade the x_minhash_band_sweep query curves (93% vs 3.8% candidate
+# precision). At 100 TB you would re-run that sweep per corpus and
+# size rows-per-band so bucket occupancy stays O(1) per doc.
+ROWS_PER_BAND = 3  # -> 4 bands
 JACCARD_T = 0.35
 MAX_HAMMING = 3
 NGRAM_N = 3

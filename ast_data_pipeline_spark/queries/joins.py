@@ -675,3 +675,180 @@ def j_null_aware_anti(spark, sf_dir):
             )
         )
     )
+
+
+FS_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+FS_M_SEG, FS_M_BAL = 0.9, 0.95  # match-probability parameters
+
+
+@register(
+    "x_fellegi_sunter_linkage",
+    # Fellegi-Sunter probabilistic record linkage (JASA 1969, public —
+    # the model behind every production linker): a dirty twin of the
+    # customer table is derived deterministically (md5-keyed: 20% of
+    # records get their balance shifted +-50, 10% get a resampled
+    # market segment), candidate pairs are blocked on nationkey, and
+    # each pair scores the sum of per-field agreement weights
+    # log2(m/u) / log2((1-m)/(1-u)). The u-probabilities (chance
+    # agreement among non-matches) are ESTIMATED FROM THE DATA the
+    # standard way — sum over values of n_v*(n_v-1) / (N*(N-1)) for
+    # the segment field, an exact integer rational; the balance
+    # field's u is the blocked-pair within-tolerance rate, also exact
+    # counts. Each log2 is quantized %.7f (1-ulp rule); a pair's
+    # score is the sum of two quantized doubles (order-free). The
+    # census buckets pairs by decision band and counts how many are
+    # TRUE matches (same custkey) — the separation table that tells a
+    # linker where to put thresholds. Scales: blocking bounds the
+    # pair space; u-estimation is one value-frequency aggregate; the
+    # weight table is 4 scalars broadcast to the scoring join.
+    oracle=f"""
+WITH a AS (
+  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer
+),
+b AS (
+  SELECT k, nat,
+         CASE WHEN h % 10 = 0
+              THEN (['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'])[(h // 16) % 5 + 1]
+              ELSE seg END AS seg,
+         CASE WHEN h % 5 = 0 THEN bal + (h % 100) - 50 ELSE bal END AS bal
+  FROM (SELECT *, ('0x' || substr(md5('fs|' || k::VARCHAR), 1, 2))::INT AS h FROM a)
+),
+useg AS (
+  SELECT sum(n * (n - 1))::DOUBLE / (sum(n) * (sum(n) - 1)) AS u
+  FROM (SELECT count(*)::BIGINT AS n FROM a GROUP BY seg)
+),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb,
+         (a.seg = b.seg)::INT AS seg_agree,
+         (abs(a.bal - b.bal) <= 1.0)::INT AS bal_agree
+  FROM a JOIN b ON a.nat = b.nat
+),
+ubal AS (
+  SELECT sum(bal_agree)::DOUBLE / count(*) AS u
+  FROM pairs WHERE ka <> kb
+),
+w AS (
+  SELECT printf('%.7f', log2({FS_M_SEG!r} / useg.u))::DOUBLE AS w_seg_a,
+         printf('%.7f', log2((1.0 - {FS_M_SEG!r}) / (1.0 - useg.u)))::DOUBLE AS w_seg_d,
+         printf('%.7f', log2({FS_M_BAL!r} / ubal.u))::DOUBLE AS w_bal_a,
+         printf('%.7f', log2((1.0 - {FS_M_BAL!r}) / (1.0 - ubal.u)))::DOUBLE AS w_bal_d
+  FROM useg, ubal
+),
+scored AS (
+  SELECT ka, kb,
+         (CASE WHEN seg_agree = 1 THEN w.w_seg_a ELSE w.w_seg_d END)
+         + (CASE WHEN bal_agree = 1 THEN w.w_bal_a ELSE w.w_bal_d END) AS score,
+         (ka = kb)::INT AS is_true
+  FROM pairs, w
+)
+SELECT CASE WHEN score >= 4.0 THEN 'a_match'
+            WHEN score <= -4.0 THEN 'c_non_match'
+            ELSE 'b_possible' END AS decision,
+       count(*)::BIGINT AS n_pairs,
+       sum(is_true)::BIGINT AS n_true_pairs,
+       sum(is_true)::DOUBLE / count(*) AS true_share
+FROM scored GROUP BY 1
+""",
+    doc="Fellegi-Sunter linkage scoring: deterministic dirty twin of "
+    "the customer table, nationkey-blocked candidate pairs, per-field "
+    "agreement weights log2(m/u) with u estimated exactly from value "
+    "frequencies, pairs bucketed into match / possible / non-match "
+    "bands with true-match (same key) counts — the threshold-setting "
+    "separation table of probabilistic record linkage. Broadcast "
+    "4-scalar weight table; blocking bounds the candidate space.",
+    tags=("joins", "dedup", "extension"),
+)
+def x_fellegi_sunter_linkage(spark, sf_dir):
+    a = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fs|"), F.col("k").cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    segs = F.array(*[F.lit(s) for s in FS_SEGMENTS])
+    b = a.withColumn("h", h).select(
+        "k",
+        "nat",
+        F.when(
+            F.col("h") % 10 == 0,
+            F.element_at(segs, ((F.col("h") / 16).cast("int") % 5) + 1),
+        )
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+        F.when(F.col("h") % 5 == 0, F.col("bal") + (F.col("h") % 100) - 50)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    pairs = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.nat") == F.col("b.nat"))
+        .select(
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+            (F.col("a.seg") == F.col("b.seg")).cast("int").alias("seg_agree"),
+            (F.abs(F.col("a.bal") - F.col("b.bal")) <= 1.0)
+            .cast("int")
+            .alias("bal_agree"),
+        )
+        .localCheckpoint(eager=False)  # consumed by ubal and scoring
+    )
+    useg = (
+        a.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            (
+                F.sum(F.col("n") * (F.col("n") - 1)).cast("double")
+                / (F.sum("n") * (F.sum("n") - 1))
+            ).alias("u_seg")
+        )
+    )
+    ubal = pairs.filter(F.col("ka") != F.col("kb")).agg(
+        (F.sum("bal_agree").cast("double") / F.count(F.lit(1))).alias("u_bal")
+    )
+    q = lambda c: F.format_string("%.7f", c).cast("double")
+    w = (
+        useg.crossJoin(ubal)
+        .select(
+            q(F.log2(F.lit(FS_M_SEG) / F.col("u_seg"))).alias("w_seg_a"),
+            q(F.log2(F.lit(1.0 - FS_M_SEG) / (F.lit(1.0) - F.col("u_seg")))).alias(
+                "w_seg_d"
+            ),
+            q(F.log2(F.lit(FS_M_BAL) / F.col("u_bal"))).alias("w_bal_a"),
+            q(F.log2(F.lit(1.0 - FS_M_BAL) / (F.lit(1.0) - F.col("u_bal")))).alias(
+                "w_bal_d"
+            ),
+        )
+    )
+    score = F.when(F.col("seg_agree") == 1, F.col("w_seg_a")).otherwise(
+        F.col("w_seg_d")
+    ) + F.when(F.col("bal_agree") == 1, F.col("w_bal_a")).otherwise(F.col("w_bal_d"))
+    # Thresholds sit between the four discrete score levels this
+    # 2-field model produces (-7.3 both-disagree, -2.1 seg-only-agree,
+    # +9.1 bal-only-agree, +14.3 both-agree at sf0.01): +-4 makes
+    # every band REACHABLE — 'possible' = segment agrees but balance
+    # doesn't, the genuinely ambiguous case (r7 ADVICE lesson: a
+    # bucket no input can reach is a silent spec bug).
+    decision = (
+        F.when(score >= 4.0, "a_match")
+        .when(score <= -4.0, "c_non_match")
+        .otherwise("b_possible")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(w))
+        .select(
+            decision.alias("decision"),
+            (F.col("ka") == F.col("kb")).cast("int").alias("is_true"),
+        )
+        .groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_true").cast("long").alias("n_true_pairs"),
+            (F.sum("is_true").cast("double") / F.count(F.lit(1))).alias("true_share"),
+        )
+    )

@@ -1168,3 +1168,147 @@ def x_percentile_normalize(spark, sf_dir):
             / F.count(F.lit(1)).over(n)
         ).alias("percentile"),
     )
+
+
+DSIR_B = 64  # hashed-feature buckets (the dimensionality cap)
+DSIR_TOPK = 20
+
+
+@register(
+    "x_dsir_importance",
+    # DSIR — Data Selection via Importance Resampling (Xie et al.
+    # 2023, public): select raw-pool documents that look like a target
+    # distribution by importance weight under hashed n-gram bag
+    # models. Bigrams hash into B=64 buckets (the DSIR trick: model
+    # size is B regardless of vocabulary — broadcastable at any
+    # corpus scale); target = lang 'en' docs, raw pool = the rest;
+    # per-bucket log-ratio ln p_b - ln q_b with add-one smoothing,
+    # each ln quantized %.7f (the repo's 1-ulp recipe) so both
+    # engines subtract identical doubles; per-doc weight = decimal
+    # sum of its occurrences' ratios; TakeOrdered top-20 under a
+    # unique (weight DESC, doc_id) chain. The corpus is never
+    # re-shuffled: scoring is a broadcast join of the gram stream to
+    # the 64-row ratio table, then one groupBy(doc).
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, source, lang,
+         ('0x' || substr(md5(a[i - 1] || ' ' || a[i]), 1, 6))::INT % {DSIR_B} AS b
+  FROM (SELECT doc_id, source, lang, string_split(lower(text), ' ') AS a
+        FROM documents),
+       LATERAL unnest(generate_series(2, len(a))) t(i)
+  WHERE a[i - 1] <> '' AND a[i] <> ''
+),
+tgt AS (SELECT b, count(*)::BIGINT AS c FROM grams WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT b, count(*)::BIGINT AS c FROM grams WHERE lang <> 'en' GROUP BY 1),
+tot AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS t_n,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS r_n
+  FROM grams
+),
+ratio AS (
+  SELECT s.b,
+         printf('%.7f', ln((coalesce(t.c, 0) + 1)::DOUBLE
+                           / (tot.t_n + {DSIR_B})))::DOUBLE
+           - printf('%.7f', ln((coalesce(r.c, 0) + 1)::DOUBLE
+                               / (tot.r_n + {DSIR_B})))::DOUBLE AS lr
+  FROM (SELECT unnest(generate_series(0, {DSIR_B - 1})) AS b) s
+  CROSS JOIN tot
+  LEFT JOIN tgt t ON t.b = s.b
+  LEFT JOIN raw r ON r.b = s.b
+),
+scored AS (
+  SELECT g.doc_id, g.source, g.lang,
+         count(*)::BIGINT AS n_bigrams,
+         {dsum_sql('ratio.lr')} AS dsir_logweight
+  FROM grams g JOIN ratio ON ratio.b = g.b
+  WHERE g.lang <> 'en'
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, source, lang, n_bigrams, dsir_logweight
+FROM scored
+ORDER BY dsir_logweight DESC, doc_id
+LIMIT {DSIR_TOPK}
+""",
+    doc="DSIR importance resampling (hashed bigram bag models): score "
+    "every raw-pool document by how target-like its hashed-feature "
+    "counts are (sum of per-bucket smoothed log-probability ratios) "
+    "and take the top-20 — the published importance-resampling "
+    "selector behind domain-matched pretraining data. The two "
+    "B=64-bucket models broadcast at any corpus size; scoring never "
+    "shuffles the corpus (broadcast ratio join + one per-doc agg).",
+    tags=("sampling", "text", "extension"),
+)
+def x_dsir_importance(spark, sf_dir):
+    from ..functions.exact import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", "source", "lang", F.split(F.lower("text"), " ").alias("a")
+        )
+        .filter(F.size("a") >= 2)  # sequence(2, n) descends for n < 2
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> "
+                    "struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(" ", "p.w1", "p.w2")), 1, 6),
+                    16,
+                    10,
+                ).cast("int")
+                % DSIR_B
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)  # consumed by tgt, raw, tot, scoring
+    )
+    tgt = grams.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    raw = grams.filter(F.col("lang") != "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    tot = grams.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_n"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("r_n"),
+    )
+    qln = lambda num, den: F.format_string(
+        "%.7f", F.log(num.cast("double") / den.cast("double"))
+    ).cast("double")
+    ratio = (
+        spark.range(DSIR_B)
+        .select(F.col("id").cast("int").alias("b"))
+        .crossJoin(F.broadcast(tot))
+        .join(tgt, "b", "left")
+        .join(raw, "b", "left")
+        .select(
+            "b",
+            (
+                qln(F.coalesce("tc", F.lit(0)) + 1, F.col("t_n") + DSIR_B)
+                - qln(F.coalesce("rc", F.lit(0)) + 1, F.col("r_n") + DSIR_B)
+            ).alias("lr"),
+        )
+    )
+    return (
+        grams.filter(F.col("lang") != "en")
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dsum("lr").alias("dsir_logweight"),
+        )
+        .orderBy(F.col("dsir_logweight").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )

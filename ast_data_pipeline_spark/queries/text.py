@@ -2207,3 +2207,160 @@ def x_bm25_search(spark, sf_dir):
         .orderBy(F.col("bm25_score").desc(), "doc_id")
         .limit(BM25_TOPN)
     )
+
+
+# Border-free keywords (no proper prefix equals a suffix): a keyword
+# that cannot overlap ITSELF makes DuckDB's non-overlapping
+# replace-count equal to the automaton's all-occurrence count, so the
+# two engines count the same thing. Mixed word / mid-word ("able"
+# inside "table") / cross-word ("fast table") patterns exercise real
+# substring semantics, not tokenized lookup.
+AC_KEYWORDS = ("part", "scan", "able", "fast table", "row", "value")
+
+
+@register(
+    "x_keyword_tagging_ac",
+    # Aho-Corasick multi-keyword tagging (CACM 1975, public): ONE pass
+    # over each document tags all k keywords simultaneously — the
+    # automaton is O(sum of pattern lengths) and broadcasts inside the
+    # mapInPandas closure, so at 100 TB the corpus is read once
+    # regardless of k, where per-keyword LIKE scans cost k passes
+    # (and a regex alternation backtracks). The per-doc counts then
+    # aggregate per (source, keyword) with an ordinary partial-agg
+    # shuffle of k-row-per-doc longs.
+    oracle=f"""
+WITH kw AS (SELECT unnest({list(AC_KEYWORDS)!r}) AS keyword),
+per_doc AS (
+  SELECT d.source, k.keyword,
+         ((len(d.t) - len(replace(d.t, k.keyword, ''))) // len(k.keyword))::BIGINT AS n
+  FROM (SELECT source, lower(text) AS t FROM documents) d CROSS JOIN kw k
+)
+SELECT source, keyword,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_matches
+FROM per_doc WHERE n > 0
+GROUP BY source, keyword
+""",
+    doc="Multi-keyword substring tagging via a broadcast Aho-Corasick "
+    "automaton: per (source, keyword) document and match counts in a "
+    "single corpus pass (mapInPandas, Arrow batches). The oracle "
+    "recounts each keyword independently with replace()-arithmetic — "
+    "keywords are chosen border-free so non-overlapping and "
+    "all-occurrence counts provably coincide.",
+    tags=("text", "extension"),
+)
+def x_keyword_tagging_ac(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lower("text").alias("t")
+    )
+
+    def _tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ast_data_pipeline_spark.operators.text import (
+            aho_corasick_build,
+            aho_corasick_count,
+        )
+
+        automaton = aho_corasick_build(list(AC_KEYWORDS))
+        k = len(AC_KEYWORDS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"source": [], "keyword": [], "n": []}
+            for src, t in zip(pdf["source"], pdf["t"]):
+                counts = aho_corasick_count(t, automaton, k)
+                for ki, n in enumerate(counts):
+                    if n:
+                        out["source"].append(src)
+                        out["keyword"].append(AC_KEYWORDS[ki])
+                        out["n"].append(n)
+            yield pd.DataFrame(out)
+
+    tagged = docs.mapInPandas(_tag, "source string, keyword string, n long")
+    return tagged.groupBy("source", "keyword").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_matches"),
+    )
+
+
+@register(
+    "x_unicode_nfc_census",
+    # Unicode NFC normalization census — the first pass of any
+    # multilingual ingest (mixed NFC/NFD sources make equal-looking
+    # strings hash-distinct, silently defeating exact dedup and
+    # groupBys). The corpus is ASCII, so a decomposed form is
+    # constructed deterministically in BOTH engines ('a' ->
+    # 'a' + U+0301 combining acute), then each engine normalizes with
+    # its own independent NFC implementation — Python unicodedata
+    # (UCD) in an Arrow-batched mapInPandas vs DuckDB's utf8proc
+    # nfc_normalize — and the census (docs changed, codepoints before/
+    # after) must agree exactly. Codepoint counts are integers; the
+    # whole census is hash-exact.
+    oracle="""
+WITH dec AS (
+  SELECT source,
+         replace(lower(text), 'a', 'a' || chr(769)) AS d
+  FROM documents
+),
+norm AS (
+  SELECT source, len(d)::BIGINT AS cp_before,
+         len(nfc_normalize(d))::BIGINT AS cp_after,
+         (nfc_normalize(d) <> d)::INT AS changed
+  FROM dec
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(changed)::BIGINT AS n_changed,
+       sum(cp_before)::BIGINT AS cp_before,
+       sum(cp_after)::BIGINT AS cp_after,
+       (sum(cp_before) - sum(cp_after))::BIGINT AS cp_composed
+FROM norm GROUP BY source
+""",
+    doc="NFC normalization census per source: deterministic NFD-style "
+    "decomposition injected in both engines, normalized back by two "
+    "INDEPENDENT NFC implementations (Python unicodedata vs DuckDB "
+    "utf8proc), with doc-changed and codepoint-delta counts compared "
+    "hash-exactly — the canonicalization pass that precedes exact "
+    "dedup on any multilingual corpus. Arrow-batched mapInPandas; "
+    "one partial-agg shuffle of 6 integers per source.",
+    tags=("text", "extension"),
+)
+def x_unicode_nfc_census(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("replace(lower(text), 'a', concat('a', '\\u0301'))").alias("d"),
+    )
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            norm = [unicodedata.normalize("NFC", s) for s in pdf["d"]]
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "cp_before": [len(s) for s in pdf["d"]],
+                    "cp_after": [len(s) for s in norm],
+                    "changed": [int(a != b) for a, b in zip(norm, pdf["d"])],
+                }
+            )
+
+    per_doc = docs.mapInPandas(
+        _norm, "source string, cp_before long, cp_after long, changed int"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("changed").cast("long").alias("n_changed"),
+        F.sum("cp_before").alias("cp_before"),
+        F.sum("cp_after").alias("cp_after"),
+        (F.sum("cp_before") - F.sum("cp_after")).alias("cp_composed"),
+    )

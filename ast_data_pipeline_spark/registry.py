@@ -93,14 +93,27 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_exactly_once_dedup",
     "x_percentile_normalize",
     "x_minhash_band_sweep",
-    # 15-19: implementation/oracle changed this round — must re-grade
+    # 15-26: implementation/oracle changed this round — must re-grade
+    # (the minhash family moved to 3-row bands after the sf1 scale
+    # proof; outputs verified identical at sf0.001/0.01/0.1)
     "x_bm25_search",
     "x_bloom_dedup_screen",
     "d_f7_verifier_allocation",
     "d_tracking_pipeline",
     "x_substring_dedup_census",
-    # 20+: round-8 NEW operators (most substantive first)
+    "x_minhash_lsh_neardup",
+    "x_dedup_clusters",
+    "x_dedup_clusters_star",
+    "x_minhash_est_quality",
+    "x_dedup_keep_best",
+    "x_incremental_dedup",
+    "x_split_leakage_check",
+    # 27+: round-8 NEW operators (most substantive first)
     "x_multimodal_jpeg",
+    "x_dsir_importance",
+    "x_fellegi_sunter_linkage",
+    "x_keyword_tagging_ac",
+    "x_unicode_nfc_census",
     # re-proofs of recent/oldest greens for any budget beyond the window
     "x_multimodal_gif",
     "a_hyperloglog_eval",

@@ -37,16 +37,14 @@ QUERIES = (
 )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--sf1", default="/tmp/ast_sf1")
-    a = ap.parse_args()
-
+def _fresh_session(cpus: int):
+    """One SparkSession per query: sf1-sized localCheckpoint blocks
+    from a previous query otherwise stay pinned in the shared JVM and
+    poison the next query's measurement (first run of this tool read
+    d_distribution_by_county as 21x when its true sf1 cost is ~1.5x —
+    the blocks, not the plan)."""
     from pyspark.sql import SparkSession
 
-    from ast_data_pipeline_spark.registry import load_all
-
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("scale-proof")
@@ -76,12 +74,27 @@ def main() -> None:
             if s.get("status") in ("COMPLETE", "SKIPPED")
         )
 
+    return spark, shuffle_write
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf1", default="/tmp/ast_sf1")
+    a = ap.parse_args()
+
+    from ast_data_pipeline_spark.registry import load_all
+    from ast_data_pipeline_spark.sources.domain_views import clear_view_cache
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     specs = load_all()
     result: dict = {"kind": "sf1_scale_proof", "ts": time.time(), "queries": {}}
-    from ast_data_pipeline_spark.sources.domain_views import clear_view_cache
 
     for name in QUERIES:
         per_sf = {}
+        spark, shuffle_write = _fresh_session(cpus)
+        # warm the JVM so sf0.1's first run doesn't carry codegen
+        # compile cost that sf1 (running second, warm) skips
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
         for label, sf in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", a.sf1)):
             clear_view_cache()
             times = []
@@ -98,6 +111,7 @@ def main() -> None:
                 "shuffle_write_mb_per_run": round(sw / 2 / 1e6, 1),
             }
             print(name, label, per_sf[label], flush=True)
+        spark.stop()
         r10 = per_sf["sf1"]
         r1 = per_sf["sf0.1"]
         per_sf["scaling"] = {
@@ -112,7 +126,6 @@ def main() -> None:
     print(json.dumps(result))
     with open(REPO / "PROGRESS.jsonl", "a") as f:
         f.write(json.dumps(result) + "\n")
-    spark.stop()
 
 
 if __name__ == "__main__":
