@@ -13,6 +13,7 @@ from ..operators.text import (
     hit_ratio_sql,
     punct_ratio,
     punct_ratio_sql,
+    quality_score_sql,
     token_counts,
     winnow_fingerprint,
     winnow_fingerprint_sql,
@@ -1165,21 +1166,10 @@ def x_pmi_collocations(spark, sf_dir):
 
 from ..functions.exact import davg, davg_sql, dsum, dsum_sql  # noqa: E402
 
-
-@register(
-    "x_lm_doc_score",
-    # Model-based quality scoring (CCNet-style): score every document
-    # by its average negative log2-likelihood under an add-one-
-    # smoothed bigram LM fit on the corpus itself — fluent/common text
-    # scores low, gibberish and rare boilerplate score high. Float
-    # discipline: the probability is one IEEE division of exact
-    # integers; log2 can differ by 1 ulp across engines, so each
-    # DISTINCT bigram's log is quantized once at 7 dp
-    # (format_string <-> printf, the geo-series rule) BEFORE the
-    # per-document decimal-exact average. Tokenization, pair
-    # formation, and empty-token filters mirror x_bigram_model.
-    oracle=f"""
-WITH occ AS (
+# Shared by x_lm_doc_score and x_ccnet_buckets: per-doc avg NLL under
+# the corpus-fit add-one bigram LM (CTEs end at `scored(doc_id,
+# n_bigrams, avg_nll)`).
+LM_DOC_CTES = f"""occ AS (
   SELECT doc_id, a[i - 1] AS w1, a[i] AS w2
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
        LATERAL unnest(generate_series(2, len(a))) t(i)
@@ -1193,24 +1183,18 @@ lm AS (
          printf('%.7f', log2((vocab.c_bg + 1)::DOUBLE
                              / (prefix.c_prefix + vsize.v)))::DOUBLE AS l
   FROM vocab JOIN prefix ON vocab.w1 = prefix.w1, vsize
-)
-SELECT occ.doc_id,
-       count(*)::BIGINT AS n_bigrams,
-       {davg_sql('-l')} AS avg_nll
-FROM occ JOIN lm ON occ.w1 = lm.w1 AND occ.w2 = lm.w2
-GROUP BY occ.doc_id
-""",
-    doc="Per-document LM score under a corpus-fit add-one bigram "
-    "model: avg negative log2 P(w2|w1). Plan: corpus shuffles once "
-    "into (w1, w2) counts (map-side partials absorb the zipf head), "
-    "prefix totals and the vocabulary size reduce over the count "
-    "table, the log-prob table is vocabulary-sized and joined back on "
-    "the bigram key, then one doc-key aggregate. No corpus-sized "
-    "window, no driver loop; at 100 TB every shuffle key is either "
-    "the bigram vocabulary or doc_id.",
-    tags=("text", "extension"),
-)
-def x_lm_doc_score(spark, sf_dir):
+),
+lm_scored AS (
+  SELECT occ.doc_id,
+         count(*)::BIGINT AS n_bigrams,
+         {davg_sql('-l')} AS avg_nll
+  FROM occ JOIN lm ON occ.w1 = lm.w1 AND occ.w2 = lm.w2
+  GROUP BY occ.doc_id
+)"""
+
+
+def lm_doc_nll(spark, sf_dir):
+    """(doc_id, n_bigrams, avg_nll) — Spark twin of LM_DOC_CTES."""
     docs = load(spark, sf_dir, "documents")
     occ = (
         docs.select("doc_id", F.split(F.lower("text"), " ", -1).alias("a"))
@@ -1255,6 +1239,36 @@ def x_lm_doc_score(spark, sf_dir):
             davg(F.expr("-l")).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "x_lm_doc_score",
+    # Model-based quality scoring (CCNet-style): score every document
+    # by its average negative log2-likelihood under an add-one-
+    # smoothed bigram LM fit on the corpus itself — fluent/common text
+    # scores low, gibberish and rare boilerplate score high. Float
+    # discipline: the probability is one IEEE division of exact
+    # integers; log2 can differ by 1 ulp across engines, so each
+    # DISTINCT bigram's log is quantized once at 7 dp
+    # (format_string <-> printf, the geo-series rule) BEFORE the
+    # per-document decimal-exact average. Tokenization, pair
+    # formation, and empty-token filters mirror x_bigram_model.
+    oracle=f"""
+WITH {LM_DOC_CTES}
+SELECT doc_id, n_bigrams, avg_nll FROM lm_scored
+""",
+    doc="Per-document LM score under a corpus-fit add-one bigram "
+    "model: avg negative log2 P(w2|w1). Plan: corpus shuffles once "
+    "into (w1, w2) counts (map-side partials absorb the zipf head), "
+    "prefix totals and the vocabulary size reduce over the count "
+    "table, the log-prob table is vocabulary-sized and joined back on "
+    "the bigram key, then one doc-key aggregate. No corpus-sized "
+    "window, no driver loop; at 100 TB every shuffle key is either "
+    "the bigram vocabulary or doc_id.",
+    tags=("text", "extension"),
+)
+def x_lm_doc_score(spark, sf_dir):
+    return lm_doc_nll(spark, sf_dir)
 
 
 @register(
@@ -2068,20 +2082,9 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPN = 10
 
-
-@register(
-    "x_bm25_search",
-    # BM25 ranked retrieval — the search-engine scoring face next to
-    # TF-IDF's term weighting. Query terms are picked deterministically
-    # from the corpus itself (document-frequency ranks 10-12: past the
-    # stopword head, still common enough to exist at every scale).
-    # idf = ln(1 + (N - df + 0.5)/(df + 0.5)) quantized %.7f per term
-    # (1-ulp rule); each (doc, term) partial score is quantized before
-    # the per-doc sum rides the decimal path (a 3-term float sum is
-    # order-sensitive); length normalization uses the exact-decimal
-    # avgdl. Top-10 by (score DESC, doc_id) — deterministic limit.
-    oracle=f"""
-WITH w AS (
+# Shared by x_bm25_search and x_rrf_fusion: CTEs ending at
+# `bm25_scored(doc_id, n_terms_matched, bm25_score)`.
+BM25_CTES = f"""w AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
 ),
 tf AS (
@@ -2118,24 +2121,19 @@ parts AS (
   FROM tf t
   JOIN idf i ON i.tok = t.tok
   JOIN dl d ON d.doc_id = t.doc_id
-)
-SELECT doc_id,
-       count(*)::BIGINT AS n_terms_matched,
-       round(sum((part)::DECIMAL(30,10)), 4)::DOUBLE AS bm25_score
-FROM parts
-GROUP BY doc_id
-ORDER BY bm25_score DESC, doc_id
-LIMIT {BM25_TOPN}
-""",
-    doc="BM25 ranked retrieval over the documents table: corpus-picked "
-    "query terms (df ranks 10-12), quantized per-term idf and partial "
-    "scores, decimal per-doc sum, top-10 under a unique order chain. "
-    "The postings shape is the scalable one: scoring joins the tf "
-    "table to a 3-row broadcast term list, so only matching postings "
-    "ever move — the inverted-index access pattern in DataFrame form.",
-    tags=("text", "extension"),
-)
-def x_bm25_search(spark, sf_dir):
+),
+bm25_scored AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_terms_matched,
+         round(sum((part)::DECIMAL(30,10)), 4)::DOUBLE AS bm25_score
+  FROM parts
+  GROUP BY doc_id
+)"""
+
+
+def bm25_scored(spark, sf_dir):
+    """(doc_id, n_terms_matched, bm25_score) for every matching doc —
+    Spark twin of BM25_CTES (no ordering/limit)."""
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
@@ -2198,12 +2196,41 @@ def x_bm25_search(spark, sf_dir):
         .join(dl, "doc_id")
         .select("doc_id", part.alias("part"))
     )
+    return parts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        dsum("part").alias("bm25_score"),
+    )
+
+
+@register(
+    "x_bm25_search",
+    # BM25 ranked retrieval — the search-engine scoring face next to
+    # TF-IDF's term weighting. Query terms are picked deterministically
+    # from the corpus itself (document-frequency ranks 10-12: past the
+    # stopword head, still common enough to exist at every scale).
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5)) quantized %.7f per term
+    # (1-ulp rule); each (doc, term) partial score is quantized before
+    # the per-doc sum rides the decimal path (a 3-term float sum is
+    # order-sensitive); length normalization uses the exact-decimal
+    # avgdl. Top-10 by (score DESC, doc_id) — deterministic limit.
+    oracle=f"""
+WITH {BM25_CTES}
+SELECT doc_id, n_terms_matched, bm25_score
+FROM bm25_scored
+ORDER BY bm25_score DESC, doc_id
+LIMIT {BM25_TOPN}
+""",
+    doc="BM25 ranked retrieval over the documents table: corpus-picked "
+    "query terms (df ranks 10-12), quantized per-term idf and partial "
+    "scores, decimal per-doc sum, top-10 under a unique order chain. "
+    "The postings shape is the scalable one: scoring joins the tf "
+    "table to a 3-row broadcast term list, so only matching postings "
+    "ever move — the inverted-index access pattern in DataFrame form.",
+    tags=("text", "extension"),
+)
+def x_bm25_search(spark, sf_dir):
     return (
-        parts.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_matched"),
-            dsum("part").alias("bm25_score"),
-        )
+        bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25_score").desc(), "doc_id")
         .limit(BM25_TOPN)
     )
@@ -2363,4 +2390,189 @@ def x_unicode_nfc_census(spark, sf_dir):
         F.sum("cp_before").alias("cp_before"),
         F.sum("cp_after").alias("cp_after"),
         (F.sum("cp_before") - F.sum("cp_after")).alias("cp_composed"),
+    )
+
+
+@register(
+    "x_ccnet_buckets",
+    # CCNet-style perplexity partition (Wenzek et al. 2020, public):
+    # per language, split the corpus into head / middle / tail by
+    # LM-score tertiles — head (lowest perplexity) is what CCNet keeps
+    # for pretraining. Doc scores come from the shared add-one bigram
+    # LM (LM_DOC_CTES / lm_doc_nll, the x_lm_doc_score machinery);
+    # tertile cuts use the repo's exact-rank convention (r =
+    # ((n-1)*k) div 3 + 1, lower element, doc_id tie-break) via
+    # exact_group_quantiles on the Spark side — distributed rank
+    # selection, never a per-language global sort of the corpus — and
+    # the mirrored window formula in DuckDB (the per-language score
+    # table the ORACLE windows over is doc-count-sized, which is fine
+    # for an oracle; the ENGINE path stays two-level). Banding
+    # mirrors e_rfm: strictly-greater-than-cut moves you up a bucket,
+    # ties share the lower bucket.
+    oracle=f"""
+WITH {LM_DOC_CTES},
+langd AS (
+  SELECT s.doc_id, d.lang, s.avg_nll
+  FROM lm_scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT lang, avg_nll, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM langd
+),
+cuts AS (
+  SELECT lang,
+         max(CASE WHEN rn = ((n - 1) * 1) // 3 + 1 THEN avg_nll END) AS c33,
+         max(CASE WHEN rn = ((n - 1) * 2) // 3 + 1 THEN avg_nll END) AS c66
+  FROM ranked GROUP BY lang
+)
+SELECT l.lang,
+       CASE WHEN l.avg_nll > c.c66 THEN 'c_tail'
+            WHEN l.avg_nll > c.c33 THEN 'b_middle'
+            ELSE 'a_head' END AS bucket,
+       count(*)::BIGINT AS n_docs,
+       {davg_sql('l.avg_nll')} AS mean_nll
+FROM langd l JOIN cuts c ON l.lang = c.lang
+GROUP BY 1, 2
+""",
+    doc="CCNet perplexity buckets: per-language head/middle/tail "
+    "partition of documents by bigram-LM score tertiles, with doc "
+    "counts and decimal-exact mean NLL per bucket — the published "
+    "quality-partition step that decides which third of a crawl "
+    "becomes pretraining data. Cuts via distributed exact rank "
+    "selection (bucketed two-level, no per-language corpus sort); "
+    "3-row broadcast cut table; one (lang, bucket) aggregate.",
+    tags=("text", "sampling", "extension"),
+)
+def x_ccnet_buckets(spark, sf_dir):
+    from ..operators.quantiles import exact_group_quantiles
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (
+        lm_doc_nll(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "avg_nll")
+        .localCheckpoint(eager=False)  # consumed by cuts pass + band pass
+    )
+    cuts = exact_group_quantiles(
+        scored,
+        "lang",
+        "avg_nll",
+        "doc_id",
+        [("c33", 1, 3), ("c66", 2, 3)],
+        F.floor(F.col("avg_nll") * 16).cast("long"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") > F.col("c66"), "c_tail")
+        .when(F.col("avg_nll") > F.col("c33"), "b_middle")
+        .otherwise("a_head")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("avg_nll").alias("mean_nll"),
+        )
+    )
+
+
+RRF_K = 60      # the standard reciprocal-rank-fusion constant
+RRF_POOL = 50   # per-ranker candidate pool
+RRF_TOPN = 10
+
+
+@register(
+    "x_rrf_fusion",
+    # Reciprocal-rank fusion (Cormack et al., SIGIR 2009 — the
+    # standard hybrid-retrieval combiner): fuse a lexical ranking
+    # (BM25, shared bm25_scored machinery) with a quality ranking
+    # (the Gopher/C4-style quality_score) via
+    # sum over rankers of 1/(k + rank), k=60. Each ranker contributes
+    # its top-50 (TakeOrdered; rank windows run on 50-row frames);
+    # the fusion is a full outer join of two 50-row lists, so the
+    # expensive part is each ranker's own scalable plan, and fusion
+    # itself is O(pool). 1/(k + rank) is one IEEE division of exact
+    # integers; a fused score is the ordered sum of <= 2 such doubles
+    # — deterministic without quantization. Missing ranks render as
+    # -1 (NULL-able ints pandas-coerce to float; sentinel keeps the
+    # schema integral).
+    oracle=f"""
+WITH {BM25_CTES},
+rank_a AS (
+  SELECT doc_id, rn AS ra FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS rn
+    FROM bm25_scored
+  ) WHERE rn <= {RRF_POOL}
+),
+quality AS (
+  SELECT doc_id, {quality_score_sql('wlist', 't')} AS q
+  FROM (SELECT doc_id, lower(text) AS t,
+               string_split(lower(text), ' ') AS wlist
+        FROM documents)
+),
+rank_b AS (
+  SELECT doc_id, rn AS rb FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+    FROM quality
+  ) WHERE rn <= {RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.ra, -1)::BIGINT AS rank_bm25,
+         coalesce(b.rb, -1)::BIGINT AS rank_quality,
+         coalesce(1.0::DOUBLE / ({RRF_K} + a.ra), 0.0::DOUBLE)
+           + coalesce(1.0::DOUBLE / ({RRF_K} + b.rb), 0.0::DOUBLE) AS rrf_score
+  FROM rank_a a FULL OUTER JOIN rank_b b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, rank_bm25, rank_quality, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOPN}
+""",
+    doc="Hybrid retrieval via reciprocal-rank fusion: BM25 lexical "
+    "top-50 fused with quality-score top-50 by sum of 1/(60+rank), "
+    "final top-10 under a unique order chain — the rank-based "
+    "combiner that needs no score calibration between heterogeneous "
+    "rankers. Fusion joins two pool-sized lists; each ranker keeps "
+    "its own scalable plan (postings join / stateless scoring).",
+    tags=("text", "similarity", "extension"),
+)
+def x_rrf_fusion(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.text import quality_score
+
+    def top_rank(df, score_col, rank_name):
+        w = W.orderBy(F.col(score_col).desc(), "doc_id")
+        return (
+            df.orderBy(F.col(score_col).desc(), "doc_id")
+            .limit(RRF_POOL)
+            .withColumn(rank_name, F.row_number().over(w))
+            .select("doc_id", rank_name)
+        )
+
+    a = top_rank(bm25_scored(spark, sf_dir), "bm25_score", "ra")
+    docs = load(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("wlist"),
+        F.lower("text").alias("t"),
+    ).select("doc_id", quality_score("wlist", F.col("t")).alias("q"))
+    b = top_rank(quality, "q", "rb")
+    rr = lambda r: F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("ra", F.lit(-1)).cast("long").alias("rank_bm25"),
+            F.coalesce("rb", F.lit(-1)).cast("long").alias("rank_quality"),
+            (rr("ra") + rr("rb")).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOPN)
     )

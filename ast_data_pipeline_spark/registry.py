@@ -114,6 +114,11 @@ _PRIORITY: tuple[str, ...] = (
     "x_fellegi_sunter_linkage",
     "x_keyword_tagging_ac",
     "x_unicode_nfc_census",
+    "x_ccnet_buckets",
+    "x_rrf_fusion",
+    # x_lm_doc_score re-listed: its body was refactored onto the
+    # shared lm_doc_nll helper this round (output unchanged)
+    "x_lm_doc_score",
     # re-proofs of recent/oldest greens for any budget beyond the window
     "x_multimodal_gif",
     "a_hyperloglog_eval",
