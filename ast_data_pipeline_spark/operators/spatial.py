@@ -241,3 +241,33 @@ def morton_key_sql(cx: str, cy: str) -> str:
         return v
 
     return f"({spread(f'({cx})::BIGINT')} | ({spread(f'({cy})::BIGINT')} << 1))"
+
+
+def hilbert_xy2d(order: int, x: int, y: int) -> int:
+    """Hilbert curve index of cell (x, y) on a 2^order x 2^order grid
+    (the public Wikipedia/Hamilton iterative algorithm: quadrant bits
+    + rotation). Used to PRECOMPUTE a lookup table small enough to
+    ship verbatim into both engines' SQL (order 4 -> 256 entries) —
+    the sequential per-bit rotation state does not fold into a SQL
+    expression the way Morton's independent bit-spreads do."""
+    rx = ry = 0
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_table(order: int) -> list[int]:
+    """H[x * 2^order + y] = hilbert index; 2^(2*order) entries."""
+    n = 1 << order
+    return [hilbert_xy2d(order, x, y) for x in range(n) for y in range(n)]

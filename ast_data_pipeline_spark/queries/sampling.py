@@ -1312,3 +1312,170 @@ def x_dsir_importance(spark, sf_dir):
         .orderBy(F.col("dsir_logweight").desc(), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+HILBERT_ORDER = 4  # 16x16 grid -> 256-entry lookup, small enough to inline
+
+
+def _hilbert_list() -> list[int]:
+    from ..operators.spatial import hilbert_table
+
+    return hilbert_table(HILBERT_ORDER)
+
+
+@register(
+    "x_hilbert_layout",
+    # Hilbert vs Z-order layout locality, measured on real data: the
+    # classic result is that Hilbert's every step is Manhattan-1 while
+    # Morton takes long diagonal jumps between quadrants, so
+    # Hilbert-sorted files have tighter min-max extents. Events map to
+    # a 16x16 (user, time) grid; the Hilbert index comes from a
+    # 256-entry lookup PRECOMPUTED in Python and inlined verbatim into
+    # both engines (the per-bit rotation state of hilbert_xy2d doesn't
+    # fold into SQL the way Morton's independent bit-spreads do —
+    # operators/spatial.hilbert_table); Morton uses the shared
+    # morton_key expression. Per curve: (a) per-file min-max extents
+    # under a 16-file layout (the zone-map pruning number, as in
+    # x_zorder_layout) and (b) the mean/max Manhattan step between
+    # consecutive OCCUPIED cells in curve order — the locality the
+    # curve actually delivers on this dataset. All integer arithmetic.
+    oracle=f"""
+WITH b AS (
+  SELECT min(user_id)::BIGINT AS x0, max(user_id)::BIGINT AS x1,
+         min(floor(epoch(ts)))::BIGINT AS y0, max(floor(epoch(ts)))::BIGINT AS y1
+  FROM events
+),
+norm AS (
+  SELECT least(15, ((user_id - b.x0) * 15) // greatest(b.x1 - b.x0, 1)) AS xn,
+         least(15, ((floor(epoch(ts))::BIGINT - b.y0) * 15)
+                     // greatest(b.y1 - b.y0, 1)) AS yn
+  FROM events, b
+),
+keyed AS (
+  SELECT xn, yn,
+         ({_hilbert_list()!r})[(xn * 16 + yn) + 1] AS hkey,
+         {{morton}} AS zkey
+  FROM norm
+),
+curves AS (
+  SELECT 'hilbert' AS curve, hkey AS k, xn, yn FROM keyed
+  UNION ALL
+  SELECT 'zorder' AS curve, zkey AS k, xn, yn FROM keyed
+),
+cells AS (
+  SELECT curve, k, min(xn) AS xn, min(yn) AS yn, count(*)::BIGINT AS n_events
+  FROM curves GROUP BY curve, k
+),
+steps AS (
+  SELECT curve,
+         abs(xn - lag(xn) OVER w) + abs(yn - lag(yn) OVER w) AS step
+  FROM cells
+  WINDOW w AS (PARTITION BY curve ORDER BY k)
+),
+files AS (
+  SELECT curve, k >> 4 AS file_id,
+         max(xn) - min(xn) AS ext_x, max(yn) - min(yn) AS ext_y
+  FROM curves GROUP BY 1, 2
+)
+SELECT s.curve,
+       (SELECT count(*) FROM cells c WHERE c.curve = s.curve)::BIGINT AS n_cells,
+       sum(s.step)::DOUBLE / count(s.step) AS avg_step_manhattan,
+       max(s.step)::BIGINT AS max_step_manhattan,
+       (SELECT sum(f.ext_x * f.ext_y)::DOUBLE / count(*)
+        FROM files f WHERE f.curve = s.curve) AS avg_file_cell_area
+FROM steps s
+GROUP BY s.curve
+""".replace("{morton}", morton_key_sql("xn", "yn")),
+    doc="Space-filling-curve locality eval: Hilbert (precomputed "
+    "256-entry lookup shared verbatim across engines) vs Morton on "
+    "the normalized (user, time) event grid — mean/max Manhattan step "
+    "between consecutive occupied cells plus per-file extent area "
+    "under a 16-file layout. The measured basis for choosing a "
+    "Z-ORDER vs Hilbert clustering key at 100 TB: smaller steps = "
+    "tighter zone maps = more skipped files.",
+    tags=("sampling", "spatial", "extension"),
+)
+def x_hilbert_layout(spark, sf_dir):
+    from ..operators.spatial import morton_key
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("user_id").alias("x0"),
+        F.max("user_id").alias("x1"),
+        F.min(F.col("ts").cast("long")).alias("y0"),
+        F.max(F.col("ts").cast("long")).alias("y1"),
+    )
+    norm = ev.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(15),
+            ((F.col("user_id") - F.col("x0")) * 15)
+            / F.greatest(F.col("x1") - F.col("x0"), F.lit(1)),
+        )
+        .cast("long")
+        .alias("xn"),
+        F.least(
+            F.lit(15),
+            ((F.col("ts").cast("long") - F.col("y0")) * 15)
+            / F.greatest(F.col("y1") - F.col("y0"), F.lit(1)),
+        )
+        .cast("long")
+        .alias("yn"),
+    )
+    hlut = F.array(*[F.lit(v) for v in _hilbert_list()])
+    keyed = norm.select(
+        "xn",
+        "yn",
+        F.element_at(hlut, (F.col("xn") * 16 + F.col("yn") + 1).cast("int")).alias(
+            "hkey"
+        ),
+        morton_key(F.col("xn"), F.col("yn")).alias("zkey"),
+    )
+    curves = keyed.select(
+        F.lit("hilbert").alias("curve"), F.col("hkey").alias("k"), "xn", "yn"
+    ).unionByName(
+        keyed.select(
+            F.lit("zorder").alias("curve"), F.col("zkey").alias("k"), "xn", "yn"
+        )
+    ).localCheckpoint(eager=False)  # consumed by cells and files
+    cells = curves.groupBy("curve", "k").agg(
+        F.min("xn").alias("xn"),
+        F.min("yn").alias("yn"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("curve").orderBy("k")
+    steps = cells.select(
+        "curve",
+        (
+            F.abs(F.col("xn") - F.lag("xn").over(w))
+            + F.abs(F.col("yn") - F.lag("yn").over(w))
+        ).alias("step"),
+    )
+    files = curves.groupBy(
+        "curve", F.shiftright(F.col("k").cast("long"), 4).alias("file_id")
+    ).agg(
+        (F.max("xn") - F.min("xn")).alias("ext_x"),
+        (F.max("yn") - F.min("yn")).alias("ext_y"),
+    )
+    n_cells = cells.groupBy("curve").agg(F.count(F.lit(1)).alias("n_cells"))
+    area = files.groupBy("curve").agg(
+        (F.sum(F.col("ext_x") * F.col("ext_y")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_file_cell_area"
+        )
+    )
+    return (
+        steps.groupBy("curve")
+        .agg(
+            (F.sum("step").cast("double") / F.count("step")).alias(
+                "avg_step_manhattan"
+            ),
+            F.max("step").cast("long").alias("max_step_manhattan"),
+        )
+        .join(n_cells, "curve")
+        .join(area, "curve")
+        .select(
+            "curve", "n_cells", "avg_step_manhattan",
+            "max_step_manhattan", "avg_file_cell_area",
+        )
+    )

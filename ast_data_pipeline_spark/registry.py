@@ -116,6 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_unicode_nfc_census",
     "x_ccnet_buckets",
     "x_rrf_fusion",
+    "s19_shapefile_zip_roundtrip",
+    "k6_jpeg_chip_sink",
+    "x_hilbert_layout",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",

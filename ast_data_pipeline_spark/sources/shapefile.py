@@ -199,3 +199,107 @@ def write_shapefile(df: DataFrame, path_base: str, geometry: str = "geometry_wkt
     with open(path_base + ".prj", "w") as f:
         f.write(_WGS84_WKT)
     return len(pdf)
+
+
+# ---- read side (S4: zipped-shapefile scan, real binary parse) --------
+
+
+def read_dbf(raw: bytes):
+    """Parse a dBase III .dbf (public spec) to a pandas DataFrame.
+    Inverse of ``_dbf_bytes``: C -> rstripped str, N -> float (dec>0)
+    or int, L -> bool. Deleted rows ('*' flag) are skipped."""
+    import pandas as pd
+    import struct as _s
+
+    nrec, header_len, record_len = _s.unpack_from("<IHH", raw, 4)
+    fields = []
+    off = 32
+    while raw[off] != 0x0D:
+        name = raw[off : off + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(raw[off + 11])
+        width = raw[off + 16]
+        dec = raw[off + 17]
+        fields.append((name, ftype, width, dec))
+        off += 32
+    rows = []
+    pos = header_len
+    for _ in range(nrec):
+        rec = raw[pos : pos + record_len]
+        pos += record_len
+        if rec[:1] == b"*":  # deleted
+            continue
+        vals, fo = {}, 1
+        for name, ftype, width, dec in fields:
+            cell = rec[fo : fo + width]
+            fo += width
+            if ftype == "N":
+                txt = cell.decode("ascii").strip()
+                vals[name] = (
+                    None if not txt else (float(txt) if dec else int(txt))
+                )
+            elif ftype == "L":
+                vals[name] = cell == b"T"
+            else:
+                vals[name] = cell.decode("utf-8", "replace").rstrip()
+        rows.append(vals)
+    return pd.DataFrame(rows, columns=[f[0] for f in fields])
+
+
+def read_shp(raw: bytes) -> list[str]:
+    """Parse a polygon .shp (ESRI spec) back to WKT strings, record
+    order preserved. Doubles come back bit-exact (binary IEEE in the
+    file). Multi-ring records render as multi-ring POLYGON WKT."""
+    import struct as _s
+
+    code = _s.unpack_from(">i", raw, 0)[0]
+    if code != 9994:
+        raise ValueError("not a shapefile (.shp magic mismatch)")
+    shape_type = _s.unpack_from("<i", raw, 32)[0]
+    if shape_type != 5:
+        raise NotImplementedError(f"shp subset: polygon (5) only, got {shape_type}")
+    out, off = [], 100
+    while off < len(raw):
+        _recno, words = _s.unpack_from(">ii", raw, off)
+        stype = _s.unpack_from("<i", raw, off + 8)[0]
+        if stype != 5:
+            raise NotImplementedError(f"record shape {stype} unsupported")
+        nparts, npoints = _s.unpack_from("<ii", raw, off + 44)
+        parts = list(_s.unpack_from(f"<{nparts}i", raw, off + 52))
+        pts_off = off + 52 + 4 * nparts
+        pts = _s.unpack_from(f"<{2 * npoints}d", raw, pts_off)
+        rings = []
+        bounds = parts + [npoints]
+        for ri in range(nparts):
+            ring = [
+                f"{pts[2 * i]:.9f} {pts[2 * i + 1]:.9f}"
+                for i in range(bounds[ri], bounds[ri + 1])
+            ]
+            rings.append("(" + ", ".join(ring) + ")")
+        out.append("POLYGON (" + ", ".join(rings) + ")")
+        off += 8 + words * 2
+    return out
+
+
+def read_shapefile_zip(spark: "SparkSession", zip_path: str):  # noqa: F821
+    """S4: scan a ZIPPED shapefile (the reference unzips counties from
+    a .zip, ref src/az_proc.py + form_calcs county loads) into a
+    DataFrame of attributes + ``geometry_wkt``. The zip members are
+    parsed by the repo's own binary .shp/.dbf readers — no geopandas.
+
+    Driver-side parse by design: a shapefile is a DIMENSION-table
+    format (counties, states — thousands of rows); the resulting
+    frame broadcasts into spatial joins. A fact-scale binary ingest
+    goes through binaryFile + mapInPandas instead (s16)."""
+    import zipfile
+
+    with zipfile.ZipFile(zip_path) as z:
+        names = z.namelist()
+        shp = next(n for n in names if n.endswith(".shp"))
+        dbf = next(n for n in names if n.endswith(".dbf"))
+        geoms = read_shp(z.read(shp))
+        attrs = read_dbf(z.read(dbf))
+    if len(geoms) != len(attrs):
+        raise ValueError(f".shp has {len(geoms)} records, .dbf {len(attrs)}")
+    attrs = attrs.copy()
+    attrs["geometry_wkt"] = geoms
+    return spark.createDataFrame(attrs)

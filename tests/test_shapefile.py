@@ -144,3 +144,48 @@ def test_geometry_column_survives_prefix_collision(spark, tmp_path):
     with open(base + ".dbf", "rb") as f:
         dbf = f.read()
     assert b"decoy" in dbf  # the colliding attribute is still carried
+
+
+def test_shapefile_zip_read_roundtrip(spark, sf_dir, tmp_path):
+    # S4 read side (r8): write -> zip -> parse back with the repo's own
+    # binary readers; attributes (C and N fields) and every coordinate
+    # must survive exactly.
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.sources.shapefile import (
+        read_dbf,
+        read_shapefile_zip,
+        write_shapefile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("alpha", 1, 2.5, "POLYGON ((0.0 0.0, 0.0 2.0, 1.0 2.0, 1.0 0.0, 0.0 0.0))"),
+            ("beta", -7, 0.125, "POLYGON ((3.0 4.0, 3.0 9.0, 5.0 9.0, 5.0 4.0, 3.0 4.0))"),
+        ],
+        "name string, n long, v double, geometry_wkt string",
+    )
+    base = str(tmp_path / "roundtrip")
+    write_shapefile(df, base)
+    zpath = base + ".zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for ext in (".shp", ".shx", ".dbf", ".prj"):
+            z.write(base + ext, "roundtrip" + ext)
+    back = read_shapefile_zip(spark, zpath).orderBy("name").collect()
+    assert [r["name"] for r in back] == ["alpha", "beta"]
+    assert [r["n"] for r in back] == [1, -7]
+    assert [float(r["v"]) for r in back] == [2.5, 0.125]
+    # writer enforces clockwise rings; both inputs above are already CW
+    assert back[0]["geometry_wkt"].startswith("POLYGON ((0.000000000 0.000000000")
+    # dbf reader skips deleted rows
+    with open(base + ".dbf", "rb") as f:
+        raw = bytearray(f.read())
+    # flip first record's delete flag (header length from the header)
+    import struct
+
+    hlen = struct.unpack_from("<H", raw, 8)[0]
+    raw[hlen] = ord("*")
+    pdf = read_dbf(bytes(raw))
+    assert len(pdf) == 1

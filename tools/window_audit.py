@@ -28,6 +28,7 @@ global window shipped unclassified). Rationale per class:
   orderBy+limit that compiles to per-partition heaps):
   e_topk_users_by_value, x_heavy_hitters, a_countmin_sketch,
   j_skew_report, x_bm25_search (12-row df-rank frame, r8 rewrite),
+  x_rrf_fusion (two 50-row post-limit ranker pools),
   d_f7_verifier_allocation (200-row allocation head),
   d_tracking_pipeline (150-row allocation head, r8 rewrite — was the
   last chip-cardinality global frame)
@@ -67,6 +68,7 @@ CLASSIFIED: frozenset[str] = frozenset(
         "a_countmin_sketch",
         "j_skew_report",
         "x_bm25_search",
+        "x_rrf_fusion",
         "d_f7_verifier_allocation",
         "d_tracking_pipeline",
         "x_gini_source_concentration",
