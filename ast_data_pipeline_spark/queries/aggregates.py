@@ -2612,3 +2612,133 @@ def a_anova_oneway(spark, sf_dir):
         ),
         (ssb / (ssb + ssw)).alias("eta_squared"),
     )
+
+
+@register(
+    "a_dq_constraint_suite",
+    # Declarative data-quality constraint suite (the Deequ/
+    # great-expectations pattern, public): completeness, key
+    # uniqueness, value range, accepted values, and referential
+    # integrity computed as a handful of aggregates and emitted as
+    # one constraint report — the verification gate a 100 TB ingest
+    # runs before publishing a partition. Every metric is a ratio of
+    # exact counts (one IEEE division); pass thresholds are literals.
+    # Scale shape: completeness/range/accepted-values fold into ONE
+    # scan of the fact table (map-side partials); uniqueness is one
+    # distinct-count on the key; referential integrity is a
+    # broadcast-able anti-join count — no constraint needs a sort.
+    oracle="""
+WITH scan AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_ship,
+         sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END)::BIGINT AS n_qty,
+         sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END)::BIGINT AS n_rf
+  FROM lineitem
+),
+uniq AS (
+  SELECT count(*)::BIGINT AS n_keys,
+         count(DISTINCT (l_orderkey, l_linenumber))::BIGINT AS n_distinct
+  FROM lineitem
+),
+ref AS (
+  SELECT count(*)::BIGINT AS n_orphans
+  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT * FROM (
+  SELECT 'completeness_l_shipdate' AS constraint_name,
+         n_ship::DOUBLE / n AS metric, 1.0::DOUBLE AS threshold,
+         (n_ship = n) AS passed
+  FROM scan
+  UNION ALL
+  SELECT 'range_l_quantity_1_50', n_qty::DOUBLE / n, 1.0::DOUBLE, n_qty = n
+  FROM scan
+  UNION ALL
+  SELECT 'accepted_values_l_returnflag', n_rf::DOUBLE / n, 1.0::DOUBLE, n_rf = n
+  FROM scan
+  UNION ALL
+  SELECT 'unique_pk_orderkey_linenumber', n_distinct::DOUBLE / n_keys,
+         1.0::DOUBLE, n_distinct = n_keys
+  FROM uniq
+  UNION ALL
+  SELECT 'referential_l_orderkey_in_orders',
+         1.0::DOUBLE - n_orphans::DOUBLE / (SELECT n FROM scan),
+         1.0::DOUBLE, n_orphans = 0
+  FROM ref
+)
+""",
+    doc="Data-quality constraint suite: five declarative checks "
+    "(completeness, range, accepted values, key uniqueness, "
+    "referential integrity) over the fact table as one report — "
+    "three fold into a single scan's partial aggregates, uniqueness "
+    "is one distinct-count, referential is an anti-join count. The "
+    "publish-gate pattern for verified ingest at scale.",
+    tags=("aggregates", "extension"),
+)
+def a_dq_constraint_suite(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    scan = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_shipdate").isNotNull(), 1).otherwise(0)).alias(
+            "n_ship"
+        ),
+        F.sum(
+            F.when((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50), 1)
+            .otherwise(0)
+        ).alias("n_qty"),
+        F.sum(
+            F.when(F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("n_rf"),
+    )
+    uniq = li.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("n_distinct"),
+    )
+    ref = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    base = scan.crossJoin(uniq).crossJoin(ref)  # three 1-row frames
+
+    def row(name, metric, passed):
+        return base.select(
+            F.lit(name).alias("constraint_name"),
+            metric.alias("metric"),
+            F.lit(1.0).alias("threshold"),
+            passed.alias("passed"),
+        )
+
+    n = F.col("n").cast("double")
+    out = row(
+        "completeness_l_shipdate",
+        F.col("n_ship").cast("double") / n,
+        F.col("n_ship") == F.col("n"),
+    )
+    out = out.unionByName(
+        row(
+            "range_l_quantity_1_50",
+            F.col("n_qty").cast("double") / n,
+            F.col("n_qty") == F.col("n"),
+        )
+    )
+    out = out.unionByName(
+        row(
+            "accepted_values_l_returnflag",
+            F.col("n_rf").cast("double") / n,
+            F.col("n_rf") == F.col("n"),
+        )
+    )
+    out = out.unionByName(
+        row(
+            "unique_pk_orderkey_linenumber",
+            F.col("n_distinct").cast("double") / F.col("n_keys").cast("double"),
+            F.col("n_distinct") == F.col("n_keys"),
+        )
+    )
+    return out.unionByName(
+        row(
+            "referential_l_orderkey_in_orders",
+            F.lit(1.0) - F.col("n_orphans").cast("double") / n,
+            F.col("n_orphans") == 0,
+        )
+    )

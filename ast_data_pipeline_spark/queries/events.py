@@ -1997,3 +1997,108 @@ def e_survival_km(spark, sf_dir):
         .cast("double")
         .alias("survival"),
     )
+
+
+WATERMARK_CANDIDATES = (0, 60, 600, 3600, 7200)
+
+
+@register(
+    "e_watermark_sizing",
+    # The decision curve on top of e_out_of_order_census: for each
+    # candidate withWatermark delay, the share of events a streaming
+    # job would DROP (an event is dropped when it arrives after the
+    # watermark passed its event time, i.e. lateness > delay). Same
+    # deterministic md5-keyed arrival model as the census (4 hex
+    # chars -> 0-7199 s transport jitter); the curve is what turns
+    # the census histogram into an operating point: pick the smallest
+    # delay whose drop share is under the SLO. Integer lateness, 5-row
+    # fan-out per event, one aggregate.
+    oracle=f"""
+WITH arr AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec,
+         floor(epoch(ts))::BIGINT
+           + ('0x' || substr(md5('ooo|' || event_id::VARCHAR), 1, 4))::INT % 7200
+           AS arrival_sec
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_id, sec,
+         max(sec) OVER (
+           PARTITION BY user_id ORDER BY arrival_sec, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM arr
+),
+late AS (
+  SELECT greatest(0, coalesce(prev_max, 0) - sec) AS late_by
+  FROM seq WHERE prev_max IS NOT NULL
+)
+SELECT d AS candidate_delay_s,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late_by > d THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       sum(CASE WHEN late_by > d THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS drop_share
+FROM late, unnest({list(WATERMARK_CANDIDATES)!r}) t(d)
+GROUP BY d
+""",
+    doc="Watermark sizing curve: drop share at candidate withWatermark "
+    "delays (0 s to 2 h) under the census's deterministic arrival "
+    "model — the operating-point table that converts the lateness "
+    "histogram into a concrete watermark choice with a known loss "
+    "budget. One per-user window (shared with the census), a 5-way "
+    "integer fan-out, one aggregate.",
+    tags=("events", "streaming", "extension"),
+)
+def e_watermark_sizing(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        (
+            F.col("ts").cast("long")
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("ooo|"), F.col("event_id").cast("string"))
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 7200
+        ).alias("arrival_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        arr.withColumn("prev_max", F.max("sec").over(w))
+        .filter(F.col("prev_max").isNotNull())
+        .select(
+            F.greatest(
+                F.lit(0), F.coalesce("prev_max", F.lit(0)) - F.col("sec")
+            ).alias("late_by")
+        )
+    )
+    fan = late.select(
+        "late_by",
+        F.explode(
+            F.array(*[F.lit(d) for d in WATERMARK_CANDIDATES])
+        ).alias("candidate_delay_s"),
+    )
+    return fan.groupBy("candidate_delay_s").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_by") > F.col("candidate_delay_s"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        (
+            F.sum(
+                F.when(F.col("late_by") > F.col("candidate_delay_s"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("drop_share"),
+    )

@@ -852,3 +852,102 @@ def x_fellegi_sunter_linkage(spark, sf_dir):
             (F.sum("is_true").cast("double") / F.count(F.lit(1))).alias("true_share"),
         )
     )
+
+
+IVM_CUT_SHIP = "1998-01-01"   # lineitem-side delta: late shipments
+IVM_CUT_ORDER = "1997-01-01"  # orders-side delta: recent orders
+
+
+@register(
+    "j_delta_join_maintenance",
+    # Incremental view maintenance for a JOIN view (the delta-join
+    # algebra every streaming/materialized-view engine implements):
+    # with A = lineitem split at a ship-date cutoff and B = orders
+    # split at an order-date cutoff,
+    #   A ⋈ B = A_old⋈B_old  ∪  dA⋈B_old  ∪  A_old⋈dB  ∪  dA⋈dB
+    # — the first term is the STANDING view state; a refresh touches
+    # only the three delta terms (each bounded by |dA| or |dB|, not
+    # the fact tables). The Spark side computes the four quadrant
+    # joins separately, partial-aggregates each (counts + raw DECIMAL
+    # sums), and merges partials with ONE final round — exact-decimal
+    # addition is associative, so maintained == recomputed
+    # bit-for-bit. The oracle IS the full recompute; the per-quadrant
+    # row counts are exposed as columns so the gate also pins the
+    # decomposition's disjointness (quadrants must sum to n_rows).
+    oracle=f"""
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN l.l_shipdate < DATE '{IVM_CUT_SHIP}'
+                 AND o.o_orderdate < DATE '{IVM_CUT_ORDER}'
+                THEN 1 ELSE 0 END)::BIGINT AS n_old_old,
+       sum(CASE WHEN l.l_shipdate >= DATE '{IVM_CUT_SHIP}'
+                 AND o.o_orderdate < DATE '{IVM_CUT_ORDER}'
+                THEN 1 ELSE 0 END)::BIGINT AS n_da_bold,
+       sum(CASE WHEN l.l_shipdate < DATE '{IVM_CUT_SHIP}'
+                 AND o.o_orderdate >= DATE '{IVM_CUT_ORDER}'
+                THEN 1 ELSE 0 END)::BIGINT AS n_aold_db,
+       sum(CASE WHEN l.l_shipdate >= DATE '{IVM_CUT_SHIP}'
+                 AND o.o_orderdate >= DATE '{IVM_CUT_ORDER}'
+                THEN 1 ELSE 0 END)::BIGINT AS n_da_db,
+       round(sum(l.l_extendedprice::DECIMAL(30,10)), 4)::DOUBLE AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    doc="Delta-join view maintenance: the join view's aggregate is "
+    "maintained from four quadrant joins (standing old x old state "
+    "plus three delta terms) whose decimal partials merge with one "
+    "final round — and must equal the oracle's full recompute "
+    "exactly. At 100 TB a refresh reads only the deltas; the exposed "
+    "per-quadrant counts pin the decomposition's disjointness.",
+    tags=("joins", "streaming", "extension"),
+)
+def j_delta_join_maintenance(spark, sf_dir):
+    from ..functions.exact import DEC, RSCALE
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    a_old = li.filter(F.col("l_shipdate") < IVM_CUT_SHIP)
+    d_a = li.filter(F.col("l_shipdate") >= IVM_CUT_SHIP)
+    b_old = orders.filter(F.col("o_orderdate") < IVM_CUT_ORDER)
+    d_b = orders.filter(F.col("o_orderdate") >= IVM_CUT_ORDER)
+
+    def partial(a, b, term):
+        return (
+            a.join(b, a["l_orderkey"] == b["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice").cast(DEC)).alias("s"),
+            )
+            .withColumn("term", F.lit(term))
+        )
+
+    parts = (
+        partial(a_old, b_old, "old_old")
+        .unionByName(partial(d_a, b_old, "da_bold"))
+        .unionByName(partial(a_old, d_b, "aold_db"))
+        .unionByName(partial(d_a, d_b, "da_db"))
+    )
+    zero = F.lit(0).cast(DEC)
+
+    def term_n(t):
+        return (
+            F.sum(F.when(F.col("term") == t, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+        )
+
+    return parts.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        term_n("old_old"),
+        term_n("da_bold"),
+        term_n("aold_db"),
+        term_n("da_db"),
+        F.round(F.sum(F.coalesce(F.col("s"), zero)), RSCALE)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -119,6 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     "s19_shapefile_zip_roundtrip",
     "k6_jpeg_chip_sink",
     "x_hilbert_layout",
+    "j_delta_join_maintenance",
+    "a_dq_constraint_suite",
+    "e_watermark_sizing",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",
