@@ -1836,3 +1836,136 @@ def x_minhash_band_sweep(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+DHASH_COLS = [(x * 12) // 8 for x in range(8)]  # 8 sampled columns of 12
+DHASH_T = 6  # max hamming distance for a near-dup pair
+
+
+def _dhash_sql_expr() -> str:
+    """56-bit dHash as one integer SQL expression over the 96-char
+    payload string `t` arranged (8 rows x 12 cols): bit (y*7 + x) set
+    iff sampled pixel (y, x) > (y, x+1). 56 bits (not the classic 64)
+    keeps the hash in SIGNED-64 range in both engines. Generated in
+    Python so Spark and DuckDB consume the identical expression."""
+    terms = []
+    for y in range(8):
+        for x in range(7):
+            li = y * 12 + DHASH_COLS[x] + 1       # 1-based substr
+            ri = y * 12 + DHASH_COLS[x + 1] + 1
+            bit = 1 << (y * 7 + x)
+            terms.append(
+                f"(CASE WHEN unicode(substr(t, {li}, 1)) > "
+                f"unicode(substr(t, {ri}, 1)) THEN {bit} ELSE 0 END)"
+            )
+    return "(" + "\n + ".join(terms) + ")::BIGINT"
+
+
+@register(
+    "x_image_dhash_dedup",
+    # Perceptual-hash image dedup (dHash — the public aHash/dHash/
+    # pHash family): every doc's 96 payload bytes become a REAL 8x12
+    # GIF, the pure-numpy decoder recovers the pixels, and the
+    # gradient hash (does pixel x exceed pixel x+1 on a sampled grid)
+    # gives a 56-bit signature robust to brightness shifts. Pairing is
+    # NEVER all-pairs: the hash splits into 7 bytes and candidates
+    # must share at least one byte (an equi self-join on (band, val));
+    # by pigeonhole a pair within hamming <= 6 of 56 bits ALWAYS
+    # shares an intact byte, so the banding loses nothing — the
+    # simhash byte-banding argument applied to image signatures. The
+    # oracle computes the same hash arithmetically from code points
+    # (decode is lossless), the same banding, and bit_count(xor) —
+    # hamming is integer-exact.
+    oracle=f"""
+WITH img AS (
+  SELECT doc_id,
+         substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, {{dhash}} AS h FROM img),
+bands AS (
+  SELECT doc_id, h, k, (h >> (8 * k)) & 255 AS band_val
+  FROM h, unnest(generate_series(0, 6)) t(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {DHASH_T}
+""".replace("{dhash}", _dhash_sql_expr()),
+    doc="Perceptual image dedup via dHash: real GIF encode+decode per "
+    "doc (the multimodal codec path), 56-bit gradient signature, "
+    "7-byte banding self-join (pigeonhole-exact for hamming <= 6), "
+    "bit_count verify — image near-dup detection that scales like "
+    "simhash: candidates are bucket-joined, never enumerated "
+    "all-pairs, and the signature table is 16 bytes/image.",
+    tags=("dedup", "multimodal", "extension"),
+)
+def x_image_dhash_dedup(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raster"))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import (
+            _gif_decode,
+            encode_gif,
+        )
+
+        cols = np.array(DHASH_COLS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "h": []}
+            for doc_id, raster in zip(pdf["doc_id"], pdf["raster"]):
+                arr = np.frombuffer(bytes(raster), np.uint8).reshape(8, 12)
+                pix = _gif_decode(encode_gif(arr))  # real codec roundtrip
+                g = pix[:, cols].astype(np.int32)   # 8 x 8 sampled grid
+                bits = (g[:, :-1] > g[:, 1:]).ravel()  # 56 gradient bits
+                h = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        h |= 1 << i
+                out["doc_id"].append(int(doc_id))
+                out["h"].append(h)
+            yield pd.DataFrame(out)
+
+    h = src.mapInPandas(_hash, "doc_id long, h long").localCheckpoint(
+        eager=False
+    )  # consumed by both sides of the band join + the verify joins
+    bands = h.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+    ).withColumn("band_val", F.expr("shiftright(h, k * 8) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.h").alias("ha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= DHASH_T)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )

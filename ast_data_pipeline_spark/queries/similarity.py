@@ -1496,3 +1496,129 @@ def x_rbo_rank_agreement(spark, sf_dir):
             F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
         )
     )
+
+
+import math as _math  # noqa: E402
+
+NDCG_K = 5
+# 1/log2(r+1) for r = 1..5, precomputed in Python and inlined as
+# literals in BOTH engines (log2(3)/log2(5)/log2(6) are 1-ulp risky
+# cross-engine; a shared literal removes the transcendental entirely).
+_NDCG_DISCOUNTS = [1.0 / _math.log2(r + 1) for r in range(1, NDCG_K + 1)]
+# ideal DCG for graded gains (K, K-1, ..., 1) — one shared literal
+_NDCG_IDCG = sum(
+    (NDCG_K + 1 - r) * _NDCG_DISCOUNTS[r - 1] for r in range(1, NDCG_K + 1)
+)
+_DISC_SQL = "[" + ", ".join(f"CAST({d!r} AS DOUBLE)" for d in _NDCG_DISCOUNTS) + "]"
+
+
+@register(
+    "x_ndcg_eval",
+    # nDCG@5 of the multi-probe LSH retrieval against brute-force
+    # cosine truth — the GRADED complement to recall@k (x_ann_recall_
+    # multiprobe counts hits; nDCG also scores WHERE they landed) and
+    # to RBO (which compares orderings without grades). Gain of a
+    # retrieved item = K+1-true_rank when it is in the truth top-5,
+    # else 0; DCG = sum of gain * 1/log2(rank+1) with the discounts
+    # and the ideal DCG precomputed in Python and inlined as shared
+    # literals (no cross-engine transcendentals); the per-query sum of
+    # <= 5 terms rides the decimal path and nDCG is one division by
+    # the shared IDCG literal.
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {rh_lsh_bucket_sql('embedding', LSH_PLANES, EMB_DIM)} AS bucket
+  FROM embeddings
+),
+qv AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket
+       FROM b WHERE vec_id % {QUERY_MOD} = 0),
+q AS (
+  SELECT q_id, q_vec, {_probe_list_sql('bucket')} AS bucket FROM qv
+),
+truth AS (
+  SELECT q_id, vec_id, rank AS trank FROM (
+    SELECT qv.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY qv.q_id ORDER BY
+             {dot_sql('qv.q_vec', 'e.embedding')}
+               / ({norm_sql('qv.q_vec')} * {norm_sql('e.embedding')}) DESC,
+             e.vec_id) AS rank
+    FROM embeddings e JOIN qv ON qv.q_id <> e.vec_id
+  ) WHERE rank <= {NDCG_K}
+),
+retr AS (
+  SELECT q_id, vec_id, rank AS rrank FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             {dot_sql('q.q_vec', 'e.embedding')}
+               / ({norm_sql('q.q_vec')} * {norm_sql('e.embedding')}) DESC,
+             e.vec_id) AS rank
+    FROM b e JOIN q ON q.q_id <> e.vec_id AND q.bucket = e.bucket
+  ) WHERE rank <= {NDCG_K}
+),
+gains AS (
+  SELECT r.q_id,
+         coalesce({NDCG_K} + 1 - t.trank, 0)::DOUBLE
+           * ({_DISC_SQL})[r.rrank] AS gain
+  FROM retr r LEFT JOIN truth t ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+),
+dcg AS (
+  SELECT q_id, count(*)::BIGINT AS n_retrieved,
+         {dsum_sql('gain')} AS dcg
+  FROM gains GROUP BY q_id
+)
+SELECT qv.q_id,
+       coalesce(d.n_retrieved, 0)::BIGINT AS n_retrieved,
+       coalesce(d.dcg, 0.0::DOUBLE) AS dcg,
+       coalesce(d.dcg, 0.0::DOUBLE) / CAST({_NDCG_IDCG!r} AS DOUBLE) AS ndcg
+FROM qv LEFT JOIN dcg d ON qv.q_id = d.q_id
+""",
+    doc="nDCG@5 retrieval-quality eval: multi-probe LSH ranking scored "
+    "with graded gains against brute-force cosine truth, discounts "
+    "and ideal DCG inlined as shared literals, decimal per-query DCG "
+    "sum — the position-aware retrieval metric next to recall@k and "
+    "RBO. Same scalable shape as the recall evals: broadcast query "
+    "table, bucket equi-join, per-query rank.",
+    tags=("similarity", "extension"),
+)
+def x_ndcg_eval(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", rh_lsh_bucket("embedding", LSH_PLANES, EMB_DIM)
+    )
+    truth = cosine_topk(
+        _queries(spark, sf_dir, False), emb.drop("bucket"), NDCG_K
+    ).select("q_id", "vec_id", F.col("rank").alias("trank"))
+    retr = cosine_topk(
+        _multiprobe_queries(emb), emb, NDCG_K, bucket="bucket"
+    ).select("q_id", "vec_id", F.col("rank").alias("rrank"))
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
+    gains = (
+        retr.alias("r")
+        .join(
+            truth.alias("t"),
+            (F.col("t.q_id") == F.col("r.q_id"))
+            & (F.col("t.vec_id") == F.col("r.vec_id")),
+            "left",
+        )
+        .select(
+            F.col("r.q_id").alias("q_id"),
+            (
+                F.coalesce(F.lit(NDCG_K) + 1 - F.col("t.trank"), F.lit(0)).cast(
+                    "double"
+                )
+                * F.element_at(disc, F.col("r.rrank").cast("int"))
+            ).alias("gain"),
+        )
+    )
+    from ..functions.exact import dsum
+
+    dcg = gains.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        dsum("gain").alias("dcg"),
+    )
+    qv = _queries(spark, sf_dir, False).select("q_id")
+    return qv.join(dcg, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
+        F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+        (F.coalesce("dcg", F.lit(0.0)) / F.lit(_NDCG_IDCG)).alias("ndcg"),
+    )

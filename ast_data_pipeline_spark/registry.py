@@ -122,6 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "j_delta_join_maintenance",
     "a_dq_constraint_suite",
     "e_watermark_sizing",
+    "x_image_dhash_dedup",
+    "x_ndcg_eval",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",
