@@ -14,7 +14,10 @@ from ..streaming.workqueue import (
 )
 from .dedup import _asym_oracle
 from .temporal import OHLC_ORACLE as _OHLC_ORACLE
+from .text import AC_KEYWORDS as _AC_KEYWORDS
 from .text import PII_ORACLE
+
+_AC_KEYWORDS_LIST = list(_AC_KEYWORDS)
 
 
 @register(
@@ -388,3 +391,38 @@ def s_stream_exactly_once_dedup(spark, sf_dir):
     from ..streaming.dedup_stream import streaming_exactly_once_dedup
 
     return streaming_exactly_once_dedup(spark, sf_dir)
+
+
+@register(
+    "s_stream_keyword_tagging",
+    # The oracle is the BATCH keyword census (x_keyword_tagging_ac's
+    # oracle verbatim): the streaming side tags each micro-batch with
+    # the broadcast Aho-Corasick automaton and ADDS the per-(source,
+    # keyword) partials into standing state — counts are associative,
+    # so maintained == batch regardless of micro-batching. Twelfth
+    # streaming face; state is bounded by the tag vocabulary.
+    oracle=f"""
+WITH kw AS (SELECT unnest({_AC_KEYWORDS_LIST!r}) AS keyword),
+per_doc AS (
+  SELECT d.source, k.keyword,
+         ((len(d.t) - len(replace(d.t, k.keyword, ''))) // len(k.keyword))::BIGINT AS n
+  FROM (SELECT source, lower(text) AS t FROM documents) d CROSS JOIN kw k
+)
+SELECT source, keyword,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_matches
+FROM per_doc WHERE n > 0
+GROUP BY source, keyword
+""",
+    doc="Streaming keyword-census maintenance: per-batch Aho-Corasick "
+    "tagging merged into a (source, keyword)-keyed standing state by "
+    "count addition in foreachBatch; the final state must equal the "
+    "batch census bit-for-bit. The automaton broadcasts with the "
+    "closure; state is tag-vocabulary-sized, independent of corpus "
+    "size.",
+    tags=("streaming", "text", "extension"),
+)
+def s_stream_keyword_tagging(spark, sf_dir):
+    from ..streaming.tagging_stream import streaming_keyword_tagging
+
+    return streaming_keyword_tagging(spark, sf_dir)

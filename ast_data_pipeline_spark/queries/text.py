@@ -2245,6 +2245,51 @@ def x_bm25_search(spark, sf_dir):
 AC_KEYWORDS = ("part", "scan", "able", "fast table", "row", "value")
 
 
+def ac_tagged(docs):
+    """(source, keyword, n) rows: per-doc Aho-Corasick match counts
+    over ``AC_KEYWORDS`` for docs with (source, t) columns. Shared by
+    the batch query and the streaming maintenance face. (Defined ABOVE
+    the @register block — a helper between a decorator call and its
+    def gets captured as the registered fn, the r7 decorator trap.)"""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ast_data_pipeline_spark.operators.text import (
+            aho_corasick_build,
+            aho_corasick_count,
+        )
+
+        automaton = aho_corasick_build(list(AC_KEYWORDS))
+        k = len(AC_KEYWORDS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"source": [], "keyword": [], "n": []}
+            for src, t in zip(pdf["source"], pdf["t"]):
+                counts = aho_corasick_count(t, automaton, k)
+                for ki, n in enumerate(counts):
+                    if n:
+                        out["source"].append(src)
+                        out["keyword"].append(AC_KEYWORDS[ki])
+                        out["n"].append(n)
+            yield pd.DataFrame(out)
+
+    return docs.select("source", "t").mapInPandas(
+        _tag, "source string, keyword string, n long"
+    )
+
+
+def ac_tag_aggregate(tagged):
+    """Per-(source, keyword) doc and match counts — the mergeable
+    aggregate over ``ac_tagged`` rows (counts ADD across batches)."""
+    return tagged.groupBy("source", "keyword").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_matches"),
+    )
+
+
 @register(
     "x_keyword_tagging_ac",
     # Aho-Corasick multi-keyword tagging (CACM 1975, public): ONE pass
@@ -2277,40 +2322,10 @@ GROUP BY source, keyword
     tags=("text", "extension"),
 )
 def x_keyword_tagging_ac(spark, sf_dir):
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.lower("text").alias("t")
+        "source", F.lower("text").alias("t")
     )
-
-    def _tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ast_data_pipeline_spark.operators.text import (
-            aho_corasick_build,
-            aho_corasick_count,
-        )
-
-        automaton = aho_corasick_build(list(AC_KEYWORDS))
-        k = len(AC_KEYWORDS)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = {"source": [], "keyword": [], "n": []}
-            for src, t in zip(pdf["source"], pdf["t"]):
-                counts = aho_corasick_count(t, automaton, k)
-                for ki, n in enumerate(counts):
-                    if n:
-                        out["source"].append(src)
-                        out["keyword"].append(AC_KEYWORDS[ki])
-                        out["n"].append(n)
-            yield pd.DataFrame(out)
-
-    tagged = docs.mapInPandas(_tag, "source string, keyword string, n long")
-    return tagged.groupBy("source", "keyword").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n").alias("n_matches"),
-    )
+    return ac_tag_aggregate(ac_tagged(docs))
 
 
 @register(

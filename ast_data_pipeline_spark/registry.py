@@ -124,6 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "e_watermark_sizing",
     "x_image_dhash_dedup",
     "x_ndcg_eval",
+    "s_stream_keyword_tagging",
+    "x_keyword_tagging_ac",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",

@@ -83,3 +83,37 @@ def test_streaming_hll_batch_boundary_independence(spark, sf_dir, tmp_path):
     a = streamed.sort_values("source").reset_index(drop=True)[batch.columns]
     b = batch.sort_values("source").reset_index(drop=True)
     assert a.equals(b), (len(a), len(b))
+
+
+def test_streaming_tagging_batch_boundary_independence(spark, sf_dir, tmp_path):
+    """Count-addition merge across micro-batches must land on exactly
+    the batch keyword census — replay documents as 3 single-file
+    micro-batches (the one-file production fixture only exercises the
+    single-batch path) and compare bit-for-bit."""
+    from ast_data_pipeline_spark.queries.text import ac_tag_aggregate, ac_tagged
+    from ast_data_pipeline_spark.sources.catalog import load
+    from ast_data_pipeline_spark.streaming.tagging_stream import (
+        run_tagging_maintenance,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.lower("text").alias("t")
+    )
+    src = str(tmp_path / "tag_docs")
+    for i in range(3):
+        docs.filter(F.crc32(F.col("t")) % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files >= 3
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = run_tagging_maintenance(spark, stream).toPandas()
+    batch = ac_tag_aggregate(ac_tagged(docs)).toPandas()
+    key = ["source", "keyword"]
+    a = streamed.sort_values(key).reset_index(drop=True)[batch.columns]
+    b = batch.sort_values(key).reset_index(drop=True).astype(a.dtypes.to_dict())
+    assert a.equals(b), (len(a), len(b))
