@@ -2742,3 +2742,82 @@ def a_dq_constraint_suite(spark, sf_dir):
             F.col("n_orphans") == 0,
         )
     )
+
+
+@register(
+    "a_k_anonymity",
+    # k-anonymity census (Sweeney 2002, public — the re-identification
+    # audit behind every quasi-identifier release decision): rows
+    # sharing a quasi-identifier tuple (nation, market segment,
+    # account-balance bucket) form an equivalence class; a row's k is
+    # its class size, and rows with small k are re-identifiable. The
+    # census buckets classes by k-band and reports the row shares —
+    # including the k<5 share a release gate would block on. Two
+    # aggregates (class sizes, then band rollup); integer counts + one
+    # division. At 100 TB the class-size table is bounded by the QI
+    # domain, not the fact table.
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         -- floor(), NOT '//': DuckDB's // on DOUBLEs rounds-to-nearest
+         -- (1863.84 // 1000 = 2), it is not floor division
+         floor(c_acctbal / 1000)::BIGINT AS bal_bucket,
+         count(*)::BIGINT AS k
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT sum(k)::BIGINT AS n FROM classes)
+SELECT CASE WHEN k = 1 THEN 'a_k_eq_1'
+            WHEN k < 5 THEN 'b_k_2_4'
+            WHEN k < 10 THEN 'c_k_5_9'
+            ELSE 'd_k_10_plus' END AS k_band,
+       count(*)::BIGINT AS n_classes,
+       sum(k)::BIGINT AS n_rows,
+       min(k)::BIGINT AS k_min,
+       sum(k)::DOUBLE / (SELECT n FROM tot) AS row_share
+FROM classes
+GROUP BY 1
+""",
+    doc="k-anonymity census over (nation, segment, balance-bucket) "
+    "quasi-identifiers: equivalence-class sizes banded by k with row "
+    "shares — the privacy audit that decides whether a projection is "
+    "releasable (k=1 rows are unique, k<5 conventionally blocked). "
+    "Class table bounded by the QI domain; everything else is "
+    "hash-aggregate traffic.",
+    tags=("aggregates", "extension"),
+)
+def a_k_anonymity(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    classes = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)  # consumed by total + the band rollup
+    )
+    tot = classes.agg(F.sum("k").alias("n"))
+    band = (
+        F.when(F.col("k") == 1, "a_k_eq_1")
+        .when(F.col("k") < 5, "b_k_2_4")
+        .when(F.col("k") < 10, "c_k_5_9")
+        .otherwise("d_k_10_plus")
+    )
+    return (
+        classes.groupBy(band.alias("k_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("k_min"),
+            F.sum("k").alias("_rows_d"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k_band",
+            "n_classes",
+            "n_rows",
+            "k_min",
+            (F.col("_rows_d").cast("double") / F.col("n")).alias("row_share"),
+        )
+    )

@@ -125,7 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_image_dhash_dedup",
     "x_ndcg_eval",
     "s_stream_keyword_tagging",
-    "x_keyword_tagging_ac",
+    "a_k_anonymity",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",
