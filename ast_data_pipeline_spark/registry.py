@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_ndcg_eval",
     "s_stream_keyword_tagging",
     "a_k_anonymity",
+    "x_packing_efficiency",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",

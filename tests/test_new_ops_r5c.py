@@ -120,3 +120,39 @@ def test_rfm_quartiles_banded(spark, sf_dir):
     )
     seg = out["segment"].str.split("-", expand=True).astype(int)
     assert (seg[0] == out["r_score"]).all()
+
+
+def test_true_ffd_beats_both_nextfit_variants(spark, sf_dir):
+    """The classic bin-packing hierarchy, verified on real data: true
+    first-fit-decreasing (all bins revisitable) needs no more packs
+    than either single-pass next-fit variant the registered query
+    compares — the reason x_packing_efficiency's honest finding
+    (sorting does not help NEXT-fit) is not a contradiction of the
+    FFD folklore."""
+    from ast_data_pipeline_spark.queries.text import PACKCMP_BUDGET
+    from ast_data_pipeline_spark.registry import load_all
+
+    got = load_all()["x_packing_efficiency"].fn(spark, sf_dir).toPandas()
+    from ast_data_pipeline_spark.operators.text import BPE_ISH  # noqa: F401
+    import re
+
+    from ast_data_pipeline_spark.sources.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text").toPandas()
+    docs["n"] = [len(re.findall(r"\w+|[^\w\s]", t)) for t in docs["text"]]
+    for src, grp in docs.groupby("source"):
+        sizes = sorted(grp["n"], reverse=True)
+        bins: list[int] = []
+        for n in sizes:  # true first-fit-decreasing
+            for i, fill in enumerate(bins):
+                if fill + n <= PACKCMP_BUDGET:
+                    bins[i] = fill + n
+                    break
+            else:
+                bins.append(n)
+        ffd_packs = len(bins)
+        for method in ("a_nextfit_arrival", "b_nextfit_decreasing"):
+            nf = int(
+                got[(got.source == src) & (got.method == method)]["n_packs"].iloc[0]
+            )
+            assert ffd_packs <= nf, (src, method, ffd_packs, nf)
