@@ -426,3 +426,37 @@ def s_stream_keyword_tagging(spark, sf_dir):
     from ..streaming.tagging_stream import streaming_keyword_tagging
 
     return streaming_keyword_tagging(spark, sf_dir)
+
+
+@register(
+    "s_stream_custom_state",
+    # The oracle is the batch per-user profile; the streaming side
+    # maintains per-key state in the engine's state store via
+    # applyInPandasWithState. s_stream_stateful_counter already
+    # exercises that API for a single integer counter; this face adds
+    # the MULTI-METRIC profile shape (mixed-type state tuple) and,
+    # more importantly, the monotone-reduce discipline: every tracked
+    # quantity only grows, so the Update-mode output stream reduces
+    # to the final profile by element-wise max for ANY micro-batching
+    # — pinned by a 3-batch replay test
+    # (tests/test_streaming_dedup.py).
+    oracle="""
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         AS n_purchases,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+    doc="Custom stateful streaming via applyInPandasWithState: "
+    "per-user lifetime profile (event count, purchase count, running "
+    "max) held as engine-managed state and updated from Arrow "
+    "batches; monotone counters make the Update-mode stream reduce "
+    "deterministically to the batch profile under any micro-batching. "
+    "Thirteenth streaming face.",
+    tags=("streaming", "extension"),
+)
+def s_stream_custom_state(spark, sf_dir):
+    from ..streaming.custom_state import streaming_user_profile
+
+    return streaming_user_profile(spark, sf_dir)

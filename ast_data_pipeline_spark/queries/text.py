@@ -2721,3 +2721,104 @@ def x_packing_efficiency(spark, sf_dir):
             / (F.col("n_packs") * PACKCMP_BUDGET)
         ).alias("efficiency"),
     )
+
+
+@register(
+    "x_ffd_packing",
+    # TRUE first-fit-decreasing, registered and oracled (the pytest
+    # companion of x_packing_efficiency pins FFD <= both next-fit
+    # variants; this query makes FFD itself a first-class operator):
+    # items in length-decreasing order, each placed into the FIRST
+    # open pack it fits (revisitable-bins state — the property the
+    # single-pass next-fit lacks and the reason sorting pays here;
+    # Johnson's classic bound: FFD <= 11/9 OPT + 1). The bins vector
+    # is genuinely sequential state, so the engine runs it as an
+    # applyInPandas scan per source (parallel across sources) and the
+    # oracle replays it with a recursive CTE carrying a LIST column —
+    # first-fit selection via list_filter(range)[1], update via
+    # list_transform. Integer token arithmetic end to end.
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM toks
+),
+state AS (
+  SELECT source, rn, n_docs, [n_tokens]::BIGINT[] AS bins
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.n_docs,
+         CASE WHEN len(list_filter(range(1, len(s.bins) + 1),
+                                   k -> s.bins[k] + o.n_tokens <= {PACKCMP_BUDGET})) > 0
+              THEN list_transform(range(1, len(s.bins) + 1),
+                     k -> CASE WHEN k = list_filter(range(1, len(s.bins) + 1),
+                                    j -> s.bins[j] + o.n_tokens <= {PACKCMP_BUDGET})[1]
+                               THEN s.bins[k] + o.n_tokens ELSE s.bins[k] END)
+              ELSE list_append(s.bins, o.n_tokens) END
+  FROM state s JOIN ordered o ON o.source = s.source AND o.rn = s.rn + 1
+)
+SELECT source,
+       len(bins)::BIGINT AS n_packs,
+       list_sum(bins)::BIGINT AS total_tokens,
+       (len(bins) * {PACKCMP_BUDGET} - list_sum(bins))::BIGINT AS waste_tokens,
+       list_sum(bins)::DOUBLE / (len(bins) * {PACKCMP_BUDGET}) AS efficiency
+FROM state WHERE rn = n_docs
+""",
+    doc="First-fit-decreasing bin packing as a first-class operator: "
+    "length-sorted atomic documents packed into revisitable bins per "
+    "source — applyInPandas sequential scan on the engine side, a "
+    "recursive CTE with LIST-typed bin state on the oracle side. "
+    "Completes the packing family: concat-and-chunk "
+    "(x_sequence_packing), single-pass next-fit comparison "
+    "(x_packing_efficiency), and the near-optimal offline packer.",
+    tags=("text", "extension"),
+)
+def x_ffd_packing(spark, sf_dir):
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    _, bpe = token_counts(F.col("text"))
+    toks = docs.select("source", "doc_id", bpe.cast("bigint").alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bins: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for i, fill in enumerate(bins):
+                if fill + n <= PACKCMP_BUDGET:
+                    bins[i] = fill + n
+                    break
+            else:
+                bins.append(n)
+        total = int(pdf["n_tokens"].sum())
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_packs": [len(bins)],
+                "total_tokens": [total],
+            }
+        )
+
+    out = toks.groupBy("source").applyInPandas(
+        pack, "source string, n_packs long, total_tokens long"
+    )
+    return out.select(
+        "source",
+        "n_packs",
+        "total_tokens",
+        (F.col("n_packs") * PACKCMP_BUDGET - F.col("total_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_packs") * PACKCMP_BUDGET)
+        ).alias("efficiency"),
+    )

@@ -127,6 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_keyword_tagging",
     "a_k_anonymity",
     "x_packing_efficiency",
+    "x_ffd_packing",
+    "s_stream_custom_state",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",

@@ -1,0 +1,107 @@
+"""Custom arbitrary-stateful streaming via ``applyInPandasWithState``.
+
+s_stream_stateful_counter already drives applyInPandasWithState with
+a single integer counter; this face widens it to a mixed-type
+multi-metric state tuple and adds the discipline that makes
+Update-mode output usable downstream: monotone state.
+
+The state is a per-user lifetime profile of MONOTONE counters
+(event count, purchase count, running max value): monotone means the
+final value per user is the max over all emitted update rows, so the
+Update-mode output stream reduces deterministically no matter how the
+stream was micro-batched — the same associativity discipline as the
+foreachBatch faces, applied to engine-managed state.
+
+At 100 TB this is the per-entity profile pattern: state is one small
+tuple per user in the state store (RocksDB in production), each batch
+touches only the arriving users' groups, and no external snapshot
+table is managed by hand.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_OUT_T = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+_STATE_T = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("np", LongType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def _update(key, pdfs, state):
+    n, np_, mx = state.get if state.exists else (0, 0, float("-inf"))
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        np_ += int((pdf["event_type"] == "purchase").sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, np_, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "n_purchases": [np_],
+            "max_value": [mx],
+        }
+    )
+
+
+def run_custom_state(spark: SparkSession, events_stream: DataFrame, name: str) -> DataFrame:
+    updates = events_stream.groupBy("user_id").applyInPandasWithState(
+        _update, _OUT_T, _STATE_T, "Update", "NoTimeout"
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Update mode emits one row per (user, batch-with-arrivals); every
+    # tracked quantity is MONOTONE, so the final profile is the
+    # element-wise max — deterministic for any micro-batching.
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_purchases").alias("n_purchases"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import table_path
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # unique sink name per sf so repeated runs in one session don't clash
+    name = "apws_profile_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_custom_state(spark, stream, name)

@@ -117,3 +117,38 @@ def test_streaming_tagging_batch_boundary_independence(spark, sf_dir, tmp_path):
     a = streamed.sort_values(key).reset_index(drop=True)[batch.columns]
     b = batch.sort_values(key).reset_index(drop=True).astype(a.dtypes.to_dict())
     assert a.equals(b), (len(a), len(b))
+
+
+def test_custom_state_batch_boundary_independence(spark, sf_dir, tmp_path):
+    """applyInPandasWithState profile: engine-managed state updated
+    across 3 micro-batches, Update-mode rows reduced by element-wise
+    max (all metrics monotone) must equal the batch profile."""
+    from ast_data_pipeline_spark.sources.catalog import load
+    from ast_data_pipeline_spark.streaming.custom_state import run_custom_state
+
+    ev = load(spark, sf_dir, "events")
+    src = str(tmp_path / "apws_events")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = run_custom_state(spark, stream, "apws_test_sink").toPandas()
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    a = streamed.sort_values("user_id").reset_index(drop=True)[batch.columns]
+    b = batch.sort_values("user_id").reset_index(drop=True).astype(a.dtypes.to_dict())
+    assert a.equals(b), (len(a), len(b))
