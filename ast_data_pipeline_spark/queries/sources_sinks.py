@@ -915,3 +915,66 @@ def k6_jpeg_chip_sink(spark, sf_dir):
         decode,
         "image_name string, height int, width int, mean_byte double, is_valid boolean",
     )
+
+
+@register(
+    "s20_shapefile_datasource",
+    # The S4 reader surfaced as a FIRST-CLASS Spark format via the
+    # Spark 4 Python DataSource API: spark.read.format("shapefile")
+    # .load(...) — schema inferred from the DBF field descriptors at
+    # planning time, records produced executor-side by the repo's own
+    # binary parsers (sources/pyds_shapefile.py wrapping read_shp/
+    # read_dbf). Same identity oracle as s19: the scan must be
+    # attribute- and coordinate-exact against the source view. One
+    # partition by design (a shapefile is a dimension format — the
+    # frame broadcasts); the API face is the point: a reference user
+    # gets shapefiles next to parquet/csv/orc in the reader matrix.
+    oracle=with_domain(
+        """
+SELECT state_fips, county_fips, county_name,
+       'POLYGON ((' || printf('%.9f', c_minx) || ' ' || printf('%.9f', c_miny)
+        || ', ' || printf('%.9f', c_minx) || ' ' || printf('%.9f', c_maxy)
+        || ', ' || printf('%.9f', c_maxx) || ' ' || printf('%.9f', c_maxy)
+        || ', ' || printf('%.9f', c_maxx) || ' ' || printf('%.9f', c_miny)
+        || ', ' || printf('%.9f', c_minx) || ' ' || printf('%.9f', c_miny)
+        || '))' AS geometry_wkt
+FROM counties
+""",
+        "counties",
+    ),
+    doc="Shapefile as a registered Spark data source (Spark 4 Python "
+    "DataSource API): spark.read.format('shapefile') over the "
+    "written counties set, schema from DBF descriptors, coordinate-"
+    "exact against the source view — the from-scratch binary parsers "
+    "promoted to a first-class format.",
+    tags=("source", "spatial", "extension"),
+)
+def s20_shapefile_datasource(spark, sf_dir):
+    from ..functions.geo import bbox_wkt
+    from ..sources.pyds_shapefile import register_shapefile_source
+    from ..sources.shapefile import write_shapefile
+
+    cts = counties(spark, sf_dir).select(
+        "county_name",
+        "state_fips",
+        "county_fips",
+        bbox_wkt(
+            F.col("c_minx"), F.col("c_miny"), F.col("c_maxx"), F.col("c_maxy")
+        ).alias("geometry_wkt"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ast_pyds_shp",
+        os.path.basename(sf_dir.rstrip("/")),
+        "counties",
+    )
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    write_shapefile(cts, base)
+    register_shapefile_source(spark)
+    back = spark.read.format("shapefile").load(base + ".shp")
+    return back.select(
+        "state_fips",
+        F.col("county_fip").alias("county_fips"),
+        F.col("county_nam").alias("county_name"),
+        "geometry_wkt",
+    )

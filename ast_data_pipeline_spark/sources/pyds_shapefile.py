@@ -1,0 +1,108 @@
+"""Shapefile as a REAL Spark data source (the Spark 4 Python
+DataSource API): ``spark.read.format("shapefile").load(path)``.
+
+Wraps the repo's from-scratch binary parsers (read_shp / read_dbf in
+sources/shapefile.py) in the pyspark.sql.datasource API so shapefiles
+are a first-class format next to parquet/csv/orc — schema inferred
+from the DBF field descriptors at planning time, records produced by
+the executor-side reader. Accepts a ``path`` that is either a .zip
+containing the sidecar files or the ``.shp`` member of an unzipped
+set.
+
+Partitioning: a shapefile is a dimension-table format (single .shp,
+record count in the header), so the reader exposes ONE partition; the
+resulting frame broadcasts into spatial joins. Fact-scale binary
+ingest belongs to binaryFile + mapInPandas (s16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _load_members(path: str) -> tuple[bytes, bytes]:
+    """(shp bytes, dbf bytes) from a .zip or a .shp path."""
+    if path.endswith(".zip"):
+        import zipfile
+
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+            shp = next(n for n in names if n.endswith(".shp"))
+            dbf = next(n for n in names if n.endswith(".dbf"))
+            return z.read(shp), z.read(dbf)
+    base = path[: -len(".shp")] if path.endswith(".shp") else path
+    with open(base + ".shp", "rb") as f:
+        shp_raw = f.read()
+    with open(base + ".dbf", "rb") as f:
+        dbf_raw = f.read()
+    return shp_raw, dbf_raw
+
+
+def _dbf_fields(dbf_raw: bytes) -> list[tuple[str, str, int]]:
+    """(name, type char, decimals) per DBF field descriptor."""
+    fields = []
+    off = 32
+    while dbf_raw[off] != 0x0D:
+        name = dbf_raw[off : off + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(dbf_raw[off + 11])
+        dec = dbf_raw[off + 17]
+        fields.append((name, ftype, dec))
+        off += 32
+    return fields
+
+
+class ShapefileDataSource(DataSource):
+    """format name: ``shapefile``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "shapefile"
+
+    def schema(self) -> StructType:
+        _, dbf_raw = _load_members(self.options["path"])
+        fields = []
+        for name, ftype, dec in _dbf_fields(dbf_raw):
+            if ftype == "N":
+                t = DoubleType() if dec else LongType()
+            elif ftype == "L":
+                t = BooleanType()
+            else:
+                t = StringType()
+            fields.append(StructField(name, t))
+        fields.append(StructField("geometry_wkt", StringType()))
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> "ShapefileReader":
+        return ShapefileReader(self.options["path"], schema)
+
+
+class ShapefileReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.schema = schema
+
+    def read(self, partition):
+        from ast_data_pipeline_spark.sources.shapefile import read_dbf, read_shp
+
+        shp_raw, dbf_raw = _load_members(self.path)
+        geoms = read_shp(shp_raw)
+        attrs = read_dbf(dbf_raw)
+        if len(geoms) != len(attrs):
+            raise ValueError(
+                f".shp has {len(geoms)} records, .dbf {len(attrs)}"
+            )
+        cols = [f.name for f in self.schema.fields[:-1]]
+        for i in range(len(geoms)):
+            yield tuple(attrs[c].iloc[i] for c in cols) + (geoms[i],)
+
+
+def register_shapefile_source(spark) -> None:
+    spark.dataSource.register(ShapefileDataSource)
