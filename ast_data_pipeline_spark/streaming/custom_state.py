@@ -102,6 +102,13 @@ def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # unique sink name per sf so repeated runs in one session don't clash
-    name = "apws_profile_" + str(abs(hash(sf_dir)) % 10**8)
+    # unique sink name PER CALL: a terminated memory query's name/table
+    # lingers in the session, so re-running the same query (bench
+    # min-of-N, repeated sweeps) must not reuse it
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    name = f"apws_profile_{_SINK_SEQ}"
     return run_custom_state(spark, stream, name)
+
+
+_SINK_SEQ = 0
