@@ -978,3 +978,62 @@ def s20_shapefile_datasource(spark, sf_dir):
         F.col("county_nam").alias("county_name"),
         "geometry_wkt",
     )
+
+
+@register(
+    "s21_shapefile_sink_format",
+    # Both halves of the shapefile story as REGISTERED Spark formats:
+    # df.write.format("shapefile").save(base) runs the Spark 4 Python
+    # DataSource writer (per-partition rows travel in commit messages
+    # — sane exactly because shapefiles are dimension-scale, enforced
+    # by the same MAX_REPORT_ROWS cap as the function sink), and the
+    # read-back goes through the registered reader. Identity oracle
+    # as s19/s20 — the format pair must be coordinate-exact.
+    oracle=with_domain(
+        """
+SELECT state_fips, county_fips, county_name,
+       'POLYGON ((' || printf('%.9f', c_minx) || ' ' || printf('%.9f', c_miny)
+        || ', ' || printf('%.9f', c_minx) || ' ' || printf('%.9f', c_maxy)
+        || ', ' || printf('%.9f', c_maxx) || ' ' || printf('%.9f', c_maxy)
+        || ', ' || printf('%.9f', c_maxx) || ' ' || printf('%.9f', c_miny)
+        || ', ' || printf('%.9f', c_minx) || ' ' || printf('%.9f', c_miny)
+        || '))' AS geometry_wkt
+FROM counties
+""",
+        "counties",
+    ),
+    doc="Shapefile WRITE as a registered Spark format (Python "
+    "DataSource writer; rows via commit messages, one file assembled "
+    "at commit) followed by the registered reader — the K4/S4 pair "
+    "promoted to df.write.format / spark.read.format symmetry, "
+    "verified coordinate-exact.",
+    tags=("sink", "source", "spatial", "extension"),
+)
+def s21_shapefile_sink_format(spark, sf_dir):
+    from ..functions.geo import bbox_wkt
+    from ..sources.pyds_shapefile import register_shapefile_source
+
+    register_shapefile_source(spark)
+    cts = counties(spark, sf_dir).select(
+        "county_name",
+        "state_fips",
+        "county_fips",
+        bbox_wkt(
+            F.col("c_minx"), F.col("c_miny"), F.col("c_maxx"), F.col("c_maxy")
+        ).alias("geometry_wkt"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ast_pyds_shp_sink",
+        os.path.basename(sf_dir.rstrip("/")),
+        "counties",
+    )
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    cts.write.format("shapefile").mode("append").save(base)
+    back = spark.read.format("shapefile").load(base + ".shp")
+    return back.select(
+        "state_fips",
+        F.col("county_fip").alias("county_fips"),
+        F.col("county_nam").alias("county_name"),
+        "geometry_wkt",
+    )

@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_ffd_packing",
     "s_stream_custom_state",
     "s20_shapefile_datasource",
+    "s21_shapefile_sink_format",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",

@@ -83,6 +83,9 @@ class ShapefileDataSource(DataSource):
     def reader(self, schema: StructType) -> "ShapefileReader":
         return ShapefileReader(self.options["path"], schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "ShapefileWriter":
+        return ShapefileWriter(self.options, schema)
+
 
 class ShapefileReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
@@ -106,3 +109,54 @@ class ShapefileReader(DataSourceReader):
 
 def register_shapefile_source(spark) -> None:
     spark.dataSource.register(ShapefileDataSource)
+
+
+# ---- write side: df.write.format("shapefile").save(path_base) -------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _RowsMessage(WriterCommitMessage):
+    rows: list
+
+
+class ShapefileWriter(DataSourceWriter):
+    """Per-partition ``write`` ships its rows in the commit message;
+    ``commit`` assembles ONE shapefile on the driver. Rows-through-
+    commit-messages is only sane for dimension-scale outputs, which is
+    exactly what the shapefile format is for — the same
+    ``MAX_REPORT_ROWS`` cap as ``write_shapefile`` guards the abuse
+    case (fact-scale exports belong in parquet)."""
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.field_names = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        from ast_data_pipeline_spark.sources.sinks import MAX_REPORT_ROWS
+
+        rows = [tuple(r) for r in iterator]
+        if len(rows) > MAX_REPORT_ROWS:
+            raise ValueError(
+                f"shapefile sink: >{MAX_REPORT_ROWS} rows in one partition; "
+                "shapefiles are a report-scale GIS hand-off"
+            )
+        return _RowsMessage(rows)
+
+    def commit(self, messages) -> None:
+        from pyspark.sql import SparkSession
+
+        from ast_data_pipeline_spark.sources.shapefile import write_shapefile
+
+        # commit runs on a driver thread where getActiveSession() is
+        # None; getOrCreate() returns the one live session
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        rows = [r for m in messages for r in m.rows]
+        pdf_df = spark.createDataFrame(rows, schema=self.field_names)
+        write_shapefile(pdf_df, self.path)
+
+    def abort(self, messages) -> None:  # nothing staged on disk yet
+        pass
