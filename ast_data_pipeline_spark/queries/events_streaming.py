@@ -460,3 +460,38 @@ def s_stream_custom_state(spark, sf_dir):
     from ..streaming.custom_state import streaming_user_profile
 
     return streaming_user_profile(spark, sf_dir)
+
+
+@register(
+    "s22_event_replay_stream_source",
+    # A custom Python STREAMING source (Spark 4 DataSource API,
+    # SimpleDataSourceStreamReader): the events table replayed as
+    # offset-tracked micro-batches of 2000 event_ids — initialOffset /
+    # read(start) / readBetweenOffsets give exactly-once, recoverable
+    # chunks, and the complete-mode census over the fully-drained
+    # stream must equal the batch aggregate. Completes the DataSource
+    # API matrix (batch reader s20, batch writer s21, stream reader
+    # here); the replay-source shape is how a backfill or test feed
+    # enters a streaming pipeline. Implementation notes the API's
+    # sharp edge: the prefetch cache both next()s and copy()s the
+    # returned object, so read() must yield a list ITERATOR.
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       max(value) AS max_value,
+       min(event_id)::BIGINT AS min_event_id,
+       max(event_id)::BIGINT AS max_event_id
+FROM events GROUP BY event_type
+""",
+    doc="Custom streaming source via the Python DataSource API: "
+    "offset-chunked replay of the events table (exactly-once, "
+    "recoverable via readBetweenOffsets), drained to a complete-mode "
+    "census that must equal batch. Fourteenth streaming face; with "
+    "s20/s21 the Python DataSource matrix (batch read, batch write, "
+    "stream read) is fully exercised.",
+    tags=("streaming", "source", "extension"),
+)
+def s22_event_replay_stream_source(spark, sf_dir):
+    from ..streaming.custom_state import run_event_replay_census
+
+    return run_event_replay_census(spark, sf_dir)

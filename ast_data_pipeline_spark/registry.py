@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_custom_state",
     "s20_shapefile_datasource",
     "s21_shapefile_sink_format",
+    "s22_event_replay_stream_source",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",

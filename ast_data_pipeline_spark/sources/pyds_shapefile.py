@@ -160,3 +160,85 @@ class ShapefileWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:  # nothing staged on disk yet
         pass
+
+
+# ---- streaming source: event replay via the Python stream-reader API
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class EventReplayStreamReader(SimpleDataSourceStreamReader):
+    """Replays the events parquet as a micro-batched stream: each
+    offset step emits one event_id range chunk (deterministic order,
+    exactly-once — ``readBetweenOffsets`` re-reads any chunk verbatim
+    for recovery). The simple-reader variant reads on the driver,
+    which matches the replay-source role: a test/backfill feed at
+    dimension-scale rates, not a fact-scale scan (that is the parquet
+    file source's job)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.chunk = int(options.get("chunk", "2000"))
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.path, columns=["event_id"])
+        ids = t.column("event_id").to_pylist()
+        self.max_id = max(ids) if ids else -1
+
+    def initialOffset(self) -> dict:
+        return {"next_start": 0}
+
+    def _read_range(self, lo: int, hi: int):
+        # a LIST ITERATOR, specifically: the framework's prefetch
+        # cache both next()s the returned object AND copy.copy()s it
+        # for replay — a generator fails the copy, a bare list fails
+        # the next(); iter(list) satisfies both
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.path)
+        pdf = t.to_pandas()
+        pdf = pdf[(pdf["event_id"] >= lo) & (pdf["event_id"] < hi)]
+        pdf = pdf.sort_values("event_id")
+        return iter(
+            [
+                (int(r.event_id), int(r.user_id), str(r.event_type), float(r.value))
+                for r in pdf.itertuples(index=False)
+            ]
+        )
+
+    def read(self, start: dict):
+        lo = start["next_start"]
+        if lo > self.max_id:
+            # caught up: no progress, so availableNow can terminate
+            return iter([]), start
+        hi = lo + self.chunk
+        return self._read_range(lo, hi), {"next_start": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._read_range(start["next_start"], end["next_start"])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class EventReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "event_replay"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> EventReplayStreamReader:
+        return EventReplayStreamReader(self.options)
+
+
+def register_event_replay_source(spark) -> None:
+    spark.dataSource.register(EventReplayDataSource)

@@ -112,3 +112,68 @@ def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SINK_SEQ = 0
+
+
+def run_event_replay_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the custom Python STREAMING source (event_replay) to the
+    end of the table and return the complete-mode census. availableNow
+    snapshots only the first prefetched chunk of a Python simple
+    stream reader, so the query runs with a fast processingTime
+    trigger and stops once the committed source offset passes the
+    table's max event_id — every chunk is consumed exactly once
+    (disjoint offset ranges), so the final aggregate equals batch."""
+    import ast
+    import json
+    import time
+
+    from ..sources.catalog import table_path
+    from ..sources.pyds_shapefile import register_event_replay_source
+
+    def _parse_offset(s: str) -> dict:
+        # the Python source wrapper reports the offset dict as its
+        # repr (single quotes), not JSON
+        try:
+            return json.loads(s)
+        except json.JSONDecodeError:
+            return ast.literal_eval(s)
+
+    register_event_replay_source(spark)
+    path = table_path(sf_dir, "events")
+    import pyarrow.parquet as pq
+
+    max_id = pq.read_table(path, columns=["event_id"]).column("event_id")
+    max_id = max(max_id.to_pylist())
+    stream = (
+        spark.readStream.format("event_replay")
+        .option("path", path)
+        .option("chunk", "2000")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+    )
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    name = f"event_replay_census_{_SINK_SEQ}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        lp = q.lastProgress
+        if lp and lp["sources"]:
+            end = lp["sources"][0].get("endOffset")
+            if end and _parse_offset(end).get("next_start", 0) > max_id:
+                break
+        time.sleep(0.2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
