@@ -2102,3 +2102,42 @@ def e_watermark_sizing(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("drop_share"),
     )
+
+
+@register(
+    "e_variant_json_stats",
+    # Spark 4 VariantType face: the semi-structured props column is
+    # parsed ONCE into the binary variant encoding (parse_json) and
+    # fields are extracted with variant_get — the open-lakehouse
+    # answer to schema-on-read JSON that replaces per-access string
+    # re-parsing (get_json_object, the e_json_props_stats face) with
+    # a parse-once/read-many binary form; schema_of_variant exposes
+    # the inferred shape as data. Integer extraction keeps the gate
+    # exact; DuckDB mirrors with its own json_extract.
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events GROUP BY event_type
+""",
+    doc="VariantType JSON stats: props parsed once to the Spark 4 "
+    "variant binary form, k extracted via variant_get with per-type "
+    "integer stats, and the variant's inferred schema emitted as a "
+    "column (schema_of_variant) — the parse-once semi-structured "
+    "path next to the string-re-parsing get_json_object face.",
+    tags=("events", "extension"),
+)
+def e_variant_json_stats(spark, sf_dir):
+    from pyspark.sql.functions import parse_json, schema_of_variant, variant_get
+
+    ev = load(spark, sf_dir, "events").withColumn("v", parse_json("props"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(variant_get("v", "$.k", "long")).cast("long").alias("sum_k"),
+        F.min(variant_get("v", "$.k", "long")).cast("long").alias("min_k"),
+        F.max(variant_get("v", "$.k", "long")).cast("long").alias("max_k"),
+        F.max(schema_of_variant("v")).alias("variant_schema"),
+    )
