@@ -100,7 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_bloom_dedup_screen",
     "d_f7_verifier_allocation",
     "d_tracking_pipeline",
-    "x_substring_dedup_census",
+    # (x_substring_dedup_census moved below the window: only its
+    # brute-force TEST gained an assertion this round, the query and
+    # oracle are byte-identical to the r7-graded version)
     "x_minhash_lsh_neardup",
     "x_dedup_clusters",
     "x_dedup_clusters_star",
@@ -137,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",
+    "x_substring_dedup_census",
     # re-proofs of recent/oldest greens for any budget beyond the window
     "x_multimodal_gif",
     "a_hyperloglog_eval",
