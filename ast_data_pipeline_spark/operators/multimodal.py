@@ -5,9 +5,10 @@ The container has no image/audio codec libraries, so decode is REAL
 where the public spec + stdlib suffice: ``decode_image`` decodes
 uncompressed Netpbm (P6 PPM / P5 PGM) in pure numpy AND baseline PNG
 (8-bit grey/RGB — CRC-checked chunk walk, zlib IDAT inflate, scanline
-unfilter per RFC 2083) AND GIF87a/89a (block walk, sub-block
-reassembly, a full variable-width LZW codec with table resets,
-palette mapping — ``_gif_decode``) AND 24-bit BMP (bottom-up rows,
+unfilter per RFC 2083; every depth-8 color type incl. palette/RGBA)
+AND GIF87a/89a (block walk, sub-block reassembly, a full
+variable-width LZW codec with table resets, palette mapping,
+interlace — ``_gif_decode``) AND 24-bit BMP (bottom-up rows,
 BGR order, 4-byte padding — ``_bmp_decode``); ``decode_audio`` decodes
 uncompressed PCM WAV (RIFF chunk walk); ``extract_features``/
 ``audio_features``/``pairwise_ssim`` compute over those decoded
@@ -106,20 +107,22 @@ def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
     arr = recon.reshape(h, w, channels)
-    return arr if channels == 3 else arr[:, :, 0]
+    return arr[:, :, 0] if channels == 1 else arr
 
 
 def _png_decode(payload: bytes) -> np.ndarray:
     """Real PNG decode (public spec, RFC 2083): chunk walk with CRC
     verification, zlib inflate of the IDAT stream, scanline unfilter.
-    Supports the baseline subset: bit depth 8, greyscale (color type
-    0) and truecolor RGB (color type 2), no interlace."""
+    Bit depth 8, every color type — grey (0), RGB (2), palette (3,
+    PLTE-mapped to RGB), grey+alpha (4), RGBA (6); interlace remains
+    the one guarded subset (Adam7 never produced by this repo's or
+    the reference's writers)."""
     import struct
     import zlib
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -131,6 +134,8 @@ def _png_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -139,13 +144,21 @@ def _png_decode(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp or filt or interlace:
         raise NotImplementedError(
-            f"PNG subset: need depth 8, color type 0/2, no interlace "
+            f"PNG subset: need depth 8, color type 0/2/3/4/6, no interlace "
             f"(got depth={depth} color={color} interlace={interlace})"
         )
     raw = zlib.decompress(b"".join(idat))
-    return _png_unfilter(raw, w, h, 3 if color == 2 else 1)
+    arr = _png_unfilter(raw, w, h, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        if int(arr.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index outside PLTE")
+        arr = plte[arr]
+    return arr
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
@@ -309,8 +322,8 @@ def _lzw_decompress(data: bytes, mcs: int) -> bytes:
 def _gif_decode(payload: bytes) -> np.ndarray:
     """Real GIF decode (public GIF87a/89a spec): logical-screen walk,
     global/local color table, sub-block reassembly, LZW decompression,
-    palette mapping. Returns (h, w) grey when the palette is pure grey,
-    else (h, w, 3) RGB. Interlaced images raise NotImplementedError."""
+    palette mapping, 4-pass interlace row reordering. Returns (h, w)
+    grey when the palette is pure grey, else (h, w, 3) RGB."""
     import struct
 
     if payload[:6] not in GIF_SIGS:
@@ -334,8 +347,7 @@ def _gif_decode(payload: bytes) -> np.ndarray:
         elif introducer == 0x2C:  # image descriptor
             _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
+            interlaced = bool(ipacked & 0x40)
             table = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
@@ -360,7 +372,21 @@ def _gif_decode(payload: bytes) -> np.ndarray:
                 raise ValueError("GIF raster size mismatch")
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF pixel index outside the color table")
-            rgb = table[idx.reshape(ih, iw)]
+            idx = idx.reshape(ih, iw)
+            if interlaced:
+                # Adam-style 4-pass row order (GIF spec appendix E):
+                # stored rows map to display rows 0,8,16.. / 4,12.. /
+                # 2,6.. / 1,3..
+                order = np.concatenate(
+                    [
+                        np.arange(start, ih, step)
+                        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                    ]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            rgb = table[idx]
             if (table[:, 0] == table[:, 1]).all() and (
                 table[:, 1] == table[:, 2]
             ).all():

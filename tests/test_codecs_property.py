@@ -151,3 +151,74 @@ def test_jpeg_subset_guards():
         _jpeg_decode(bytes(payload))
     with pytest.raises(ValueError):
         _jpeg_decode(b"\x00\x01not a jpeg")
+
+
+# --- PNG color types 3/4/6 and interlaced GIF (r8 subset closures) ----
+
+import struct
+import zlib
+
+
+def _png_chunks(ihdr: bytes, extra: list, raster: bytes) -> bytes:
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    for ctype, data in [(b"IHDR", ihdr)] + extra + [
+        (b"IDAT", zlib.compress(raster)),
+        (b"IEND", b""),
+    ]:
+        out += struct.pack(">I", len(data)) + ctype + data
+        out += struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_png_rgba_grayalpha_palette_decode(seed):
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(1, 9)), int(rng.randint(1, 9))
+    # RGBA (color type 6)
+    rgba = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+    raster = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    p = _png_chunks(struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0), [], raster)
+    assert (_png_decode(p) == rgba).all()
+    # grey+alpha (color type 4)
+    ga = rng.randint(0, 256, (h, w, 2)).astype(np.uint8)
+    raster = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    p = _png_chunks(struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0), [], raster)
+    assert (_png_decode(p) == ga).all()
+    # palette (color type 3): indexes map through PLTE to RGB
+    n_pal = int(rng.randint(2, 17))
+    plte = rng.randint(0, 256, (n_pal, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_pal, (h, w)).astype(np.uint8)
+    raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    p = _png_chunks(
+        struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0),
+        [(b"PLTE", plte.tobytes())],
+        raster,
+    )
+    assert (_png_decode(p) == plte[idx]).all()
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_gif_interlaced_decode(seed):
+    from ast_data_pipeline_spark.operators.multimodal import _lzw_compress
+
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(1, 24)), int(rng.randint(1, 12))
+    arr = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    # store rows in the 4-pass interlace order, set the interlace flag
+    order = np.concatenate(
+        [np.arange(s, h, p) for s, p in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    stored = arr[order]
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40])  # interlaced
+    out += bytes([8])
+    comp = _lzw_compress(stored.tobytes(), 8)
+    for i in range(0, len(comp), 255):
+        out += bytes([len(comp[i : i + 255])]) + comp[i : i + 255]
+    out += b"\x00\x3b"
+    assert (_gif_decode(bytes(out)) == arr).all()

@@ -360,11 +360,18 @@ def test_gif_decoder_edge_cases():
     assert (
         _gif_decode(bytes(g89)) == np.arange(96, dtype=np.uint8).reshape(12, 8)
     ).all()
-    # interlace flag -> NotImplementedError (descriptor packed byte)
-    bad = bytearray(good)
-    bad[lsd_end + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        _gif_decode(bytes(bad))
+    # interlace flag (descriptor packed byte): r8 decodes it for real —
+    # the stored rows are treated as the 4-pass order, so flagging
+    # sequentially-stored data yields the row-permuted image
+    inter = bytearray(good)
+    inter[lsd_end + 9] |= 0x40
+    arr = np.arange(96, dtype=np.uint8).reshape(12, 8)
+    order = np.concatenate(
+        [np.arange(s, 12, p) for s, p in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    expect = np.empty_like(arr)
+    expect[order] = arr
+    assert (_gif_decode(bytes(inter)) == expect).all()
     # truncated LZW stream (strip trailer + last sub-block) -> ValueError
     with pytest.raises(ValueError):
         _lzw_decompress(b"", 8)
