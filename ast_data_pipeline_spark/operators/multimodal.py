@@ -12,11 +12,13 @@ interlace — ``_gif_decode``) AND 24-bit BMP (bottom-up rows,
 BGR order, 4-byte padding — ``_bmp_decode``); ``decode_audio`` decodes
 uncompressed PCM WAV (RIFF chunk walk); ``extract_features``/
 ``audio_features``/``pairwise_ssim`` compute over those decoded
-samples end-to-end. For the remaining compressed formats (jpg/mp3)
-the decode raises
-NotImplementedError exactly where Pillow/libsndfile/ffmpeg would plug
-in, and a deterministic fake (raw-byte features) keeps the Arrow
-plumbing — schema, batching, partitioning, UDF signature — exercised.
+samples end-to-end. Compressed formats with REAL from-scratch codecs:
+baseline JPEG (``_jpeg_decode``/``encode_jpeg``), G.711 mu-law
+(``mulaw_expand``), IMA ADPCM (``adpcm_encode``/``adpcm_decode``).
+Only perceptual codecs that genuinely need a DSP library (mp3/h264)
+raise NotImplementedError at the plug point, and a deterministic fake
+(raw-byte features) keeps the Arrow plumbing — schema, batching,
+partitioning, UDF signature — exercised for those.
 """
 
 from __future__ import annotations
@@ -1409,3 +1411,66 @@ def _jpeg_decode(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- IMA ADPCM (DVI4) codec — public IMA spec; pure integer ----------
+
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def adpcm_encode(samples) -> list[int]:
+    """IMA ADPCM encode: int16 samples -> 4-bit nibbles (one per
+    sample; initial predictor 0, index 0). The PREDICTIVE compressed
+    codec next to mu-law's memoryless companding — 4:1 vs PCM16."""
+    pred, idx = 0, 0
+    out = []
+    for s in samples:
+        s = int(s)
+        step = IMA_STEP_TABLE[idx]
+        diff = s - pred
+        n = 0
+        if diff < 0:
+            n = 8
+            diff = -diff
+        if diff >= step:
+            n |= 4
+            diff -= step
+        if diff >= step >> 1:
+            n |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            n |= 1
+        delta = (step >> 3) + (step if n & 4 else 0) \
+            + ((step >> 1) if n & 2 else 0) + ((step >> 2) if n & 1 else 0)
+        pred = pred - delta if n & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IMA_INDEX_TABLE[n]))
+        out.append(n)
+    return out
+
+
+def adpcm_decode(nibbles) -> list[int]:
+    """IMA ADPCM decode: nibbles -> int16 samples (the encoder's own
+    predictor trace — encoder and decoder share the reconstruction,
+    which is what makes the scheme drift-free)."""
+    pred, idx = 0, 0
+    out = []
+    for n in nibbles:
+        n = int(n)
+        step = IMA_STEP_TABLE[idx]
+        delta = (step >> 3) + (step if n & 4 else 0) \
+            + ((step >> 1) if n & 2 else 0) + ((step >> 2) if n & 1 else 0)
+        pred = pred - delta if n & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IMA_INDEX_TABLE[n]))
+        out.append(pred)
+    return out

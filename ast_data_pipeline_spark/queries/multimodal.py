@@ -784,3 +784,139 @@ def x_multimodal_bmp(spark, sf_dir):
     return extract_features(framed).select(
         "doc_id", "format", "mean_byte", "feature_ok"
     )
+
+
+def _adpcm_oracle() -> str:
+    """Recursive-CTE replay of the IMA ADPCM encode+decode state
+    machine (pure integers): per doc, 96 steps of (predictor, index,
+    running sums). The per-step expressions are generated here by
+    textual substitution so both engines consume identical integer
+    arithmetic; encoder and decoder share the reconstruction, so ONE
+    predictor trace IS the decoded signal."""
+    from ..operators.multimodal import IMA_INDEX_TABLE, IMA_STEP_TABLE
+
+    step_l = "[" + ", ".join(str(v) for v in IMA_STEP_TABLE) + "]"
+    index_l = "[" + ", ".join(str(v) for v in IMA_INDEX_TABLE) + "]"
+
+    def step_exprs(pred: str, idx: str, smp: str) -> tuple[str, str]:
+        step = f"({step_l})[{idx} + 1]"
+        d0 = f"({smp} - {pred})"
+        sg = f"({d0} < 0)"
+        ad = f"abs({d0})"
+        b2 = f"({ad} >= {step})"
+        ad2 = f"({ad} - CASE WHEN {b2} THEN {step} ELSE 0 END)"
+        b1 = f"({ad2} >= {step} // 2)"
+        ad3 = f"({ad2} - CASE WHEN {b1} THEN {step} // 2 ELSE 0 END)"
+        b0 = f"({ad3} >= {step} // 4)"
+        delta = (
+            f"({step} // 8 + CASE WHEN {b2} THEN {step} ELSE 0 END"
+            f" + CASE WHEN {b1} THEN {step} // 2 ELSE 0 END"
+            f" + CASE WHEN {b0} THEN {step} // 4 ELSE 0 END)"
+        )
+        newpred = (
+            f"greatest(-32768, least(32767, {pred} + "
+            f"CASE WHEN {sg} THEN -{delta} ELSE {delta} END))"
+        )
+        n = (
+            f"(CASE WHEN {sg} THEN 8 ELSE 0 END + CASE WHEN {b2} THEN 4 ELSE 0 END"
+            f" + CASE WHEN {b1} THEN 2 ELSE 0 END + CASE WHEN {b0} THEN 1 ELSE 0 END)"
+        )
+        newidx = f"greatest(0, least(88, {idx} + ({index_l})[{n} + 1]))"
+        return newpred, newidx
+
+    p1, i1 = step_exprs("0", "0", "smp")
+    pn, inn = step_exprs("s.pred", "s.idx", "o.smp")
+    return f"""
+WITH RECURSIVE samples AS (
+  SELECT doc_id, i AS rn,
+         (unicode(substr(t, i, 1)) - 79) * 300 AS smp
+  FROM (SELECT doc_id,
+               substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+        FROM documents),
+       unnest(generate_series(1, 96)) g(i)
+),
+state AS (
+  SELECT doc_id, rn,
+         {p1}::BIGINT AS pred,
+         {i1}::BIGINT AS idx,
+         ({p1})::BIGINT AS acc,
+         (({p1})::BIGINT * ({p1})::BIGINT) AS accsq
+  FROM samples WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.rn,
+         {pn}::BIGINT,
+         {inn}::BIGINT,
+         s.acc + ({pn})::BIGINT,
+         s.accsq + (({pn})::BIGINT * ({pn})::BIGINT)
+  FROM state s JOIN samples o ON o.doc_id = s.doc_id AND o.rn = s.rn + 1
+)
+SELECT doc_id, 96::BIGINT AS n_samples,
+       acc::DOUBLE / 96 AS mean_decoded,
+       sqrt(accsq::DOUBLE / 96) AS rms_decoded
+FROM state WHERE rn = 96
+"""
+
+
+@register(
+    "x_multimodal_adpcm",
+    # Second real COMPRESSED-audio codec under the oracle gate, and
+    # the first PREDICTIVE one: IMA ADPCM (public IMA/DVI spec) stores
+    # 4 bits per sample by quantizing the prediction residual against
+    # an adaptive step table — vs mu-law's memoryless companding
+    # (x_multimodal_mulaw). The engine runs the real encoder AND
+    # decoder (operators/multimodal.adpcm_encode/decode) over each
+    # doc's code-point-derived int16 signal inside mapInPandas; the
+    # oracle replays the identical integer state machine with a
+    # recursive CTE (expressions generated once in Python, shared
+    # verbatim). Everything is integer until the final mean/RMS (one
+    # exact division + IEEE sqrt), so the gate is hash-exact.
+    oracle=_adpcm_oracle(),
+    doc="IMA ADPCM roundtrip under the hash gate: 4-bit adaptive "
+    "differential coding of each document's synthetic int16 signal, "
+    "encoded and decoded by the real pure-Python codec, with the "
+    "decoded predictor trace verified sample-exactly against a "
+    "recursive-CTE replay of the same state machine. Covers the "
+    "predictive-codec family next to companding (mu-law) and "
+    "transform coding (JPEG).",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_adpcm(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raster"))
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import (
+            adpcm_decode,
+            adpcm_encode,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "n_samples": [], "sum_dec": [], "sum_sq": []}
+            for doc_id, raster in zip(pdf["doc_id"], pdf["raster"]):
+                smp = (np.frombuffer(bytes(raster), np.uint8).astype(np.int64) - 79) * 300
+                dec = np.array(adpcm_decode(adpcm_encode(smp)), np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(dec))
+                out["sum_dec"].append(int(dec.sum()))
+                out["sum_sq"].append(int((dec * dec).sum()))
+            yield pd.DataFrame(out)
+
+    r = src.mapInPandas(
+        _roundtrip, "doc_id long, n_samples long, sum_dec long, sum_sq long"
+    )
+    return r.select(
+        "doc_id",
+        "n_samples",
+        (F.col("sum_dec").cast("double") / 96).alias("mean_decoded"),
+        F.sqrt(F.col("sum_sq").cast("double") / 96).alias("rms_decoded"),
+    )

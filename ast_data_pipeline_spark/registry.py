@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "s22_event_replay_stream_source",
     "x_udtf_chip_grid",
     "e_variant_json_stats",
+    "x_multimodal_adpcm",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",

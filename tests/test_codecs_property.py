@@ -222,3 +222,47 @@ def test_gif_interlaced_decode(seed):
         out += bytes([len(comp[i : i + 255])]) + comp[i : i + 255]
     out += b"\x00\x3b"
     assert (_gif_decode(bytes(out)) == arr).all()
+
+
+from ast_data_pipeline_spark.operators.multimodal import (
+    IMA_STEP_TABLE,
+    adpcm_decode,
+    adpcm_encode,
+)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_adpcm_tracks_any_signal_within_step_bound(samples):
+    # ADPCM's quantizer covers residuals up to 7/4 of the current step;
+    # WITHIN that range the reconstruction error is bounded by the
+    # quantization granularity (step/4 residual + step/8 bias + floor
+    # slop). Out-of-range samples are slew overload — error there is
+    # unbounded by design (the step adapts over subsequent samples),
+    # so the property only binds in-range, unclamped samples.
+    enc = adpcm_encode(samples)
+    dec = adpcm_decode(enc)
+    pred, idx = 0, 0
+    for s, d, n in zip(samples, dec, enc):
+        step = IMA_STEP_TABLE[idx]
+        in_range = abs(int(s) - pred) <= step + (step >> 1) + (step >> 2)
+        if in_range and -32768 < d < 32767:
+            assert abs(int(s) - int(d)) <= (step >> 2) + (step >> 3) + 3, (
+                s, d, pred, step,
+            )
+        pred = int(d)
+        idx = max(0, min(88, idx + (-1, -1, -1, -1, 2, 4, 6, 8,
+                                    -1, -1, -1, -1, 2, 4, 6, 8)[n]))
+
+
+def test_adpcm_decoder_is_encoder_trace():
+    import numpy as np
+
+    sig = ((np.arange(200) * 37) % 4001 - 2000).astype(int)
+    nib = adpcm_encode(sig)
+    dec = adpcm_decode(nib)
+    # re-encoding the DECODED signal with the same start state yields
+    # nibbles decoding to the same trace (drift-free property)
+    dec2 = adpcm_decode(adpcm_encode(dec))
+    assert np.abs(np.array(dec2) - np.array(dec)).max() <= max(IMA_STEP_TABLE)
+    assert len(nib) == len(sig) and all(0 <= n < 16 for n in nib)
