@@ -2822,3 +2822,84 @@ def x_ffd_packing(spark, sf_dir):
             / (F.col("n_packs") * PACKCMP_BUDGET)
         ).alias("efficiency"),
     )
+
+
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "x_vocab_coverage",
+    # Tokenizer-sizing curve: what share of all token OCCURRENCES do
+    # the top-k vocabulary entries cover, for k = 10/100/1000 — the
+    # Zipf head/tail split that decides vocabulary size and byte-
+    # fallback rates when training a tokenizer. Top-k by frequency is
+    # a TakeOrdered (per-partition heaps) + rank over the k-row
+    # result; totals are one aggregate; coverage is exact integer
+    # counts with one division. Complements x_vocab_growth (vocab vs
+    # corpus size) and x_bpe_efficiency (merge quality) with the
+    # occupancy view.
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+freq AS (
+  SELECT tok, count(*)::BIGINT AS n FROM toks WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM freq
+),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_vocab FROM freq)
+SELECT k,
+       least(k, tot.n_vocab)::BIGINT AS n_vocab_used,
+       coalesce((SELECT sum(n) FROM ranked WHERE rk <= k), 0)::BIGINT
+         AS covered_tokens,
+       tot.total AS total_tokens,
+       coalesce((SELECT sum(n) FROM ranked WHERE rk <= k), 0)::DOUBLE
+         / tot.total AS coverage_share
+FROM unnest({list(VOCAB_COVERAGE_KS)!r}) t(k), tot
+""",
+    doc="Vocabulary coverage curve: share of token occurrences covered "
+    "by the top-10/100/1000 vocabulary entries — the Zipf-occupancy "
+    "table behind tokenizer vocabulary sizing. TakeOrdered head, "
+    "integer counts, one division per row.",
+    tags=("text", "extension"),
+)
+def x_vocab_coverage(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )  # consumed by totals + the head rank
+    tot = freq.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    kmax = max(VOCAB_COVERAGE_KS)
+    head = (
+        freq.orderBy(F.col("n").desc(), "tok")
+        .limit(kmax)
+        .withColumn("rk", F.row_number().over(W.orderBy(F.col("n").desc(), "tok")))
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in VOCAB_COVERAGE_KS])).alias("k")
+    per_k = (
+        head.select("n", "rk", ks)
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("covered"))
+    )
+    base = tot.select(F.explode(F.array(*[F.lit(k) for k in VOCAB_COVERAGE_KS])).alias("k"), "total", "n_vocab")
+    return (
+        base.join(per_k, "k", "left")
+        .select(
+            "k",
+            F.least(F.col("k").cast("long"), F.col("n_vocab")).alias("n_vocab_used"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            (F.coalesce("covered", F.lit(0)).cast("double") / F.col("total")).alias(
+                "coverage_share"
+            ),
+        )
+    )

@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_udtf_chip_grid",
     "e_variant_json_stats",
     "x_multimodal_adpcm",
+    "x_vocab_coverage",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",
