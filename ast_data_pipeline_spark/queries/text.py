@@ -2903,3 +2903,82 @@ def x_vocab_coverage(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "x_langid_confusion",
+    # The eval face of x_lang_id: full confusion matrix of the
+    # stopword-ratio classifier against the labeled lang column, with
+    # per-actual-language support and recall — the table a model card
+    # reports. (On this language-agnostic word-salad corpus the
+    # classifier is near-chance and ties collapse to the
+    # lexicographically first language — the matrix makes that failure
+    # mode VISIBLE, which is the point of shipping the eval next to
+    # the classifier.) One scoring pass, one (actual, predicted)
+    # aggregate, a broadcast per-actual total join.
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_SCORES_SQL}
+  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)
+),
+pred AS (
+  SELECT lang AS actual_lang, {_langid_pred_sql()} AS predicted_lang FROM scored
+),
+cells AS (
+  SELECT actual_lang, predicted_lang, count(*)::BIGINT AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+support AS (
+  SELECT actual_lang, sum(n_docs)::BIGINT AS support FROM cells GROUP BY 1
+)
+SELECT c.actual_lang, c.predicted_lang, c.n_docs, s.support,
+       (CASE WHEN c.actual_lang = c.predicted_lang THEN c.n_docs ELSE 0 END)::DOUBLE
+         / s.support AS recall_contrib
+FROM cells c JOIN support s ON c.actual_lang = s.actual_lang
+""",
+    doc="Language-ID confusion matrix: (actual, predicted) doc counts "
+    "with per-language support and diagonal recall — the honest eval "
+    "showing the stopword classifier is near-chance on this "
+    "language-agnostic synthetic corpus (ties collapse to the first "
+    "language). Eval-as-query, like the ANN recall and nDCG faces.",
+    tags=("text", "extension"),
+)
+def x_langid_confusion(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    scored = docs.select(
+        F.col("lang").alias("actual_lang"),
+        *[hit_ratio("w", STOPWORDS[l]).alias(f"score_{l}") for l in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in _LANGS])
+    pred_expr = None
+    for l in _LANGS:
+        cond = F.col(f"score_{l}") == best
+        pred_expr = (
+            F.when(cond, F.lit(l))
+            if pred_expr is None
+            else pred_expr.when(cond, F.lit(l))
+        )
+    cells = (
+        scored.select("actual_lang", pred_expr.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)  # consumed by support + the join
+    )
+    support = cells.groupBy("actual_lang").agg(F.sum("n_docs").alias("support"))
+    return cells.join(F.broadcast(support), "actual_lang").select(
+        "actual_lang",
+        "predicted_lang",
+        "n_docs",
+        F.col("support").cast("long").alias("support"),
+        (
+            F.when(
+                F.col("actual_lang") == F.col("predicted_lang"), F.col("n_docs")
+            )
+            .otherwise(0)
+            .cast("double")
+            / F.col("support")
+        ).alias("recall_contrib"),
+    )

@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "e_variant_json_stats",
     "x_multimodal_adpcm",
     "x_vocab_coverage",
+    "x_langid_confusion",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",
