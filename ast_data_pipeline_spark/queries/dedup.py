@@ -1969,3 +1969,130 @@ def x_image_dhash_dedup(spark, sf_dir):
         cand.filter(hamming <= DHASH_T)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
+
+
+DHASH_T_WIDE = 5  # <= 5 bit flips corrupt <= 5 of 7 bands -> >= 2 intact
+
+
+@register(
+    "x_image_dhash_dedup_scale",
+    # The scale-correct twin of x_image_dhash_dedup, implementing the
+    # fix the sf1 measurement called for (969k -> 95.8M candidate
+    # pairs at 10x images under single-band candidacy): a candidate
+    # must share a COMPOSITE 16-bit band — one of the C(7,2) = 21
+    # byte PAIRS. Pigeonhole: 5 bit flips corrupt at most 5 bytes,
+    # leaving >= 2 intact, and any 2 intact bytes ARE one of the 21
+    # pair keys — so candidacy is EXACT for hamming <= 5 (threshold
+    # moves 6 -> 5; that is the cost). Crucially the pruning lives IN
+    # THE JOIN KEY: a first attempt that grouped single-band matches
+    # and kept pairs with >= 2 shared bands still materialized the
+    # quadratic single-band join before pruning (42 s at sf1 — slower
+    # than the original); 16-bit keys collapse random collisions
+    # ~two orders before any row exists. Same real GIF decode and
+    # gradient signature; the oracle mirrors the composite banding.
+    oracle=f"""
+WITH img AS (
+  SELECT doc_id,
+         substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, {{dhash}} AS h FROM img),
+bands AS (
+  SELECT doc_id, h, i, j,
+         ((h >> (8 * i)) & 255) * 256 + ((h >> (8 * j)) & 255) AS band_val
+  FROM h, unnest(generate_series(0, 5)) t1(i), unnest(generate_series(0, 6)) t2(j)
+  WHERE j > i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb
+  FROM bands a JOIN bands b
+    ON a.i = b.i AND a.j = b.j AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {DHASH_T_WIDE}
+""".replace("{dhash}", _dhash_sql_expr()),
+    doc="Perceptual image dedup, occupancy-safe candidacy: pairs must "
+    "share >= 2 of the 7 signature bytes (pigeonhole-exact for "
+    "hamming <= 5), collapsing the background-collision candidate "
+    "space that the sf1 measurement showed growing quadratically "
+    "under single-band candidacy — the implemented fix next to the "
+    "SCALING.md adjudication.",
+    tags=("dedup", "multimodal", "extension"),
+)
+def x_image_dhash_dedup_scale(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raster"))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import (
+            _gif_decode,
+            encode_gif,
+        )
+
+        cols = np.array(DHASH_COLS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "h": []}
+            for doc_id, raster in zip(pdf["doc_id"], pdf["raster"]):
+                arr = np.frombuffer(bytes(raster), np.uint8).reshape(8, 12)
+                pix = _gif_decode(encode_gif(arr))
+                g = pix[:, cols].astype(np.int32)
+                bits = (g[:, :-1] > g[:, 1:]).ravel()
+                h = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        h |= 1 << i
+                out["doc_id"].append(int(doc_id))
+                out["h"].append(h)
+            yield pd.DataFrame(out)
+
+    h = src.mapInPandas(_hash, "doc_id long, h long").localCheckpoint(eager=False)
+    pairs_ij = [(i, j) for i in range(6) for j in range(i + 1, 7)]  # C(7,2)=21
+    combos = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                for i, j in pairs_ij
+            ]
+        )
+    ).alias("c")
+    bands = (
+        h.select("doc_id", "h", combos)
+        .select("doc_id", "h", "c.i", "c.j")
+        .withColumn(
+            "band_val",
+            F.expr("(shiftright(h, i * 8) & 255) * 256 + (shiftright(h, j * 8) & 255)"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.h").alias("ha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(hamming <= DHASH_T_WIDE).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )

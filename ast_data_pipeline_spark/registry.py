@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_multimodal_adpcm",
     "x_vocab_coverage",
     "x_langid_confusion",
+    "x_image_dhash_dedup_scale",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",
