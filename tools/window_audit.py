@@ -29,6 +29,7 @@ global window shipped unclassified). Rationale per class:
   e_topk_users_by_value, x_heavy_hitters, a_countmin_sketch,
   j_skew_report, x_bm25_search (12-row df-rank frame, r8 rewrite),
   x_rrf_fusion (two 50-row post-limit ranker pools),
+  x_vocab_coverage (1000-row post-limit frequency head),
   d_f7_verifier_allocation (200-row allocation head),
   d_tracking_pipeline (150-row allocation head, r8 rewrite — was the
   last chip-cardinality global frame)
@@ -69,6 +70,7 @@ CLASSIFIED: frozenset[str] = frozenset(
         "j_skew_report",
         "x_bm25_search",
         "x_rrf_fusion",
+        "x_vocab_coverage",
         "d_f7_verifier_allocation",
         "d_tracking_pipeline",
         "x_gini_source_concentration",
