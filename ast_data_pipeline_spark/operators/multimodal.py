@@ -112,13 +112,26 @@ def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
     return arr[:, :, 0] if channels == 1 else arr
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _png_decode(payload: bytes) -> np.ndarray:
     """Real PNG decode (public spec, RFC 2083): chunk walk with CRC
     verification, zlib inflate of the IDAT stream, scanline unfilter.
     Bit depth 8, every color type — grey (0), RGB (2), palette (3,
-    PLTE-mapped to RGB), grey+alpha (4), RGBA (6); interlace remains
-    the one guarded subset (Adam7 never produced by this repo's or
-    the reference's writers)."""
+    PLTE-mapped to RGB), grey+alpha (4), RGBA (6) — and both interlace
+    methods (0 = sequential, 1 = Adam7: each of the 7 passes is an
+    independently-filtered sub-image, unfiltered then scattered back
+    on its (x0, y0, dx, dy) grid)."""
     import struct
     import zlib
 
@@ -147,13 +160,29 @@ def _png_decode(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or comp or filt or interlace:
+    if depth != 8 or channels is None or comp or filt or interlace not in (0, 1):
         raise NotImplementedError(
-            f"PNG subset: need depth 8, color type 0/2/3/4/6, no interlace "
+            f"PNG subset: need depth 8, color type 0/2/3/4/6, interlace 0/1 "
             f"(got depth={depth} color={color} interlace={interlace})"
         )
     raw = zlib.decompress(b"".join(idat))
-    arr = _png_unfilter(raw, w, h, channels)
+    if interlace:
+        out = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes
+            size = ph * (1 + pw * channels)
+            sub = _png_unfilter(raw[off : off + size], pw, ph, channels)
+            off += size
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if off != len(raw):
+            raise ValueError("PNG Adam7 data length mismatch")
+        arr = out[:, :, 0] if channels == 1 else out
+    else:
+        arr = _png_unfilter(raw, w, h, channels)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -163,11 +192,37 @@ def _png_decode(payload: bytes) -> np.ndarray:
     return arr
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+def _png_filter_lines(img: np.ndarray, filter_type: int) -> list[bytes]:
+    """Filtered scanlines (1 type byte + data each) for one (sub)image
+    of shape (h, w, channels). Filtering is per-image, so Adam7 passes
+    filter independently, exactly as the spec requires."""
+    h, w, channels = img.shape
+    flat = img.reshape(h, w * channels).astype(np.int64)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 1:  # Sub
+            cols = cur.reshape(w, channels)
+            out = cols.copy()
+            out[1:] = (cols[1:] - cols[:-1]) % 256
+            out = out.ravel()
+        elif filter_type == 2:  # Up
+            out = (cur - (flat[y - 1] if y else 0)) % 256
+        else:
+            out = cur
+        lines.append(bytes([filter_type]) + out.astype(np.uint8).tobytes())
+    return lines
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
     """Minimal PNG encoder (fixture/ingest side of the roundtrip):
-    8-bit grey or RGB, one filter type for every scanline, zlib level 6.
-    Filter types 1/2 are applied for real (so tests can exercise the
-    matching unfilter paths); 3/4 are not emitted by this encoder."""
+    8-bit grey or RGB, one filter type for every scanline, zlib level 6,
+    optional Adam7 interlacing (the 7 passes emitted as independently
+    filtered sub-images). Filter types 1/2 are applied for real (so
+    tests can exercise the matching unfilter paths); 3/4 are not
+    emitted by this encoder."""
     import struct
     import zlib
 
@@ -182,20 +237,15 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     else:
         raise ValueError("need (h, w) grey or (h, w, 3) RGB")
     h, w = arr.shape[:2]
-    flat = arr.reshape(h, w * channels).astype(np.int64)
-    lines = []
-    for y in range(h):
-        cur = flat[y]
-        if filter_type == 1:  # Sub
-            cols = cur.reshape(w, channels)
-            out = cols.copy()
-            out[1:] = (cols[1:] - cols[:-1]) % 256
-            out = out.ravel()
-        elif filter_type == 2:  # Up
-            out = (cur - (flat[y - 1] if y else 0)) % 256
-        else:
-            out = cur
-        lines.append(bytes([filter_type]) + out.astype(np.uint8).tobytes())
+    lines: list[bytes] = []
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines.extend(_png_filter_lines(sub, filter_type))
+    else:
+        lines = _png_filter_lines(arr, filter_type)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -205,7 +255,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     idat = zlib.compress(b"".join(lines), 6)
     return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
@@ -1202,6 +1252,10 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos + 1 >= len(d):
+            # the other codecs surface truncation as ValueError, not a
+            # raw IndexError (ADVICE r8); +1 covers the 0xFF lookahead
+            raise ValueError("truncated JPEG entropy data")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1]
@@ -1235,8 +1289,12 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         d = self.data
-        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG entropy data (no RSTn)")
         self.pos += 2
 
 
@@ -1335,6 +1393,15 @@ def _jpeg_decode(payload: bytes) -> np.ndarray:
         pos += 2 + seglen
     if not comps or data_start < 0:
         raise ValueError("truncated JPEG (no SOF/SOS)")
+    if len(scan) != len(comps):
+        # Parsing stops at the FIRST SOS; a multi-scan baseline file
+        # (one SOS per component, legal under T.81) would otherwise
+        # silently decode the unscanned components as all-zero
+        # (ADVICE r8). Honest-subset guard, same convention as SOF2.
+        raise NotImplementedError(
+            "JPEG subset: single interleaved scan only; first SOS covers "
+            f"{len(scan)} of {len(comps)} components (multi-scan baseline)"
+        )
 
     if len(comps) == 1:
         # Single-component scans are non-interleaved (T.81 F.2.2.4):

@@ -221,7 +221,10 @@ def aho_corasick_build(keywords: list[str]) -> list[tuple[dict, int | None, int]
             f = fail[s]
             while f and ch not in goto[f]:
                 f = fail[f]
-            fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+            # textbook construction: fail links always land on strictly
+            # shallower nodes, so goto[f][ch] can never be t itself —
+            # no self-link guard needed (ADVICE r8)
+            fail[t] = goto[f].get(ch, 0)
             out[t] |= out[fail[t]]
     return list(zip(goto, fail, out))
 

@@ -2821,3 +2821,118 @@ def a_k_anonymity(spark, sf_dir):
             (F.col("_rows_d").cast("double") / F.col("n")).alias("row_share"),
         )
     )
+
+
+MERKLE_BUCKETS = 64   # digest tree fan-out (one level is enough here)
+MERKLE_MUT_MOD = 50   # ~1/50 of docs mutated into the "replica"
+
+
+@register(
+    "x_merkle_diff",
+    # Bucket-digest replication diff (the rsync/anti-entropy pattern
+    # a_table_checksum's single fingerprint scales INTO): both sides
+    # fold rows into md5-keyed bucket digests (order-insensitive
+    # bit_xor, so 1000 executors combine for free), the comparison
+    # reads 2*B digests instead of 2*N rows, and only DIRTY buckets
+    # are re-read to locate changes. The replica here is deterministic:
+    # docs whose salted md5 lands on 0 mod 50 get their text mutated —
+    # so dirty-bucket count, containment and read-amplification (rows
+    # re-read per actually-changed row) are all exact, engine-equal
+    # integers. At 100 TB: B sized so each bucket is a few files;
+    # repeated rounds descend dirty buckets only (the Merkle tree —
+    # one level shown, the recursion is the same digest fold).
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5('mkb|' || doc_id::VARCHAR), 1, 4))::BIGINT
+           % {MERKLE_BUCKETS} AS bucket,
+         (('0x' || substr(md5('mut|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % {MERKLE_MUT_MOD}) = 0 AS mutated
+  FROM documents
+),
+digests AS (
+  SELECT bucket,
+         count(*)::BIGINT AS n_rows,
+         bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' || text), 1, 15))::BIGINT)
+           AS digest_base,
+         bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' ||
+           CASE WHEN mutated THEN text || ' [edited]' ELSE text END), 1, 15))::BIGINT)
+           AS digest_replica,
+         sum(CASE WHEN mutated THEN 1 ELSE 0 END)::BIGINT AS n_changed
+  FROM base GROUP BY bucket
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       count(*) FILTER (WHERE digest_base <> digest_replica)::BIGINT
+         AS n_dirty_buckets,
+       sum(n_rows) FILTER (WHERE digest_base <> digest_replica)::BIGINT
+         AS n_rows_reread,
+       sum(n_changed)::BIGINT AS n_rows_changed,
+       sum(n_rows) FILTER (WHERE digest_base <> digest_replica)::DOUBLE
+         / sum(n_changed) AS read_amplification
+FROM digests
+""",
+    doc="Merkle-style bucket-digest diff between a table and a "
+    "deterministically-mutated replica: md5-bucketed bit_xor digests "
+    "(order-free partial folds), dirty-bucket detection, and the "
+    "read-amplification bill for locating changed rows by re-reading "
+    "dirty buckets only — the anti-entropy sync pattern that verifies "
+    "a 100 TB copy with O(buckets) comparisons.",
+    tags=("aggregates", "extension"),
+)
+def x_merkle_diff(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mkb|"), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % MERKLE_BUCKETS
+        ).alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mut|"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % MERKLE_MUT_MOD
+            == 0
+        ).alias("mutated"),
+    )
+    row_hash = (
+        "cast(conv(substring(md5(concat(cast(doc_id as string), '|', {t})), "
+        "1, 15), 16, 10) as bigint)"
+    )
+    replica_text = (
+        "(case when mutated then text || ' [edited]' else text end)"
+    )
+    digests = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"bit_xor({row_hash.format(t='text')})").alias("digest_base"),
+        F.expr(f"bit_xor({row_hash.format(t=replica_text)})").alias(
+            "digest_replica"
+        ),
+        F.sum(F.when(F.col("mutated"), 1).otherwise(0)).alias("n_changed"),
+    )
+    dirty = F.col("digest_base") != F.col("digest_replica")
+    return digests.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(dirty, 1).otherwise(0)).cast("long").alias("n_dirty_buckets"),
+        F.sum(F.when(dirty, F.col("n_rows"))).cast("long").alias("n_rows_reread"),
+        F.sum("n_changed").cast("long").alias("n_rows_changed"),
+        (
+            F.sum(F.when(dirty, F.col("n_rows"))).cast("double")
+            / F.sum("n_changed")
+        ).alias("read_amplification"),
+    )

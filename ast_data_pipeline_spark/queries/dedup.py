@@ -1839,7 +1839,16 @@ def x_minhash_band_sweep(spark, sf_dir):
 
 
 DHASH_COLS = [(x * 12) // 8 for x in range(8)]  # 8 sampled columns of 12
-DHASH_T = 6  # max hamming distance for a near-dup pair
+# Max hamming distance for a near-dup pair. 5, not 6: candidacy uses
+# composite 16-bit byte-PAIR bands (C(7,2) = 21 keys), which are
+# pigeonhole-exact only to 5 flips (5 flips corrupt <= 5 of 7 bytes ->
+# >= 2 intact bytes -> some intact pair key). Single-byte banding kept
+# hamming <= 6 exact but was MEASURED quadratic at sf1 (969k -> 95.8M
+# candidate pairs at 10x images: ~10% background collision per 8-bit
+# gradient band); the threshold trade buys near-linear candidate
+# growth (sf1 wall 33.5 -> 16.2 s). Adjudicated in SCALING.md — the
+# same occupancy rule as the minhash ROWS_PER_BAND fix.
+DHASH_T = 5
 
 
 def _dhash_sql_expr() -> str:
@@ -1868,128 +1877,21 @@ def _dhash_sql_expr() -> str:
     # GIF, the pure-numpy decoder recovers the pixels, and the
     # gradient hash (does pixel x exceed pixel x+1 on a sampled grid)
     # gives a 56-bit signature robust to brightness shifts. Pairing is
-    # NEVER all-pairs: the hash splits into 7 bytes and candidates
-    # must share at least one byte (an equi self-join on (band, val));
-    # by pigeonhole a pair within hamming <= 6 of 56 bits ALWAYS
-    # shares an intact byte, so the banding loses nothing — the
-    # simhash byte-banding argument applied to image signatures. The
-    # oracle computes the same hash arithmetically from code points
-    # (decode is lossless), the same banding, and bit_count(xor) —
-    # hamming is integer-exact.
-    oracle=f"""
-WITH img AS (
-  SELECT doc_id,
-         substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
-  FROM documents
-),
-h AS (SELECT doc_id, {{dhash}} AS h FROM img),
-bands AS (
-  SELECT doc_id, h, k, (h >> (8 * k)) & 255 AS band_val
-  FROM h, unnest(generate_series(0, 6)) t(k)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb
-  FROM bands a JOIN bands b
-    ON a.k = b.k AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
-FROM cand
-WHERE bit_count(xor(ha, hb)) <= {DHASH_T}
-""".replace("{dhash}", _dhash_sql_expr()),
-    doc="Perceptual image dedup via dHash: real GIF encode+decode per "
-    "doc (the multimodal codec path), 56-bit gradient signature, "
-    "7-byte banding self-join (pigeonhole-exact for hamming <= 6), "
-    "bit_count verify — image near-dup detection that scales like "
-    "simhash: candidates are bucket-joined, never enumerated "
-    "all-pairs, and the signature table is 16 bytes/image.",
-    tags=("dedup", "multimodal", "extension"),
-)
-def x_image_dhash_dedup(spark, sf_dir):
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    docs = load(spark, sf_dir, "documents")
-    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
-    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
-    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raster"))
-
-    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from ast_data_pipeline_spark.operators.multimodal import (
-            _gif_decode,
-            encode_gif,
-        )
-
-        cols = np.array(DHASH_COLS)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = {"doc_id": [], "h": []}
-            for doc_id, raster in zip(pdf["doc_id"], pdf["raster"]):
-                arr = np.frombuffer(bytes(raster), np.uint8).reshape(8, 12)
-                pix = _gif_decode(encode_gif(arr))  # real codec roundtrip
-                g = pix[:, cols].astype(np.int32)   # 8 x 8 sampled grid
-                bits = (g[:, :-1] > g[:, 1:]).ravel()  # 56 gradient bits
-                h = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        h |= 1 << i
-                out["doc_id"].append(int(doc_id))
-                out["h"].append(h)
-            yield pd.DataFrame(out)
-
-    h = src.mapInPandas(_hash, "doc_id long, h long").localCheckpoint(
-        eager=False
-    )  # consumed by both sides of the band join + the verify joins
-    bands = h.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
-    ).withColumn("band_val", F.expr("shiftright(h, k * 8) & 255"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.h").alias("ha"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.h").alias("hb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.filter(hamming <= DHASH_T)
-        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
-    )
-
-
-DHASH_T_WIDE = 5  # <= 5 bit flips corrupt <= 5 of 7 bands -> >= 2 intact
-
-
-@register(
-    "x_image_dhash_dedup_scale",
-    # The scale-correct twin of x_image_dhash_dedup, implementing the
-    # fix the sf1 measurement called for (969k -> 95.8M candidate
-    # pairs at 10x images under single-band candidacy): a candidate
-    # must share a COMPOSITE 16-bit band — one of the C(7,2) = 21
-    # byte PAIRS. Pigeonhole: 5 bit flips corrupt at most 5 bytes,
+    # NEVER all-pairs: a candidate must share a COMPOSITE 16-bit band
+    # — one of the C(7,2) = 21 byte PAIRS of the signature.
+    # Pigeonhole: 5 bit flips corrupt at most 5 of the 7 bytes,
     # leaving >= 2 intact, and any 2 intact bytes ARE one of the 21
-    # pair keys — so candidacy is EXACT for hamming <= 5 (threshold
-    # moves 6 -> 5; that is the cost). Crucially the pruning lives IN
-    # THE JOIN KEY: a first attempt that grouped single-band matches
-    # and kept pairs with >= 2 shared bands still materialized the
-    # quadratic single-band join before pruning (42 s at sf1 — slower
-    # than the original); 16-bit keys collapse random collisions
-    # ~two orders before any row exists. Same real GIF decode and
-    # gradient signature; the oracle mirrors the composite banding.
+    # pair keys — so candidacy is EXACT for hamming <= DHASH_T = 5.
+    # (This query originally used single-byte bands, exact to
+    # hamming <= 6; the sf1 scale proof measured that plan quadratic
+    # — 969k -> 95.8M candidates at 10x images — and the composite
+    # rewrite restored near-linear growth; see DHASH_T above and
+    # SCALING.md. Crucially the pruning lives IN THE JOIN KEY: a
+    # >= 2-shared-bands HAVING after a single-band join still
+    # materialized the quadratic candidate set and was SLOWER.) The
+    # oracle computes the same hash arithmetically from code points
+    # (decode is lossless), the same composite banding, and
+    # bit_count(xor) — hamming is integer-exact.
     oracle=f"""
 WITH img AS (
   SELECT doc_id,
@@ -2011,17 +1913,19 @@ cand AS (
 )
 SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
 FROM cand
-WHERE bit_count(xor(ha, hb)) <= {DHASH_T_WIDE}
+WHERE bit_count(xor(ha, hb)) <= {DHASH_T}
 """.replace("{dhash}", _dhash_sql_expr()),
-    doc="Perceptual image dedup, occupancy-safe candidacy: pairs must "
-    "share >= 2 of the 7 signature bytes (pigeonhole-exact for "
-    "hamming <= 5), collapsing the background-collision candidate "
-    "space that the sf1 measurement showed growing quadratically "
-    "under single-band candidacy — the implemented fix next to the "
-    "SCALING.md adjudication.",
+    doc="Perceptual image dedup via dHash: real GIF encode+decode per "
+    "doc (the multimodal codec path), 56-bit gradient signature, "
+    "occupancy-safe candidacy — pairs must share >= 2 of the 7 "
+    "signature bytes via composite 16-bit byte-pair band keys "
+    "(pigeonhole-exact for hamming <= 5), which collapsed the "
+    "background-collision candidate space the sf1 measurement showed "
+    "growing quadratically under single-byte bands — bit_count "
+    "verify; the signature table is 16 bytes/image.",
     tags=("dedup", "multimodal", "extension"),
 )
-def x_image_dhash_dedup_scale(spark, sf_dir):
+def x_image_dhash_dedup(spark, sf_dir):
     from collections.abc import Iterator
 
     import pandas as pd
@@ -2093,6 +1997,6 @@ def x_image_dhash_dedup_scale(spark, sf_dir):
         .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.filter(hamming <= DHASH_T_WIDE).select(
+    return cand.filter(hamming <= DHASH_T).select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     )

@@ -204,6 +204,20 @@ def x_triangle_count(spark, sf_dir):
     )
     e2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
     e3 = oriented.select(F.col("src").alias("src3"), F.col("dst").alias("dst3"))
+    # Scale adjudication (r9 sf1 proof, PROGRESS.jsonl): the first sf1
+    # measurement read 64.5 MB -> 7.4 GB shuffle (115x for 10x edges),
+    # which is a BROADCAST-THRESHOLD artifact, not quadratic growth —
+    # at sf0.1 `oriented` fits the 64 MB broadcast and the wedge
+    # stream never travels; at sf1 it doesn't, so the stream shuffles
+    # once. The algorithmic quantities scale exactly 10x (wedges,
+    # triangles, edges — disjoint replica subgraphs), and a rewrite
+    # that pre-aggregated wedges by closing pair (b,c) to force
+    # map-side combine was measured STRICTLY WORSE: same 7.4 GB at
+    # sf1 (the pairs are too spread for partial combine) while
+    # forfeiting the broadcast plan at small scale (750 MB and +48%
+    # wall at sf0.1). The raw wedge stream at 3 BIGINTs/row IS the
+    # minimal payload; orientation already bounds its size by
+    # sum(outdeg^2). Keep the broadcast-when-possible form.
     tri = (
         oriented.join(
             e2, (F.col("src2") == F.col("src")) & (F.col("dst2") != F.col("dst"))

@@ -452,8 +452,9 @@ FROM (SELECT doc_id,
 """,
     doc="PNG roundtrip under the hash gate: encode each document's "
     "ASCII bytes as a real zlib-compressed PNG (rotating scanline "
-    "filters), then decode in the mapInPandas feature stage — inflate "
-    "+ unfilter + CRC checks — and verify the decoded-pixel mean "
+    "filters; odd doc_ids Adam7-interlaced), then decode in the "
+    "mapInPandas feature stage — inflate + unfilter + 7-pass "
+    "deinterlace + CRC checks — and verify the decoded-pixel mean "
     "against DuckDB's independent code-point mean. The one formerly "
     "codec-less compressed format now has a working decoder.",
     tags=("multimodal", "extension"),
@@ -480,6 +481,10 @@ def x_multimodal_png(spark, sf_dir):
                 encode_png(
                     np.frombuffer(r, np.uint8).reshape(4, 8, 3),
                     filter_type=int(d) % 3,
+                    # odd doc_ids emit Adam7-interlaced files, so the
+                    # 7-pass deinterlacer (r9 subset closure) decodes
+                    # under the same oracle gate as the plain path
+                    interlace=bool(int(d) % 2),
                 )
                 for d, r in zip(pdf["doc_id"], pdf["raster"])
             ]

@@ -1479,3 +1479,99 @@ def x_hilbert_layout(spark, sf_dir):
             "max_step_manhattan", "avg_file_cell_area",
         )
     )
+
+
+RDV_K = 8  # shard count before the expansion step
+
+
+@register(
+    "x_rendezvous_shards",
+    # Rendezvous (highest-random-weight) sharding — the stateless
+    # assignment rule whose defining property is MINIMAL MOVEMENT on
+    # resharding: doc -> argmax over shards of md5(doc || shard). When
+    # a 9th shard is added, a doc moves iff the NEW shard wins its
+    # argmax, so (a) every moved doc moves INTO shard 8 and (b) the
+    # expected moved share is exactly 1/9 — vs hash-mod sharding where
+    # ~8/9 of a 100 TB corpus would relocate. Both properties are
+    # visible in the output: n_moved_in = 0 for shards 0..7, and the
+    # shard-8 arrival count is ~n_docs/9. The argmax is an 8/9-way
+    # per-doc max (the shard axis is a tiny explode, never a shuffle);
+    # the tie chain is the full hex digest + shard id, strictly unique
+    # per (doc, shard). Oracle mirrors the same md5 strings.
+    oracle=f"""
+WITH weights AS (
+  SELECT doc_id, s,
+         md5('rdv|' || doc_id::VARCHAR || '|' || s::VARCHAR) || '-' || s::VARCHAR
+           AS hkey
+  FROM documents, unnest(generate_series(0, {RDV_K})) t(s)
+),
+assign AS (
+  SELECT doc_id,
+         arg_max(s, CASE WHEN s < {RDV_K} THEN hkey END)
+           FILTER (WHERE s < {RDV_K}) AS shard_k8,
+         arg_max(s, hkey) AS shard_k9
+  FROM weights GROUP BY doc_id
+)
+SELECT s.s::INT AS shard,
+       count(*) FILTER (WHERE a.shard_k8 = s.s)::BIGINT AS n_docs_k8,
+       count(*) FILTER (WHERE a.shard_k9 = s.s)::BIGINT AS n_docs_k9,
+       count(*) FILTER (WHERE a.shard_k9 = s.s AND a.shard_k8 <> a.shard_k9)::BIGINT
+         AS n_moved_in
+FROM unnest(generate_series(0, {RDV_K})) s(s), assign a
+GROUP BY s.s
+""",
+    doc="Rendezvous-hash sharding with a resharding-movement audit: "
+    "per-shard doc counts at k=8 and k=9 plus arrivals per shard when "
+    "the 9th is added — zero arrivals anywhere but the new shard and "
+    "~1/9 total movement, the consistent-hashing property that makes "
+    "resharding a 100 TB corpus an O(N/k) copy instead of a full "
+    "rewrite. Stateless md5 argmax per doc, no shuffle on the shard "
+    "axis.",
+    tags=("sampling", "extension"),
+)
+def x_rendezvous_shards(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    weights = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(RDV_K))).alias("s"),
+    ).withColumn(
+        "hkey",
+        F.concat(
+            F.md5(
+                F.concat(
+                    F.lit("rdv|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("s").cast("string"),
+                )
+            ),
+            F.lit("-"),
+            F.col("s").cast("string"),
+        ),
+    )
+    assign = weights.groupBy("doc_id").agg(
+        F.max_by("s", F.when(F.col("s") < RDV_K, F.col("hkey"))).alias("shard_k8"),
+        F.max_by("s", "hkey").alias("shard_k9"),
+    )
+    shards = spark.range(RDV_K + 1).select(F.col("id").cast("int").alias("shard"))
+    return (
+        shards.crossJoin(assign)
+        .groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("shard_k8") == F.col("shard"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_k8"),
+            F.sum(F.when(F.col("shard_k9") == F.col("shard"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_k9"),
+            F.sum(
+                F.when(
+                    (F.col("shard_k9") == F.col("shard"))
+                    & (F.col("shard_k8") != F.col("shard_k9")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved_in"),
+        )
+    )

@@ -482,3 +482,54 @@ def u6_symmetric_difference(spark, sf_dir):
         ).select(F.lit(side).alias("side"), "n_keys", "min_key", "max_key")
 
     return census(only_a, "only_a").unionByName(census(only_b, "only_b"))
+
+
+@register(
+    "a_rollup_grouping_id",
+    # ROLLUP + GROUPING_ID — the remaining grouping-sets face next to
+    # a_cube_shipping's CUBE and the crosstab margins: hierarchical
+    # (year -> year,status -> grand total) subtotals in one pass, with
+    # the machine-readable grouping bitmask (the column BI layers key
+    # on to tell a subtotal row from a real NULL). One aggregation;
+    # the rollup adds 1 + |years| + 1 rows to the exact cells, never a
+    # second scan. Quantities are integral, sums exact BIGINT.
+    oracle="""
+SELECT coalesce(strftime(date_trunc('year', o_orderdate), '%Y'), 'ALL') AS order_year,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       grouping(date_trunc('year', o_orderdate), o_orderstatus)::BIGINT
+         AS grouping_id,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(30,10)), 4)::DOUBLE AS total_price
+FROM orders
+GROUP BY ROLLUP (date_trunc('year', o_orderdate), o_orderstatus)
+""",
+    doc="ROLLUP subtotals over (order year, status) with GROUPING_ID: "
+    "hierarchical margins and the grand total from one aggregation "
+    "pass, the bitmask distinguishing subtotal rows from genuine NULL "
+    "keys — completes the grouping-sets family (CUBE, crosstab "
+    "margins, ROLLUP).",
+    tags=("aggregates", "extension"),
+)
+def a_rollup_grouping_id(spark, sf_dir):
+    from ..functions.exact import dsum
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return (
+        orders.rollup("yr", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("yr", F.lit("ALL")).alias("order_year"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "grouping_id",
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -1622,3 +1622,142 @@ def x_ndcg_eval(spark, sf_dir):
         F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
         (F.coalesce("dcg", F.lit(0.0)) / F.lit(_NDCG_IDCG)).alias("ndcg"),
     )
+
+
+NEG_BUCKETS = 8   # candidate-pool routing buckets
+NEG_K = 4         # negatives drawn per anchor
+
+
+@register(
+    "x_hard_negative_mining",
+    # Deterministic label-aware negative mining — the sampling stage of
+    # embedding/contrastive training data prep. For each anchor, draw
+    # K=4 different-label negatives WITHOUT an all-pairs join: both
+    # sides are routed to md5-derived buckets and an anchor only sees
+    # the candidate pool sharing its bucket (candidates per anchor =
+    # N/B, the tunable pool knob — the same bucket-routing discipline
+    # as the LSH dedup family), then the pool is ranked by a pairwise
+    # md5 draw and the top-K different-label rows win. Everything is
+    # hash-derived, so the sample is bit-reproducible across engines,
+    # re-runs and partitionings — never rand(). Output is the census
+    # a training job validates: per anchor-label, how many anchors got
+    # a full quota, and the negative-label mix (which must contain NO
+    # same-label rows by construction).
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         (('0x' || substr(md5('negb|' || vec_id::VARCHAR), 1, 4))::INT
+           % {NEG_BUCKETS}) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         c.vec_id AS cand_id, c.label AS neg_label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY md5('negp|' || a.vec_id::VARCHAR || '|' || c.vec_id::VARCHAR),
+                    c.vec_id) AS draw_rank
+  FROM emb a JOIN emb c
+    ON c.bucket = a.bucket AND c.label <> a.label AND c.vec_id <> a.vec_id
+),
+picked AS (
+  SELECT anchor_id, anchor_label, neg_label FROM pairs WHERE draw_rank <= {NEG_K}
+),
+per_anchor AS (
+  SELECT anchor_id, anchor_label, count(*)::BIGINT AS n_negs
+  FROM picked GROUP BY 1, 2
+)
+SELECT p.anchor_label,
+       count(DISTINCT p.anchor_id)::BIGINT AS n_anchors,
+       count(DISTINCT CASE WHEN pa.n_negs = {NEG_K} THEN p.anchor_id END)::BIGINT
+         AS n_full_quota,
+       count(*)::BIGINT AS n_negatives,
+       count(DISTINCT p.neg_label)::BIGINT AS n_distinct_neg_labels,
+       count(*) FILTER (WHERE p.neg_label = p.anchor_label)::BIGINT
+         AS n_label_leaks
+FROM picked p JOIN per_anchor pa ON pa.anchor_id = p.anchor_id
+GROUP BY p.anchor_label
+""",
+    doc="Bucket-routed label-aware negative mining (the different-"
+    "label complement of x_negative_sampling's uniform draw): md5-bucketed "
+    "candidate pools (N/B per anchor, never all-pairs), deterministic "
+    "pairwise-md5 draw order, top-4 different-label negatives per "
+    "anchor; census of quota fill and negative-label mix with a "
+    "zero-leak invariant. Bit-reproducible sampling — no rand().",
+    tags=("similarity", "extension"),
+)
+def x_hard_negative_mining(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("negb|"), F.col("vec_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % NEG_BUCKETS
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)  # both sides of the bucket join
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("bucket").alias("a_bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("neg_label"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    draw = F.md5(
+        F.concat(
+            F.lit("negp|"),
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("cand_id").cast("string"),
+        )
+    )
+    pairs = (
+        a.join(
+            c,
+            (F.col("c_bucket") == F.col("a_bucket"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+            & (F.col("cand_id") != F.col("anchor_id")),
+        )
+        .withColumn(
+            "draw_rank",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy(draw, "cand_id")
+            ),
+        )
+        .filter(F.col("draw_rank") <= NEG_K)
+        .select("anchor_id", "anchor_label", "neg_label")
+    ).localCheckpoint(eager=False)  # census + per-anchor quota join
+    per_anchor = pairs.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_negs")
+    )
+    return (
+        pairs.join(per_anchor, "anchor_id")
+        .groupBy("anchor_label")
+        .agg(
+            F.countDistinct("anchor_id").cast("long").alias("n_anchors"),
+            F.countDistinct(
+                F.when(F.col("n_negs") == NEG_K, F.col("anchor_id"))
+            )
+            .cast("long")
+            .alias("n_full_quota"),
+            F.count(F.lit(1)).cast("long").alias("n_negatives"),
+            F.countDistinct("neg_label").cast("long").alias("n_distinct_neg_labels"),
+            F.sum(
+                F.when(F.col("neg_label") == F.col("anchor_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_label_leaks"),
+        )
+    )

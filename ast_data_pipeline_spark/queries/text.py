@@ -2861,7 +2861,10 @@ FROM unnest({list(VOCAB_COVERAGE_KS)!r}) t(k), tot
     doc="Vocabulary coverage curve: share of token occurrences covered "
     "by the top-10/100/1000 vocabulary entries — the Zipf-occupancy "
     "table behind tokenizer vocabulary sizing. TakeOrdered head, "
-    "integer counts, one division per row.",
+    "integer counts, one division per row. (The 31-word production "
+    "corpus saturates past k=31 — honest in values; the discriminative "
+    "regime is pinned on a 1500-word Zipf corpus in "
+    "tests/test_eval_honesty.py.)",
     tags=("text", "extension"),
 )
 def x_vocab_coverage(spark, sf_dir):
@@ -2941,7 +2944,9 @@ FROM cells c JOIN support s ON c.actual_lang = s.actual_lang
     "with per-language support and diagonal recall — the honest eval "
     "showing the stopword classifier is near-chance on this "
     "language-agnostic synthetic corpus (ties collapse to the first "
-    "language). Eval-as-query, like the ANN recall and nDCG faces.",
+    "language). Eval-as-query, like the ANN recall and nDCG faces; "
+    "the diagonal-heavy discriminative regime is pinned on a "
+    "unique-stopword corpus in tests/test_eval_honesty.py.",
     tags=("text", "extension"),
 )
 def x_langid_confusion(spark, sf_dir):
@@ -2981,4 +2986,235 @@ def x_langid_confusion(spark, sf_dir):
             .cast("double")
             / F.col("support")
         ).alias("recall_contrib"),
+    )
+
+
+LENBUCKET_BATCH = 32  # sequences per training batch
+
+
+@register(
+    "x_length_bucketing",
+    # Dataloader batching economics: when a training batch pads every
+    # sequence to the batch max, arrival-order batching wastes pad
+    # tokens roughly proportional to within-batch length variance;
+    # length-sorted batching collapses it. This measures both policies
+    # per source (batching is per-shard at scale — a GLOBAL sort of
+    # 100 TB for batch order is neither needed nor done; the window is
+    # partitioned by source): rank docs by arrival (doc_id) and by
+    # length, cut into batches of 32, pad each batch to its max, and
+    # report padded vs real token totals. Integer token arithmetic end
+    # to end; the one division is bigint/bigint in both engines.
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn_arrival,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rn_sorted
+  FROM toks
+),
+methods AS (
+  SELECT source, 'arrival' AS method,
+         (rn_arrival - 1) // {LENBUCKET_BATCH} AS batch, n_tokens FROM ranked
+  UNION ALL
+  SELECT source, 'length_sorted',
+         (rn_sorted - 1) // {LENBUCKET_BATCH}, n_tokens FROM ranked
+),
+batches AS (
+  SELECT source, method, batch,
+         count(*)::BIGINT AS n_seqs,
+         max(n_tokens)::BIGINT AS max_len,
+         sum(n_tokens)::BIGINT AS real_tokens
+  FROM methods GROUP BY 1, 2, 3
+)
+SELECT source, method,
+       count(*)::BIGINT AS n_batches,
+       sum(real_tokens)::BIGINT AS total_tokens,
+       sum(n_seqs * max_len)::BIGINT AS padded_tokens,
+       (sum(n_seqs * max_len) - sum(real_tokens))::BIGINT AS pad_waste,
+       (sum(n_seqs * max_len) - sum(real_tokens))::DOUBLE
+         / sum(n_seqs * max_len) AS waste_share
+FROM batches GROUP BY 1, 2
+""",
+    doc="Length-bucketed batching evaluation: pad-to-batch-max waste "
+    "under arrival-order vs length-sorted batch assembly, per source "
+    "shard (batch=32). The dataloader-side economics of sequence "
+    "packing — sorted batching collapses within-batch length variance "
+    "and with it the padding bill. Windows are per-source (per-shard "
+    "batching, no global sort); integer token math end to end.",
+    tags=("text", "extension"),
+)
+def x_length_bucketing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    _, bpe = token_counts(F.col("text"))
+    toks = docs.select(
+        "source", "doc_id", bpe.cast("bigint").alias("n_tokens")
+    )
+    w_arr = Window.partitionBy("source").orderBy("doc_id")
+    w_srt = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = toks.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w_arr).alias("rn_arrival"),
+        F.row_number().over(w_srt).alias("rn_sorted"),
+    )
+    methods = ranked.select(
+        "source",
+        F.lit("arrival").alias("method"),
+        ((F.col("rn_arrival") - 1) / LENBUCKET_BATCH).cast("long").alias("batch"),
+        "n_tokens",
+    ).unionByName(
+        ranked.select(
+            "source",
+            F.lit("length_sorted").alias("method"),
+            ((F.col("rn_sorted") - 1) / LENBUCKET_BATCH).cast("long").alias("batch"),
+            "n_tokens",
+        )
+    )
+    batches = methods.groupBy("source", "method", "batch").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("real_tokens"),
+    )
+    padded = F.sum(F.col("n_seqs") * F.col("max_len"))
+    real = F.sum("real_tokens")
+    return batches.groupBy("source", "method").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        real.cast("long").alias("total_tokens"),
+        padded.cast("long").alias("padded_tokens"),
+        (padded - real).cast("long").alias("pad_waste"),
+        ((padded - real).cast("double") / padded).alias("waste_share"),
+    )
+
+
+@register(
+    "x_lexical_richness",
+    # Vocabulary-richness quality scoring per source: type-token ratio,
+    # hapax share, and Yule's K = 1e4 * (sum_w freq_w^2 - N) / N^2 —
+    # the classic length-robust repetitiveness characteristic (low K =
+    # rich vocabulary, high K = repetitive corpus). A curation pipeline
+    # uses these as source-level quality gates next to the per-doc
+    # Gopher rules. All inputs are integer counts off ONE (source,
+    # token) aggregate; the divisions are int-derived doubles,
+    # bit-identical in both engines.
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+freq AS (
+  SELECT source, tok, count(*)::BIGINT AS n
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT source,
+       sum(n)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_types,
+       count(*) FILTER (WHERE n = 1)::BIGINT AS n_hapax,
+       count(*)::DOUBLE / sum(n) AS type_token_ratio,
+       (count(*) FILTER (WHERE n = 1))::DOUBLE / count(*) AS hapax_share,
+       10000.0 * (sum(n * n) - sum(n))::DOUBLE / (sum(n)::DOUBLE * sum(n)::DOUBLE)
+         AS yules_k
+FROM freq GROUP BY source
+""",
+    doc="Lexical-richness census per source: type-token ratio, hapax "
+    "share, Yule's K (1e4*(S2-N)/N^2) — the vocabulary-diversity "
+    "quality gates of a curation pipeline, computed from one "
+    "(source, token) count aggregate with exact integer moments.",
+    tags=("text", "extension"),
+)
+def x_lexical_richness(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_tokens = F.sum("n")
+    n_types = F.count(F.lit(1))
+    n_hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    s2 = F.sum(F.col("n") * F.col("n"))
+    return freq.groupBy("source").agg(
+        n_tokens.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        n_hapax.cast("long").alias("n_hapax"),
+        (n_types.cast("double") / n_tokens).alias("type_token_ratio"),
+        (n_hapax.cast("double") / n_types).alias("hapax_share"),
+        (
+            F.lit(10000.0)
+            * (s2 - n_tokens).cast("double")
+            / (n_tokens.cast("double") * n_tokens.cast("double"))
+        ).alias("yules_k"),
+    )
+
+
+@register(
+    "x_maparrow_token_stats",
+    # Spark 4 mapInArrow API face (the zero-copy sibling of
+    # mapInPandas: batches arrive as pyarrow.RecordBatch, no pandas
+    # materialization — the right UDF shape when the kernel itself is
+    # an Arrow compute call). The kernel is real Arrow compute —
+    # count_substring_regex / utf8_length on the column buffers —
+    # and the result is hash-equal to the pure-SQL twin, so the face
+    # is proven against the same truth as every other query. Per-doc
+    # stats aggregate per source afterward; the Python stage is a
+    # narrow map, all agg stays JVM-side.
+    oracle=r"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       max(n_tokens)::BIGINT AS max_tokens,
+       sum(n_chars)::BIGINT AS total_chars
+FROM per_doc GROUP BY source
+""",
+    doc="Token/char stats per source with the counting kernel run in "
+    "mapInArrow (pyarrow compute over RecordBatch columns, zero "
+    "pandas copies) — the Spark 4 Arrow-native UDF face, hash-equal "
+    "to the SQL twin.",
+    tags=("text", "extension"),
+)
+def x_maparrow_token_stats(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+
+    def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("source"),
+                    pc.cast(
+                        pc.count_substring_regex(text, r"\w+|[^\w\s]"), pa.int64()
+                    ),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["source", "n_tokens", "n_chars"],
+            )
+
+    per_doc = docs.mapInArrow(
+        stats, "source string, n_tokens long, n_chars long"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
     )

@@ -68,17 +68,37 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # Grading priority: the driver's correctness gate walks ``load_all()``
 # in iteration order (and may stop at a budgeted prefix, historically
-# 50). Round-8 window layout (VERDICT r7 ask #1): slots 1-14 are the
-# ONLY queries never driver-graded (the r7 overflow that sat at slots
-# 51+; green rows here close cumulative driver coverage at 292/292);
-# slots 15+ are queries whose implementation or oracle changes THIS
-# round (BM25 window de-globalization, out-of-order-census jitter-width
-# fix, bloom short-doc guard, the two de-globalized allocation
-# pipelines), then round-8 NEW operators, then re-proofs. Duplicates
-# later in the tuple are harmless (dict insertion keeps first
-# position); nothing is dropped.
+# 50). Round-9 window layout (VERDICT r8 ask #2): slots 1-3 are the
+# ONLY queries never driver-graded (the r8 overflow past the 50-slot
+# budget; the 4th, x_image_dhash_dedup_scale, was merged INTO
+# x_image_dhash_dedup this round — grading the unified name covers
+# it); slot 4 is that dhash unification (implementation + oracle
+# changed: composite 16-bit byte-pair banding, hamming threshold
+# 6 -> 5, VERDICT r8 ask #1); slots 5+ are round-9 NEW operators,
+# then re-proofs of prior greens. Duplicates later in the tuple are
+# harmless (dict insertion keeps first position); nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # 1-14: never driver-graded (r7 overflow) — close coverage at 292/292
+    # 1-3: never driver-graded (r8 overflow) — close coverage
+    "x_multimodal_adpcm",
+    "x_vocab_coverage",
+    "x_langid_confusion",
+    # 4+: changed this round — composite-band dhash unification;
+    # x_multimodal_png now emits Adam7-interlaced files for odd doc_ids
+    "x_image_dhash_dedup",
+    "x_multimodal_png",
+    # 6+: round-9 NEW operators (x_triangle_count was probed with a
+    # pre-aggregated wedge rewrite after its 115x sf1 shuffle reading;
+    # measured strictly worse — broadcast-threshold artifact, plan
+    # kept, adjudicated in queries/graph.py + SCALING.md)
+    "x_length_bucketing",
+    "x_lexical_richness",
+    "x_rendezvous_shards",
+    "x_sorted_neighborhood_linkage",
+    "x_hard_negative_mining",
+    "x_maparrow_token_stats",
+    "x_merkle_diff",
+    "a_rollup_grouping_id",
+    # then re-proofs (the full r8 window, prior order)
     "x_stratified_sample_exact",
     "a_linreg_trend",
     "x_zorder_layout",
@@ -124,7 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "j_delta_join_maintenance",
     "a_dq_constraint_suite",
     "e_watermark_sizing",
-    "x_image_dhash_dedup",
     "x_ndcg_eval",
     "s_stream_keyword_tagging",
     "a_k_anonymity",
@@ -136,10 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "s22_event_replay_stream_source",
     "x_udtf_chip_grid",
     "e_variant_json_stats",
-    "x_multimodal_adpcm",
-    "x_vocab_coverage",
-    "x_langid_confusion",
-    "x_image_dhash_dedup_scale",
     # x_lm_doc_score re-listed: its body was refactored onto the
     # shared lm_doc_nll helper this round (output unchanged)
     "x_lm_doc_score",

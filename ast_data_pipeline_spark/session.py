@@ -13,11 +13,31 @@ import os
 
 from pyspark.sql import SparkSession
 
+# The repo root (parent of this package). Spawned Python worker
+# processes — Python DataSource readers/writers, the streaming-source
+# runner, pandas-UDF workers — inherit sys.path from PYTHONPATH, not
+# from the driver's sys.path mutations, so a session built from an
+# arbitrary cwd without env prep could not import the package inside
+# those workers (VERDICT r8 #3: s20-s22 died with ModuleNotFoundError
+# in python_streaming_source_runner).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_package_path() -> str:
+    """Prepend the repo root to ``PYTHONPATH`` (idempotent) so every
+    process the JVM forks can import ``ast_data_pipeline_spark``."""
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = [p for p in existing.split(os.pathsep) if p]
+    if _REPO_ROOT not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([_REPO_ROOT, *parts])
+    return os.environ["PYTHONPATH"]
+
 
 def get_spark(
     app_name: str = "ast-data-pipeline-spark",
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    pythonpath = _export_package_path()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         # local mode: ~cores; on a real cluster this would scale with
@@ -36,6 +56,9 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # executor-side workers get the same import path (local mode
+        # inherits the driver env, but a real cluster needs this set)
+        .config("spark.executorEnv.PYTHONPATH", pythonpath)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -147,16 +147,14 @@ class ShapefileWriter(DataSourceWriter):
         return _RowsMessage(rows)
 
     def commit(self, messages) -> None:
-        from pyspark.sql import SparkSession
-
-        from ast_data_pipeline_spark.sources.shapefile import write_shapefile
+        from ast_data_pipeline_spark.sources.shapefile import write_shapefile_rows
 
         # commit runs on a driver thread where getActiveSession() is
-        # None; getOrCreate() returns the one live session
-        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        # None — it must be PURE I/O: a builder.getOrCreate() here
+        # spawned a fresh JVM per commit (13.5 s of the query's cost,
+        # VERDICT r8 #2). The row-level writer needs no session.
         rows = [r for m in messages for r in m.rows]
-        pdf_df = spark.createDataFrame(rows, schema=self.field_names)
-        write_shapefile(pdf_df, self.path)
+        write_shapefile_rows(rows, self.field_names, self.path)
 
     def abort(self, messages) -> None:  # nothing staged on disk yet
         pass
@@ -179,6 +177,7 @@ class EventReplayStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.chunk = int(options.get("chunk", "2000"))
+        self.inject_fail = options.get("inject_fail", "").lower() == "true"
         import pyarrow.parquet as pq
 
         t = pq.read_table(self.path, columns=["event_id"])
@@ -207,6 +206,11 @@ class EventReplayStreamReader(SimpleDataSourceStreamReader):
         )
 
     def read(self, start: dict):
+        if self.inject_fail:
+            # test hook: a deliberately-broken source, so the wait
+            # loop's fail-fast path (q.exception() per poll) is
+            # pinned by pytest instead of burning the full deadline
+            raise RuntimeError("event_replay: injected source failure")
         lo = start["next_start"]
         if lo > self.max_id:
             # caught up: no progress, so availableNow can terminate

@@ -183,6 +183,13 @@ def write_shapefile(df: DataFrame, path_base: str, geometry: str = "geometry_wkt
             f"write_shapefile: >{MAX_REPORT_ROWS} rows; shapefiles are a "
             "report-scale GIS hand-off, keep fact-scale data in parquet"
         )
+    return _write_shapefile_pdf(pdf, path_base)
+
+
+def _write_shapefile_pdf(pdf, path_base: str) -> int:
+    """Pure-I/O core: ``pdf`` column 0 is the (already compat-renamed)
+    polygon WKT; remaining columns become DBF attributes. No Spark."""
+    geom10 = pdf.columns[0]
     rings = [parse_polygon_wkt(w) for w in pdf[geom10]]
     attrs = pdf.drop(columns=[geom10])
     shp_recs, shx_recs, bbox = _shp_records(rings)
@@ -199,6 +206,45 @@ def write_shapefile(df: DataFrame, path_base: str, geometry: str = "geometry_wkt
     with open(path_base + ".prj", "w") as f:
         f.write(_WGS84_WKT)
     return len(pdf)
+
+
+def write_shapefile_rows(
+    rows: list[tuple],
+    field_names: list[str],
+    path_base: str,
+    geometry: str = "geometry_wkt",
+) -> int:
+    """Row-level shapefile writer: the same output as
+    ``write_shapefile`` but from already-collected rows, building NO
+    SparkSession — the shape a DataSource writer's ``commit()`` needs
+    (commit runs on a driver thread where ``getActiveSession()`` is
+    None; ``getOrCreate()`` there spawned a fresh JVM per commit,
+    VERDICT r8 #2). Commit is pure I/O now."""
+    import pandas as pd
+
+    from .sinks import MAX_REPORT_ROWS, shapefile_compat_names
+
+    if geometry not in field_names:
+        raise ValueError(f"write_shapefile_rows: no {geometry!r} column")
+    if len(rows) > MAX_REPORT_ROWS:
+        raise ValueError(
+            f"write_shapefile_rows: >{MAX_REPORT_ROWS} rows; shapefiles "
+            "are a report-scale GIS hand-off, keep fact-scale data in parquet"
+        )
+    pdf = pd.DataFrame(list(rows), columns=field_names)
+    # geometry FIRST through the rename pass (same rationale as
+    # write_shapefile), list-typed columns dropped as in
+    # shapefile_compat_columns
+    ordered = [geometry] + [c for c in field_names if c != geometry]
+    pdf = pdf[ordered]
+    listy = [
+        c
+        for c in pdf.columns
+        if any(isinstance(v, (list, tuple)) for v in pdf[c].head(50))
+    ]
+    pdf = pdf.drop(columns=listy)
+    pdf.columns = shapefile_compat_names(list(pdf.columns))
+    return _write_shapefile_pdf(pdf, path_base)
 
 
 # ---- read side (S4: zipped-shapefile scan, real binary parse) --------

@@ -44,6 +44,25 @@ def write_queue_snapshot(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def shapefile_compat_names(names: list[str]) -> list[str]:
+    """The DBF 10-char truncate + ESRI-style numeric-suffix dedup as a
+    pure name transform — shared by the Spark-side
+    ``shapefile_compat_columns`` and the row-level shapefile writer
+    (``shapefile.write_shapefile_rows``), which must not touch Spark."""
+    seen: dict[str, int] = {}
+    out = []
+    for name in names:
+        short = name[:10]
+        if short in seen:
+            seen[short] += 1
+            suffix = str(seen[short])
+            short = short[: 10 - len(suffix)] + suffix
+        else:
+            seen[short] = 0
+        out.append(short)
+    return out
+
+
 def shapefile_compat_columns(df: DataFrame) -> DataFrame:
     """Truncate column names to the DBF 10-char limit, deduplicating
     with numeric suffixes the way ESRI writers do; drops list-typed
@@ -53,17 +72,7 @@ def shapefile_compat_columns(df: DataFrame) -> DataFrame:
     for name, dtype in df.dtypes:
         if dtype.startswith("array"):
             out = out.drop(name)
-    seen: dict[str, int] = {}
-    renames = []
-    for name in out.columns:
-        short = name[:10]
-        if short in seen:
-            seen[short] += 1
-            suffix = str(seen[short])
-            short = short[: 10 - len(suffix)] + suffix
-        else:
-            seen[short] = 0
-        renames.append((name, short))
+    renames = list(zip(out.columns, shapefile_compat_names(out.columns)))
     # One select with aliases, NOT sequential withColumnRenamed: the
     # sequential form renames every column matching the name, so
     # truncating A -> B while an original B exists clobbered both.

@@ -114,7 +114,9 @@ def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SINK_SEQ = 0
 
 
-def run_event_replay_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_event_replay_census(
+    spark: SparkSession, sf_dir: str, source_options: dict | None = None
+) -> DataFrame:
     """Drive the custom Python STREAMING source (event_replay) to the
     end of the table and return the complete-mode census. availableNow
     snapshots only the first prefetched chunk of a Python simple
@@ -143,12 +145,14 @@ def run_event_replay_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     max_id = pq.read_table(path, columns=["event_id"]).column("event_id")
     max_id = max(max_id.to_pylist())
-    stream = (
+    reader = (
         spark.readStream.format("event_replay")
         .option("path", path)
         .option("chunk", "2000")
-        .load()
     )
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.load()
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("value").alias("max_value"),
@@ -167,6 +171,14 @@ def run_event_replay_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deadline = time.time() + 300
     while time.time() < deadline:
+        # Fail FAST if the stream died: a broken source (e.g. an
+        # unimportable Python DataSource in the runner process) would
+        # otherwise never advance the offset and silently burn the
+        # whole deadline (VERDICT r8 #3).
+        exc = q.exception()
+        if exc is not None:
+            q.stop()
+            raise exc
         lp = q.lastProgress
         if lp and lp["sources"]:
             end = lp["sources"][0].get("endOffset")

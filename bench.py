@@ -42,6 +42,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Box context (VERDICT r8 #10): the bench box shows co-tenant
+    # jitter; recording loadavg before/after lets a future reader
+    # separate drift from regression without re-running.
+    loadavg_before = [round(x, 2) for x in os.getloadavg()]
 
     specs = load_all()
     bench_names = sorted(n for n, s in specs.items() if "bench" in s.tags) or sorted(specs)
@@ -155,6 +159,10 @@ def main() -> None:
                 "view_build_sec": view_build,
                 "profile": "materialized_views",
                 "sf": sf,
+                # 1/5/15-min loadavg at start and end of the run: the
+                # co-tenant context the noise thresholds are judged in
+                "loadavg_before": loadavg_before,
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

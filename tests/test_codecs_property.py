@@ -153,6 +153,74 @@ def test_jpeg_subset_guards():
         _jpeg_decode(b"\x00\x01not a jpeg")
 
 
+@given(
+    st.integers(min_value=1, max_value=19),
+    st.integers(min_value=1, max_value=19),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_roundtrip_exact(h, w, ft, seed):
+    """Adam7 interlace is lossless for every image size — including
+    sizes where late passes are empty (w or h < pass offset)."""
+    from ast_data_pipeline_spark.operators.multimodal import (
+        _png_decode,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    grey = rng.integers(0, 256, (h, w), np.uint8).astype(np.uint8)
+    assert (_png_decode(encode_png(grey, ft, interlace=True)) == grey).all()
+    rgb = rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8)
+    assert (_png_decode(encode_png(rgb, ft, interlace=True)) == rgb).all()
+
+
+def test_jpeg_truncated_entropy_raises_valueerror():
+    """A JPEG cut INSIDE the entropy-coded segment must surface as the
+    ValueError contract the other codecs follow, not a raw IndexError
+    (ADVICE r8: header-stage truncation was covered, entropy-stage was
+    not)."""
+    import pytest
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (24, 24), np.uint8)
+    payload = encode_jpeg(arr)
+    # cut after the SOS header so header parsing succeeds and the bit
+    # reader runs off the end of the entropy data
+    sos = payload.find(b"\xff\xda")
+    assert sos > 0
+    for cut in (sos + 16, len(payload) - 8):
+        with pytest.raises(ValueError, match="truncated JPEG"):
+            _jpeg_decode(payload[:cut])
+
+
+def test_jpeg_multi_scan_guard():
+    """First-SOS-only parsing must refuse a scan that does not cover
+    every SOF component instead of silently leaving the unscanned
+    planes all-zero (ADVICE r8)."""
+    import pytest
+
+    arr = np.zeros((8, 8, 3), np.uint8)
+    payload = bytearray(encode_jpeg(arr))
+    idx = payload.find(b"\xff\xda")
+    seglen = (payload[idx + 2] << 8) | payload[idx + 3]
+    ns = payload[idx + 4]
+    assert ns == 3
+    # shrink the scan header to a single component (a legal multi-scan
+    # baseline layout would carry the other components in later SOS
+    # segments, which the decoder does not parse)
+    new_body = bytes([1]) + bytes(payload[idx + 5 : idx + 7])
+    new_seg = (
+        b"\xff\xda"
+        + (len(new_body) + 2 + 3).to_bytes(2, "big")
+        + new_body
+        + payload[idx + 2 + seglen - 3 : idx + 2 + seglen]
+    )
+    mutated = bytes(payload[:idx]) + new_seg + bytes(payload[idx + 2 + seglen :])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        _jpeg_decode(mutated)
+
+
 # --- PNG color types 3/4/6 and interlaced GIF (r8 subset closures) ----
 
 import struct

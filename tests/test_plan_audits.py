@@ -38,3 +38,23 @@ def test_every_unpartitioned_window_is_classified(spark, sf_dir):
     # shape can legitimately vary with AQE at other SFs).
     stale = sorted(window_audit.CLASSIFIED - set(hits))
     print("window_audit classified-but-clean (prune when stable):", stale)
+
+
+def test_shuffle_ledger_has_no_unadjudicated_watch_rows():
+    """The committed SHUFFLE.md must carry an adjudication note on
+    every >WATCH_MB shuffle-write row in EVERY section (VERDICT r8 #6:
+    a_market_basket_lift's 21.9 MB row sat in the PROFILE-tail section
+    where the WATCH rule didn't apply), and no error section — an ERR
+    line means the ledger silently lost rows SCALING.md relies on."""
+    shuffle_md = (
+        pathlib.Path(__file__).resolve().parent.parent / "SHUFFLE.md"
+    ).read_text()
+    assert "WATCH: unadjudicated" not in shuffle_md, (
+        "SHUFFLE.md has unadjudicated >20MB shuffle rows — add an "
+        "ADJUDICATED entry in tools/shuffle_audit.py with a reason, "
+        "or slim the plan, then regenerate"
+    )
+    assert "CRITICAL (headline/tail)" not in shuffle_md, (
+        "SHUFFLE.md records headline/tail query failures — the ledger "
+        "is incomplete; fix the queries and regenerate"
+    )

@@ -101,6 +101,12 @@ def main() -> int:
 
     w = max(len(r[0]) for r in rows)
     print(f"baseline: {old_path}")
+    # box context (VERDICT r8 #10): loadavg recorded in the bench JSON
+    # separates co-tenant drift from plan regressions at read time
+    for label, doc in (("old", old), ("new", new)):
+        la_b, la_a = doc.get("loadavg_before"), doc.get("loadavg_after")
+        if la_b or la_a:
+            print(f"{label} loadavg: before={la_b} after={la_a}")
     print(f"{'query'.ljust(w)}  {'old':>7}  {'new':>7}  {'ratio':>6}  flag")
     for name, o, n, ratio, flag in rows:
         os_ = f"{o:.3f}" if o is not None else "-"

@@ -80,6 +80,12 @@ def _fresh_session(cpus: int):
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf1", default="/tmp/ast_sf1")
+    ap.add_argument(
+        "--queries",
+        nargs="+",
+        default=list(QUERIES),
+        help="registered query names to measure (default: flagship set)",
+    )
     a = ap.parse_args()
 
     from ast_data_pipeline_spark.registry import load_all
@@ -89,7 +95,7 @@ def main() -> None:
     specs = load_all()
     result: dict = {"kind": "sf1_scale_proof", "ts": time.time(), "queries": {}}
 
-    for name in QUERIES:
+    for name in a.queries:
         per_sf = {}
         spark, shuffle_write = _fresh_session(cpus)
         # warm the JVM so sf0.1's first run doesn't carry codegen

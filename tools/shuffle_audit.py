@@ -37,6 +37,7 @@ ADJUDICATED = {
     "x_triangle_count": "bare (u,v) BIGINT edge pairs through the wedge join — minimal payload",
     "x_kcore_peel": "bare edge pairs re-shuffled per peel round — payload already minimal",
     "x_bfs_layers": "integer-encoded node ids (r7 cut 40.7->27.1 MB at sf0.1); layers need the frontier join",
+    "a_market_basket_lift": "per-order pair generation bounded by basket size; min-support HAVING prunes before the dim joins — linear in orders",
 }
 
 
@@ -127,14 +128,23 @@ def main() -> None:
 
     materialize_domain_views(spark, sf_dir, buckets=cpus)
 
-    def run_bucket(bucket, names, at_sf):
+    errors: list[tuple[str, str, bool]] = []  # (name, err, critical)
+
+    def run_bucket(bucket, names, at_sf, critical=False):
+        # critical=True (headline bench + PROFILE tail): a failure is
+        # collected AND fails the audit at exit — these rows carry
+        # SCALING.md's claims, so losing one silently would let the
+        # audit "succeed" without its evidence (ADVICE r8). The full
+        # ledger stays best-effort but its errors are listed in
+        # SHUFFLE.md instead of only a printed line.
         for name in names:
             before = totals()
             try:
                 df = specs[name].fn(spark, at_sf)
                 n = df.count()
-            except Exception as e:  # keep the ledger complete
+            except Exception as e:
                 print("ERR", name, str(e)[:120], flush=True)
+                errors.append((name, str(e)[:200], critical))
                 continue
             after = totals()
             bucket.append(
@@ -145,8 +155,8 @@ def main() -> None:
     rows = []
     tail_rows = []
     with materialized_views():
-        run_bucket(rows, bench_names, sf_dir)
-        run_bucket(tail_rows, tail_names, sf_dir)
+        run_bucket(rows, bench_names, sf_dir, critical=True)
+        run_bucket(tail_rows, tail_names, sf_dir, critical=True)
 
     # Full ledger (VERDICT r7 #7): every remaining registered query at
     # sf0.01, raw lineage (no materialized views) — the deterministic
@@ -160,20 +170,31 @@ def main() -> None:
     def mb(b: int) -> str:
         return f"{b / 1e6:.1f}"
 
+    def note_for(name: str, sw: int) -> str:
+        # the ADJUDICATED-or-WATCH rule applies to EVERY section
+        # (VERDICT r8 #6: a fat row in the tail section used to bypass
+        # the watch mechanism entirely)
+        if sw / 1e6 > WATCH_MB:
+            return ADJUDICATED.get(name, "**WATCH: unadjudicated**")
+        return ""
+
     out = f"""# SHUFFLE — per-query shuffle bytes at {sf_dir} (local[{cpus}])
 
 Measured from the Spark status API (per-stage shuffleWrite/shuffleRead/
 input bytes, attributed per query; materialized-views profile, same as
 bench.py). Shuffle WRITE is the number that scales with cluster
 network cost — SCALING.md's "one key shuffle" claims, audited.
+Rows > {WATCH_MB:.0f} MB shuffle write in ANY section carry their
+adjudication inline (from ``ADJUDICATED`` in tools/shuffle_audit.py);
+an unadjudicated WATCH row is a todo enforced by tests/test_plan_audits.py.
 
-| query | rows out | shuffle write MB | shuffle read MB | input MB |
-|---|---|---|---|---|
+| query | rows out | shuffle write MB | shuffle read MB | input MB | note |
+|---|---|---|---|---|---|
 """
     for name, n, sw, sr, inp in rows:
-        out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} |\n"
+        out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} | {note_for(name, sw)} |\n"
     tot = [sum(r[i] for r in rows) for i in (2, 3, 4)]
-    out += f"| **total** | | **{mb(tot[0])}** | **{mb(tot[1])}** | **{mb(tot[2])}** |\n"
+    out += f"| **total** | | **{mb(tot[0])}** | **{mb(tot[1])}** | **{mb(tot[2])}** | |\n"
     out += """
 ## PROFILE.md tail (iterative / similarity family)
 
@@ -190,11 +211,11 @@ BIGINT edge pairs through the wedge/peel joins (~16 bytes/row on a
 localCheckpoint BLOCK RE-READS (each lineage cut is consumed by 2-3
 joins per round), i.e. local memory reads, not extra parquet scans.
 
-| query | rows out | shuffle write MB | shuffle read MB | input MB |
-|---|---|---|---|---|
+| query | rows out | shuffle write MB | shuffle read MB | input MB | note |
+|---|---|---|---|---|---|
 """
     for name, n, sw, sr, inp in tail_rows:
-        out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} |\n"
+        out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} | {note_for(name, sw)} |\n"
     if full_rows:
         out += f"""
 ## Full ledger — every remaining registered query at sf0.01, raw lineage
@@ -209,19 +230,26 @@ unadjudicated WATCH row is a todo.
 |---|---|---|---|---|---|
 """
         for name, n, sw, sr, inp in sorted(full_rows, key=lambda r: -r[2]):
-            note = ""
-            if sw / 1e6 > WATCH_MB:
-                note = ADJUDICATED.get(name, "**WATCH: unadjudicated**")
-            out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} | {note} |\n"
+            out += f"| {name} | {n} | {mb(sw)} | {mb(sr)} | {mb(inp)} | {note_for(name, sw)} |\n"
+    if errors:
+        out += "\n## Errors — queries that failed during this audit run\n\n"
+        out += "A non-empty section here means the ledger above is INCOMPLETE.\n\n"
+        for name, msg, critical in errors:
+            sev = "CRITICAL (headline/tail)" if critical else "full-ledger"
+            out += f"- `{name}` ({sev}): {msg}\n"
     (REPO / "SHUFFLE.md").write_text(out)
     print("wrote SHUFFLE.md")
     unadj = [
         r[0]
-        for r in full_rows
+        for r in rows + tail_rows + full_rows
         if r[2] / 1e6 > WATCH_MB and r[0] not in ADJUDICATED
     ]
     print("UNADJUDICATED >20MB:", unadj)
     spark.stop()
+    crit_errs = [n for n, _, critical in errors if critical]
+    if crit_errs:
+        print("CRITICAL audit failures:", crit_errs)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
