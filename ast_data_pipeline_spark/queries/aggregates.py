@@ -2936,3 +2936,91 @@ def x_merkle_diff(spark, sf_dir):
             / F.sum("n_changed")
         ).alias("read_amplification"),
     )
+
+
+@register(
+    "a_l_diversity",
+    # l-diversity census (Machanavajjhala 2007, public — the audit
+    # k-anonymity alone misses): a k-anonymous equivalence class still
+    # leaks its sensitive attribute if every member SHARES it
+    # (homogeneity attack). Same quasi-identifier classes as
+    # a_k_anonymity (nation, segment, balance bucket); the sensitive
+    # attribute is the customer's order priority mix — a class's l is
+    # its count of DISTINCT sensitive values, and classes with l=1
+    # are leaks regardless of k. Two aggregates (per-class distinct
+    # sensitive values via one (class, value) rollup, then the l-band
+    # census); the class table stays bounded by the QI domain.
+    oracle="""
+WITH joined AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         floor(c.c_acctbal / 1000)::BIGINT AS bal_bucket,
+         o.o_orderpriority AS sensitive
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         count(*)::BIGINT AS k,
+         count(DISTINCT sensitive)::BIGINT AS l
+  FROM joined GROUP BY 1, 2, 3
+),
+tot AS (SELECT sum(k)::BIGINT AS n FROM classes)
+SELECT CASE WHEN l = 1 THEN 'a_l_eq_1'
+            WHEN l = 2 THEN 'b_l_eq_2'
+            ELSE 'c_l_3_plus' END AS l_band,
+       count(*)::BIGINT AS n_classes,
+       sum(k)::BIGINT AS n_rows,
+       min(k)::BIGINT AS k_min,
+       sum(k)::DOUBLE / (SELECT n FROM tot) AS row_share
+FROM classes
+GROUP BY 1
+""",
+    doc="l-diversity census over the k-anonymity quasi-identifier "
+    "classes with order priority as the sensitive attribute: classes "
+    "banded by distinct-sensitive-value count l, with row shares — "
+    "the homogeneity-attack audit (an l=1 class leaks its sensitive "
+    "value for every member no matter how large k is). Completes the "
+    "privacy-governance pair with a_k_anonymity.",
+    tags=("aggregates", "extension"),
+)
+def a_l_diversity(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders, orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    classes = (
+        joined.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("sensitive").alias("l"),
+        )
+        .localCheckpoint(eager=False)  # consumed by total + the band rollup
+    )
+    tot = classes.agg(F.sum("k").alias("n"))
+    band = (
+        F.when(F.col("l") == 1, "a_l_eq_1")
+        .when(F.col("l") == 2, "b_l_eq_2")
+        .otherwise("c_l_3_plus")
+    )
+    return (
+        classes.select(band.alias("l_band"), "k")
+        .groupBy("l_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("k_min"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_band",
+            "n_classes",
+            "n_rows",
+            "k_min",
+            (F.col("n_rows").cast("double") / F.col("n")).alias("row_share"),
+        )
+    )

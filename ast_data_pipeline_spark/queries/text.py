@@ -3218,3 +3218,242 @@ def x_maparrow_token_stats(spark, sf_dir):
         F.max("n_tokens").cast("long").alias("max_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+CHUNK_LEN = 40    # tokens per retrieval chunk
+CHUNK_STRIDE = 30 # start-to-start stride (10-token overlap)
+
+
+@register(
+    "x_document_chunking",
+    # RAG-ingestion chunking census: split every doc into overlapping
+    # token windows (len 40, stride 30 — the sliding-window chunking
+    # every retrieval pipeline runs before embedding) and account for
+    # the cost: chunk counts, the token-expansion factor the overlap
+    # buys (re-embedded tokens), and tail-chunk shortness. Chunk
+    # enumeration is a per-doc sequence explode (map-side, bounded by
+    # doc length / stride); the census is one aggregate. Integer token
+    # arithmetic end to end.
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+chunks AS (
+  SELECT source, n_tokens, st,
+         least({CHUNK_LEN}, n_tokens - st + 1)::BIGINT AS chunk_len
+  FROM toks, unnest(generate_series(1, n_tokens::INT, {CHUNK_STRIDE})) t(st)
+)
+SELECT source,
+       count(*)::BIGINT AS n_chunks,
+       sum(chunk_len)::BIGINT AS chunk_tokens,
+       (SELECT sum(n_tokens) FROM toks t2 WHERE t2.source = chunks.source)::BIGINT
+         AS doc_tokens,
+       sum(chunk_len)::DOUBLE
+         / (SELECT sum(n_tokens) FROM toks t2 WHERE t2.source = chunks.source)
+         AS expansion_factor,
+       count(*) FILTER (WHERE chunk_len < {CHUNK_LEN})::BIGINT AS n_short_chunks
+FROM chunks GROUP BY source
+""",
+    doc="Sliding-window document chunking census (len 40 / stride 30): "
+    "chunks per source, the token-expansion factor overlap costs at "
+    "embedding time, and tail-chunk shortness — the RAG-ingestion "
+    "accounting pass. Per-doc sequence explode, one aggregate.",
+    tags=("text", "extension"),
+)
+def x_document_chunking(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    chunks = toks.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.col("n_tokens").cast("int"), F.lit(CHUNK_STRIDE)
+            )
+        ).alias("st"),
+    ).withColumn(
+        "chunk_len",
+        F.least(F.lit(CHUNK_LEN), F.col("n_tokens") - F.col("st") + 1).cast(
+            "long"
+        ),
+    )
+    doc_tokens = toks.groupBy("source").agg(
+        F.sum("n_tokens").alias("doc_tokens")
+    )
+    per_source = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("chunk_tokens"),
+        F.sum(F.when(F.col("chunk_len") < CHUNK_LEN, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short_chunks"),
+    )
+    return per_source.join(F.broadcast(doc_tokens), "source").select(
+        "source",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        F.col("doc_tokens").cast("long").alias("doc_tokens"),
+        (F.col("chunk_tokens").cast("double") / F.col("doc_tokens")).alias(
+            "expansion_factor"
+        ),
+        "n_short_chunks",
+    )
+
+
+PREFIX_DEPTHS = (3, 5, 10)  # prefix lengths (tokens) to census
+
+
+@register(
+    "x_prefix_cache_census",
+    # Inference-side data op: how much would a prefix (KV) cache save
+    # on this corpus? For prefix depths 3/5/10 tokens, group docs by
+    # their exact token prefix and measure sharing: distinct prefixes
+    # vs docs, share of docs that reuse a prefix someone else already
+    # computed (the cache-hit bound), and tokens saved if every shared
+    # prefix is computed once. Pure hash aggregation per depth on a
+    # map-side-derived prefix key — the same shape at 100 TB, and the
+    # measurement that sizes a serving cache before deploying it.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+per_depth AS (
+  SELECT d,
+         array_to_string(w[1:least(d, len(w))], ' ') AS prefix,
+         least(d, len(w))::BIGINT AS plen
+  FROM toks, unnest({list(PREFIX_DEPTHS)!r}) t(d)
+),
+grouped AS (
+  SELECT d, prefix, plen, count(*)::BIGINT AS n_docs
+  FROM per_depth GROUP BY 1, 2, 3
+)
+SELECT d::INT AS depth,
+       sum(n_docs)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_distinct_prefixes,
+       sum(n_docs - 1)::BIGINT AS n_cache_hits,
+       sum(n_docs - 1)::DOUBLE / sum(n_docs) AS hit_share,
+       sum((n_docs - 1) * plen)::BIGINT AS tokens_saved
+FROM grouped GROUP BY d
+""",
+    doc="Prefix-cache sizing census: for token-prefix depths 3/5/10, "
+    "distinct-prefix counts, the cache-hit share (docs reusing an "
+    "already-computed prefix) and tokens saved at one-compute-per-"
+    "prefix — the measurement that decides whether a serving-side KV "
+    "prefix cache pays for itself on this corpus. One hash aggregate "
+    "per depth.",
+    tags=("text", "extension"),
+)
+def x_prefix_cache_census(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in PREFIX_DEPTHS])
+    ).alias("d")
+    per_depth = toks.select("w", depths).select(
+        "d",
+        F.expr(
+            "array_join(slice(w, 1, least(d, size(w))), ' ')"
+        ).alias("prefix"),
+        F.least(F.col("d"), F.size("w")).cast("long").alias("plen"),
+    )
+    grouped = per_depth.groupBy("d", "prefix", "plen").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return grouped.groupBy("d").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_prefixes"),
+        F.sum(F.col("n_docs") - 1).cast("long").alias("n_cache_hits"),
+        (
+            F.sum(F.col("n_docs") - 1).cast("double") / F.sum("n_docs")
+        ).alias("hit_share"),
+        F.sum((F.col("n_docs") - 1) * F.col("plen"))
+        .cast("long")
+        .alias("tokens_saved"),
+    ).select(
+        F.col("d").cast("int").alias("depth"),
+        "n_docs",
+        "n_distinct_prefixes",
+        "n_cache_hits",
+        "hit_share",
+        "tokens_saved",
+    )
+
+
+@register(
+    "x_udtf_ngrams",
+    # Spark 4 UDTF with a static analyze() — the DYNAMIC-SCHEMA face
+    # of the table-function API (x_udtf_chip_grid proves the fixed-
+    # schema face): the output schema (gram_1..gram_n columns) is
+    # computed at PLAN TIME from the literal n argument by analyze(),
+    # the mechanism behind polymorphic table functions. The operator
+    # itself is the n-gram explode every shingle/decontamination
+    # pipeline runs; the census (per-source n-gram counts + distincts)
+    # is hash-equal to the pure-SQL trigram twin, so the face is
+    # proven against the same truth as the rest of the registry.
+    oracle="""
+WITH grams AS (
+  SELECT source,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS ngram
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i)
+)
+SELECT source,
+       count(*)::BIGINT AS n_ngrams,
+       count(DISTINCT ngram)::BIGINT AS n_distinct,
+       count(DISTINCT ngram)::DOUBLE / count(*) AS distinct_share
+FROM grams GROUP BY source
+""",
+    doc="Word n-gram explode as a Python UDTF with analyze(): the "
+    "output schema (gram_1..gram_n) is derived at plan time from the "
+    "literal n — the polymorphic table-function face of the Spark 4 "
+    "UDTF API — with the per-source trigram census hash-gated against "
+    "the SQL twin.",
+    tags=("text", "extension"),
+)
+def x_udtf_ngrams(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NgramsUDTF:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a literal for schema inference")
+            width = int(n.value)
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(f"gram_{i + 1}", StringType())
+                        for i in range(width)
+                    ]
+                    + [StructField("ngram", StringType())]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            words = text.split(" ")
+            for i in range(max(len(words) - n + 1, 0)):
+                window = words[i : i + n]
+                yield tuple(window) + (" ".join(window),)
+
+    spark.udtf.register("ngrams_udtf", udtf(NgramsUDTF))
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    docs.createOrReplaceTempView("udtf_ngrams_in")
+    grams = spark.sql(
+        """
+        SELECT t.source, g.ngram FROM udtf_ngrams_in t,
+        LATERAL ngrams_udtf(t.text, 3) g
+        """
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.countDistinct("ngram").alias("n_distinct"),
+        (F.countDistinct("ngram").cast("double") / F.count(F.lit(1))).alias(
+            "distinct_share"
+        ),
+    )

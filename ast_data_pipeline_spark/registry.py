@@ -98,6 +98,11 @@ _PRIORITY: tuple[str, ...] = (
     "x_maparrow_token_stats",
     "x_merkle_diff",
     "a_rollup_grouping_id",
+    "x_embedding_quantization",
+    "x_document_chunking",
+    "x_prefix_cache_census",
+    "a_l_diversity",
+    "x_udtf_ngrams",
     # then re-proofs (the full r8 window, prior order)
     "x_stratified_sample_exact",
     "a_linreg_trend",
