@@ -3024,3 +3024,195 @@ def a_l_diversity(spark, sf_dir):
             (F.col("n_rows").cast("double") / F.col("n")).alias("row_share"),
         )
     )
+
+
+MAD_K = 3.0          # outlier fence in MAD units
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant (public)
+
+
+@register(
+    "a_mad_outliers",
+    # Robust outlier census via Median Absolute Deviation — the
+    # fence that (unlike mean +/- k*sigma) a few wild points cannot
+    # drag: med = median(value), MAD = median(|value - med|), outlier
+    # iff |value - med| > 3 * 1.4826 * MAD. BOTH medians run through
+    # the distributed exact-rank machinery (bucket counts locate the
+    # target rank; only selected buckets sort — never a per-group
+    # full-sort reducer), each median is the deterministic
+    # lower-quantile element, and the fence comparison is one fixed
+    # double expression — so the census is bit-equal in both engines.
+    # Oracle: the naive two-window form.
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, value AS med FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+  ) WHERE rk = ((n - 1) * 2) // 4 + 1
+),
+dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS d, m.med
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, d AS mad, med FROM (
+    SELECT event_type, d, med,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY d, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rk = ((n - 1) * 2) // 4 + 1
+)
+SELECT d.event_type,
+       count(*)::BIGINT AS n_events,
+       min(m.med) AS median_value,
+       min(m.mad) AS mad,
+       count(*) FILTER (WHERE d.d > {MAD_K} * {MAD_CONSISTENCY} * m.mad)::BIGINT
+         AS n_outliers,
+       (count(*) FILTER (WHERE d.d > {MAD_K} * {MAD_CONSISTENCY} * m.mad))::DOUBLE
+         / count(*) AS outlier_share
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+""",
+    doc="MAD-based robust outlier census per event type: exact median "
+    "and exact median-absolute-deviation via distributed rank "
+    "selection (bucketed two-level — no per-group sort reducer), "
+    "normal-consistency fence at 3 MAD units — the outlier gate that "
+    "survives the outliers it hunts. Completes the robust-stats "
+    "family with the winsorized mean and equi-depth histogram.",
+    tags=("aggregates", "extension"),
+)
+def a_mad_outliers(spark, sf_dir):
+    from ..operators.quantiles import exact_group_quantiles
+
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    med = exact_group_quantiles(
+        ev,
+        "event_type",
+        "value",
+        "event_id",
+        [("p50", 2, 4)],
+        F.floor(F.col("value") * 10).cast("long"),
+    ).select("event_type", F.col("p50").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    ).localCheckpoint(eager=False)  # second rank pass + the census
+    mad = exact_group_quantiles(
+        dev,
+        "event_type",
+        "d",
+        "event_id",
+        [("p50", 2, 4)],
+        F.floor(F.col("d") * 10).cast("long"),
+    ).select("event_type", F.col("p50").alias("mad"))
+    fence = F.lit(MAD_K) * F.lit(MAD_CONSISTENCY) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(F.col("d") > fence, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            (
+                F.sum(F.when(F.col("d") > fence, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("outlier_share"),
+        )
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), precomputed in
+# Python and inlined as identical literals in both engines (the
+# x_ndcg_eval shared-constant pattern — no engine-side transcendentals).
+import math as _math
+
+BENFORD_EXPECTED = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "a_benford_census",
+    # Benford first-digit conformance (public DQ/fraud screen:
+    # naturally-generated magnitudes follow P(d) = log10(1+1/d);
+    # fabricated or capped data does not). First significant digit per
+    # order price, observed vs expected shares, and the chi-square
+    # distance — one hash aggregate over the fact, the 9-row digest a
+    # release gate thresholds on. Expected shares are Python-computed
+    # literals shared by both engines; chi2 terms are fixed double
+    # expressions off integer counts.
+    oracle=f"""
+WITH digits AS (
+  SELECT substr(replace(replace(o_totalprice::VARCHAR, '-', ''), '0.', ''), 1, 1)
+           AS fd
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT fd, count(*)::BIGINT AS n FROM digits
+  WHERE fd BETWEEN '1' AND '9' GROUP BY fd
+),
+tot AS (SELECT sum(n)::BIGINT AS total FROM counts)
+SELECT fd::INT AS first_digit,
+       n AS n_values,
+       n::DOUBLE / tot.total AS observed_share,
+       CASE fd {' '.join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10))} END
+         AS expected_share,
+       (n::DOUBLE / tot.total
+        - CASE fd {' '.join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10))} END)
+       * (n::DOUBLE / tot.total
+        - CASE fd {' '.join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10))} END)
+       / (CASE fd {' '.join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10))} END)
+         AS chi2_term
+FROM counts, tot
+""",
+    doc="Benford first-digit census over order prices: observed vs "
+    "expected log10(1+1/d) shares and per-digit chi-square terms — "
+    "the data-quality / fraud screen for fabricated or truncated "
+    "magnitudes. One hash aggregate; expected shares are shared "
+    "Python literals (no engine transcendentals). Honest finding on "
+    "this corpus: the uniformly-generated synthetic prices FAIL "
+    "Benford (near-flat digit shares) — exactly what the screen is "
+    "built to flag.",
+    tags=("aggregates", "extension"),
+)
+def a_benford_census(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    fd = F.substring(
+        F.replace(
+            F.replace(F.col("o_totalprice").cast("string"), F.lit("-"), F.lit("")),
+            F.lit("0."),
+            F.lit(""),
+        ),
+        1,
+        1,
+    )
+    counts = (
+        orders.select(fd.alias("fd"))
+        .filter(F.col("fd").between("1", "9"))
+        .groupBy("fd")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # total + the census
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = None
+    for d in range(1, 10):
+        cond = F.col("fd") == str(d)
+        expected = (
+            F.when(cond, F.lit(BENFORD_EXPECTED[d]))
+            if expected is None
+            else expected.when(cond, F.lit(BENFORD_EXPECTED[d]))
+        )
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("fd").cast("int").alias("first_digit"),
+            F.col("n").alias("n_values"),
+            obs.alias("observed_share"),
+            expected.alias("expected_share"),
+            ((obs - expected) * (obs - expected) / expected).alias("chi2_term"),
+        )
+    )

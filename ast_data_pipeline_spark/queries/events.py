@@ -2141,3 +2141,85 @@ def e_variant_json_stats(spark, sf_dir):
         F.max(variant_get("v", "$.k", "long")).cast("long").alias("max_k"),
         F.max(schema_of_variant("v")).alias("variant_schema"),
     )
+
+
+CONC_WINDOW_S = 300  # each event holds a resource for 5 minutes
+
+
+@register(
+    "e_peak_concurrency",
+    # Sweep-line peak concurrency — the capacity-planning number
+    # (max simultaneous sessions/connections) computed without
+    # materializing overlaps: each event opens an interval
+    # [ts, ts+300s); +1/-1 boundary events sorted per (event_type,
+    # day) and prefix-summed give the live count at every boundary;
+    # the max is the day's peak. The window is PARTITIONED by
+    # (type, day) — the classic sweep stays parallel because
+    # intervals are clipped to day bounds (a cross-midnight interval
+    # contributes its tail to the next day, so per-day peaks are
+    # exact for the clipped semantics both engines share). Ends sort
+    # before starts at the same instant ([ts, ts+300) half-open).
+    oracle=f"""
+WITH bounds AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         floor(epoch(ts))::BIGINT AS x, 1 AS delta, event_id
+  FROM events
+  UNION ALL
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         least(floor(epoch(ts))::BIGINT + {CONC_WINDOW_S},
+               floor(epoch(date_trunc('day', ts) + INTERVAL 1 DAY))::BIGINT) AS x,
+         -1 AS delta, event_id
+  FROM events
+),
+swept AS (
+  SELECT event_type, day,
+         sum(delta) OVER (PARTITION BY event_type, day
+                          ORDER BY x, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM bounds
+)
+SELECT event_type, day,
+       max(live)::BIGINT AS peak_concurrency
+FROM swept GROUP BY 1, 2
+""",
+    doc="Sweep-line peak concurrency per (event type, day): 5-minute "
+    "hold intervals become +1/-1 boundary events, a partitioned "
+    "prefix sum gives the live count at each boundary, max = the "
+    "capacity-planning peak. Intervals clip at midnight so the sweep "
+    "parallelizes per day; ends sort before starts at equal instants "
+    "(half-open intervals).",
+    tags=("events", "extension"),
+)
+def e_peak_concurrency(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    x = F.floor(F.unix_timestamp("ts")).cast("long")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    day_end = F.floor(
+        F.unix_timestamp(F.date_add(F.date_trunc("day", F.col("ts")), 1))
+    ).cast("long")
+    starts = ev.select(
+        "event_type",
+        day.alias("day"),
+        x.alias("x"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = ev.select(
+        "event_type",
+        day.alias("day"),
+        F.least(x + CONC_WINDOW_S, day_end).alias("x"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    bounds = starts.unionByName(ends)
+    w = (
+        W.partitionBy("event_type", "day")
+        .orderBy("x", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    swept = bounds.withColumn("live", F.sum("delta").over(w))
+    return swept.groupBy("event_type", "day").agg(
+        F.max("live").cast("long").alias("peak_concurrency")
+    )

@@ -1105,3 +1105,148 @@ def t_forecast_eval(spark, sf_dir):
             F.sqrt(davg("se")).alias("rmse"),
         )
     )
+
+
+LTTB_BUCKETS = 20  # output points per user (excl. the fixed endpoints)
+
+
+@register(
+    "t_downsample_lttb",
+    # Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    # public — the standard dashboard decimation that keeps visual
+    # extremes where uniform sampling flattens them), in its
+    # bucket-anchored PARALLEL variant: the canonical algorithm ranks
+    # each candidate by triangle area against the PREVIOUSLY SELECTED
+    # point (a sequential chain); anchoring on the neighbor buckets'
+    # centroids instead makes every bucket's argmax independent — a
+    # per-(user, bucket) window — at a small, documented fidelity
+    # difference. Geometry is one fixed double expression (identical
+    # bits both engines); the argmax tie chain is (area DESC,
+    # event_id). Output: the selected points' census per user with
+    # exact-decimal value sums.
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS x, value AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+bucketed AS (
+  SELECT *, least(((rn - 1) * {LTTB_BUCKETS}) // n, {LTTB_BUCKETS} - 1) AS b
+  FROM pts
+),
+centroids AS (
+  SELECT user_id, b, avg(x::DOUBLE) AS cx, avg(y::DOUBLE) AS cy
+  FROM bucketed GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.user_id, p.event_id, p.b, p.y,
+         abs((prev.cx - nxt.cx) * (p.y - prev.cy)
+             - (prev.cx - p.x) * (nxt.cy - prev.cy)) AS area2
+  FROM bucketed p
+  JOIN centroids prev ON prev.user_id = p.user_id AND prev.b = p.b - 1
+  JOIN centroids nxt  ON nxt.user_id = p.user_id AND nxt.b = p.b + 1
+),
+sel AS (
+  SELECT user_id, event_id, y FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, b
+                                 ORDER BY area2 DESC, event_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+ends AS (
+  SELECT user_id, event_id, y FROM bucketed WHERE rn = 1 OR rn = n
+),
+keep AS (SELECT * FROM sel UNION SELECT * FROM ends)
+SELECT k.user_id,
+       max(p.n)::BIGINT AS n_points_in,
+       count(*)::BIGINT AS n_points_out,
+       round(sum(k.y::DECIMAL(30,10)), 4)::DOUBLE AS kept_value_sum
+FROM keep k JOIN pts p ON p.user_id = k.user_id AND p.event_id = k.event_id
+GROUP BY k.user_id
+""",
+    doc="LTTB time-series downsampling (bucket-anchored parallel "
+    "variant): per-user series cut into equal-rank buckets, each "
+    "bucket keeping its max-triangle-area point against the neighbor "
+    "centroids, endpoints always kept — the dashboard decimation "
+    "that preserves visual extremes. Per-(user,bucket) windows only; "
+    "no sequential chain, so it parallelizes at any scale.",
+    tags=("temporal", "extension"),
+)
+def t_downsample_lttb(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("x"),
+        F.col("value").alias("y"),
+        F.row_number().over(w_u.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w_u).alias("n"),
+    ).localCheckpoint(eager=False)  # bucketing + endpoint pick + final join
+    bucketed = pts.withColumn(
+        # integer `div`, not double `/`+cast: exact floor at any size
+        "b",
+        F.least(
+            F.expr(f"((rn - 1) * {LTTB_BUCKETS}) div n"),
+            F.lit(LTTB_BUCKETS - 1).cast("long"),
+        ),
+    )
+    centroids = bucketed.groupBy("user_id", "b").agg(
+        F.avg(F.col("x").cast("double")).alias("cx"),
+        F.avg(F.col("y").cast("double")).alias("cy"),
+    )
+    prev = centroids.select(
+        F.col("user_id").alias("p_uid"),
+        (F.col("b") + 1).alias("p_b"),
+        F.col("cx").alias("pcx"),
+        F.col("cy").alias("pcy"),
+    )
+    nxt = centroids.select(
+        F.col("user_id").alias("n_uid"),
+        (F.col("b") - 1).alias("n_b"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    scored = (
+        bucketed.join(
+            prev, (F.col("p_uid") == F.col("user_id")) & (F.col("p_b") == F.col("b"))
+        )
+        .join(
+            nxt, (F.col("n_uid") == F.col("user_id")) & (F.col("n_b") == F.col("b"))
+        )
+        .withColumn(
+            "area2",
+            F.abs(
+                (F.col("pcx") - F.col("ncx")) * (F.col("y") - F.col("pcy"))
+                - (F.col("pcx") - F.col("x")) * (F.col("ncy") - F.col("pcy"))
+            ),
+        )
+    )
+    sel = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id", "b").orderBy(
+                    F.col("area2").desc(), "event_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "y")
+    )
+    ends = bucketed.filter(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("n"))
+    ).select("user_id", "event_id", "y")
+    keep = sel.unionByName(ends).distinct()
+    joined = keep.join(
+        pts.select(F.col("user_id").alias("j_uid"), F.col("event_id").alias("j_eid"), "n"),
+        (F.col("j_uid") == F.col("user_id")) & (F.col("j_eid") == F.col("event_id")),
+    )
+    return joined.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_points_in"),
+        F.count(F.lit(1)).cast("long").alias("n_points_out"),
+        dsum("y").alias("kept_value_sum"),
+    )

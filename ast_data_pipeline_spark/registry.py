@@ -103,6 +103,10 @@ _PRIORITY: tuple[str, ...] = (
     "x_prefix_cache_census",
     "a_l_diversity",
     "x_udtf_ngrams",
+    "t_downsample_lttb",
+    "a_mad_outliers",
+    "a_benford_census",
+    "e_peak_concurrency",
     # then re-proofs (the full r8 window, prior order)
     "x_stratified_sample_exact",
     "a_linreg_trend",
