@@ -495,3 +495,62 @@ def s22_event_replay_stream_source(spark, sf_dir):
     from ..streaming.custom_state import run_event_replay_census
 
     return run_event_replay_census(spark, sf_dir)
+
+
+@register(
+    "s_stream_stream_left_join",
+    # The left-outer twin of s_stream_stream_join. The null side is
+    # watermark-governed: an unmatched click's null row emits only
+    # when the watermark passes its last joinable instant (p_ts <= ts
+    # -> expiry at watermark > ts). The query-global watermark is the
+    # MIN across both watermark columns (multipleWatermarkPolicy=min:
+    # each side tracks its own max event time), so under availableNow
+    # replay the result is every matched pair PLUS null rows for
+    # unmatched clicks with ts < least(max click ts, max purchase ts)
+    # - 10 min — measured: the final click itself never null-emits
+    # because it IS the click-side max. Clicks above
+    # the final watermark remain unemitted state — the oracle pins
+    # that real semantics line instead of pretending batch LEFT JOIN
+    # equivalence (same honesty rule as s_stream_sessionize's
+    # append-mode finalization).
+    oracle="""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+              - INTERVAL 10 MINUTE AS final_wm),
+matched AS (
+  SELECT c.event_id, c.user_id,
+         strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+         p.event_id AS p_event_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         p.value
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.ts >= c.ts - INTERVAL '1 hour' AND p.ts <= c.ts
+),
+unmatched AS (
+  SELECT c.event_id, c.user_id,
+         strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+         NULL::BIGINT AS p_event_id,
+         NULL::VARCHAR AS purchase_ts,
+         NULL::DOUBLE AS value
+  FROM c, wm
+  WHERE c.ts < wm.final_wm
+    AND NOT EXISTS (
+      SELECT 1 FROM p WHERE p.user_id = c.user_id
+        AND p.ts >= c.ts - INTERVAL '1 hour' AND p.ts <= c.ts)
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+""",
+    doc="Stream-stream LEFT OUTER join with dual watermarks: matched "
+    "pairs equal the inner join; null rows appear exactly for "
+    "unmatched clicks whose state expired below the final watermark "
+    "(min of the two sides' max event times, minus 10 min) — the "
+    "watermark-expiry emission rule pinned "
+    "against a DuckDB mirror of that exact semantics. 15th streaming "
+    "face.",
+    tags=("streaming", "join"),
+)
+def s_stream_stream_left_join(spark, sf_dir):
+    from ..streaming.workqueue import streaming_stream_stream_left_join
+
+    return streaming_stream_stream_left_join(spark, sf_dir)

@@ -1037,3 +1037,108 @@ def s21_shapefile_sink_format(spark, sf_dir):
         F.col("county_nam").alias("county_name"),
         "geometry_wkt",
     )
+
+
+@register(
+    "s23_partitioned_datasource",
+    # The PARALLEL-READ face of the Spark 4 Python DataSource API:
+    # s20's shapefile reader is single-partition by design (dimension
+    # format); this source implements ``partitions()`` — the event-id
+    # key space splits into 8 ranges, each range read by its own
+    # executor task (verified: the scan runs 8 tasks). The census over
+    # the parallel read must equal SQL over the parquet directly —
+    # proving the partitions compose to exactly-once coverage
+    # (disjoint ranges, no overlap, no gap).
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       min(event_id)::BIGINT AS min_id,
+       max(event_id)::BIGINT AS max_id,
+       round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS total_value
+FROM events GROUP BY event_type
+""",
+    doc="Partitioned Python DataSource batch read: an 8-way id-range "
+    "partitions() split, each range read by its own task with a "
+    "pyarrow filter — the parallel-read face of the DataSource API, "
+    "with the census hash-gated against direct SQL to prove "
+    "exactly-once range coverage.",
+    tags=("sources", "extension"),
+)
+def s23_partitioned_datasource(spark, sf_dir):
+    from ..functions.exact import dsum
+    from ..sources.catalog import table_path
+    from ..sources.pyds_shapefile import register_event_ranges_source
+
+    register_event_ranges_source(spark)
+    df = (
+        spark.read.format("event_ranges")
+        .option("path", table_path(sf_dir, "events"))
+        .option("n_partitions", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "s24_datasource_stream_sink",
+    # The streaming WRITE face of the Python DataSource API (16th
+    # streaming face; s22 is the matching custom stream READER): the
+    # purchase stream is written through a custom jsonl sink whose
+    # executor write() stages uniquely-named files and whose driver
+    # commit(batchId) renames them to deterministic batch{id}-{i}
+    # names — the classic exactly-once file-commit protocol, pure I/O
+    # on both sides (no session anywhere near commit, the s21 lesson).
+    # The directory read back must equal the batch projection — which
+    # simultaneously proves no row was lost, duplicated, or left in
+    # staging.
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'purchase'
+""",
+    doc="Custom streaming sink via the Python DataSource stream-writer "
+    "API: staged-file write() + atomic batch-rename commit(batchId) — "
+    "the exactly-once file protocol as a first-class sink; round-trip "
+    "hash-gated against the batch projection.",
+    tags=("streaming", "sources", "extension"),
+)
+def s24_datasource_stream_sink(spark, sf_dir):
+    import shutil
+
+    from ..sources.catalog import table_path
+    from ..sources.pyds_shapefile import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ast_ds_stream_sink",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    ckpt = os.path.join(out_dir, "_checkpoint")
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("out_dir", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back_schema = "event_id bigint, user_id bigint, event_type string, value double"
+    return spark.read.schema(back_schema).json(
+        os.path.join(out_dir, "batch*.jsonl")
+    )

@@ -107,6 +107,9 @@ _PRIORITY: tuple[str, ...] = (
     "a_mad_outliers",
     "a_benford_census",
     "e_peak_concurrency",
+    "s_stream_stream_left_join",
+    "s23_partitioned_datasource",
+    "s24_datasource_stream_sink",
     # then re-proofs (the full r8 window, prior order)
     "x_stratified_sample_exact",
     "a_linreg_trend",

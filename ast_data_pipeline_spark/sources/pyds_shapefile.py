@@ -246,3 +246,141 @@ class EventReplayDataSource(DataSource):
 
 def register_event_replay_source(spark) -> None:
     spark.dataSource.register(EventReplayDataSource)
+
+
+# ---- partitioned batch source: id-range parallel read ---------------
+
+from pyspark.sql.datasource import InputPartition  # noqa: E402
+
+
+class _IdRange(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+class EventRangesReader(DataSourceReader):
+    """PARTITIONED batch reader — the parallel-read face of the Python
+    DataSource API (the shapefile reader deliberately exposes ONE
+    partition because the format is dimension-scale; this source
+    proves ``partitions()``): the event-id key space splits into
+    ``n_partitions`` ranges, each read independently by an executor
+    task from the parquet file with a pushed-down id-range filter."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_parts = int(options.get("n_partitions", "8"))
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(self.path, columns=["event_id"]).column("event_id")
+        ids = ids.to_pylist()
+        self.max_id = max(ids) if ids else -1
+
+    def partitions(self):
+        step = (self.max_id + self.n_parts) // self.n_parts
+        return [
+            _IdRange(i * step, min((i + 1) * step, self.max_id + 1))
+            for i in range(self.n_parts)
+        ]
+
+    def read(self, partition: _IdRange):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.path)
+        mask = pc.and_(
+            pc.greater_equal(t.column("event_id"), partition.lo),
+            pc.less(t.column("event_id"), partition.hi),
+        )
+        for r in t.filter(mask).to_pylist():
+            yield (
+                int(r["event_id"]),
+                int(r["user_id"]),
+                str(r["event_type"]),
+                float(r["value"]),
+            )
+
+
+class EventRangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "event_ranges"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> EventRangesReader:
+        return EventRangesReader(self.options)
+
+
+def register_event_ranges_source(spark) -> None:
+    spark.dataSource.register(EventRangesDataSource)
+
+
+# ---- streaming SINK: Python DataSource stream writer -----------------
+
+import os  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+@dataclass
+class _FileMessage(WriterCommitMessage):
+    staged: str
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Custom STREAMING SINK via the Python DataSource API — the
+    write-side sibling of the s22 stream reader, with the classic
+    exactly-once file-commit protocol: executor ``write()`` stages
+    each partition's rows into a uniquely-named staging file and ships
+    the path in its commit message; driver ``commit(messages,
+    batchId)`` atomically renames the staged files to deterministic
+    ``batch{id}-{i}.jsonl`` names (re-running a batch re-stages and
+    re-renames to the SAME final names — idempotent); ``abort()``
+    deletes the staged files. Pure I/O on both sides, no session."""
+
+    def __init__(self, options):
+        self.out_dir = options["out_dir"]
+        self.stage_dir = os.path.join(self.out_dir, "_staging")
+        os.makedirs(self.stage_dir, exist_ok=True)
+
+    def write(self, iterator):
+        import json as _json
+        import uuid as _uuid
+
+        staged = os.path.join(self.stage_dir, _uuid.uuid4().hex + ".jsonl")
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+        return _FileMessage(staged)
+
+    def commit(self, messages, batchId) -> None:
+        for i, m in enumerate(messages):
+            final = os.path.join(self.out_dir, f"batch{batchId}-{i}.jsonl")
+            os.replace(m.staged, final)
+
+    def abort(self, messages, batchId) -> None:
+        for m in messages:
+            if os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -240,3 +240,50 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_events",
     )
+
+
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the face whose null side is
+    governed by WATERMARK EXPIRY, not input exhaustion: an unmatched
+    click emits (with null purchase columns) only once the watermark
+    passes the click's last joinable instant (p_ts <= ts, so the click
+    expires when watermark > ts). availableNow replay therefore emits
+    (a) every matched pair — identical to the inner join — plus (b)
+    null rows exactly for unmatched clicks with ts < final watermark
+    = max(event ts) - 10 min; unmatched clicks above the final
+    watermark stay in (discarded) state, and the oracle pins that
+    visible-semantics line rather than pretending batch LEFT JOIN
+    equivalence."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "p_ts >= ts - interval 1 hour AND p_ts <= ts"
+        ),
+        "leftOuter",
+    )
+    out = run_stream_to_batch(joined, spark, "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "p_event_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "value",
+    )
