@@ -3216,3 +3216,56 @@ def a_benford_census(spark, sf_dir):
             ((obs - expected) * (obs - expected) / expected).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "x_pandas_udf_checksum",
+    # The GROUPED_AGG pandas UDF face (the one Arrow UDF shape the
+    # registry didn't exercise: scalar pandas UDFs, mapInPandas,
+    # mapInArrow, applyInPandas, cogroup, applyInPandasWithState and
+    # UDTFs all have faces already): a vectorized aggregate whose
+    # kernel runs once per group over an Arrow-shipped pandas Series.
+    # The aggregate is integer-exact (bit_xor of md5-derived row
+    # hashes, the a_table_checksum fingerprint but per group), so the
+    # Python-side fold is bit-equal to the oracle's SQL fold —
+    # order-free XOR means partial aggregation order can never bite.
+    oracle="""
+SELECT o_orderstatus AS status,
+       count(*)::BIGINT AS n_orders,
+       bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR || '|' ||
+         o_orderpriority), 1, 15))::BIGINT)::BIGINT AS content_hash
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="Per-group content checksum through a GROUPED_AGG pandas UDF: "
+    "the vectorized-aggregate API face, with an order-insensitive "
+    "integer kernel (xor of md5 row hashes) so the Arrow-side fold is "
+    "hash-equal to the SQL twin.",
+    tags=("aggregates", "extension"),
+)
+def x_pandas_udf_checksum(spark, sf_dir):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: type-hint inference would need pandas in
+    # MODULE globals (get_type_hints evaluates there, not in locals)
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def xor_agg(h):
+        import functools
+
+        return functools.reduce(lambda a, b: a ^ b, h.tolist(), 0)
+
+    orders = load(spark, sf_dir, "orders")
+    row_hash = F.expr(
+        "cast(conv(substring(md5(concat(cast(o_orderkey as string), '|', "
+        "o_orderpriority)), 1, 15), 16, 10) as bigint)"
+    )
+    hashed = orders.select(
+        F.col("o_orderstatus").alias("status"), row_hash.alias("h")
+    ).localCheckpoint(eager=False)  # UDF agg + count agg
+    # a GROUPED_AGG pandas UDF cannot mix with non-pandas aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — counts come from a
+    # second aggregation over the few-row status key, joined broadcast
+    sums = hashed.groupBy("status").agg(xor_agg("h").alias("content_hash"))
+    counts = hashed.groupBy("status").agg(F.count(F.lit(1)).alias("n_orders"))
+    return sums.join(F.broadcast(counts), "status").select(
+        "status", "n_orders", "content_hash"
+    )

@@ -1250,3 +1250,59 @@ def t_downsample_lttb(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_points_out"),
         dsum("y").alias("kept_value_sum"),
     )
+
+
+@register(
+    "t_asof_join_cogrouped",
+    # The cogroup().applyInPandas formulation of the as-of join,
+    # promoted from pytest-only cross-validation to a registered,
+    # oracle-gated query: one shuffle of each side on the key, then a
+    # pandas.merge_asof per key-group Arrow batch. Same backward-
+    # inclusive semantics as t_asof_join (the union+window JVM plan
+    # stays the production path; this face is the template for as-of
+    # logic that genuinely needs pandas, e.g. irregular-calendar
+    # tolerance windows) — and the SAME DuckDB ASOF JOIN oracle, so
+    # the two formulations are pinned equal through the driver gate,
+    # not just a unit test.
+    oracle="""
+SELECT a.event_id,
+       a.user_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       b.event_id AS purchase_event_id,
+       b.value    AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+""",
+    doc="As-of join in its co-grouped-map form (cogroup + merge_asof "
+    "per Arrow batch): the Python-boundary formulation of t_asof_join "
+    "under the same DuckDB ASOF JOIN oracle — proving the cogroup API "
+    "face against an independent engine, not just against the twin "
+    "plan.",
+    tags=("temporal", "join", "extension"),
+)
+def t_asof_join_cogrouped(spark, sf_dir):
+    from ..operators.temporal import asof_join_cogrouped
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts", "value"
+    )
+    joined = asof_join_cogrouped(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["p_event_id", "value"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("p_event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )

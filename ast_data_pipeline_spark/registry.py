@@ -110,6 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_stream_left_join",
     "s23_partitioned_datasource",
     "s24_datasource_stream_sink",
+    "t_asof_join_cogrouped",
+    "x_pandas_udf_checksum",
     # then re-proofs (the full r8 window, prior order)
     "x_stratified_sample_exact",
     "a_linreg_trend",
