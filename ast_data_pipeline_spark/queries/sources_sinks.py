@@ -1112,11 +1112,15 @@ def s24_datasource_stream_sink(spark, sf_dir):
     from ..sources.catalog import table_path
     from ..sources.pyds_shapefile import register_jsonl_sink
 
+    import uuid
+
     register_jsonl_sink(spark)
+    # unique dir PER CALL: two concurrent drivers (pytest + a full
+    # sweep) sharing one path raced on the rmtree (caught r9)
     out_dir = os.path.join(
         tempfile.gettempdir(),
         "ast_ds_stream_sink",
-        os.path.basename(sf_dir.rstrip("/")),
+        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:8],
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)

@@ -3220,8 +3220,11 @@ def x_maparrow_token_stats(spark, sf_dir):
     )
 
 
-CHUNK_LEN = 40    # tokens per retrieval chunk
-CHUNK_STRIDE = 30 # start-to-start stride (10-token overlap)
+# distinct names: CHUNK_LEN/CHUNK_STRIDE above belong to the
+# character-window x_doc_chunking — rebinding them at module level
+# broke that query's call-time lookup (caught by test_parity r9)
+RAG_CHUNK_LEN = 40     # tokens per retrieval chunk
+RAG_CHUNK_STRIDE = 30  # start-to-start stride (10-token overlap)
 
 
 @register(
@@ -3241,8 +3244,8 @@ WITH toks AS (
 ),
 chunks AS (
   SELECT source, n_tokens, st,
-         least({CHUNK_LEN}, n_tokens - st + 1)::BIGINT AS chunk_len
-  FROM toks, unnest(generate_series(1, n_tokens::INT, {CHUNK_STRIDE})) t(st)
+         least({RAG_CHUNK_LEN}, n_tokens - st + 1)::BIGINT AS chunk_len
+  FROM toks, unnest(generate_series(1, n_tokens::INT, {RAG_CHUNK_STRIDE})) t(st)
 )
 SELECT source,
        count(*)::BIGINT AS n_chunks,
@@ -3252,7 +3255,7 @@ SELECT source,
        sum(chunk_len)::DOUBLE
          / (SELECT sum(n_tokens) FROM toks t2 WHERE t2.source = chunks.source)
          AS expansion_factor,
-       count(*) FILTER (WHERE chunk_len < {CHUNK_LEN})::BIGINT AS n_short_chunks
+       count(*) FILTER (WHERE chunk_len < {RAG_CHUNK_LEN})::BIGINT AS n_short_chunks
 FROM chunks GROUP BY source
 """,
     doc="Sliding-window document chunking census (len 40 / stride 30): "
@@ -3273,12 +3276,12 @@ def x_document_chunking(spark, sf_dir):
         "n_tokens",
         F.explode(
             F.sequence(
-                F.lit(1), F.col("n_tokens").cast("int"), F.lit(CHUNK_STRIDE)
+                F.lit(1), F.col("n_tokens").cast("int"), F.lit(RAG_CHUNK_STRIDE)
             )
         ).alias("st"),
     ).withColumn(
         "chunk_len",
-        F.least(F.lit(CHUNK_LEN), F.col("n_tokens") - F.col("st") + 1).cast(
+        F.least(F.lit(RAG_CHUNK_LEN), F.col("n_tokens") - F.col("st") + 1).cast(
             "long"
         ),
     )
@@ -3288,7 +3291,7 @@ def x_document_chunking(spark, sf_dir):
     per_source = chunks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_len").alias("chunk_tokens"),
-        F.sum(F.when(F.col("chunk_len") < CHUNK_LEN, 1).otherwise(0))
+        F.sum(F.when(F.col("chunk_len") < RAG_CHUNK_LEN, 1).otherwise(0))
         .cast("long")
         .alias("n_short_chunks"),
     )
