@@ -3269,3 +3269,66 @@ def x_pandas_udf_checksum(spark, sf_dir):
     return sums.join(F.broadcast(counts), "status").select(
         "status", "n_orders", "content_hash"
     )
+
+
+@register(
+    "a_gini_concentration",
+    # Corpus-concentration report: the Gini coefficient of per-doc
+    # token counts within each source — the one-number answer to "is
+    # this source a few huge documents or many comparable ones", read
+    # next to the mixture weights when balancing training data. Exact
+    # rank formula G = 2*sum(i * x_i) / (n * sum x) - (n + 1)/n over
+    # the value-sorted sequence; sum(i * x_i) is an exact integer, so
+    # G is a fixed rational expression — bit-equal both engines. The
+    # rank window partitions by source (never a global sort).
+    oracle="""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS x
+  FROM documents
+),
+ranked AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM toks
+)
+SELECT source,
+       max(n)::BIGINT AS n_docs,
+       sum(x)::BIGINT AS total_tokens,
+       2.0 * sum(i * x) / (max(n) * sum(x))
+         - (max(n) + 1.0) / max(n) AS gini
+FROM ranked GROUP BY source
+""",
+    doc="Gini concentration of per-doc token counts WITHIN each source "
+    "(exact sorted-rank formula, integer moments, per-source windows) "
+    "— the within-source complement of x_gini_source_concentration's "
+    "across-source mixture Gini: that one asks whether the CORPUS is "
+    "balanced, this one whether each source is a few huge documents "
+    "or many comparable ones.",
+    tags=("aggregates", "extension"),
+)
+def a_gini_concentration(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+    )
+    w = W.partitionBy("source")
+    ranked = toks.select(
+        "source",
+        "x",
+        F.row_number().over(w.orderBy("x", "doc_id")).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("total_tokens"),
+        (
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.sum("x"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n")
+        ).alias("gini"),
+    )

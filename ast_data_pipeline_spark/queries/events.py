@@ -2143,83 +2143,59 @@ def e_variant_json_stats(spark, sf_dir):
     )
 
 
-CONC_WINDOW_S = 300  # each event holds a resource for 5 minutes
-
-
 @register(
-    "e_peak_concurrency",
-    # Sweep-line peak concurrency — the capacity-planning number
-    # (max simultaneous sessions/connections) computed without
-    # materializing overlaps: each event opens an interval
-    # [ts, ts+300s); +1/-1 boundary events sorted per (event_type,
-    # day) and prefix-summed give the live count at every boundary;
-    # the max is the day's peak. The window is PARTITIONED by
-    # (type, day) — the classic sweep stays parallel because
-    # intervals are clipped to day bounds (a cross-midnight interval
-    # contributes its tail to the next day, so per-day peaks are
-    # exact for the clipped semantics both engines share). Ends sort
-    # before starts at the same instant ([ts, ts+300) half-open).
-    oracle=f"""
-WITH bounds AS (
-  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-         floor(epoch(ts))::BIGINT AS x, 1 AS delta, event_id
-  FROM events
-  UNION ALL
-  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-         least(floor(epoch(ts))::BIGINT + {CONC_WINDOW_S},
-               floor(epoch(date_trunc('day', ts) + INTERVAL 1 DAY))::BIGINT) AS x,
-         -1 AS delta, event_id
+    "e_markov_transitions",
+    # First-order Markov transition matrix over each user's event-type
+    # sequence — the behavioral fingerprint behind next-action
+    # prediction and journey anomaly detection (e_event_paths censuses
+    # fixed trigrams; this is the full conditional matrix). One lag
+    # window per user (unique (ts, event_id) chain), one (from, to)
+    # count aggregate; probabilities are integer-count divisions, so
+    # the matrix is bit-equal in both engines. At 100 TB: the window
+    # partitions by user (bounded), the matrix is |types|^2 rows.
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
   FROM events
 ),
-swept AS (
-  SELECT event_type, day,
-         sum(delta) OVER (PARTITION BY event_type, day
-                          ORDER BY x, delta, event_id
-                          ROWS UNBOUNDED PRECEDING) AS live
-  FROM bounds
+cells AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*)::BIGINT AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+margins AS (
+  SELECT from_type, sum(n)::BIGINT AS n_from FROM cells GROUP BY 1
 )
-SELECT event_type, day,
-       max(live)::BIGINT AS peak_concurrency
-FROM swept GROUP BY 1, 2
+SELECT c.from_type, c.to_type, c.n, m.n_from,
+       c.n::DOUBLE / m.n_from AS prob
+FROM cells c JOIN margins m ON m.from_type = c.from_type
 """,
-    doc="Sweep-line peak concurrency per (event type, day): 5-minute "
-    "hold intervals become +1/-1 boundary events, a partitioned "
-    "prefix sum gives the live count at each boundary, max = the "
-    "capacity-planning peak. Intervals clip at midnight so the sweep "
-    "parallelizes per day; ends sort before starts at equal instants "
-    "(half-open intervals).",
+    doc="First-order Markov transition matrix of per-user event-type "
+    "sequences: lag window per user, (from, to) counts with row "
+    "margins and exact conditional probabilities — the journey model "
+    "next-action and anomaly scoring read from.",
     tags=("events", "extension"),
 )
-def e_peak_concurrency(spark, sf_dir):
+def e_markov_transitions(spark, sf_dir):
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
-    x = F.floor(F.unix_timestamp("ts")).cast("long")
-    day = F.date_format("ts", "yyyy-MM-dd")
-    day_end = F.floor(
-        F.unix_timestamp(F.date_add(F.date_trunc("day", F.col("ts")), 1))
-    ).cast("long")
-    starts = ev.select(
-        "event_type",
-        day.alias("day"),
-        x.alias("x"),
-        F.lit(1).alias("delta"),
-        "event_id",
-    )
-    ends = ev.select(
-        "event_type",
-        day.alias("day"),
-        F.least(x + CONC_WINDOW_S, day_end).alias("x"),
-        F.lit(-1).alias("delta"),
-        "event_id",
-    )
-    bounds = starts.unionByName(ends)
-    w = (
-        W.partitionBy("event_type", "day")
-        .orderBy("x", "delta", "event_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    swept = bounds.withColumn("live", F.sum("delta").over(w))
-    return swept.groupBy("event_type", "day").agg(
-        F.max("live").cast("long").alias("peak_concurrency")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.select(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )  # margins + the probability join
+    margins = cells.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return cells.join(F.broadcast(margins), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.col("n_from").cast("long").alias("n_from"),
+        (F.col("n").cast("double") / F.col("n_from")).alias("prob"),
     )

@@ -106,7 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     "t_downsample_lttb",
     "a_mad_outliers",
     "a_benford_census",
-    "e_peak_concurrency",
+    "e_markov_transitions",
+    "a_gini_concentration",
     "s_stream_stream_left_join",
     "s23_partitioned_datasource",
     "s24_datasource_stream_sink",
