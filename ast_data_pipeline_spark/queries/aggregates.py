@@ -3126,98 +3126,6 @@ def a_mad_outliers(spark, sf_dir):
     )
 
 
-# Benford expected first-digit shares log10(1 + 1/d), precomputed in
-# Python and inlined as identical literals in both engines (the
-# x_ndcg_eval shared-constant pattern — no engine-side transcendentals).
-import math as _math
-
-BENFORD_EXPECTED = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
-
-
-@register(
-    "a_benford_census",
-    # Benford first-digit conformance (public DQ/fraud screen:
-    # naturally-generated magnitudes follow P(d) = log10(1+1/d);
-    # fabricated or capped data does not). First significant digit per
-    # order price, observed vs expected shares, and the chi-square
-    # distance — one hash aggregate over the fact, the 9-row digest a
-    # release gate thresholds on. Expected shares are Python-computed
-    # literals shared by both engines; chi2 terms are fixed double
-    # expressions off integer counts.
-    oracle=f"""
-WITH digits AS (
-  SELECT substr(replace(replace(o_totalprice::VARCHAR, '-', ''), '0.', ''), 1, 1)
-           AS fd
-  FROM orders WHERE o_totalprice > 0
-),
-counts AS (
-  SELECT fd, count(*)::BIGINT AS n FROM digits
-  WHERE fd BETWEEN '1' AND '9' GROUP BY fd
-),
-tot AS (SELECT sum(n)::BIGINT AS total FROM counts)
-SELECT fd::INT AS first_digit,
-       n AS n_values,
-       n::DOUBLE / tot.total AS observed_share,
-       CASE fd {' '.join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10))} END
-         AS expected_share,
-       (n::DOUBLE / tot.total
-        - CASE fd {' '.join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10))} END)
-       * (n::DOUBLE / tot.total
-        - CASE fd {' '.join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10))} END)
-       / (CASE fd {' '.join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10))} END)
-         AS chi2_term
-FROM counts, tot
-""",
-    doc="Benford first-digit census over order prices: observed vs "
-    "expected log10(1+1/d) shares and per-digit chi-square terms — "
-    "the data-quality / fraud screen for fabricated or truncated "
-    "magnitudes. One hash aggregate; expected shares are shared "
-    "Python literals (no engine transcendentals). Honest finding on "
-    "this corpus: the uniformly-generated synthetic prices FAIL "
-    "Benford (near-flat digit shares) — exactly what the screen is "
-    "built to flag.",
-    tags=("aggregates", "extension"),
-)
-def a_benford_census(spark, sf_dir):
-    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    fd = F.substring(
-        F.replace(
-            F.replace(F.col("o_totalprice").cast("string"), F.lit("-"), F.lit("")),
-            F.lit("0."),
-            F.lit(""),
-        ),
-        1,
-        1,
-    )
-    counts = (
-        orders.select(fd.alias("fd"))
-        .filter(F.col("fd").between("1", "9"))
-        .groupBy("fd")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)  # total + the census
-    )
-    tot = counts.agg(F.sum("n").alias("total"))
-    expected = None
-    for d in range(1, 10):
-        cond = F.col("fd") == str(d)
-        expected = (
-            F.when(cond, F.lit(BENFORD_EXPECTED[d]))
-            if expected is None
-            else expected.when(cond, F.lit(BENFORD_EXPECTED[d]))
-        )
-    obs = F.col("n").cast("double") / F.col("total")
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("fd").cast("int").alias("first_digit"),
-            F.col("n").alias("n_values"),
-            obs.alias("observed_share"),
-            expected.alias("expected_share"),
-            ((obs - expected) * (obs - expected) / expected).alias("chi2_term"),
-        )
-    )
-
-
 @register(
     "x_pandas_udf_checksum",
     # The GROUPED_AGG pandas UDF face (the one Arrow UDF shape the

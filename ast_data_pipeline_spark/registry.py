@@ -105,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_udtf_ngrams",
     "t_downsample_lttb",
     "a_mad_outliers",
-    "a_benford_census",
     "e_markov_transitions",
     "a_gini_concentration",
     "s_stream_stream_left_join",
