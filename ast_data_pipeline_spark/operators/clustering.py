@@ -34,6 +34,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 
 def _sq_dist(vec_col: str | Column, centroid: Column) -> Column:
     """Squared Euclidean distance as a sequential left fold (JVM-side)."""
@@ -91,7 +93,7 @@ def kmeans_lloyd(
     # Lloyd round re-reads the input, so pin it to local blocks once
     # instead of re-scanning parquet + re-decoding the vectors per
     # round (PROFILE.md r5: the two Lloyd queries were the sweep tail).
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(lineage_cut_lazy)
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -165,7 +167,7 @@ def kmeans_lloyd_exact(
     from ..functions.exact import davg
 
     # same round-boundary lineage cut as kmeans_lloyd
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(lineage_cut_lazy)
     seed_rows = (
         df.filter(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
     )

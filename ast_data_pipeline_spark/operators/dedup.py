@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut, lineage_cut_lazy
+
 # ---- shingling ---------------------------------------------------------
 
 def words_col(text: Column) -> Column:
@@ -222,10 +224,10 @@ def minhash_neardup_compact(
       iterative algorithms.
     """
     n_part = int(docsets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    docsets = docsets.repartition(n_part, doc_col).localCheckpoint(eager=False)
+    docsets = docsets.repartition(n_part, doc_col).transform(lineage_cut_lazy)
     exploded = docsets.select(doc_col, F.explode(set_col).alias("shingle"))
-    sig = minhash_signatures(exploded, num_hashes, doc_col).localCheckpoint(
-        eager=False
+    sig = minhash_signatures(exploded, num_hashes, doc_col).transform(
+        lineage_cut_lazy
     )
     cand = candidate_pairs(lsh_bands(sig, num_hashes, rows_per_band, doc_col), doc_col)
     return jaccard_verify(cand, docsets, threshold, doc_col, set_col)
@@ -263,7 +265,7 @@ def simhash_pairs(sig: DataFrame, max_hamming: int, doc_col: str = "doc_id") -> 
     the byte-band self-join would otherwise recompute the per-bit
     majority-vote aggregation lineage (see minhash_neardup_compact).
     """
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.transform(lineage_cut_lazy)
     bytes_arr = F.array(
         *[F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)) for b in range(4)]
     )
@@ -323,12 +325,12 @@ def neardup_clusters(
     sym = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     prev = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
@@ -344,7 +346,7 @@ def neardup_clusters(
                 labels["id"],
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
         cur = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur == prev:
@@ -404,13 +406,13 @@ def neardup_clusters_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     # (count, xor-of-hashes): order-independent, never overflows (an
     # ANSI-mode sum of xxhash64 longs does), and duplicate-free edges
@@ -452,7 +454,7 @@ def neardup_clusters_star(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
         cur = probe(edges)
         if cur == prev:
@@ -498,7 +500,7 @@ def incremental_dedup_screen(
             d.withColumn("w", words_col(F.col("text")))
             .filter(F.size("w") >= 2)
             .select("doc_id", word_shingles(F.col("text"), 2))
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut_lazy)
         )
 
     def _bands(s: DataFrame) -> DataFrame:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..operators.dedup import (
     minhash_neardup_compact,
     word_shingles,
@@ -57,7 +59,7 @@ def curate(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # before materializing so the cached partitions stay narrow.
     exact = exact.select(
         "doc_id", "lang", "source", "quality_score", "n_tokens", "w"
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut_lazy)
 
     # 3. near-dup drop (greedy keep-lowest within verified pairs)
     docsets = exact.filter(F.size("w") >= 2).select(

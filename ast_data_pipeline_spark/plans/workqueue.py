@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 
 def allocate_round(
     remaining: DataFrame, n: int, key: str
@@ -55,14 +57,14 @@ def run_rounds(queue: DataFrame, key: str, n: int, rounds: int) -> DataFrame:
     needs no extra jobs.
     """
     pool = queue.count()
-    remaining = queue.localCheckpoint(eager=False)
+    remaining = queue.transform(lineage_cut_lazy)
     summaries: list[tuple[int, int]] = []
     labeled_n = 0
     n_r = pool
     for r in range(1, rounds + 1):
         allocated, remaining = allocate_round(remaining, n, key)
-        allocated = allocated.localCheckpoint(eager=False)
-        remaining = remaining.localCheckpoint(eager=False)
+        allocated = allocated.transform(lineage_cut_lazy)
+        remaining = remaining.transform(lineage_cut_lazy)
         n_alloc, n_r = check_integrity(allocated, remaining, pool)
         pool -= n_alloc
         labeled_n += n_alloc

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..functions.exact import davg_sql, dsum, dsum_sql
 from ..operators.aggregates import crosstab_with_margins, pricing_summary
 from ..registry import register
@@ -1073,7 +1075,7 @@ def a_mad_robust_z(spark, sf_dir):
             "med",
             F.abs(F.col("value") - F.col("med")).alias("d"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut_lazy)
     )
     mad = exact_group_quantiles(
         dev,
@@ -1548,7 +1550,7 @@ def a_kmv_set_ops(spark, sf_dir):
         .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
         .select("source", F.concat_ws(" ", "p.w1", "p.w2").alias("tok"))
         .distinct()
-        .localCheckpoint(eager=False)  # consumed by sketch + exact sides
+        .transform(lineage_cut_lazy)  # consumed by sketch + exact sides
     )
     h = toks.select(
         "source",
@@ -2485,8 +2487,8 @@ LIMIT 20
 )
 def a_market_basket_lift(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=False
+    op = li.select("l_orderkey", "l_partkey").distinct().transform(
+        lineage_cut_lazy
     )  # consumed by item counts AND both sides of the pair join
     n_orders = op.select("l_orderkey").distinct().count()
     item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
@@ -2795,7 +2797,7 @@ def a_k_anonymity(spark, sf_dir):
             F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
         )
         .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=False)  # consumed by total + the band rollup
+        .transform(lineage_cut_lazy)  # consumed by total + the band rollup
     )
     tot = classes.agg(F.sum("k").alias("n"))
     band = (
@@ -2999,7 +3001,7 @@ def a_l_diversity(spark, sf_dir):
             F.count(F.lit(1)).alias("k"),
             F.countDistinct("sensitive").alias("l"),
         )
-        .localCheckpoint(eager=False)  # consumed by total + the band rollup
+        .transform(lineage_cut_lazy)  # consumed by total + the band rollup
     )
     tot = classes.agg(F.sum("k").alias("n"))
     band = (
@@ -3098,7 +3100,7 @@ def a_mad_outliers(spark, sf_dir):
     ).select("event_type", F.col("p50").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("value") - F.col("med"))
-    ).localCheckpoint(eager=False)  # second rank pass + the census
+    ).transform(lineage_cut_lazy)  # second rank pass + the census
     mad = exact_group_quantiles(
         dev,
         "event_type",
@@ -3168,7 +3170,7 @@ def x_pandas_udf_checksum(spark, sf_dir):
     )
     hashed = orders.select(
         F.col("o_orderstatus").alias("status"), row_hash.alias("h")
-    ).localCheckpoint(eager=False)  # UDF agg + count agg
+    ).transform(lineage_cut_lazy)  # UDF agg + count agg
     # a GROUPED_AGG pandas UDF cannot mix with non-pandas aggregates in
     # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — counts come from a
     # second aggregation over the few-row status key, joined broadcast

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..operators.dedup import (
     char_ngrams,
     char_ngrams_sql,
@@ -496,7 +498,7 @@ def x_minhash_est_quality(spark, sf_dir):
         .select("doc_id", word_shingles(F.col("text"), 2))
     )
     exploded = docsets.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = minhash_signatures(exploded, NUM_HASHES).localCheckpoint(eager=False)
+    sig = minhash_signatures(exploded, NUM_HASHES).transform(lineage_cut_lazy)
     cand = candidate_pairs(lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND))
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)]
@@ -567,7 +569,7 @@ def x_dedup_transitivity(spark, sf_dir):
         minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut_lazy)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -585,7 +587,7 @@ def x_dedup_transitivity(spark, sf_dir):
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut_lazy)
     o1 = oriented.select("src", F.col("dst").alias("b"), F.col("dst_d").alias("bd"))
     o2 = oriented.select("src", F.col("dst").alias("c"), F.col("dst_d").alias("cd"))
     wedges = o1.join(o2, "src").filter(
@@ -1644,7 +1646,7 @@ def x_prefix_filter_join(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     d = docs.filter(F.size("w") >= 2).select(
         "doc_id", word_shingles(F.col("text"), 2).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut_lazy)
     tok = d.select("doc_id", F.explode("sh").alias("t"))
     dfq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     sorted_toks = (
@@ -1785,12 +1787,12 @@ def x_minhash_band_sweep(spark, sf_dir):
         docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
         .filter(F.size("w") >= 2)
         .select("doc_id", word_shingles("w", 2).alias("shingles"))
-        .localCheckpoint(eager=False)  # shared by sig build + verification
+        .transform(lineage_cut_lazy)  # shared by sig build + verification
     )
     sig = minhash_signatures(
         docsets.select("doc_id", F.explode("shingles").alias("shingle")),
         NUM_HASHES,
-    ).localCheckpoint(eager=False)  # banded three ways below
+    ).transform(lineage_cut_lazy)  # banded three ways below
     sa = docsets.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -1804,13 +1806,13 @@ def x_minhash_band_sweep(spark, sf_dir):
     for r in BAND_SWEEP_ROWS:
         cand = candidate_pairs(
             lsh_bands(sig, NUM_HASHES, r)
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut_lazy)
         ver = (
             cand.join(sa, "doc_a")
             .join(sb, "doc_b")
             .filter(jac >= JACCARD_T)
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut_lazy)
         )
         per_r[r] = (cand.count(), ver)
     ref = per_r[2][1]
@@ -1961,7 +1963,7 @@ def x_image_dhash_dedup(spark, sf_dir):
                 out["h"].append(h)
             yield pd.DataFrame(out)
 
-    h = src.mapInPandas(_hash, "doc_id long, h long").localCheckpoint(eager=False)
+    h = src.mapInPandas(_hash, "doc_id long, h long").transform(lineage_cut_lazy)
     pairs_ij = [(i, j) for i in range(6) for j in range(i + 1, 7)]  # C(7,2)=21
     combos = F.explode(
         F.array(

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..functions.exact import davg, davg_sql, dsum, dsum_over_sql, dsum_sql
 from ..registry import register
 from ..sources.catalog import load
@@ -1162,7 +1164,7 @@ def e_rfm_scores(spark, sf_dir):
             "frequency",
             "monetary",
         )
-        .localCheckpoint(eager=False)  # consumed by cuts pass + band pass
+        .transform(lineage_cut_lazy)  # consumed by cuts pass + band pass
     )
     # unpivot the three metrics (exactly representable as double) so ONE
     # rank-selection pass, partitioned by metric, finds all nine cuts
@@ -1853,7 +1855,7 @@ def e_out_of_order_census(spark, sf_dir):
                 F.lit(0), F.coalesce("prev_max", F.lit(0)) - F.col("sec")
             ).alias("late_by")
         )
-        .localCheckpoint(eager=False)  # consumed by the census + the total
+        .transform(lineage_cut_lazy)  # consumed by the census + the total
     )
     total = late.count()
     bucket = (
@@ -1959,7 +1961,7 @@ def e_survival_km(spark, sf_dir):
         .cast("long")
         .alias("t_days"),
         conv_ts.isNotNull().cast("int").alias("converted"),
-    ).localCheckpoint(eager=False)  # consumed by event times AND risk sets
+    ).transform(lineage_cut_lazy)  # consumed by event times AND risk sets
     ev_times = (
         lt.filter(F.col("converted") == 1)
         .groupBy("t_days")
@@ -2188,8 +2190,8 @@ def e_markov_transitions(spark, sf_dir):
     ).filter(F.col("next_type").isNotNull())
     cells = seq.select(
         F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
-    ).groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=False
+    ).groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n")).transform(
+        lineage_cut_lazy
     )  # margins + the probability join
     margins = cells.groupBy("from_type").agg(F.sum("n").alias("n_from"))
     return cells.join(F.broadcast(margins), "from_type").select(

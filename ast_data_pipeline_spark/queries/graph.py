@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..registry import register
 from ..sources.catalog import load
 
@@ -92,7 +94,7 @@ def x_pagerank(spark, sf_dir):
     # re-derive lineitem->orders->distinct from scratch — the plan
     # re-executes the base derivation once per superstep (observed 19 s
     # -> ~3 s at sf0.1). Same trick MLlib uses in iterative algorithms.
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(lineage_cut_lazy)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "src")
 
@@ -181,7 +183,7 @@ def x_triangle_count(spark, sf_dir):
     )
     # The wedge join consumes `edges` three times; cut the lineage so
     # the per-order pair explosion runs once (the pagerank idiom).
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(lineage_cut_lazy)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -200,7 +202,7 @@ def x_triangle_count(spark, sf_dir):
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut_lazy)
     )
     e2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
     e3 = oriented.select(F.col("src").alias("src3"), F.col("dst").alias("dst3"))
@@ -313,10 +315,10 @@ def x_kcore_peel(spark, sf_dir):
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).unionByName(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut_lazy)
 
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=False
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(
+        lineage_cut_lazy
     )
     census = [(0, nodes.count())]
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -327,7 +329,7 @@ def x_kcore_peel(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= _KCORE_K)
             .select(F.col("src").alias("node"))
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut_lazy)
         census.append((r, surv.count()))
         nodes = surv
     return spark.createDataFrame(census, "round int, n_nodes long")
@@ -411,7 +413,7 @@ def x_bfs_layers(spark, sf_dir):
         .unionByName(
             pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut_lazy)
     )
     frontier = (
         edges.filter(
@@ -419,7 +421,7 @@ def x_bfs_layers(spark, sf_dir):
         )
         .select(F.col("src").alias("node"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut_lazy)
     )
     reached = frontier
     census = [(0, frontier.count())]
@@ -430,10 +432,10 @@ def x_bfs_layers(spark, sf_dir):
             .distinct()
             .exceptAll(reached)
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut_lazy)
         )
-        reached = reached.unionByName(frontier).distinct().localCheckpoint(
-            eager=False
-        )
+        reached = reached.unionByName(frontier).distinct().transform(
+            lineage_cut_lazy
+    )
         census.append((r, frontier.count()))
     return spark.createDataFrame(census, "dist int, n_nodes long")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..functions.exact import dsum, dsum_sql
 from ..registry import register
 from ..sources.catalog import load
@@ -796,7 +798,7 @@ def x_fellegi_sunter_linkage(spark, sf_dir):
             .cast("int")
             .alias("bal_agree"),
         )
-        .localCheckpoint(eager=False)  # consumed by ubal and scoring
+        .transform(lineage_cut_lazy)  # consumed by ubal and scoring
     )
     useg = (
         a.groupBy("seg")
@@ -1005,7 +1007,7 @@ def x_sorted_neighborhood_linkage(spark, sf_dir):
     w = Window.partitionBy("p_brand").orderBy("p_name", "p_partkey")
     ranked = part.select(
         "p_partkey", "p_brand", "p_name", F.row_number().over(w).alias("rk")
-    ).localCheckpoint(eager=False)  # both sides of the offset join
+    ).transform(lineage_cut_lazy)  # both sides of the offset join
     offs = F.explode(
         F.sequence(F.lit(1), F.lit(SNM_WINDOW))
     ).alias("off")

@@ -452,7 +452,8 @@ FROM (SELECT doc_id,
 """,
     doc="PNG roundtrip under the hash gate: encode each document's "
     "ASCII bytes as a real zlib-compressed PNG (rotating scanline "
-    "filters; odd doc_ids Adam7-interlaced), then decode in the "
+    "filters; odd doc_ids Adam7-interlaced; every 5th doc depth-16 "
+    "with spec 257x sample scaling), then decode in the "
     "mapInPandas feature stage — inflate + unfilter + 7-pass "
     "deinterlace + CRC checks — and verify the decoded-pixel mean "
     "against DuckDB's independent code-point mean. The one formerly "
@@ -477,9 +478,21 @@ def x_multimodal_png(spark, sf_dir):
         for pdf in batches:
             if not len(pdf):
                 continue
+            def _raster(d, r):
+                a = np.frombuffer(r, np.uint8).reshape(4, 8, 3)
+                if int(d) % 5 == 0:
+                    # every 5th doc emits a DEPTH-16 PNG (r10 subset
+                    # closure): samples scaled by 257 = 0x0101, the
+                    # spec's 8->16 mapping, which the feature stage
+                    # inverts exactly — so the 2-byte-sample filter/
+                    # unfilter paths (incl. 16-bit Adam7, 5%2 odd)
+                    # run under the same oracle gate.
+                    return a.astype(np.uint16) * 257
+                return a
+
             payloads = [
                 encode_png(
-                    np.frombuffer(r, np.uint8).reshape(4, 8, 3),
+                    _raster(d, r),
                     filter_type=int(d) % 3,
                     # odd doc_ids emit Adam7-interlaced files, so the
                     # 7-pass deinterlacer (r9 subset closure) decodes

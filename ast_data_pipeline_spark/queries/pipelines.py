@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..functions.labels import (
     reclassify_by_size_sql,
     standardize_label_sql,
@@ -414,8 +416,8 @@ def x_training_assembly(spark, sf_dir):
     # the split-words frame feeds BOTH the benchmark extract and the
     # contamination probe; cut the lineage so the regex split runs once
     # (PROFILE.md r5 tail item)
-    wds = docs.select("doc_id", words_col(F.col("text")).alias("w")).localCheckpoint(
-        eager=False
+    wds = docs.select("doc_id", words_col(F.col("text")).alias("w")).transform(
+        lineage_cut_lazy
     )
     bench = wds.filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 18)).select(
         F.slice("w", 4, 15).alias("w")

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..functions.exact import dsum_sql
 from ..operators.spatial import morton_key, morton_key_sql
 from ..registry import register
@@ -1272,7 +1274,7 @@ def x_dsir_importance(spark, sf_dir):
                 % DSIR_B
             ).alias("b"),
         )
-        .localCheckpoint(eager=False)  # consumed by tgt, raw, tot, scoring
+        .transform(lineage_cut_lazy)  # consumed by tgt, raw, tot, scoring
     )
     tgt = grams.filter(F.col("lang") == "en").groupBy("b").agg(
         F.count(F.lit(1)).alias("tc")
@@ -1436,7 +1438,7 @@ def x_hilbert_layout(spark, sf_dir):
         keyed.select(
             F.lit("zorder").alias("curve"), F.col("zkey").alias("k"), "xn", "yn"
         )
-    ).localCheckpoint(eager=False)  # consumed by cells and files
+    ).transform(lineage_cut_lazy)  # consumed by cells and files
     cells = curves.groupBy("curve", "k").agg(
         F.min("xn").alias("xn"),
         F.min("yn").alias("yn"),

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..operators.similarity import (
     cosine_topk,
     dot,
@@ -889,7 +891,7 @@ def x_semantic_dedup(spark, sf_dir):
         )
         .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.emb").alias("emb"))
         .withColumn("bucket", rh_lsh_bucket("emb", LSH_PLANES, EMB_DIM))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut_lazy)
     )
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), "cid", "bucket", F.col("emb").alias("emb_a")
@@ -1016,7 +1018,7 @@ def x_power_iteration_pc1(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut_lazy)
     v = [0.125] * EMB_DIM
     s_frame = None
     norm = None
@@ -1113,7 +1115,7 @@ def x_pc1_explained_variance(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut_lazy)
     v = [0.125] * EMB_DIM
     for _ in range(_PI_ITERS):
         lit_v = F.array(*[F.lit(float(x)) for x in v])
@@ -1300,7 +1302,7 @@ def x_ivf_nprobe_sweep(spark, sf_dir):
                 "cid"
             )
         )
-        .localCheckpoint(eager=False)  # probed once per nprobe value
+        .transform(lineage_cut_lazy)  # probed once per nprobe value
     )
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -1329,7 +1331,7 @@ def x_ivf_nprobe_sweep(spark, sf_dir):
         .join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("nprobe", "q_id", "vec_id")
-        .localCheckpoint(eager=False)  # consumed by retr + scan counts
+        .transform(lineage_cut_lazy)  # consumed by retr + scan counts
     )
     sim = dot("q_vec", "embedding") / (norm("q_vec") * norm("embedding"))
     w = Window.partitionBy("nprobe", "q_id").orderBy(
@@ -1704,7 +1706,7 @@ def x_hard_negative_mining(spark, sf_dir):
             ).cast("long")
             % NEG_BUCKETS
         ).alias("bucket"),
-    ).localCheckpoint(eager=False)  # both sides of the bucket join
+    ).transform(lineage_cut_lazy)  # both sides of the bucket join
     a = emb.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
@@ -1738,7 +1740,7 @@ def x_hard_negative_mining(spark, sf_dir):
         )
         .filter(F.col("draw_rank") <= NEG_K)
         .select("anchor_id", "anchor_label", "neg_label")
-    ).localCheckpoint(eager=False)  # census + per-anchor quota join
+    ).transform(lineage_cut_lazy)  # census + per-anchor quota join
     per_anchor = pairs.groupBy("anchor_id").agg(
         F.count(F.lit(1)).alias("n_negs")
     )
@@ -1869,7 +1871,7 @@ def x_embedding_quantization(spark, sf_dir):
             "aggregate(embedding, cast(0 as double), "
             "(acc, x) -> greatest(acc, abs(cast(x as double))))"
         ),
-    ).localCheckpoint(eager=False)  # consumed by truth + every level
+    ).transform(lineage_cut_lazy)  # consumed by truth + every level
     q_f = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1880,7 +1882,7 @@ def x_embedding_quantization(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w.orderBy(f_sim.desc(), "vec_id")))
         .filter(F.col("rk") <= IVF_TOPK)
         .select("q_id", "vec_id")
-        .localCheckpoint(eager=False)  # joined against every level
+        .transform(lineage_cut_lazy)  # joined against every level
     )
     per_level = []
     idot = F.expr(_IDOT.format(a="q_q8", b="q8"))

@@ -14,6 +14,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..plans.workqueue import run_rounds
 from ..registry import register
 from ..sources.catalog import load
@@ -497,7 +499,7 @@ def s15_corrupt_record_quarantine(spark, sf_dir):
         # rejects (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN
         # — found by the r7 profile sweep). Materializing the full row
         # once is also what a real quarantine pass does before fan-out.
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut_lazy)
     )
     parsed = back.select(
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
@@ -1108,6 +1110,7 @@ FROM events WHERE event_type = 'purchase'
 )
 def s24_datasource_stream_sink(spark, sf_dir):
     import shutil
+    import time
 
     from ..sources.catalog import table_path
     from ..sources.pyds_shapefile import register_jsonl_sink
@@ -1116,10 +1119,22 @@ def s24_datasource_stream_sink(spark, sf_dir):
 
     register_jsonl_sink(spark)
     # unique dir PER CALL: two concurrent drivers (pytest + a full
-    # sweep) sharing one path raced on the rmtree (caught r9)
+    # sweep) sharing one path raced on the rmtree (caught r9). Unique
+    # dirs accumulate across bench sweeps / pytest / driver grading,
+    # so prune stale siblings first (r9 ADVICE): anything older than
+    # an hour cannot belong to a live run on this box.
+    parent = os.path.join(tempfile.gettempdir(), "ast_ds_stream_sink")
+    if os.path.isdir(parent):
+        cutoff = time.time() - 3600
+        for child in os.listdir(parent):
+            p = os.path.join(parent, child)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # concurrently removed by another run
     out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "ast_ds_stream_sink",
+        parent,
         os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:8],
     )
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..functions.exact import davg_sql, dsum, dsum_over_sql, dsum_sql
 from ..operators.temporal import asof_join, range_join_binned
 from ..registry import register
@@ -1065,7 +1067,7 @@ def t_forecast_eval(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         dsum("value").alias("v")
-    ).localCheckpoint(eager=False)  # consumed 4x below
+    ).transform(lineage_cut_lazy)  # consumed 4x below
     cut = daily.agg(F.date_sub(F.max("day"), 6).alias("c"))
     test = daily.crossJoin(F.broadcast(cut)).filter(F.col("day") >= F.col("c"))
     last_train = (
@@ -1185,7 +1187,7 @@ def t_downsample_lttb(spark, sf_dir):
         F.col("value").alias("y"),
         F.row_number().over(w_u.orderBy("ts", "event_id")).alias("rn"),
         F.count(F.lit(1)).over(w_u).alias("n"),
-    ).localCheckpoint(eager=False)  # bucketing + endpoint pick + final join
+    ).transform(lineage_cut_lazy)  # bucketing + endpoint pick + final join
     bucketed = pts.withColumn(
         # integer `div`, not double `/`+cast: exact floor at any size
         "b",

@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..operators.dedup import word_shingles_sql
 from ..operators.text import (
     EN_STOPWORDS,
@@ -788,7 +790,7 @@ def x_line_dedup(spark, sf_dir):
     # explode once instead of re-scanning the corpus per branch (the
     # dedup signature-frame idiom — exchange reuse does not fire
     # across the explode).
-    chunks = chunks.localCheckpoint(eager=False)
+    chunks = chunks.transform(lineage_cut_lazy)
     freq = chunks.groupBy("line").agg(F.countDistinct("doc_id").alias("n_docs"))
     kept = chunks.join(freq, "line").filter(F.col("n_docs") < LINE_DUP_DOCS)
     return (
@@ -911,7 +913,7 @@ def _bpe_learn(spark, sf_dir):
     # caller re-reads the states — without this each action re-pays
     # the corpus word-count shuffle; with it the loop operates on the
     # materialized vocabulary-sized frame.
-    cur = cur.localCheckpoint(eager=False)
+    cur = cur.transform(lineage_cut_lazy)
     merges = []
     for it in range(_BPE_MERGES):
         pairs = (
@@ -1139,7 +1141,7 @@ def x_pmi_collocations(spark, sf_dir):
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-    pc = pc.localCheckpoint(eager=False)  # feeds lc, rc, n, and the join
+    pc = pc.transform(lineage_cut_lazy)  # feeds lc, rc, n, and the join
     lc = pc.groupBy("w1").agg(F.sum("pair_count").alias("left_count"))
     rc = pc.groupBy("w2").agg(F.sum("pair_count").alias("right_count"))
     n = pc.agg(F.sum("pair_count").alias("total"))
@@ -1880,7 +1882,7 @@ def x_js_divergence(spark, sf_dir):
     tot = cnt.groupBy("source").agg(F.sum("n").alias("total"))
     p = cnt.join(tot, "source").select(
         "source", "tok", (F.col("n").cast("double") / F.col("total")).alias("p")
-    ).localCheckpoint(eager=False)  # consumed by hsrc AND the pair fan-out
+    ).transform(lineage_cut_lazy)  # consumed by hsrc AND the pair fan-out
 
     def log2q(col):
         return F.format_string("%.7f", F.log2(col)).cast("double")
@@ -2020,7 +2022,7 @@ def x_lm_kneser_ney(spark, sf_dir):
         )
         .select("doc_id", "p.w1", "p.w2")
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
-        .localCheckpoint(eager=False)  # consumed by train + eval halves
+        .transform(lineage_cut_lazy)  # consumed by train + eval halves
     )
     gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     train = occ.filter(gate < "cc")
@@ -2140,8 +2142,8 @@ def bm25_scored(spark, sf_dir):
     w = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(
-        eager=False
+    tf = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).transform(
+        lineage_cut_lazy
     )  # consumed by dl, df, and the scoring join
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
@@ -2468,7 +2470,7 @@ def x_ccnet_buckets(spark, sf_dir):
         lm_doc_nll(spark, sf_dir)
         .join(docs, "doc_id")
         .select("doc_id", "lang", "avg_nll")
-        .localCheckpoint(eager=False)  # consumed by cuts pass + band pass
+        .transform(lineage_cut_lazy)  # consumed by cuts pass + band pass
     )
     cuts = exact_group_quantiles(
         scored,
@@ -2874,8 +2876,8 @@ def x_vocab_coverage(spark, sf_dir):
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=False
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).transform(
+        lineage_cut_lazy
     )  # consumed by totals + the head rank
     tot = freq.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_vocab")
@@ -2970,7 +2972,7 @@ def x_langid_confusion(spark, sf_dir):
         scored.select("actual_lang", pred_expr.alias("predicted_lang"))
         .groupBy("actual_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .localCheckpoint(eager=False)  # consumed by support + the join
+        .transform(lineage_cut_lazy)  # consumed by support + the join
     )
     support = cells.groupBy("actual_lang").agg(F.sum("n_docs").alias("support"))
     return cells.join(F.broadcast(support), "actual_lang").select(
@@ -3065,13 +3067,15 @@ def x_length_bucketing(spark, sf_dir):
     methods = ranked.select(
         "source",
         F.lit("arrival").alias("method"),
-        ((F.col("rn_arrival") - 1) / LENBUCKET_BATCH).cast("long").alias("batch"),
+        # integer `div`, not double-divide+cast: exact at any size
+        # (same convention as t_downsample_lttb; r9 ADVICE)
+        F.expr(f"(rn_arrival - 1) div {LENBUCKET_BATCH}").alias("batch"),
         "n_tokens",
     ).unionByName(
         ranked.select(
             "source",
             F.lit("length_sorted").alias("method"),
-            ((F.col("rn_sorted") - 1) / LENBUCKET_BATCH).cast("long").alias("batch"),
+            F.expr(f"(rn_sorted - 1) div {LENBUCKET_BATCH}").alias("batch"),
             "n_tokens",
         )
     )

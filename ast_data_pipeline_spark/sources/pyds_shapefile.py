@@ -284,15 +284,21 @@ class EventRangesReader(DataSourceReader):
         ]
 
     def read(self, partition: _IdRange):
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        t = pq.read_table(self.path)
-        mask = pc.and_(
-            pc.greater_equal(t.column("event_id"), partition.lo),
-            pc.less(t.column("event_id"), partition.hi),
+        # Pushed-down range filter: pyarrow's dataset path prunes row
+        # groups on event_id min/max statistics AND applies the exact
+        # residual filter — each of the N partition tasks reads ~1/N
+        # of the file instead of all of it (r9 ADVICE: the previous
+        # full-read-then-mask amplified input 8x).
+        t = pq.read_table(
+            self.path,
+            filters=[
+                ("event_id", ">=", partition.lo),
+                ("event_id", "<", partition.hi),
+            ],
         )
-        for r in t.filter(mask).to_pylist():
+        for r in t.to_pylist():
             yield (
                 int(r["event_id"]),
                 int(r["user_id"]),

@@ -25,6 +25,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ast_data_pipeline_spark.lineage import lineage_cut_lazy
+
 from ..operators.dedup import incremental_dedup_screen
 from ..sources.catalog import table_path
 
@@ -49,7 +51,7 @@ def run_incremental_dedup_stream(
 ) -> DataFrame:
     root = tempfile.mkdtemp(prefix="incdedup_stream_")
     out = os.path.join(root, "out")
-    cat_docs = cat_docs.select("doc_id", "text").localCheckpoint(eager=False)
+    cat_docs = cat_docs.select("doc_id", "text").transform(lineage_cut_lazy)
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         res = incremental_dedup_screen(
