@@ -838,6 +838,8 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     expanded through the ITU G.711 formula to int16. Compressed audio
     (mp3/aac) would still need a codec and has no entry point here.
     """
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return _aiff_decode(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
@@ -869,6 +871,89 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             return samples, int(rate)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk")
+
+
+def _ext80_encode(x: int) -> bytes:
+    """Encode a positive integer as the 80-bit IEEE 754 extended
+    (SANE) big-endian float AIFF's COMM chunk stores the sample rate
+    in — sign+15-bit biased exponent, then a 64-bit mantissa with the
+    integer bit EXPLICIT (no hidden bit, unlike float32/64)."""
+    if x <= 0:
+        raise ValueError("ext80 encoder covers positive rates only")
+    e = x.bit_length() - 1          # x = m * 2^e with 1 <= m < 2
+    mant = x << (63 - e)            # explicit integer bit at bit 63
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _ext80_decode(b: bytes) -> int:
+    se = int.from_bytes(b[0:2], "big")
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    e = se - 16383
+    mant = int.from_bytes(b[2:10], "big")
+    # rate = mant * 2^(e-63); integer rates shift exactly
+    shift = e - 63
+    return mant << shift if shift >= 0 else mant >> (-shift)
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal AIFF encoder (Apple's public '89 spec): mono PCM,
+    8-bit (SIGNED — AIFF's trap vs WAV's unsigned 8-bit) or 16-bit
+    big-endian, COMM with the 80-bit extended sample rate, SSND with
+    zero offset/block."""
+    samples = np.asarray(samples)
+    if samples.dtype == np.int8:
+        bits, raw = 8, samples.tobytes()
+    elif samples.dtype == np.int16:
+        bits, raw = 16, samples.astype(">i2").tobytes()
+    else:
+        raise ValueError("encode_aiff takes int8 or int16 samples")
+    comm = (
+        (1).to_bytes(2, "big")
+        + len(samples).to_bytes(4, "big")
+        + bits.to_bytes(2, "big")
+        + _ext80_encode(rate)
+    )
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + raw
+    chunks = b""
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        chunks += cid + len(body).to_bytes(4, "big") + body
+        if len(body) & 1:
+            chunks += b"\x00"      # chunks are word-aligned
+    return b"FORM" + (4 + len(chunks)).to_bytes(4, "big") + b"AIFF" + chunks
+
+
+def _aiff_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real AIFF parse: FORM/AIFF container walk, COMM (channels,
+    frames, bits, 80-bit extended rate), SSND offset handling,
+    big-endian signed PCM — including signed 8-bit, which WAV stores
+    unsigned."""
+    pos, n = 12, len(payload)
+    channels = bits = rate = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            channels = int.from_bytes(body[0:2], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            rate = _ext80_decode(body[8:18])
+        elif cid == b"SSND":
+            off = int.from_bytes(body[0:4], "big")
+            data = body[8 + off :]
+        pos += 8 + size + (size & 1)
+    if channels is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.int8)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype=">i2").astype(np.int16)
+    else:
+        raise ValueError(f"unsupported AIFF sample width {bits}")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return samples, int(rate)
 
 
 AUDIO_SCHEMA = (

@@ -42,6 +42,30 @@ def norm(a: str) -> Column:
     return F.sqrt(F.expr(_DOT.format(a=a, b=a)))
 
 
+_L2SQ = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(cast(x as double) - cast(y as double)) * "
+    "(cast(x as double) - cast(y as double))), "
+    "cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def l2sq(a: str, b: str) -> Column:
+    """Squared L2 distance between two array columns as the SAME
+    sequential left fold as ``dot`` (aggregate ↔ list_reduce — the
+    cross-engine exactness convention for array reductions)."""
+    return F.expr(_L2SQ.format(a=a, b=b))
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), i -> "
+        f"(({a}[i]::DOUBLE) - ({b}[i]::DOUBLE)) * "
+        f"(({a}[i]::DOUBLE) - ({b}[i]::DOUBLE)))), (acc, v) -> acc + v)"
+    )
+
+
 def dot_sql(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(0.0::DOUBLE, "

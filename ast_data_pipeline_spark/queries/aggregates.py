@@ -3242,3 +3242,414 @@ def a_gini_concentration(spark, sf_dir):
             - (F.max("n") + F.lit(1.0)) / F.max("n")
         ).alias("gini"),
     )
+
+
+@register(
+    "a_welch_ttest",
+    # Welch's unequal-variance t-test (public textbook statistic; the
+    # two-sample mean comparison that doesn't assume pooled variance):
+    # weekend vs weekday event values per event type. Everything is
+    # closed-form arithmetic over exact-decimal moments (sum, sum of
+    # squares via dsum — the a_corr_matrix recipe): means, unbiased
+    # variances, t = (m1-m2)/sqrt(v1/n1 + v2/n2), and the
+    # Welch-Satterthwaite df. IEEE +,-,*,/,sqrt are bit-exact across
+    # engines, so the doubles hash-match with no quantization. One
+    # hash aggregate over the fact table; the test itself is per-group
+    # O(1). Weekday split: Spark dayofweek is Sunday=1, DuckDB
+    # dayofweek is Sunday=0 — mirrored explicitly.
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         value
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         count(*) FILTER (WHERE we = 1)::BIGINT AS n1,
+         count(*) FILTER (WHERE we = 0)::BIGINT AS n0,
+         {dsum_sql('CASE WHEN we = 1 THEN value ELSE NULL END')} AS s1,
+         {dsum_sql('CASE WHEN we = 0 THEN value ELSE NULL END')} AS s0,
+         {dsum_sql('CASE WHEN we = 1 THEN value * value ELSE NULL END')} AS q1,
+         {dsum_sql('CASE WHEN we = 0 THEN value * value ELSE NULL END')} AS q0
+  FROM s GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n1, n0,
+         s1 / n1 AS mean_we, s0 / n0 AS mean_wd,
+         (q1 - (s1 / n1) * s1) / (n1 - 1) AS v1,
+         (q0 - (s0 / n0) * s0) / (n0 - 1) AS v0
+  FROM m
+)
+SELECT event_type, n1 AS n_weekend, n0 AS n_weekday, mean_we, mean_wd,
+       (mean_we - mean_wd) / sqrt(v1 / n1 + v0 / n0) AS t_stat,
+       ((v1 / n1 + v0 / n0) * (v1 / n1 + v0 / n0))
+         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+            + (v0 / n0) * (v0 / n0) / (n0 - 1)) AS welch_df
+FROM v ORDER BY event_type
+""",
+    doc="Welch's t-test (weekend vs weekday value, per event type): "
+    "means/variances from exact-decimal moments, t statistic and "
+    "Welch-Satterthwaite df as one fixed closed-form expression tree "
+    "— bit-identical doubles in both engines, no quantization needed. "
+    "Completes the hypothesis-test family (KS, chi-square, ANOVA).",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_welch_ttest(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    we = F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0)
+    s = ev.select("event_type", we.alias("we"), "value")
+    m = s.groupBy("event_type").agg(
+        F.count(F.when(F.col("we") == 1, 1)).alias("n1"),
+        F.count(F.when(F.col("we") == 0, 1)).alias("n0"),
+        dsum(F.when(F.col("we") == 1, F.col("value"))).alias("s1"),
+        dsum(F.when(F.col("we") == 0, F.col("value"))).alias("s0"),
+        dsum(F.when(F.col("we") == 1, F.col("value") * F.col("value"))).alias("q1"),
+        dsum(F.when(F.col("we") == 0, F.col("value") * F.col("value"))).alias("q0"),
+    )
+    v = m.select(
+        "event_type", "n1", "n0",
+        (F.col("s1") / F.col("n1")).alias("mean_we"),
+        (F.col("s0") / F.col("n0")).alias("mean_wd"),
+        ((F.col("q1") - (F.col("s1") / F.col("n1")) * F.col("s1")) / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q0") - (F.col("s0") / F.col("n0")) * F.col("s0")) / (F.col("n0") - 1)).alias("v0"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se0 = F.col("v0") / F.col("n0")
+    return v.select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        "mean_we",
+        "mean_wd",
+        ((F.col("mean_we") - F.col("mean_wd")) / F.sqrt(se1 + se0)).alias("t_stat"),
+        (
+            ((se1 + se0) * (se1 + se0))
+            / (se1 * se1 / (F.col("n1") - 1) + se0 * se0 / (F.col("n0") - 1))
+        ).alias("welch_df"),
+    ).orderBy("event_type")
+
+
+PSI_BIN_W = 50   # fixed-width value bins (values span ~0-490 -> 10 bins)
+PSI_BINS = 10
+
+
+@register(
+    "a_psi_drift",
+    # Population Stability Index (the standard production drift
+    # monitor for model inputs): per event type, compare the value
+    # distribution of the FIRST half of the time range (baseline)
+    # against the SECOND half (current). PSI = sum_i (p_i - q_i) *
+    # ln(p_i / q_i) over fixed-width bins; add-one smoothing keeps
+    # empty bins finite DETERMINISTICALLY (the common epsilon hack is
+    # arbitrary; Laplace counts are exact rationals both engines
+    # compute identically). ln quantized %.7f per bin (the 1-ulp
+    # recipe) then exact-decimal summed — order-independent. The time
+    # midpoint is an integer epoch-second computation broadcast from a
+    # 1-row aggregate; everything else is two hash aggregates bounded
+    # by types x bins. Conventional reading: PSI < 0.1 stable, > 0.25
+    # action — reported as a band column.
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN floor(epoch(ts))::BIGINT
+                   < (SELECT (floor(epoch(min(ts)))::BIGINT
+                              + floor(epoch(max(ts)))::BIGINT) // 2 FROM events)
+              THEN 'base' ELSE 'cur' END AS half,
+         least(floor(value / {PSI_BIN_W})::BIGINT, {PSI_BINS - 1}) AS bin
+  FROM events
+),
+c AS (
+  SELECT event_type, bin,
+         count(*) FILTER (WHERE half = 'base')::BIGINT AS nb,
+         count(*) FILTER (WHERE half = 'cur')::BIGINT AS nc
+  FROM b GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(nb)::BIGINT AS tb, sum(nc)::BIGINT AS tc
+  FROM c GROUP BY 1
+),
+terms AS (
+  SELECT c.event_type,
+         (nb + 1)::DOUBLE / (tb + {PSI_BINS}) AS p,
+         (nc + 1)::DOUBLE / (tc + {PSI_BINS}) AS q
+  FROM c JOIN tot ON c.event_type = tot.event_type
+)
+SELECT event_type,
+       {dsum_sql("(q - p) * printf('%.7f', ln(q / p))::DOUBLE")} AS psi,
+       CASE WHEN {dsum_sql("(q - p) * printf('%.7f', ln(q / p))::DOUBLE")} < 0.1
+              THEN 'stable'
+            WHEN {dsum_sql("(q - p) * printf('%.7f', ln(q / p))::DOUBLE")} < 0.25
+              THEN 'moderate'
+            ELSE 'action' END AS psi_band
+FROM terms GROUP BY event_type ORDER BY event_type
+""",
+    doc="Population Stability Index per event type between the first "
+    "and second half of the time range: fixed-width value bins, "
+    "add-one-smoothed shares (deterministic, no epsilon hack), ln "
+    "quantized %.7f per bin, exact-decimal term sum. The standard "
+    "input-drift monitor a training pipeline runs per feature per "
+    "ingest; bounded by types x bins after two hash aggregates.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_psi_drift(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.floor(F.unix_timestamp(F.min("ts"))).cast("long")
+             + F.floor(F.unix_timestamp(F.max("ts"))).cast("long")) / 2
+        ).cast("long").alias("mid_epoch")
+    )
+    b = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(
+            F.unix_timestamp("ts").cast("long") < F.col("mid_epoch"), "base"
+        ).otherwise("cur").alias("half"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W).cast("long"), F.lit(PSI_BINS - 1)
+        ).alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("half") == "base", 1)).alias("nb"),
+        F.count(F.when(F.col("half") == "cur", 1)).alias("nc"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    terms = c.join(tot, "event_type").select(
+        "event_type",
+        ((F.col("nb") + 1).cast("double") / (F.col("tb") + PSI_BINS)).alias("p"),
+        ((F.col("nc") + 1).cast("double") / (F.col("tc") + PSI_BINS)).alias("q"),
+    )
+    lnq = F.format_string("%.7f", F.log(F.col("q") / F.col("p"))).cast("double")
+    psi = terms.groupBy("event_type").agg(
+        dsum((F.col("q") - F.col("p")) * lnq).alias("psi")
+    )
+    return psi.select(
+        "event_type",
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("action")
+        .alias("psi_band"),
+    ).orderBy("event_type")
+
+
+TCLOSE_BANDS = 5  # ordered sensitive-attribute bands (balance quintile-ish)
+
+
+@register(
+    "a_t_closeness",
+    # t-closeness (Li, Li, Venkatasubramanian, ICDE 2007 — the third
+    # leg of the release-audit trio after k-anonymity and
+    # l-diversity): a quasi-identifier class leaks if the DISTRIBUTION
+    # of the sensitive attribute inside the class strays from the
+    # global distribution, even when the class is large (k) and
+    # diverse (l). For an ORDERED sensitive attribute the Earth
+    # Mover's Distance has the closed form EMD = (1/(m-1)) *
+    # sum_{i<m} |r_i| with r_i the prefix sums of (p_i - q_i); with
+    # m = 5 bands that is a FIXED expression tree over ten exact
+    # rationals — no quantization, bit-identical doubles. QI classes =
+    # (nation, segment); sensitive = account-balance band. Two hash
+    # aggregates (class x band counts, global band counts broadcast);
+    # the class table is bounded by the QI domain at any fact size.
+    oracle=f"""
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         least(floor((c_acctbal + 1000) / 2200)::BIGINT, {TCLOSE_BANDS - 1})
+           AS band
+  FROM customer
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*)::BIGINT AS n_rows,
+         count(*) FILTER (WHERE band = 0)::BIGINT AS b0,
+         count(*) FILTER (WHERE band = 1)::BIGINT AS b1,
+         count(*) FILTER (WHERE band = 2)::BIGINT AS b2,
+         count(*) FILTER (WHERE band = 3)::BIGINT AS b3,
+         count(*) FILTER (WHERE band = 4)::BIGINT AS b4
+  FROM base GROUP BY 1, 2
+),
+g AS (
+  SELECT count(*)::BIGINT AS n,
+         count(*) FILTER (WHERE band = 0)::BIGINT AS g0,
+         count(*) FILTER (WHERE band = 1)::BIGINT AS g1,
+         count(*) FILTER (WHERE band = 2)::BIGINT AS g2,
+         count(*) FILTER (WHERE band = 3)::BIGINT AS g3,
+         count(*) FILTER (WHERE band = 4)::BIGINT AS g4
+  FROM base
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, n_rows,
+         (abs((b0::DOUBLE / n_rows - g0::DOUBLE / n))
+          + abs((b0::DOUBLE / n_rows - g0::DOUBLE / n)
+                + (b1::DOUBLE / n_rows - g1::DOUBLE / n))
+          + abs((b0::DOUBLE / n_rows - g0::DOUBLE / n)
+                + (b1::DOUBLE / n_rows - g1::DOUBLE / n)
+                + (b2::DOUBLE / n_rows - g2::DOUBLE / n))
+          + abs((b0::DOUBLE / n_rows - g0::DOUBLE / n)
+                + (b1::DOUBLE / n_rows - g1::DOUBLE / n)
+                + (b2::DOUBLE / n_rows - g2::DOUBLE / n)
+                + (b3::DOUBLE / n_rows - g3::DOUBLE / n)))
+           / {TCLOSE_BANDS - 1} AS emd
+  FROM cls, g
+)
+SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment AS segment,
+       n_rows, emd,
+       CASE WHEN emd <= 0.15 THEN 'releasable_t_015'
+            WHEN emd <= 0.25 THEN 'review_t_025'
+            ELSE 'blocked' END AS t_band
+FROM emd ORDER BY nationkey, segment
+""",
+    doc="t-closeness audit over (nation, segment) QI classes with the "
+    "account-balance band as ordered sensitive attribute: per-class "
+    "EMD to the global distribution via the closed-form ordered-EMD "
+    "prefix sums (m=5, fixed expression tree, exact doubles), banded "
+    "by the conventional t thresholds. Completes the privacy trio "
+    "with a_k_anonymity and a_l_diversity.",
+    tags=("aggregates", "privacy", "extension"),
+)
+def a_t_closeness(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.least(
+            F.floor((F.col("c_acctbal") + 1000) / 2200).cast("long"),
+            F.lit(TCLOSE_BANDS - 1),
+        ).alias("band"),
+    )
+    band_counts = [
+        F.count(F.when(F.col("band") == k, 1)).alias(f"b{k}")
+        for k in range(TCLOSE_BANDS)
+    ]
+    cls = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"), *band_counts
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count(F.when(F.col("band") == k, 1)).alias(f"g{k}")
+            for k in range(TCLOSE_BANDS)
+        ],
+    )
+    j = cls.crossJoin(F.broadcast(g))
+    d = [
+        F.col(f"b{k}").cast("double") / F.col("n_rows")
+        - F.col(f"g{k}").cast("double") / F.col("n")
+        for k in range(TCLOSE_BANDS)
+    ]
+    # prefix sums r_1..r_{m-1}, LEFT-associated exactly as the oracle
+    prefixes = []
+    acc = d[0]
+    prefixes.append(F.abs(acc))
+    for k in range(1, TCLOSE_BANDS - 1):
+        acc = acc + d[k]
+        prefixes.append(F.abs(acc))
+    emd_expr = prefixes[0]
+    for p in prefixes[1:]:
+        emd_expr = emd_expr + p
+    emd_expr = (emd_expr / (TCLOSE_BANDS - 1)).alias("emd")
+    out = j.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        "n_rows",
+        emd_expr,
+    )
+    return out.select(
+        "nationkey",
+        "segment",
+        "n_rows",
+        "emd",
+        F.when(F.col("emd") <= 0.15, "releasable_t_015")
+        .when(F.col("emd") <= 0.25, "review_t_025")
+        .otherwise("blocked")
+        .alias("t_band"),
+    ).orderBy("nationkey", "segment")
+
+
+CAPTURE_MOD_A = 5   # sample A: ~1/5 of docs by one hash gate
+CAPTURE_MOD_B = 7   # sample B: ~1/7 by an independent gate
+
+
+@register(
+    "a_capture_recapture",
+    # Chapman's capture-recapture estimator (public ecology/statistics
+    # method; in data engineering it's how you estimate TOTAL corpus /
+    # web size from two independent crawls' overlap without ever
+    # counting the whole thing): draw two independent deterministic
+    # samples via md5 gates with coprime moduli, count the overlap,
+    # and estimate N_hat = (n1+1)(n2+1)/(m+1) - 1. The estimate, its
+    # standard error, and the true N (known here — that's the eval)
+    # are all exact integer/rational arithmetic. Sampling gates are
+    # scan filters (no shuffle); the overlap is one aggregate. The
+    # same pattern estimates dedup-cluster counts or join sizes from
+    # samples at 100 TB, where the exact count is a full pass you'd
+    # rather not pay.
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('capA|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % {CAPTURE_MOD_A}) = 0 AS in_a,
+         (('0x' || substr(md5('capB|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % {CAPTURE_MOD_B}) = 0 AS in_b
+  FROM documents
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_true,
+         count(*) FILTER (WHERE in_a)::BIGINT AS n1,
+         count(*) FILTER (WHERE in_b)::BIGINT AS n2,
+         count(*) FILTER (WHERE in_a AND in_b)::BIGINT AS m_overlap
+  FROM tagged
+)
+SELECT n_true, n1, n2, m_overlap,
+       (n1 + 1)::DOUBLE * (n2 + 1) / (m_overlap + 1) - 1 AS n_chapman,
+       sqrt((n1 + 1)::DOUBLE * (n2 + 1) * (n1 - m_overlap) * (n2 - m_overlap)
+            / ((m_overlap + 1)::DOUBLE * (m_overlap + 1) * (m_overlap + 2)))
+         AS stderr,
+       ((n1 + 1)::DOUBLE * (n2 + 1) / (m_overlap + 1) - 1 - n_true)
+         / n_true AS rel_error
+FROM m
+""",
+    doc="Chapman capture-recapture corpus-size estimate from two "
+    "independent md5-gated samples (coprime moduli): N_hat = "
+    "(n1+1)(n2+1)/(m+1)-1 with its standard error, evaluated against "
+    "the true count — the crawl-overlap size-estimation trick, as an "
+    "eval-as-query. Scan-filter sampling, one aggregate, exact "
+    "rationals.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_capture_recapture(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+
+    def gate(salt, mod):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % mod == 0
+        )
+
+    tagged = docs.select(
+        "doc_id",
+        gate("capA|", CAPTURE_MOD_A).alias("in_a"),
+        gate("capB|", CAPTURE_MOD_B).alias("in_b"),
+    )
+    m = tagged.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count(F.when(F.col("in_a"), 1)).alias("n1"),
+        F.count(F.when(F.col("in_b"), 1)).alias("n2"),
+        F.count(F.when(F.col("in_a") & F.col("in_b"), 1)).alias("m_overlap"),
+    )
+    nh = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m_overlap") + 1) - 1
+    return m.select(
+        "n_true", "n1", "n2", "m_overlap",
+        nh.alias("n_chapman"),
+        F.sqrt(
+            (F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
+            * (F.col("n1") - F.col("m_overlap")) * (F.col("n2") - F.col("m_overlap"))
+            / (
+                (F.col("m_overlap") + 1).cast("double")
+                * (F.col("m_overlap") + 1) * (F.col("m_overlap") + 2)
+            )
+        ).alias("stderr"),
+        ((nh - F.col("n_true")) / F.col("n_true")).alias("rel_error"),
+    )

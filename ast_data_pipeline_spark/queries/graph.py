@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ast_data_pipeline_spark.lineage import lineage_cut_lazy
 
+from ..functions.exact import dsum, dsum_sql
 from ..registry import register
 from ..sources.catalog import load
 
@@ -439,3 +440,186 @@ def x_bfs_layers(spark, sf_dir):
     )
         census.append((r, frontier.count()))
     return spark.createDataFrame(census, "dist int, n_nodes long")
+
+
+LINKPRED_MAX_PART_BUYERS = 64  # frequency cap: parts with more buyers
+LINKPRED_TOPK = 20             # are hubs, not similarity signal
+
+
+@register(
+    "x_link_prediction",
+    # Common-neighbor / Jaccard link prediction (Liben-Nowell &
+    # Kleinberg 2003 — the baseline for "which pairs should be
+    # connected next"): customers are similar when they buy the same
+    # parts. Candidate pairs come ONLY from co-buyers of a shared part
+    # (blocked equi-join on partkey, the same banded-candidate
+    # discipline as every dedup operator here); parts with more than
+    # LINKPRED_MAX_PART_BUYERS buyers are excluded as hubs — the
+    # standard frequency cap that simultaneously kills the quadratic
+    # blowup (a part with 10^6 buyers contributes C(10^6,2) pairs at
+    # 100 TB) and improves the signal (ubiquitous items carry no
+    # similarity information; same reasoning as stopword removal).
+    # score = |shared parts| / |union of part sets|; top-K by
+    # (jaccard, pair key) via TakeOrdered — no global sort.
+    oracle=f"""
+WITH bought AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+keep AS (
+  SELECT part FROM bought GROUP BY part
+  HAVING count(*) <= {LINKPRED_MAX_PART_BUYERS}
+),
+b AS (SELECT cust, part FROM bought WHERE part IN (SELECT part FROM keep)),
+deg AS (SELECT cust, count(*)::BIGINT AS d FROM bought GROUP BY cust),
+pairs AS (
+  SELECT a.cust AS ca, b2.cust AS cb, count(*)::BIGINT AS common
+  FROM b a JOIN b b2 ON a.part = b2.part AND a.cust < b2.cust
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT ca, cb, common, da.d AS deg_a, db.d AS deg_b,
+         common::DOUBLE / (da.d + db.d - common) AS jaccard
+  FROM pairs JOIN deg da ON pairs.ca = da.cust
+             JOIN deg db ON pairs.cb = db.cust
+)
+SELECT ca, cb, common, deg_a, deg_b, jaccard
+FROM scored
+ORDER BY jaccard DESC, ca, cb
+LIMIT {LINKPRED_TOPK}
+""",
+    doc="Jaccard link prediction over the co-purchase graph: candidate "
+    "customer pairs generated only through shared parts (blocked "
+    "equi-join, hub parts frequency-capped — the anti-quadratic knob "
+    "AND the signal filter), scored |shared|/|union| from exact "
+    "integer degrees, top-20 by (jaccard, unique pair key) via "
+    "TakeOrdered. The recommender/entity-graph primitive at "
+    "100 TB shape.",
+    tags=("graph", "extension"),
+)
+def x_link_prediction(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bought = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .transform(lineage_cut_lazy)  # consumed by keep, deg, and both join sides
+    )
+    keep = bought.groupBy("part").agg(F.count(F.lit(1)).alias("nb")).filter(
+        F.col("nb") <= LINKPRED_MAX_PART_BUYERS
+    ).select("part")
+    b = bought.join(F.broadcast(keep), "part").transform(lineage_cut_lazy)
+    deg = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    b2 = b.select(F.col("part").alias("part2"), F.col("cust").alias("cb"))
+    pairs = (
+        b.join(b2, (F.col("part") == F.col("part2")) & (F.col("cust") < F.col("cb")))
+        .groupBy(F.col("cust").alias("ca"), "cb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("cust").alias("ca"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("cust").alias("cb"), F.col("d").alias("deg_b"))
+    scored = (
+        pairs.join(da, "ca")
+        .join(db, "cb")
+        .select(
+            "ca", "cb", "common", "deg_a", "deg_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("jaccard").desc(), "ca", "cb")
+        .limit(LINKPRED_TOPK)
+        .select("ca", "cb", "common", "deg_a", "deg_b", "jaccard")
+    )
+
+
+@register(
+    "x_graph_assortativity",
+    # Degree assortativity (Newman 2002, public): the Pearson
+    # correlation of endpoint degrees over edges — do high-degree
+    # customers trade with high-degree suppliers, or the opposite?
+    # Computed over the DIRECTED edge set of the bipartite
+    # customer-supplier graph (each undirected edge contributes both
+    # orientations, the standard symmetrization), entirely from
+    # exact integer moments: degrees are counts, the five sums
+    # (sum x, sum y, sum xy, sum x^2, sum y^2) are decimal-exact
+    # sums of integer products, and the closed-form Pearson is one
+    # fixed double expression tree — the a_corr_matrix recipe lifted
+    # onto graph structure. One distinct + two degree aggregates +
+    # one join; no quadratic anything.
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+dc AS (SELECT c, count(*)::BIGINT AS dc FROM e GROUP BY c),
+ds AS (SELECT s, count(*)::BIGINT AS ds FROM e GROUP BY s),
+de AS (
+  SELECT dc.dc AS x, ds.ds AS y FROM e
+  JOIN dc ON e.c = dc.c JOIN ds ON e.s = ds.s
+),
+sym AS (
+  SELECT x, y FROM de UNION ALL SELECT y AS x, x AS y FROM de
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         {dsum_sql('x::DOUBLE')} AS sx, {dsum_sql('y::DOUBLE')} AS sy,
+         {dsum_sql('(x * y)::DOUBLE')} AS sxy,
+         {dsum_sql('(x * x)::DOUBLE')} AS sxx,
+         {dsum_sql('(y * y)::DOUBLE')} AS syy
+  FROM sym
+)
+SELECT n AS n_directed_edges,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS assortativity
+FROM m
+""",
+    doc="Degree assortativity of the customer-supplier bipartite "
+    "graph: Pearson correlation of endpoint degrees over the "
+    "symmetrized edge list, from exact-decimal integer moments and "
+    "one closed-form double expression — bit-identical cross-engine. "
+    "Bipartite graphs are disassortative by construction when degree "
+    "distributions differ across sides; the sign and magnitude here "
+    "are the structural fingerprint.",
+    tags=("graph", "stats", "extension"),
+)
+def x_graph_assortativity(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .transform(lineage_cut_lazy)  # degrees + the edge join
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    de = (
+        e.join(dc, "c")
+        .join(ds, "s")
+        .select(F.col("dc").alias("x"), F.col("ds").alias("y"))
+    )
+    sym = de.unionByName(de.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    m = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x").cast("double")).alias("sx"),
+        dsum(F.col("y").cast("double")).alias("sy"),
+        dsum((F.col("x") * F.col("y")).cast("double")).alias("sxy"),
+        dsum((F.col("x") * F.col("x")).cast("double")).alias("sxx"),
+        dsum((F.col("y") * F.col("y")).cast("double")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("assortativity"),
+    )

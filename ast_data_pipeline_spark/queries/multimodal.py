@@ -938,3 +938,78 @@ def x_multimodal_adpcm(spark, sf_dir):
         (F.col("sum_dec").cast("double") / 96).alias("mean_decoded"),
         F.sqrt(F.col("sum_sq").cast("double") / 96).alias("rms_decoded"),
     )
+
+
+@register(
+    "x_multimodal_aiff",
+    # Second PCM CONTAINER under the gate (AIFF, Apple's public 1989
+    # spec — the big-endian sibling of RIFF/WAV): the decoder must
+    # parse the FORM/AIFF chunk walk, the COMM chunk's 80-bit IEEE
+    # EXTENDED sample-rate float (explicit integer bit, no float64
+    # shortcut), SSND offsets, and — the classic trap — SIGNED 8-bit
+    # samples where WAV's are unsigned. Even doc_ids carry 16-bit
+    # big-endian code-point samples; odd doc_ids carry signed 8-bit
+    # samples (code point - 79, spanning negative and positive), so
+    # both sample widths and the sign handling sit under the oracle
+    # gate. DuckDB recomputes mean/RMS from the code points with the
+    # same branch — integer sums, one division, one IEEE sqrt.
+    oracle="""
+SELECT doc_id, 8000::INT AS sample_rate, 96::INT AS n_samples,
+       CASE WHEN doc_id % 2 = 0
+            THEN list_sum(list_transform(generate_series(1, 96),
+                          i -> unicode(substr(t, i, 1))))::DOUBLE / 96
+            ELSE list_sum(list_transform(generate_series(1, 96),
+                          i -> unicode(substr(t, i, 1)) - 79))::DOUBLE / 96
+       END AS mean_sample,
+       CASE WHEN doc_id % 2 = 0
+            THEN sqrt(list_sum(list_transform(generate_series(1, 96),
+                 i -> unicode(substr(t, i, 1)) * unicode(substr(t, i, 1))))::DOUBLE / 96)
+            ELSE sqrt(list_sum(list_transform(generate_series(1, 96),
+                 i -> (unicode(substr(t, i, 1)) - 79) * (unicode(substr(t, i, 1)) - 79)))::DOUBLE / 96)
+       END AS rms
+FROM (SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 96, 'x'), 1, 96) AS t
+      FROM documents)
+""",
+    doc="AIFF roundtrip under the hash gate: each doc's ASCII bytes "
+    "become a real AIFF (FORM/AIFF walk, COMM 80-bit extended sample "
+    "rate, SSND offset; even docs 16-bit big-endian, odd docs SIGNED "
+    "8-bit — the WAV-vs-AIFF trap), decoded by the pure-numpy parser "
+    "in the audio feature stage; mean/RMS verified against DuckDB's "
+    "independent code-point computation.",
+    tags=("multimodal", "extension"),
+)
+def x_multimodal_aiff(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import audio_features
+
+    docs = load(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "?")
+    t96 = F.substring(F.rpad(ascii_text, 96, "x"), 1, 96)
+    src = docs.select("doc_id", F.encode(t96, "utf-8").alias("raw"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ast_data_pipeline_spark.operators.multimodal import encode_aiff
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for d, r in zip(pdf["doc_id"], pdf["raw"]):
+                codes = np.frombuffer(r, np.uint8)
+                if int(d) % 2 == 0:
+                    payloads.append(encode_aiff(codes.astype(np.int16), 8000))
+                else:
+                    # printable ASCII (32-126) - 79 fits int8: -47..47
+                    payloads.append(
+                        encode_aiff((codes.astype(np.int16) - 79).astype(np.int8), 8000)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    framed = src.mapInPandas(_encode, "doc_id long, payload binary")
+    return audio_features(framed)

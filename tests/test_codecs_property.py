@@ -361,3 +361,28 @@ def test_png_depth16_roundtrip_exact(h, w, ft, interlace, seed):
     rgb = rng.integers(0, 65536, (h, w, 3), np.uint16).astype(np.uint16)
     out = _png_decode(encode_png(rgb, ft, interlace=interlace))
     assert out.dtype == np.uint16 and (out == rgb).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.sampled_from([8, 16]),
+    st.sampled_from([8000, 11025, 44100, 48000]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_aiff_roundtrip_exact(n, bits, rate, seed):
+    """AIFF encode->decode is bit-exact for both sample widths, every
+    length parity (odd 8-bit bodies exercise the chunk pad byte), and
+    the 80-bit extended sample rate survives exactly."""
+    from ast_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        encode_aiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    if bits == 8:
+        s = rng.integers(-128, 128, n).astype(np.int8)
+    else:
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+    out, r = decode_audio(encode_aiff(s, rate))
+    assert r == rate and out.dtype == s.dtype and (out == s).all()

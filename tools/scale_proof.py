@@ -81,12 +81,30 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf1", default="/tmp/ast_sf1")
     ap.add_argument(
+        "--base",
+        default="/root/testdata/sf0.1",
+        help="baseline SF dir (r10: pass /tmp/ast_sf1 to measure the "
+        "SECOND scale decade sf1 -> sf3 — both sides of a plan-profile "
+        "transition must be compared within the same regime)",
+    )
+    ap.add_argument(
+        "--base-label",
+        default=None,
+        help="label for the baseline column (default: basename of --base)",
+    )
+    ap.add_argument(
+        "--label",
+        default="sf1",
+        help="label for the expanded column (default sf1)",
+    )
+    ap.add_argument(
         "--queries",
         nargs="+",
         default=list(QUERIES),
         help="registered query names to measure (default: flagship set)",
     )
     a = ap.parse_args()
+    base_label = a.base_label or os.path.basename(a.base.rstrip("/"))
 
     from ast_data_pipeline_spark.registry import load_all
     from ast_data_pipeline_spark.sources.domain_views import clear_view_cache
@@ -101,7 +119,7 @@ def main() -> None:
         # warm the JVM so sf0.1's first run doesn't carry codegen
         # compile cost that sf1 (running second, warm) skips
         spark.range(1_000_000).selectExpr("sum(id)").collect()
-        for label, sf in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", a.sf1)):
+        for label, sf in ((base_label, a.base), (a.label, a.sf1)):
             clear_view_cache()
             times = []
             sw0 = shuffle_write()
@@ -118,8 +136,8 @@ def main() -> None:
             }
             print(name, label, per_sf[label], flush=True)
         spark.stop()
-        r10 = per_sf["sf1"]
-        r1 = per_sf["sf0.1"]
+        r10 = per_sf[a.label]
+        r1 = per_sf[base_label]
         per_sf["scaling"] = {
             "time_x": round(r10["sec_min2"] / max(r1["sec_min2"], 1e-9), 1),
             "shuffle_x": round(
