@@ -3374,15 +3374,22 @@ terms AS (
          (nb + 1)::DOUBLE / (tb + {PSI_BINS}) AS p,
          (nc + 1)::DOUBLE / (tc + {PSI_BINS}) AS q
   FROM c JOIN tot ON c.event_type = tot.event_type
+),
+psi AS (
+  SELECT event_type,
+         -- summands are ~1e-3: scale 1e6 through the exact-decimal
+         -- sum so dsum's 4-dp rounding lands at the 10th decimal of
+         -- the unscaled value (dsum(small) alone would truncate PSI
+         -- to 2 significant figures)
+         {dsum_sql("(q - p) * printf('%.7f', ln(q / p))::DOUBLE * 1e6")} / 1e6
+           AS psi
+  FROM terms GROUP BY event_type
 )
-SELECT event_type,
-       {dsum_sql("(q - p) * printf('%.7f', ln(q / p))::DOUBLE")} AS psi,
-       CASE WHEN {dsum_sql("(q - p) * printf('%.7f', ln(q / p))::DOUBLE")} < 0.1
-              THEN 'stable'
-            WHEN {dsum_sql("(q - p) * printf('%.7f', ln(q / p))::DOUBLE")} < 0.25
-              THEN 'moderate'
+SELECT event_type, psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate'
             ELSE 'action' END AS psi_band
-FROM terms GROUP BY event_type ORDER BY event_type
+FROM psi ORDER BY event_type
 """,
     doc="Population Stability Index per event type between the first "
     "and second half of the time range: fixed-width value bins, "
@@ -3422,8 +3429,10 @@ def a_psi_drift(spark, sf_dir):
         ((F.col("nc") + 1).cast("double") / (F.col("tc") + PSI_BINS)).alias("q"),
     )
     lnq = F.format_string("%.7f", F.log(F.col("q") / F.col("p"))).cast("double")
+    # summands ~1e-3: scale 1e6 through dsum (whose 4-dp decimal
+    # rounding would otherwise truncate PSI to 2 significant figures)
     psi = terms.groupBy("event_type").agg(
-        dsum((F.col("q") - F.col("p")) * lnq).alias("psi")
+        (dsum((F.col("q") - F.col("p")) * lnq * F.lit(1e6)) / 1e6).alias("psi")
     )
     return psi.select(
         "event_type",
@@ -3652,4 +3661,121 @@ def a_capture_recapture(spark, sf_dir):
             )
         ).alias("stderr"),
         ((nh - F.col("n_true")) / F.col("n_true")).alias("rel_error"),
+    )
+
+
+@register(
+    "a_theil_decomposition",
+    # Theil T index with between/within decomposition (public
+    # econometrics; the reason to prefer Theil over Gini for corpus
+    # audits is exactly this ADDITIVITY): total token inequality =
+    # inequality BETWEEN sources + the source-share-weighted
+    # inequality WITHIN each source. T = mean over docs of
+    # (x/mu) * ln(x/mu). All shares are exact rationals; ln is
+    # quantized %.7f per evaluation (the 1-ulp recipe), so each of
+    # the three reported measures is engine-exact — the additive
+    # identity T_total = T_between + sum_s w_s T_s holds only up to
+    # the ln quantization (|residual| < ~1e-6, reported as its own
+    # column so the near-zero check is part of the gated output).
+    # Two hash aggregates; the doc-grain pass computes each doc's
+    # term in one scan.
+    oracle=f"""
+WITH docs_t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS x
+  FROM documents
+),
+g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tot FROM docs_t),
+src AS (
+  SELECT source, count(*)::BIGINT AS ns, sum(x)::BIGINT AS ts
+  FROM docs_t GROUP BY source
+),
+tot AS (
+  -- Theil terms are small; every dsum here carries a 1e6 scale so
+  -- the 4-dp decimal rounding lands at the 10th decimal unscaled
+  SELECT {dsum_sql("(x::DOUBLE * n / tot) * printf('%.7f', ln(x::DOUBLE * n / tot))::DOUBLE * 1e6")} / 1e6 / any_value(n)
+           AS t_total
+  FROM docs_t, g
+),
+within AS (
+  SELECT d.source,
+         {dsum_sql("(d.x::DOUBLE * s.ns / s.ts) * printf('%.7f', ln(d.x::DOUBLE * s.ns / s.ts))::DOUBLE * 1e6")} / 1e6 / any_value(s.ns)
+           AS t_s,
+         any_value(s.ts) AS ts
+  FROM docs_t d JOIN src s ON d.source = s.source
+  GROUP BY d.source
+),
+parts AS (
+  SELECT {dsum_sql("(w.ts::DOUBLE / g.tot) * w.t_s * 1e6")} / 1e6 AS t_within,
+         {dsum_sql("(s.ts::DOUBLE / g.tot) * printf('%.7f', ln((s.ts::DOUBLE / g.tot) / (s.ns::DOUBLE / g.n)))::DOUBLE * 1e6")} / 1e6 AS t_between
+  FROM within w JOIN src s ON w.source = s.source, g
+)
+SELECT t_total, t_between, t_within,
+       t_total - t_between - t_within AS additivity_residual
+FROM tot, parts
+""",
+    doc="Theil T inequality of doc token counts with the "
+    "between-source / within-source decomposition — the additive "
+    "inequality audit (Gini cannot be decomposed this way): which "
+    "share of corpus imbalance is source mix vs within-source "
+    "skew. Exact rational shares, %.7f-quantized ln, and the "
+    "additivity residual reported (bounded by quantization, near "
+    "zero) as part of the gated output.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_theil_decomposition(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    docs_t = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("x")
+    ).transform(lineage_cut_lazy)  # global + per-source passes
+    g = docs_t.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
+    )
+
+    def lnq(col):
+        return F.format_string("%.7f", F.log(col)).cast("double")
+
+    ratio_g = F.col("x").cast("double") * F.col("n") / F.col("tot")
+    # small summands: 1e6 scale through every dsum (see oracle note)
+    tot = (
+        docs_t.crossJoin(F.broadcast(g))
+        .agg(
+            (dsum(ratio_g * lnq(ratio_g) * F.lit(1e6)) / 1e6 / F.first("n")).alias(
+                "t_total"
+            )
+        )
+    )
+    src = docs_t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("x").alias("ts")
+    )
+    ratio_s = F.col("x").cast("double") * F.col("ns") / F.col("ts")
+    within = (
+        docs_t.join(F.broadcast(src), "source")
+        .groupBy("source")
+        .agg(
+            (dsum(ratio_s * lnq(ratio_s) * F.lit(1e6)) / 1e6 / F.first("ns")).alias(
+                "t_s"
+            ),
+            F.first("ts").alias("ts"),
+        )
+    )
+    share = F.col("ts").cast("double") / F.col("tot")
+    share_n = (F.col("ts").cast("double") / F.col("tot")) / (
+        F.col("ns").cast("double") / F.col("n")
+    )
+    parts = (
+        within.join(F.broadcast(src.select("source", "ns")), "source")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            (dsum(share * F.col("t_s") * F.lit(1e6)) / 1e6).alias("t_within"),
+            (dsum(share * lnq(share_n) * F.lit(1e6)) / 1e6).alias("t_between"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(parts)).select(
+        "t_total",
+        "t_between",
+        "t_within",
+        (F.col("t_total") - F.col("t_between") - F.col("t_within")).alias(
+            "additivity_residual"
+        ),
     )

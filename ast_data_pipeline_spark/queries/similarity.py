@@ -2018,7 +2018,10 @@ lut AS (
   WHERE s.vec_id % {QUERY_MOD} = 0
 ),
 adc AS (
-  SELECT q_id, vec_id, {dsum_sql('d2q')} AS adist
+  -- 1e6 scale through the exact-decimal sum: subspace distances are
+  -- O(1), and dsum's 4-dp rounding could otherwise tie near-equal
+  -- candidates (deterministically, but with needless rank distortion)
+  SELECT q_id, vec_id, {dsum_sql('d2q * 1e6')} / 1e6 AS adist
   FROM codes JOIN lut USING (m, c)
   WHERE q_id <> vec_id
   GROUP BY q_id, vec_id
@@ -2121,7 +2124,7 @@ def x_pq_adc_recall(spark, sf_dir):
         codes.join(F.broadcast(lut), ["m", "c"])
         .filter(F.col("q_id") != F.col("vec_id"))
         .groupBy("q_id", "vec_id")
-        .agg(dsum("d2q").alias("adist"))
+        .agg((dsum(F.col("d2q") * F.lit(1e6)) / 1e6).alias("adist"))
     )
     wq = W.partitionBy("q_id")
     retr = (

@@ -1308,3 +1308,110 @@ def t_asof_join_cogrouped(spark, sf_dir):
         F.col("p_event_id").alias("purchase_event_id"),
         F.col("value").alias("purchase_value"),
     )
+
+
+ACF_MAX_LAG = 7
+
+
+def _acf_arms_sql() -> str:
+    """One UNION ALL arm per lag (DuckDB's lag() needs a constant
+    offset, so the lag fan-out is generated, not parameterized)."""
+    arms = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        arms.append(f"""
+SELECT event_type, {k} AS lag,
+       v AS x,
+       lag(v, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y
+FROM daily""")
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "t_autocorrelation",
+    # Autocorrelation function of the per-type daily value series at
+    # lags 1..7 (the seasonality/persistence fingerprint a forecaster
+    # reads before model choice; a weekly cycle shows as a lag-7
+    # bump). Estimator: Pearson correlation of (x_t, x_{t-k}) over the
+    # overlapping pairs — all five moments are exact-decimal sums of
+    # doubles, the correlation is one fixed closed-form tree (the
+    # a_corr_matrix recipe on the time axis). The lag window is
+    # PARTITIONED by series id; the lag fan-out is 7 window passes
+    # over an already-aggregated daily table (~30 rows per type), not
+    # the fact table. Variance guard: a constant series yields NULL r
+    # (sqrt of 0 denominator) identically in both engines via a CASE.
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         {dsum_sql('value')} AS v
+  FROM events GROUP BY 1, 2
+),
+lagged AS ({_acf_arms_sql()}),
+m AS (
+  SELECT event_type, lag,
+         count(*)::BIGINT AS n,
+         {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+         {dsum_sql('x * y')} AS sxy,
+         {dsum_sql('x * x')} AS sxx, {dsum_sql('y * y')} AS syy
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, lag, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            ELSE NULL END AS acf
+FROM m ORDER BY event_type, lag
+""",
+    doc="Autocorrelation of the per-type daily value series at lags "
+    "1..7: Pearson over overlapping (x_t, x_{t-k}) pairs from "
+    "exact-decimal moments, partitioned lag windows over the daily "
+    "grain, closed-form doubles — the pre-forecasting seasonality "
+    "fingerprint (weekly cycles surface at lag 7).",
+    tags=("temporal", "stats", "extension"),
+)
+def t_autocorrelation(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("v"))
+        .transform(lineage_cut_lazy)  # 7 lag passes read it
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    arms = [
+        daily.select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            F.col("v").alias("x"),
+            F.lag("v", k).over(w).alias("y"),
+        )
+        for k in range(1, ACF_MAX_LAG + 1)
+    ]
+    lagged = arms[0]
+    for a in arms[1:]:
+        lagged = lagged.unionByName(a)
+    m = (
+        lagged.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("x").alias("sx"),
+            dsum("y").alias("sy"),
+            dsum(F.col("x") * F.col("y")).alias("sxy"),
+            dsum(F.col("x") * F.col("x")).alias("sxx"),
+            dsum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        "lag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(vx) * F.sqrt(vy)),
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")

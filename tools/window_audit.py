@@ -30,6 +30,8 @@ global window shipped unclassified). Rationale per class:
   j_skew_report, x_bm25_search (12-row df-rank frame, r8 rewrite),
   x_rrf_fusion (two 50-row post-limit ranker pools),
   x_vocab_coverage (1000-row post-limit frequency head),
+  x_pq_adc_recall (16-row post-limit codebook-seed rank — the PQ seed
+  set is orderBy(md5)+limit(K) then ranked within the K rows),
   d_f7_verifier_allocation (200-row allocation head),
   d_tracking_pipeline (150-row allocation head, r8 rewrite — was the
   last chip-cardinality global frame)
@@ -71,6 +73,7 @@ CLASSIFIED: frozenset[str] = frozenset(
         "x_bm25_search",
         "x_rrf_fusion",
         "x_vocab_coverage",
+        "x_pq_adc_recall",
         "d_f7_verifier_allocation",
         "d_tracking_pipeline",
         "x_gini_source_concentration",
