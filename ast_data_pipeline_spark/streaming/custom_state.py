@@ -66,18 +66,42 @@ def _update(key, pdfs, state):
     )
 
 
+def _bounded_state_parts(spark: SparkSession):
+    """Context manager: bound stateful-operator task count for a
+    streaming run (one state-store task per shuffle partition PER
+    micro-batch dominates replay cost at test scale — the
+    run_stream_to_batch finding, VERDICT r9 #4), restoring the
+    session value afterwards. SPARK_GRAFT_STREAM_PARTS scales it on
+    a real cluster."""
+    import os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        n = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 def run_custom_state(spark: SparkSession, events_stream: DataFrame, name: str) -> DataFrame:
     updates = events_stream.groupBy("user_id").applyInPandasWithState(
         _update, _OUT_T, _STATE_T, "Update", "NoTimeout"
     )
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_parts(spark):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Update mode emits one row per (user, batch-with-arrivals); every
     # tracked quantity is MONOTONE, so the final profile is the
     # element-wise max — deterministic for any micro-batching.
@@ -162,30 +186,31 @@ def run_event_replay_census(
     global _SINK_SEQ
     _SINK_SEQ += 1
     name = f"event_replay_census_{_SINK_SEQ}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="50 milliseconds")
-        .start()
-    )
-    deadline = time.time() + 300
-    while time.time() < deadline:
-        # Fail FAST if the stream died: a broken source (e.g. an
-        # unimportable Python DataSource in the runner process) would
-        # otherwise never advance the offset and silently burn the
-        # whole deadline (VERDICT r8 #3).
-        exc = q.exception()
-        if exc is not None:
-            q.stop()
-            raise exc
-        lp = q.lastProgress
-        if lp and lp["sources"]:
-            end = lp["sources"][0].get("endOffset")
-            if end and _parse_offset(end).get("next_start", 0) > max_id:
-                break
-        time.sleep(0.2)
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    with _bounded_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            # Fail FAST if the stream died: a broken source (e.g. an
+            # unimportable Python DataSource in the runner process)
+            # would otherwise never advance the offset and silently
+            # burn the whole deadline (VERDICT r8 #3).
+            exc = q.exception()
+            if exc is not None:
+                q.stop()
+                raise exc
+            lp = q.lastProgress
+            if lp and lp["sources"]:
+                end = lp["sources"][0].get("endOffset")
+                if end and _parse_offset(end).get("next_start", 0) > max_id:
+                    break
+            time.sleep(0.2)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
     return spark.table(name)
