@@ -3779,3 +3779,108 @@ def a_theil_decomposition(spark, sf_dir):
             "additivity_residual"
         ),
     )
+
+
+@register(
+    "a_mannwhitney_u",
+    # Mann-Whitney U / Wilcoxon rank-sum (public textbook): the
+    # NONPARAMETRIC twin of a_welch_ttest, deliberately run on the
+    # SAME weekend-vs-weekday split so the two tests are comparable
+    # side by side. Everything is exact rational arithmetic until one
+    # final sqrt: tied-value groups get average ranks computed from
+    # per-distinct-value counts and a prefix sum PARTITIONED by event
+    # type (avg rank = prev_cum + (cnt+1)/2 — an exact .0/.5 value),
+    # R1 = sum of n1_v * avg_rank_v is a decimal-exact sum, and the
+    # normal approximation uses the tie-corrected variance
+    # sigma^2 = (n1*n2/12) * ((n+1) - sum(t^3-t)/(n*(n-1))). Two hash
+    # aggregates + one partitioned window over the distinct-value
+    # table (bounded by value cardinality, not rows).
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         value
+  FROM events
+),
+vals AS (
+  SELECT event_type, value,
+         count(*)::BIGINT AS cnt,
+         sum(CASE WHEN we = 1 THEN 1 ELSE 0 END)::BIGINT AS n1v
+  FROM s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, value, cnt, n1v,
+         coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_cum
+  FROM vals
+),
+m AS (
+  SELECT event_type,
+         sum(n1v)::BIGINT AS n1,
+         sum(cnt - n1v)::BIGINT AS n2,
+         {dsum_sql('n1v * (prev_cum + (cnt + 1) / 2.0)')} AS r1,
+         sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_sum
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+       r1 - n1 * (n1 + 1) / 2.0 AS u_stat,
+       (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+         / sqrt((n1::DOUBLE * n2 / 12.0)
+                * ((n1 + n2 + 1) - tie_sum::DOUBLE
+                   / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z_approx
+FROM m ORDER BY event_type
+""",
+    doc="Mann-Whitney U rank-sum test (weekend vs weekday value per "
+    "event type — the same split as a_welch_ttest, nonparametric "
+    "twin): tie-averaged ranks from a partitioned prefix sum over the "
+    "distinct-value table, exact-decimal rank sum, tie-corrected "
+    "normal z — rational arithmetic end to end, one IEEE sqrt.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_mannwhitney_u(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    we = F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0)
+    s = ev.select("event_type", we.alias("we"), "value")
+    vals = s.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("we") == 1, 1).otherwise(0)).alias("n1v"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = vals.select(
+        "event_type",
+        "value",
+        "cnt",
+        "n1v",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("prev_cum"),
+    )
+    m = ranked.groupBy("event_type").agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).alias("n2"),
+        dsum(F.col("n1v") * (F.col("prev_cum") + (F.col("cnt") + 1) / 2.0)).alias("r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_sum"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        (F.col("n1").cast("double") * F.col("n2") / 12.0)
+        * (
+            (n + 1)
+            - F.col("tie_sum").cast("double") / (n * (n - 1.0))
+        )
+    )
+    return m.select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        u.alias("u_stat"),
+        ((u - F.col("n1") * F.col("n2") / 2.0) / sigma).alias("z_approx"),
+    ).orderBy("event_type")

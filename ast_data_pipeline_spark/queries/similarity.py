@@ -1944,24 +1944,26 @@ PQ_K = 16     # centroids per subspace (4-bit codes)
 PQ_TOPK = 3
 
 
-def _pq_cents_sql() -> str:
-    """Shared DuckDB CTE chain: deterministic seeds -> one Lloyd
-    update -> per-subspace codebooks as ordered lists."""
+def _pq_cents_sql(src: str = "e", salt: str = "pq|") -> str:
+    """Shared DuckDB CTE chain (seeds -> one Lloyd update ->
+    per-subspace codebooks as ordered lists) over a source CTE
+    ``src`` exposing (vec_id, embedding). x_pq_adc_recall trains on
+    raw vectors (src='e'); x_ivfpq_recall trains the SAME machinery
+    on coarse-cell residuals (src='r', its own seed salt)."""
     from ..operators.similarity import l2sq_sql
 
     return f"""
-e AS (SELECT vec_id, embedding FROM embeddings),
 seeds AS (
   SELECT vec_id, embedding,
          row_number() OVER (
-           ORDER BY md5('pq|' || vec_id::VARCHAR), vec_id) - 1 AS c
-  FROM e
-  ORDER BY md5('pq|' || vec_id::VARCHAR), vec_id
+           ORDER BY md5('{salt}' || vec_id::VARCHAR), vec_id) - 1 AS c
+  FROM {src}
+  ORDER BY md5('{salt}' || vec_id::VARCHAR), vec_id
   LIMIT {PQ_K}
 ),
 sub AS (
   SELECT vec_id, m, embedding[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS sv
-  FROM e, generate_series(0, {PQ_M - 1}) t(m)
+  FROM {src}, generate_series(0, {PQ_M - 1}) t(m)
 ),
 scs AS (
   SELECT c, m, embedding[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS scv
@@ -1985,6 +1987,76 @@ cent AS (SELECT m, c, list(v ORDER BY dim) AS cv FROM centd GROUP BY m, c)
 """
 
 
+def _pq_subslices(vframe):
+    """(vec_id, embedding) -> (vec_id, m, sv): the M sub-vectors."""
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    return vframe.select("vec_id", "embedding", ms).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("sv"),
+    )
+
+
+def _pq_codebooks(vframe, sub, salt):
+    """Deterministic md5-ranked seeds + ONE Lloyd update -> codebook
+    (m, c, cv). Every arithmetic step engine-exact (fold L2, decimal
+    means); mirrors _pq_cents_sql(src, salt)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import davg
+    from ..operators.similarity import l2sq
+
+    h = F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string")))
+    seeds = (
+        vframe.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+    )
+    # limit-then-rank: the un-partitioned window only ranks K rows
+    seeds = seeds.withColumn(
+        "c", F.row_number().over(W.orderBy("h", "vec_id")) - 1
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    scs = seeds.select("c", "embedding", ms).select(
+        "c",
+        "m",
+        F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("scv"),
+    )
+    wvm = W.partitionBy("vec_id", "m")
+    a0 = (
+        sub.join(F.broadcast(scs), "m")
+        .withColumn("d2", l2sq("sv", "scv"))
+        .withColumn("rk", F.row_number().over(wvm.orderBy("d2", "c")))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "c", "sv")
+    )
+    centd = (
+        a0.select("m", "c", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
+        .agg(davg(F.col("x").cast("double")).alias("v"))
+    )
+    return centd.groupBy("m", "c").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, v))), s -> s.v)")
+        .alias("cv")
+    )
+
+
+def _pq_encode(sub, cent):
+    """Assign each (vec, m) sub-vector its nearest codebook entry."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import l2sq
+
+    wvm = W.partitionBy("vec_id", "m")
+    return (
+        sub.join(F.broadcast(cent), "m")
+        .withColumn("d2", l2sq("sv", "cv"))
+        .withColumn("rk", F.row_number().over(wvm.orderBy("d2", "c")))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "c")
+    )
+
+
 @register(
     "x_pq_adc_recall",
     # Product quantization (Jegou, Douze, Schmid, TPAMI 2011 — the
@@ -2002,7 +2074,8 @@ cent AS (SELECT m, c, list(v ORDER BY dim) AS cv FROM centd GROUP BY m, c)
     # broadcast (K*M*dsub doubles), codes are 4 bytes/vector, the
     # scan never touches raw floats.
     oracle=f"""
-WITH {_pq_cents_sql()},
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+{_pq_cents_sql()},
 codesd AS (
   SELECT vec_id, m, c, list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(sv)), i -> ((sv[i]::DOUBLE) - (cv[i]::DOUBLE)) * ((sv[i]::DOUBLE) - (cv[i]::DOUBLE)))), (acc, v) -> acc + v) AS d2
   FROM sub JOIN cent USING (m)
@@ -2062,58 +2135,9 @@ def x_pq_adc_recall(spark, sf_dir):
     from ..operators.similarity import l2sq
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
-    sub = (
-        emb.select("vec_id", "embedding", ms)
-        .select(
-            "vec_id",
-            "m",
-            F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("sv"),
-        )
-        .transform(lineage_cut_lazy)  # assign0 + codes + lut all read it
-    )
-    h = F.md5(F.concat(F.lit("pq|"), F.col("vec_id").cast("string")))
-    # limit-then-rank: TakeOrdered picks the K seeds, the un-partitioned
-    # window only ever ranks those K rows (bounded frame)
-    seeds = (
-        emb.select("vec_id", "embedding", h.alias("h"))
-        .orderBy("h", "vec_id")
-        .limit(PQ_K)
-    )
-    seeds = seeds.withColumn(
-        "c", F.row_number().over(W.orderBy("h", "vec_id")) - 1
-    )
-    scs = seeds.select(
-        "c", ms
-    ).join(seeds.select("c", "embedding"), "c").select(
-        "c",
-        "m",
-        F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("scv"),
-    )
-    wvm = W.partitionBy("vec_id", "m")
-    a0 = (
-        sub.join(F.broadcast(scs), "m")
-        .withColumn("d2", l2sq("sv", "scv"))
-        .withColumn("rk", F.row_number().over(wvm.orderBy("d2", "c")))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "c", "sv")
-    )
-    centd = (
-        a0.select("m", "c", F.posexplode("sv").alias("pos", "x"))
-        .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
-        .agg(davg(F.col("x").cast("double")).alias("v"))
-    )
-    cent = centd.groupBy("m", "c").agg(
-        F.expr("transform(array_sort(collect_list(struct(dim, v))), s -> s.v)")
-        .alias("cv")
-    ).transform(lineage_cut_lazy)  # codes + lut
-    codes = (
-        sub.join(F.broadcast(cent), "m")
-        .withColumn("d2", l2sq("sv", "cv"))
-        .withColumn("rk", F.row_number().over(wvm.orderBy("d2", "c")))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "c")
-    )
+    sub = _pq_subslices(emb).transform(lineage_cut_lazy)  # codebooks + codes + lut
+    cent = _pq_codebooks(emb, sub, "pq|").transform(lineage_cut_lazy)  # codes + lut
+    codes = _pq_encode(sub, cent)
     lut = (
         sub.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(F.col("vec_id").alias("q_id"), "m", "sv")
@@ -2155,6 +2179,245 @@ def x_pq_adc_recall(spark, sf_dir):
             "q_id",
             "n_hits",
             (F.col("n_hits").cast("double") / PQ_TOPK).alias(f"recall_at_{PQ_TOPK}"),
+        )
+        .orderBy("q_id")
+    )
+
+
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_l2(a: str, b: str) -> str:
+    from ..operators.similarity import l2sq_sql
+
+    return l2sq_sql(a, b)
+
+
+@register(
+    "x_ivfpq_recall",
+    # IVF-PQ (Jegou et al. TPAMI 2011 §IV — the composition FAISS
+    # ships as IndexIVFPQ and the memory layout behind essentially
+    # every billion-vector deployment): a coarse quantizer (the
+    # embedding table's precomputed cells, centroids = exact decimal
+    # means) routes each vector to its cell; the RESIDUAL vector
+    # (x - c_cell) is product-quantized with the SAME deterministic
+    # codebook machinery as x_pq_adc_recall (md5 seeds, one
+    # engine-exact Lloyd step) — residuals are smaller than raw
+    # vectors, so the same 4-bit budget quantizes finer. Queries probe
+    # the nprobe=2 nearest cells, build one ADC lookup table per
+    # probed cell from the QUERY residual, and score only candidates
+    # in probed cells — the report carries n_scanned / scan_fraction
+    # so the IVF pruning is visible next to recall. Truth = exact
+    # brute L2, like every retrieval eval here. At 100 TB: cell
+    # centroids and PQ codebooks broadcast; codes are 4 bytes/vector;
+    # the scan touches nprobe/ncells of the corpus and zero raw
+    # floats.
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+celld AS (
+  SELECT label, i AS dim, {davg_sql('embedding[i]::DOUBLE')} AS v
+  FROM e, generate_series(1, {EMB_DIM}) t(i)
+  GROUP BY label, i
+),
+cells AS (SELECT label, list(v ORDER BY dim) AS ccv FROM celld GROUP BY label),
+r AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, {EMB_DIM}),
+                        i -> e.embedding[i]::DOUBLE - cells.ccv[i]) AS embedding,
+         e.label
+  FROM e JOIN cells USING (label)
+),
+{_pq_cents_sql(src='r', salt='ivfpq|')},
+codesd AS (
+  SELECT vec_id, m, c, {_ivfpq_l2('sv', 'cv')} AS d2
+  FROM sub JOIN cent USING (m)
+),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rk
+    FROM codesd) WHERE rk = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id % {QUERY_MOD} = 0),
+probed AS (
+  SELECT q_id, label FROM (
+    SELECT q.q_id, cells.label,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             {_ivfpq_l2('q.q_vec', 'cells.ccv')}, cells.label) AS rk
+    FROM q, cells) WHERE rk <= {IVFPQ_NPROBE}
+),
+qres AS (
+  SELECT p.q_id, p.label,
+         list_transform(generate_series(1, {EMB_DIM}),
+                        i -> q.q_vec[i]::DOUBLE - cells.ccv[i]) AS qr
+  FROM probed p JOIN q ON p.q_id = q.q_id JOIN cells ON p.label = cells.label
+),
+qslices AS (
+  SELECT q_id, label, m,
+         qr[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS qv
+  FROM qres, generate_series(0, {PQ_M - 1}) t(m)
+),
+lut AS (
+  SELECT q_id, label, m, c, {_ivfpq_l2('qv', 'cv')} AS d2q
+  FROM qslices JOIN cent USING (m)
+),
+cand AS (
+  SELECT p.q_id, e.vec_id, e.label
+  FROM probed p JOIN e ON e.label = p.label AND e.vec_id <> p.q_id
+),
+adc AS (
+  SELECT cand.q_id, cand.vec_id, {dsum_sql('d2q * 1e6')} / 1e6 AS adist
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.vec_id
+  JOIN lut ON lut.q_id = cand.q_id AND lut.label = cand.label
+          AND lut.m = codes.m AND lut.c = codes.c
+  GROUP BY cand.q_id, cand.vec_id
+),
+retr AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+  FROM adc QUALIFY rk <= {PQ_TOPK}
+),
+truthd AS (
+  SELECT q.q_id, e2.vec_id,
+         {_ivfpq_l2('q.q_vec', 'e2.embedding')} AS d2
+  FROM q JOIN e e2 ON q.q_id <> e2.vec_id
+),
+truth AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rk
+  FROM truthd QUALIFY rk <= {PQ_TOPK}
+),
+scanned AS (SELECT q_id, count(*)::BIGINT AS n_scanned FROM cand GROUP BY q_id),
+n AS (SELECT count(*)::BIGINT AS n_all FROM e)
+SELECT t.q_id,
+       count(r.vec_id)::BIGINT AS n_hits,
+       count(r.vec_id)::DOUBLE / {PQ_TOPK} AS recall_at_{PQ_TOPK},
+       any_value(s.n_scanned) AS n_scanned,
+       any_value(s.n_scanned)::DOUBLE / (any_value(n.n_all) - 1) AS scan_fraction
+FROM truth t
+LEFT JOIN retr r ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+JOIN scanned s ON t.q_id = s.q_id, n
+GROUP BY t.q_id ORDER BY t.q_id
+""",
+    doc="IVF-PQ: coarse cells route vectors, residuals are "
+    "product-quantized (same deterministic codebook machinery as "
+    "x_pq_adc_recall, finer because residuals are small), queries "
+    "probe the 2 nearest cells with per-cell residual ADC tables and "
+    "score only in-cell candidates — recall@3 AND scan fraction "
+    "reported against brute L2 truth. The FAISS IndexIVFPQ "
+    "architecture with every step under the DuckDB hash gate.",
+    tags=("similarity", "extension"),
+)
+def x_ivfpq_recall(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import davg, dsum
+    from ..operators.similarity import l2sq
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    celld = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(davg(F.col("x").cast("double")).alias("v"))
+    )
+    cells = celld.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, v))), s -> s.v)")
+        .alias("ccv")
+    ).transform(lineage_cut_lazy)  # residuals + probes + query residuals
+    r = (
+        emb.join(F.broadcast(cells), "label")
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(embedding, ccv, (x, y) -> cast(x as double) - y)"
+            ).alias("embedding"),
+            "label",
+        )
+        .transform(lineage_cut_lazy)  # sub-slices + cand
+    )
+    sub = _pq_subslices(r.select("vec_id", "embedding")).transform(lineage_cut_lazy)
+    cent = _pq_codebooks(
+        r.select("vec_id", "embedding"), sub, "ivfpq|"
+    ).transform(lineage_cut_lazy)  # codes + lut
+    codes = _pq_encode(sub, cent)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    wq = W.partitionBy("q_id")
+    probed = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn("d2", l2sq("q_vec", "ccv"))
+        .withColumn("rk", F.row_number().over(wq.orderBy("d2", "label")))
+        .filter(F.col("rk") <= IVFPQ_NPROBE)
+        .select("q_id", "label")
+        .transform(lineage_cut_lazy)  # qres + cand
+    )
+    qres = (
+        probed.join(q, "q_id")
+        .join(F.broadcast(cells), "label")
+        .select(
+            "q_id",
+            "label",
+            F.expr(
+                "zip_with(q_vec, ccv, (x, y) -> cast(x as double) - y)"
+            ).alias("qr"),
+        )
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    qslices = qres.select("q_id", "label", "qr", ms).select(
+        "q_id",
+        "label",
+        "m",
+        F.expr(f"slice(qr, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("qv"),
+    )
+    lut = qslices.join(F.broadcast(cent), "m").select(
+        "q_id", "label", "m", "c", l2sq("qv", "cv").alias("d2q")
+    )
+    cand = (
+        probed.join(r.select("vec_id", "label"), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "label")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "label", "m", "c"])
+        .groupBy("q_id", "vec_id")
+        .agg((dsum(F.col("d2q") * F.lit(1e6)) / 1e6).alias("adist"))
+    )
+    retr = (
+        adc.withColumn("rk", F.row_number().over(wq.orderBy("adist", "vec_id")))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select(F.col("q_id").alias("r_q_id"), F.col("vec_id").alias("r_vec_id"))
+    )
+    truth = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .withColumn("d2", l2sq("q_vec", "embedding"))
+        .withColumn("rk", F.row_number().over(wq.orderBy("d2", "vec_id")))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("q_id", "vec_id")
+    )
+    scanned = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_scanned"))
+    n_all = emb.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        truth.join(
+            retr,
+            (F.col("r_q_id") == F.col("q_id"))
+            & (F.col("r_vec_id") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("r_vec_id").alias("n_hits"))
+        .join(scanned, "q_id")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "q_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / PQ_TOPK).alias(f"recall_at_{PQ_TOPK}"),
+            "n_scanned",
+            (F.col("n_scanned").cast("double") / (F.col("n_all") - 1)).alias(
+                "scan_fraction"
+            ),
         )
         .orderBy("q_id")
     )

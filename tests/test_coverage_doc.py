@@ -55,3 +55,16 @@ def test_no_ghost_query_names_in_doc():
         if _QUERY_TOKEN.match(t) and t not in registered and t not in _ALLOW
     )
     assert not ghosts, f"COVERAGE.md names unregistered queries: {ghosts[:30]}"
+
+
+def test_priority_covers_registry():
+    """_PRIORITY is regenerated from tools/grade_age.py each round; a
+    query registered without regenerating would never enter the graded
+    window head (and a _PRIORITY ghost would mask a removed query).
+    Enforce set equality both ways."""
+    from ast_data_pipeline_spark.registry import _PRIORITY
+
+    reg = set(load_all())
+    pri = set(_PRIORITY)
+    assert reg - pri == set(), f"registered but not in _PRIORITY: {sorted(reg - pri)}"
+    assert pri - reg == set(), f"_PRIORITY ghosts: {sorted(pri - reg)}"

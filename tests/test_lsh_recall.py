@@ -212,3 +212,40 @@ def test_pq_adc_recall_high_on_clustered_corpus(spark, tmp_path):
     assert out, "no query rows"
     mean_recall = sum(r.recall_at_3 for r in out) / len(out)
     assert mean_recall >= 0.9, f"PQ recall on clustered corpus: {mean_recall}"
+
+
+def test_ivfpq_perfect_recall_tiny_scan_on_clustered_corpus(spark, tmp_path):
+    """IVF-PQ honesty pin on the same 125x4 clustered fixture: the
+    label IS the cluster, so probing 2 of 125 cells must find all 3
+    cluster mates (recall 1.0) while scanning ~2*4/499 = 1.6% of the
+    corpus — the whole point of the IVF-PQ composition, visible in
+    one row. (On the uniform synthetic corpus the registered query
+    honestly reports ~0.17 recall at ~20% scan: random cells bound
+    recall by scan fraction.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ast_data_pipeline_spark.registry import load_all
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, (125, 64)).astype(np.float32)
+    vecs = np.repeat(centers, 4, axis=0) + rng.normal(
+        0, 0.01, (500, 64)
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i // 4 for i in range(500)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = load_all()["x_ivfpq_recall"].fn(spark, str(tmp_path)).collect()
+    assert out
+    mean_recall = sum(r.recall_at_3 for r in out) / len(out)
+    max_scan = max(r.scan_fraction for r in out)
+    assert mean_recall == 1.0, f"IVF-PQ recall on clustered corpus: {mean_recall}"
+    assert max_scan < 0.05, f"IVF-PQ scanned too much: {max_scan}"
