@@ -3805,15 +3805,29 @@ WITH s AS (
 vals AS (
   SELECT event_type, value,
          count(*)::BIGINT AS cnt,
-         sum(CASE WHEN we = 1 THEN 1 ELSE 0 END)::BIGINT AS n1v
+         sum(CASE WHEN we = 1 THEN 1 ELSE 0 END)::BIGINT AS n1v,
+         floor(value)::BIGINT AS bkt
   FROM s GROUP BY 1, 2
 ),
+-- two-level prefix sum (the a_ks_two_sample discipline): exact
+-- because floor(value) is a PREFIX of the value ordering; the outer
+-- window runs over the tiny per-type bucket table, the local window
+-- is partitioned by (type, bucket) — no coarse-keyed giant partition
+bt AS (SELECT event_type, bkt, sum(cnt)::BIGINT AS bc FROM vals GROUP BY 1, 2),
+off AS (
+  SELECT event_type, bkt,
+         coalesce(sum(bc) OVER (PARTITION BY event_type ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off_c
+  FROM bt
+),
 ranked AS (
-  SELECT event_type, value, cnt, n1v,
-         coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY value
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+  SELECT v.event_type, v.value, v.cnt, v.n1v,
+         off.off_c + coalesce(sum(v.cnt) OVER (
+             PARTITION BY v.event_type, v.bkt ORDER BY v.value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS prev_cum
-  FROM vals
+  FROM vals v JOIN off ON v.event_type = off.event_type AND v.bkt = off.bkt
 ),
 m AS (
   SELECT event_type,
@@ -3847,18 +3861,32 @@ def a_mannwhitney_u(spark, sf_dir):
     vals = s.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("we") == 1, 1).otherwise(0)).alias("n1v"),
-    )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("value")
+    ).withColumn("bkt", F.floor("value").cast("long"))
+    # two-level prefix sum (a_ks_two_sample discipline): per-type
+    # value partitions don't parallelize at 100 TB with 5 types, but
+    # the bucket offset table is tiny and the local window is keyed
+    # by (type, bucket)
+    bt = vals.groupBy("event_type", "bkt").agg(F.sum("cnt").alias("bc"))
+    w_b = (
+        W.partitionBy("event_type").orderBy("bkt")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    ranked = vals.select(
+    off = bt.select(
+        "event_type", "bkt",
+        F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("off_c"),
+    )
+    w_l = (
+        W.partitionBy("event_type", "bkt").orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = vals.join(F.broadcast(off), ["event_type", "bkt"]).select(
         "event_type",
         "value",
         "cnt",
         "n1v",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("prev_cum"),
+        (
+            F.col("off_c") + F.coalesce(F.sum("cnt").over(w_l), F.lit(0))
+        ).alias("prev_cum"),
     )
     m = ranked.groupBy("event_type").agg(
         F.sum("n1v").alias("n1"),
