@@ -3912,3 +3912,145 @@ def a_mannwhitney_u(spark, sf_dir):
         u.alias("u_stat"),
         ((u - F.col("n1") * F.col("n2") / 2.0) / sigma).alias("z_approx"),
     ).orderBy("event_type")
+
+
+KAPPA_Q_LOW, KAPPA_Q_MID = 0.635, 0.655   # quality-score band cuts
+KAPPA_R_LOW, KAPPA_R_MID = 0.105, 0.085   # top-word-share band cuts
+
+
+@register(
+    "a_cohens_kappa",
+    # Cohen's kappa (public 1960 statistic — the inter-rater
+    # agreement number every annotation pipeline reports; the
+    # reference's own domain is annotation verification): two
+    # independent document-quality "raters" band every doc
+    # low/mid/high — rater A is the Gopher/C4 composite quality score
+    # (operators/text.quality_score, mirrored term-for-term in SQL),
+    # rater B is top-word dominance (max word count / doc length, the
+    # repetition signal). kappa = (po - pe)/(1 - pe) with pe from the
+    # marginal shares — all exact integer counts and fixed-order
+    # double divisions, no quantization. Two hash aggregates (word
+    # counts, then the 1-row contingency summary). The honest reading
+    # on this synthetic corpus: both raters measure *different* text
+    # properties, so kappa should sit near 0 (chance-level agreement)
+    # — which is exactly what an agreement audit is for.
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w
+  FROM documents
+),
+qa AS (
+  SELECT doc_id,
+         CASE WHEN ((CASE WHEN len(w) >= 20 AND len(w) <= 400 THEN 1.0 ELSE 0.0 END) * 0.4          + least(len(list_filter(w, w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))::DOUBLE / len(w)::DOUBLE * 2.0, 1.0) * 0.4          + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE * 10.0, 1.0)) * 0.2) <= {KAPPA_Q_LOW} THEN 'low'
+              WHEN ((CASE WHEN len(w) >= 20 AND len(w) <= 400 THEN 1.0 ELSE 0.0 END) * 0.4          + least(len(list_filter(w, w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))::DOUBLE / len(w)::DOUBLE * 2.0, 1.0) * 0.4          + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE * 10.0, 1.0)) * 0.2) <= {KAPPA_Q_MID} THEN 'mid'
+              ELSE 'high' END AS band_a
+  FROM d
+),
+tw AS (
+  SELECT doc_id, max(c)::DOUBLE / any_value(n) AS top_share
+  FROM (SELECT doc_id, word, count(*)::BIGINT AS c, any_value(n) AS n
+        FROM (SELECT doc_id, unnest(w) AS word, len(w) AS n FROM d)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id
+),
+qb AS (
+  SELECT doc_id,
+         CASE WHEN top_share > {KAPPA_R_LOW} THEN 'low'
+              WHEN top_share > {KAPPA_R_MID} THEN 'mid'
+              ELSE 'high' END AS band_b
+  FROM tw
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN band_a = band_b THEN 1 ELSE 0 END)::BIGINT AS agree,
+         sum(CASE WHEN band_a = 'low' THEN 1 ELSE 0 END)::BIGINT AS ra_low,
+         sum(CASE WHEN band_a = 'mid' THEN 1 ELSE 0 END)::BIGINT AS ra_mid,
+         sum(CASE WHEN band_a = 'high' THEN 1 ELSE 0 END)::BIGINT AS ra_high,
+         sum(CASE WHEN band_b = 'low' THEN 1 ELSE 0 END)::BIGINT AS rb_low,
+         sum(CASE WHEN band_b = 'mid' THEN 1 ELSE 0 END)::BIGINT AS rb_mid,
+         sum(CASE WHEN band_b = 'high' THEN 1 ELSE 0 END)::BIGINT AS rb_high
+  FROM qa JOIN qb USING (doc_id)
+)
+SELECT n, agree,
+       agree::DOUBLE / n AS po,
+       (ra_low::DOUBLE / n * (rb_low::DOUBLE / n)
+        + ra_mid::DOUBLE / n * (rb_mid::DOUBLE / n)
+        + ra_high::DOUBLE / n * (rb_high::DOUBLE / n)) AS pe,
+       (agree::DOUBLE / n
+        - (ra_low::DOUBLE / n * (rb_low::DOUBLE / n)
+           + ra_mid::DOUBLE / n * (rb_mid::DOUBLE / n)
+           + ra_high::DOUBLE / n * (rb_high::DOUBLE / n)))
+       / (1 - (ra_low::DOUBLE / n * (rb_low::DOUBLE / n)
+               + ra_mid::DOUBLE / n * (rb_mid::DOUBLE / n)
+               + ra_high::DOUBLE / n * (rb_high::DOUBLE / n))) AS kappa
+FROM m
+""",
+    doc="Cohen's kappa between two document-quality raters (composite "
+    "quality score vs top-word dominance, banded low/mid/high): "
+    "observed vs chance agreement from exact integer marginals, one "
+    "fixed closed-form expression — the inter-annotator agreement "
+    "audit of labeling pipelines. Near-zero kappa here is the honest "
+    "reading: the raters measure different properties.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_cohens_kappa(spark, sf_dir):
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    q = quality_score("w", F.col("text"))
+    qa = docs.select(
+        "doc_id",
+        F.when(q <= KAPPA_Q_LOW, "low")
+        .when(q <= KAPPA_Q_MID, "mid")
+        .otherwise("high")
+        .alias("band_a"),
+    )
+    words = docs.select(
+        "doc_id", F.size("w").cast("long").alias("n"), F.explode("w").alias("word")
+    )
+    wc = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c"), F.first("n").alias("n")
+    )
+    tw = wc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.first("n")).alias("top_share")
+    )
+    qb = tw.select(
+        "doc_id",
+        F.when(F.col("top_share") > KAPPA_R_LOW, "low")
+        .when(F.col("top_share") > KAPPA_R_MID, "mid")
+        .otherwise("high")
+        .alias("band_b"),
+    )
+    j = qa.join(qb, "doc_id")
+
+    def cnt(col, v):
+        return F.sum(F.when(F.col(col) == v, 1).otherwise(0))
+
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("band_a") == F.col("band_b"), 1).otherwise(0)).alias(
+            "agree"
+        ),
+        cnt("band_a", "low").alias("ra_low"),
+        cnt("band_a", "mid").alias("ra_mid"),
+        cnt("band_a", "high").alias("ra_high"),
+        cnt("band_b", "low").alias("rb_low"),
+        cnt("band_b", "mid").alias("rb_mid"),
+        cnt("band_b", "high").alias("rb_high"),
+    )
+    nn = F.col("n")
+    pe = (
+        F.col("ra_low").cast("double") / nn * (F.col("rb_low").cast("double") / nn)
+        + F.col("ra_mid").cast("double") / nn * (F.col("rb_mid").cast("double") / nn)
+        + F.col("ra_high").cast("double") / nn * (F.col("rb_high").cast("double") / nn)
+    )
+    po = F.col("agree").cast("double") / nn
+    return m.select(
+        "n",
+        "agree",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (1 - pe)).alias("kappa"),
+    )

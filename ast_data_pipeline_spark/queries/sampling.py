@@ -1577,3 +1577,118 @@ def x_rendezvous_shards(spark, sf_dir):
             .alias("n_moved_in"),
         )
     )
+
+
+GREEDY_K = 5
+
+
+def _greedy_oracle() -> str:
+    """Unrolled greedy max-coverage (K levels): recursive CTEs cannot
+    aggregate over their own recursive term, so each pick is its own
+    CTE pair (gains excluding covered -> argmax) — the same unrolling
+    trick as the k-core and BFS oracles."""
+    parts = [
+        """b AS (
+  SELECT DISTINCT doc_id, bg FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))
+),
+vocab AS (SELECT count(DISTINCT bg)::BIGINT AS v FROM b),
+g1 AS (SELECT doc_id, count(*)::BIGINT AS gain FROM b GROUP BY doc_id),
+p1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT bg FROM b WHERE doc_id IN (SELECT doc_id FROM p1))"""
+    ]
+    for k in range(2, GREEDY_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT doc_id FROM p{j}" for j in range(1, k)
+        )
+        parts.append(f"""g{k} AS (
+  SELECT doc_id, count(*)::BIGINT AS gain FROM b
+  WHERE bg NOT IN (SELECT bg FROM c{k - 1})
+    AND doc_id NOT IN ({picked})
+  GROUP BY doc_id
+),
+p{k} AS (SELECT doc_id, gain FROM g{k} ORDER BY gain DESC, doc_id LIMIT 1),
+c{k} AS (SELECT bg FROM c{k - 1}
+         UNION SELECT bg FROM b WHERE doc_id IN (SELECT doc_id FROM p{k}))""")
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS k, doc_id, gain,
+       (SELECT count(*) FROM c{k})::BIGINT AS cum_covered FROM p{k}"""
+        for k in range(1, GREEDY_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT k, doc_id, gain, cum_covered,
+       cum_covered::DOUBLE / (SELECT v FROM vocab) AS coverage_share
+FROM ({rows}) ORDER BY k"""
+    )
+
+
+@register(
+    "x_greedy_coverage",
+    # Greedy maximum-coverage data selection (the classic submodular
+    # curation primitive — Nemhauser/Wolsey's greedy carries the
+    # (1 - 1/e) guarantee, and "pick the K docs that together cover
+    # the most vocabulary" is the textbook instance used for
+    # data-subset selection): K rounds, each computing every
+    # remaining doc's marginal gain (its bigrams not yet covered — an
+    # anti-join, never a quadratic) and taking the argmax. The
+    # universe is BIGRAMS (the unigram vocab saturates in one pick on
+    # this corpus — same reason x_vocab_growth uses bigrams).
+    # Iterative-by-nature: K driver rounds, one scalar row collected
+    # per round, covered-set lineage cut each round; the oracle
+    # unrolls the K picks as CTE pairs. Reported gains must be
+    # strictly non-increasing (submodularity) — visible in the gated
+    # output.
+    oracle=_greedy_oracle(),
+    doc="Greedy max-coverage selection of K=5 docs over the bigram "
+    "universe: per-round marginal gains via anti-join against the "
+    "covered set, deterministic argmax, cumulative coverage share "
+    "reported per pick. The submodular data-subset-selection "
+    "primitive with its non-increasing gain curve under the oracle "
+    "gate.",
+    tags=("sampling", "curation", "extension"),
+)
+def x_greedy_coverage(spark, sf_dir):
+    from ..lineage import lineage_cut
+
+    docs = load(spark, sf_dir, "documents")
+    b = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+        .transform(lineage_cut_lazy)  # K gain passes + covered updates
+    )
+    vocab = b.select("bg").distinct().count()
+    covered = None
+    picked: list[int] = []
+    out_rows = []
+    cum = 0
+    for k in range(1, GREEDY_K + 1):
+        cand = b.filter(~F.col("doc_id").isin(picked)) if picked else b
+        fresh = (
+            cand.join(covered, "bg", "left_anti") if covered is not None else cand
+        )
+        gains = fresh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
+        top = gains.orderBy(F.col("gain").desc(), "doc_id").limit(1).collect()[0]
+        picked.append(int(top["doc_id"]))
+        new_cov = b.filter(F.col("doc_id") == int(top["doc_id"])).select("bg")
+        covered = (
+            new_cov if covered is None else covered.unionByName(new_cov).distinct()
+        ).transform(lineage_cut)
+        cum = covered.count()
+        out_rows.append((k, int(top["doc_id"]), int(top["gain"]), cum, cum / vocab))
+    return spark.createDataFrame(
+        out_rows, "k int, doc_id long, gain long, cum_covered long, coverage_share double"
+    )
