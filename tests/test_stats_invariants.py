@@ -199,3 +199,67 @@ def test_kneser_ney_beats_addone_with_unseen_mass(spark, tmp_path):
     assert int(out.n_unseen_bigrams.iloc[0]) > 0, "constructed unseen mass missing"
     # measured ~0.146 bits on this construction; pin the sign with margin
     assert float(out.kn_advantage_bits.iloc[0]) > 0.1, out.to_dict()
+
+
+def test_welch_df_bounds(spark, sf_dir):
+    """Welch-Satterthwaite df lies in [min(n1,n2)-1, n1+n2-2]."""
+    from ast_data_pipeline_spark.registry import load_all
+
+    for r in load_all()["a_welch_ttest"].fn(spark, sf_dir).collect():
+        lo = min(r.n_weekend, r.n_weekday) - 1
+        hi = r.n_weekend + r.n_weekday - 2
+        assert lo <= r.welch_df <= hi, (r.event_type, r.welch_df, lo, hi)
+
+
+def test_mannwhitney_u_bounds(spark, sf_dir):
+    """U in [0, n1*n2]; with average ranks U is a multiple of 0.5."""
+    from ast_data_pipeline_spark.registry import load_all
+
+    for r in load_all()["a_mannwhitney_u"].fn(spark, sf_dir).collect():
+        assert 0 <= r.u_stat <= r.n_weekend * r.n_weekday
+        assert (r.u_stat * 2) == int(r.u_stat * 2)
+
+
+def test_acf_bounds(spark, sf_dir):
+    """|acf| <= 1 at every lag (Cauchy-Schwarz)."""
+    from ast_data_pipeline_spark.registry import load_all
+
+    rows = load_all()["t_autocorrelation"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.acf is not None:
+            assert -1.0 <= r.acf <= 1.0, (r.event_type, r.lag, r.acf)
+
+
+def test_kappa_bounds_and_po_pe(spark, sf_dir):
+    """kappa <= 1, po/pe are probabilities, kappa formula consistent."""
+    from ast_data_pipeline_spark.registry import load_all
+
+    (r,) = load_all()["a_cohens_kappa"].fn(spark, sf_dir).collect()
+    assert 0.0 <= r.po <= 1.0 and 0.0 < r.pe < 1.0
+    assert r.kappa <= 1.0
+    assert abs(r.kappa - (r.po - r.pe) / (1 - r.pe)) < 1e-12
+
+
+def test_greedy_coverage_gains_non_increasing(spark, sf_dir):
+    """Submodularity: marginal gains never increase; cumulative
+    coverage equals the gain prefix sum (picks never overlap)."""
+    from ast_data_pipeline_spark.registry import load_all
+
+    rows = sorted(
+        load_all()["x_greedy_coverage"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains, reverse=True), gains
+    assert rows[-1].cum_covered == sum(gains)
+    assert 0 < rows[-1].coverage_share <= 1.0
+
+
+def test_theil_additivity_residual_tiny(spark, sf_dir):
+    """Theil decomposition: residual bounded by ln quantization."""
+    from ast_data_pipeline_spark.registry import load_all
+
+    (r,) = load_all()["a_theil_decomposition"].fn(spark, sf_dir).collect()
+    assert r.t_total >= 0 and r.t_within >= 0
+    assert abs(r.additivity_residual) < 1e-6
