@@ -3270,6 +3270,10 @@ m AS (
          count(*) FILTER (WHERE we = 0)::BIGINT AS n0,
          {dsum_sql('CASE WHEN we = 1 THEN value ELSE NULL END')} AS s1,
          {dsum_sql('CASE WHEN we = 0 THEN value ELSE NULL END')} AS s0,
+         -- q0/q1 are sums of SQUARED values: ~2.4e9 at sf1, inside the
+         -- 9e11 dsum envelope (functions/exact.py) up to ~sf300; past
+         -- that, down-scale the squares (dsum(x*x*1e-4)*1e4 — the
+         -- inverse of the small-sum 1e6 trick). (r10 ADVICE)
          {dsum_sql('CASE WHEN we = 1 THEN value * value ELSE NULL END')} AS q1,
          {dsum_sql('CASE WHEN we = 0 THEN value * value ELSE NULL END')} AS q0
   FROM s GROUP BY event_type
@@ -3359,11 +3363,26 @@ WITH b AS (
          least(floor(value / {PSI_BIN_W})::BIGINT, {PSI_BINS - 1}) AS bin
   FROM events
 ),
-c AS (
+c0 AS (
   SELECT event_type, bin,
          count(*) FILTER (WHERE half = 'base')::BIGINT AS nb,
          count(*) FILTER (WHERE half = 'cur')::BIGINT AS nc
   FROM b GROUP BY 1, 2
+),
+-- full event_type x bin grid (r10 ADVICE): a bin empty in BOTH
+-- halves still carries add-one mass 1/(t+BINS); dropping it would
+-- make the smoothed shares sum below 1 and deviate from the
+-- textbook smoothed-PSI definition.
+grid AS (
+  SELECT event_type, g.bin
+  FROM (SELECT DISTINCT event_type FROM events)
+  CROSS JOIN (SELECT unnest(range({PSI_BINS}))::BIGINT AS bin) g
+),
+c AS (
+  SELECT grid.event_type, grid.bin,
+         coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+  FROM grid LEFT JOIN c0
+    ON grid.event_type = c0.event_type AND grid.bin = c0.bin
 ),
 tot AS (
   SELECT event_type, sum(nb)::BIGINT AS tb, sum(nc)::BIGINT AS tc
@@ -3416,9 +3435,28 @@ def a_psi_drift(spark, sf_dir):
             F.floor(F.col("value") / PSI_BIN_W).cast("long"), F.lit(PSI_BINS - 1)
         ).alias("bin"),
     )
-    c = b.groupBy("event_type", "bin").agg(
+    c0 = b.groupBy("event_type", "bin").agg(
         F.count(F.when(F.col("half") == "base", 1)).alias("nb"),
         F.count(F.when(F.col("half") == "cur", 1)).alias("nc"),
+    )
+    # full event_type x bin grid (r10 ADVICE): bins empty in both
+    # halves still carry add-one mass — without them the smoothed
+    # shares don't sum to 1. The grid is types x PSI_BINS rows,
+    # broadcast-sized by construction.
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"),
+        )
+        .select("event_type", F.col("bin").cast("long").alias("bin"))
+    )
+    c = grid.join(c0, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
     )
     tot = c.groupBy("event_type").agg(
         F.sum("nb").alias("tb"), F.sum("nc").alias("tc")

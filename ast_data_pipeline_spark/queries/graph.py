@@ -459,7 +459,12 @@ LINKPRED_TOPK = 20             # are hubs, not similarity signal
     # blowup (a part with 10^6 buyers contributes C(10^6,2) pairs at
     # 100 TB) and improves the signal (ubiquitous items carry no
     # similarity information; same reasoning as stopword removal).
-    # score = |shared parts| / |union of part sets|; top-K by
+    # The cap defines the metric's part universe END TO END: degrees
+    # are counted over the capped frame so that
+    # score = |shared capped parts| / |union of capped part sets| is
+    # the true Jaccard of the capped sets (r10 ADVICE: mixing raw
+    # degrees with capped intersections double-counts hub parts in
+    # the union while excluding them from the numerator); top-K by
     # (jaccard, pair key) via TakeOrdered — no global sort.
     oracle=f"""
 WITH bought AS (
@@ -471,7 +476,10 @@ keep AS (
   HAVING count(*) <= {LINKPRED_MAX_PART_BUYERS}
 ),
 b AS (SELECT cust, part FROM bought WHERE part IN (SELECT part FROM keep)),
-deg AS (SELECT cust, count(*)::BIGINT AS d FROM bought GROUP BY cust),
+-- degrees from the CAPPED frame, not the raw one: numerator (shared
+-- capped parts) and denominator (union of capped part sets) must use
+-- the same part universe or jaccard is neither metric (r10 ADVICE).
+deg AS (SELECT cust, count(*)::BIGINT AS d FROM b GROUP BY cust),
 pairs AS (
   SELECT a.cust AS ca, b2.cust AS cb, count(*)::BIGINT AS common
   FROM b a JOIN b b2 ON a.part = b2.part AND a.cust < b2.cust
@@ -510,7 +518,9 @@ def x_link_prediction(spark, sf_dir):
         F.col("nb") <= LINKPRED_MAX_PART_BUYERS
     ).select("part")
     b = bought.join(F.broadcast(keep), "part").transform(lineage_cut_lazy)
-    deg = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    # degrees over the capped frame (r10 ADVICE): a hub part excluded
+    # from the numerator must not inflate the union in the denominator
+    deg = b.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
     b2 = b.select(F.col("part").alias("part2"), F.col("cust").alias("cb"))
     pairs = (
         b.join(b2, (F.col("part") == F.col("part2")) & (F.col("cust") < F.col("cb")))
@@ -569,6 +579,10 @@ m AS (
   SELECT count(*)::BIGINT AS n,
          {dsum_sql('x::DOUBLE')} AS sx, {dsum_sql('y::DOUBLE')} AS sy,
          {dsum_sql('(x * y)::DOUBLE')} AS sxy,
+         -- sxx/syy sum SQUARED integer degrees over edges; at sf1 this
+         -- is ~1e9, inside the 9e11 dsum envelope (functions/exact.py)
+         -- to ~sf30 (degrees and edge count both grow with sf). Past
+         -- that, down-scale the squares before dsum. (r10 ADVICE)
          {dsum_sql('(x * x)::DOUBLE')} AS sxx,
          {dsum_sql('(y * y)::DOUBLE')} AS syy
   FROM sym

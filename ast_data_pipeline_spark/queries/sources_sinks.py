@@ -1121,11 +1121,14 @@ def s24_datasource_stream_sink(spark, sf_dir):
     # unique dir PER CALL: two concurrent drivers (pytest + a full
     # sweep) sharing one path raced on the rmtree (caught r9). Unique
     # dirs accumulate across bench sweeps / pytest / driver grading,
-    # so prune stale siblings first (r9 ADVICE): anything older than
-    # an hour cannot belong to a live run on this box.
+    # so prune stale siblings first (r9 ADVICE). Cutoff is 24h, not
+    # 1h (r10 ADVICE): a full sweep on a loaded box can legitimately
+    # run longer than an hour, and its returned DataFrame lazily
+    # re-reads batch*.jsonl — pruning a live run's dir mid-compare
+    # would corrupt the gate. Nothing on this box runs for a day.
     parent = os.path.join(tempfile.gettempdir(), "ast_ds_stream_sink")
     if os.path.isdir(parent):
-        cutoff = time.time() - 3600
+        cutoff = time.time() - 86400
         for child in os.listdir(parent):
             p = os.path.join(parent, child)
             try:

@@ -1351,6 +1351,11 @@ m AS (
          count(*)::BIGINT AS n,
          {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
          {dsum_sql('x * y')} AS sxy,
+         -- sxx/syy square the per-day dsum totals (~1e5 at sf1), so
+         -- the summand grows QUADRATICALLY with sf: sum ~ 3e12 at
+         -- sf10 breaches the 9e11 dsum envelope (functions/exact.py).
+         -- Beyond ~sf3, down-scale the squares (dsum(x*x*1e-4)*1e4,
+         -- the inverse of the small-sum 1e6 trick). (r10 ADVICE)
          {dsum_sql('x * x')} AS sxx, {dsum_sql('y * y')} AS syy
   FROM lagged WHERE y IS NOT NULL
   GROUP BY 1, 2

@@ -9,6 +9,7 @@ tables.  ``__spark_entry__.py`` exposes this registry to the driver.
 from __future__ import annotations
 
 import importlib
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -68,372 +69,19 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # Grading priority: the driver's correctness gate walks ``load_all()``
 # in iteration order (and may stop at a budgeted prefix, historically
-# 50). Since r10 this tuple is REGENERATED each round from
-# ``python tools/grade_age.py --window`` (VERDICT r9 #2): slots lead
-# with never-driver-graded queries (this round: the 8 new r10
-# operators), then queries whose import-closure changed since their
-# last green grade (most-stale first — the r01/r02-graded families
-# whose shared modules have been rewritten many times since), then
-# fresh greens oldest-grade-first. COVERAGE.md documents the policy;
-# tests/test_coverage_doc.py enforces doc<->registry lockstep.
-_PRIORITY: tuple[str, ...] = (
-    "a_welch_ttest",
-    "a_psi_drift",
-    "a_t_closeness",
-    "a_capture_recapture",
-    "x_pq_adc_recall",
-    "x_link_prediction",
-    "x_graph_assortativity",
-    "x_multimodal_aiff",
-    "a_theil_decomposition",
-    "a_mannwhitney_u",
-    "x_ivfpq_recall",
-    "t_autocorrelation",
-    "a_cohens_kappa",
-    "x_greedy_coverage",
-    "a_mode_median",
-    "a8_pricing_summary",
-    "a3_crosstab_margins",
-    "a3_crosstab_normalized",
-    "a4_distinct_profile",
-    "a5_dedup_rows",
-    "a6_distinct_by_key_first",
-    "q18_large_volume_customers",
-    "a4_approx_profile",
-    "a_rollup_priority_status",
-    "a_cube_priority_status",
-    "a_grouping_sets",
-    "a_unpivot_measures",
-    "a_histogram_equiwidth",
-    "j5_disambiguating_join",
-    "j1_semi_join",
-    "j2_anti_join",
-    "j3_broadcast_semi",
-    "j4_lookup_update_join",
-    "q5_local_supplier_volume",
-    "q3_shipping_priority",
-    "j_scalar_subquery",
-    "o3_allocation_head",
-    "u1_union_append",
-    "u2_except_difference",
-    "u3_intersect3",
-    "u4_integrity_check",
-    "w_topk_per_group",
-    "w_percent_of_total",
-    "w_running_sum",
-    "w_rank_dense",
-    "w_moving_sum_7d",
-    "w_percentile_rank",
-    "x_cosine_topk",
-    "x_cosine_topk_ivf",
-    "x_cosine_topk_lsh",
-    "x_kmeans_assign",
-    "x_dedup_exact",
-    "x_simhash_neardup",
-    "x_curation_pipeline",
-    "d_workqueue_rounds",
-    "x_sequence_packing",
-    "x_train_split",
-    "s_stream_tumbling_agg",
-    "s_stream_stateful_counter",
-    "s_stream_workqueue",
-    "s_stream_dedup",
-    "s_stream_static_join",
-    "s_stream_stream_join",
-    "d_global_bbox_utm",
-    "d_label_standardize",
-    "d_tile_parse",
-    "d_chip_grid",
-    "d_chip_parse_roundtrip",
-    "d_flag_propagation",
-    "d_size_reclass",
-    "d_f5_partition_counts",
-    "d_f6_annotated_tiles",
-    "d_j9_tracking_table",
-    "d_a2_class_counts",
-    "d_a7_per_tile_stats",
-    "x_kmeans_lloyd",
-    "x_kmeans_lloyd_exact",
-    "t_asof_join",
-    "t_range_join",
-    "x_multimodal_features",
-    "x_ngram_jaccard",
-    "x_fuzzy_match",
-    "x_pagerank",
-    "x_multimodal_meta",
-    "x_multimodal_ppm",
-    "x_multimodal_ssim",
-    "x_multimodal_wav",
-    "x_multimodal_y4m",
-    "s3_voc_xml_roundtrip",
-    "s5_geojson_flatten",
-    "s1_csv_variant_schema",
-    "s8_file_catalog",
-    "e_topk_users_by_value",
-    "d_inventory_utm",
-    "x_lang_id",
-    "x_text_quality",
-    "x_token_count",
-    "x_fingerprint",
-    "x_heavy_hitters",
-    "x_doc_chunking",
-    "x_pii_redact",
-    "x_decontaminate",
-    "x_line_dedup",
-    "x_bpe_merges",
-    "e_tumbling_window_agg",
-    "e_sessionize",
-    "p_date_functions",
-    "e_json_props_extract",
-    "e_funnel_stages",
-    "e_activity_islands",
-    "e_scd2_intervals",
-    "x_hash_sample",
-    "x_stratified_sample",
-    "x_data_quality_report",
-    "s_stream_sessionize",
-    "a_ks_two_sample",
-    "a_corr_matrix",
-    "a_mad_robust_z",
-    "a_iqr_outliers",
-    "x_embedding_neardup",
-    "x_ann_recall_eval",
-    "x_embedding_drift",
-    "d_j8_county_argmax",
-    "d_j6_point_in_tile",
-    "d_j7_adjacency_pairs",
-    "d_distribution_by_county",
-    "d_j8_grid_cell_pairs",
-    "d_zorder_layout",
-    "t_asof_nearest",
-    "t_downsample_ohlc",
-    "x_multimodal_resize",
-    "x_multimodal_frames",
-    "s11_orc_roundtrip",
-    "s12_jsonl_roundtrip",
-    "x_span_dedup",
-    "x_source_overlap",
-    "x_containment_neardup",
-    "s13_fixed_width_roundtrip",
-    "x_lm_doc_score",
-    "flagship_tank_inventory",
-    "x_data_mixture",
-    "x_shard_assign",
-    "x_bpe_tokenize",
-    "x_repetition_quality",
-    "x_tfidf_topterms",
-    "x_corpus_health",
-    "e_rolling_wau",
-    "x_char_entropy",
-    "x_mixture_temperature",
-    "x_quality_weighted_sample",
-    "x_cdc_chunking",
-    "e_burst_detection",
-    "e_transition_violations",
-    "a_chi2_independence",
-    "a_benford_digits",
-    "a_exact_quantiles",
-    "a_weighted_median",
-    "a_histogram_equidepth",
-    "a_skyline_2d",
-    "x_centroid_cosine_matrix",
-    "x_cosine_topk_multiprobe",
-    "x_ann_recall_multiprobe",
-    "s_stream_pii_redact",
-    "s_stream_incremental_dedup",
-    "s_stream_ohlc",
-    "t_peak_concurrency",
-    "t_asof_tolerance",
-    "t_resample_ffill",
-    "t_interval_union_length",
-    "t_ewma",
-    "t_interp_linear",
-    "u5_bag_setops",
-    "x_ngram_novelty",
-    "s14_schema_evolution",
-    "s15_corrupt_record_quarantine",
-    "x_dedup_rate_by_source",
-    "x_dedup_transitivity",
-    "x_triangle_count",
-    "x_range_partition_bounds",
-    "x_bpe_efficiency",
-    "x_classifier_eval",
-    "e_pct_change_daily",
-    "e_dow_seasonality",
-    "e_user_activity_zscore",
-    "e_interarrival_stats",
-    "x_sentence_stats",
-    "x_kfold_assign",
-    "x_gini_source_concentration",
-    "x_vocab_growth",
-    "e_event_paths",
-    "x_bigram_model",
-    "x_pmi_collocations",
-    "x_negative_sampling",
-    "e_gap_fill_daily",
-    "x_snapshot_diff",
-    "x_training_assembly",
-    "j_salted_skew_join",
-    "j_skew_report",
-    "x_entity_resolution",
-    "x_winnow_fingerprints",
-    "x_winnow_overlap",
-    "e_delta_agg_maintenance",
-    "a_hyperloglog_eval",
-    "a_kmv_set_ops",
-    "a_anova_oneway",
-    "a_winsorized_mean",
-    "a_quantile_sketch_eval",
-    "a_kmv_distinct_sketch",
-    "a_countmin_sketch",
-    "a_cms_join_cardinality",
-    "a_dp_noisy_counts",
-    "a_table_checksum",
-    "d_reproject_roundtrip",
-    "x_ivf_nprobe_sweep",
-    "x_semantic_dedup",
-    "x_power_iteration_pc1",
-    "x_pc1_explained_variance",
-    "s_stream_upsert_snapshot",
-    "t_seasonal_decompose",
-    "t_rolling_corr",
-    "t_twap_per_user",
-    "x_substring_dedup_census",
-    "x_multimodal_gif",
-    "s16_binaryfile_ingest",
-    "x_bfs_layers",
-    "x_kcore_peel",
-    "x_prefix_filter_join",
-    "x_multimodal_mulaw",
-    "e_survival_km",
-    "x_lm_kneser_ney",
-    "e_ab_test_analysis",
-    "e_funnel_conversion",
-    "x_js_divergence",
-    "e_rfm_scores",
-    "e_cohort_retention",
-    "e_cohort_retention_matrix",
-    "e_attribution_last_touch",
-    "x_referential_integrity",
-    "e_theilsen_trend",
-    "e_cusum_changepoint",
-    "x_weighted_sample_es",
-    "e_json_props_stats",
-    "e_longest_streak",
-    "x_subsample_ci",
-    "e_metric_decomposition",
-    "x_dataset_card",
-    "e_new_vs_returning",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q6_forecast_revenue",
-    "q12_priority_by_linestatus",
-    "s_stream_hll_distinct",
-    "s_stream_agg_maintenance",
-    "w_ntile_quartiles",
-    "a_cube_shipping",
-    "u6_symmetric_difference",
-    "a_dq_constraint_suite",
-    "a_k_anonymity",
-    "x_ndcg_eval",
-    "x_incremental_dedup",
-    "x_split_leakage_check",
-    "x_multimodal_jpeg",
-    "s19_shapefile_zip_roundtrip",
-    "k6_jpeg_chip_sink",
-    "s20_shapefile_datasource",
-    "s21_shapefile_sink_format",
-    "x_dsir_importance",
-    "x_fellegi_sunter_linkage",
-    "x_keyword_tagging_ac",
-    "x_unicode_nfc_census",
-    "x_ccnet_buckets",
-    "x_rrf_fusion",
-    "x_hilbert_layout",
-    "j_delta_join_maintenance",
-    "e_watermark_sizing",
-    "x_packing_efficiency",
-    "x_ffd_packing",
-    "e_variant_json_stats",
-    "x_merkle_diff",
-    "a_l_diversity",
-    "a_mad_outliers",
-    "a_gini_concentration",
-    "x_pandas_udf_checksum",
-    "a_linreg_trend",
-    "a_market_basket_lift",
-    "x_hard_negative_mining",
-    "x_embedding_quantization",
-    "x_rbo_rank_agreement",
-    "t_downsample_lttb",
-    "t_asof_join_cogrouped",
-    "t_forecast_eval",
-    "s_stream_keyword_tagging",
-    "s_stream_custom_state",
-    "s22_event_replay_stream_source",
-    "x_multimodal_adpcm",
-    "x_image_dhash_dedup",
-    "x_multimodal_png",
-    "s23_partitioned_datasource",
-    "s24_datasource_stream_sink",
-    "s17_hive_partitioned_roundtrip",
-    "s18_nested_json_explode",
-    "x_multimodal_bmp",
-    "x_minhash_band_sweep",
-    "x_bloom_dedup_screen",
-    "d_tracking_pipeline",
-    "x_minhash_lsh_neardup",
-    "x_dedup_clusters",
-    "x_dedup_clusters_star",
-    "x_minhash_est_quality",
-    "x_dedup_keep_best",
-    "x_vocab_coverage",
-    "x_langid_confusion",
-    "x_length_bucketing",
-    "x_lexical_richness",
-    "x_rendezvous_shards",
-    "x_sorted_neighborhood_linkage",
-    "x_maparrow_token_stats",
-    "x_document_chunking",
-    "x_prefix_cache_census",
-    "x_udtf_ngrams",
-    "e_markov_transitions",
-    "x_stratified_sample_exact",
-    "x_zorder_layout",
-    "e_out_of_order_census",
-    "j_null_aware_anti",
-    "x_percentile_normalize",
-    "x_bm25_search",
-    "d_a1_merge_stats",
-    "f1_f2_recency_filter",
-    "f8_suffix_filter",
-    "p1_path_components",
-    "p21_string_ops",
-    "p22_math_ops",
-    "p2_name_normalize",
-    "p_array_functions",
-    "p_try_functions",
-    "d_a1_bbox_merge",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_join",
-    "q21_suppliers_who_kept_waiting",
-    "q22_dormant_customers",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_stock_suppliers",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "x_udtf_chip_grid",
-    "a_rollup_grouping_id",
-    "d_f7_verifier_allocation",
-    "s_stream_exactly_once_dedup",
-    "s_stream_stream_left_join",
-)
+# 50). The order lives in ``registry_priority.txt`` — a GENERATED data
+# file (``python tools/grade_age.py --write-priority``), deliberately
+# not Python so that per-round window rotations never touch this
+# module: every query module imports registry.py, so a regenerated
+# tuple here marked all ~356 query import closures stale every round
+# and destroyed grade_age's staleness signal (VERDICT r10 #2).
+# COVERAGE.md documents the rotation policy; tests/test_coverage_doc.py
+# enforces registry<->priority set equality.
+_PRIORITY_FILE = os.path.join(os.path.dirname(__file__), "registry_priority.txt")
+with open(_PRIORITY_FILE, encoding="utf-8") as _pf:
+    _PRIORITY: tuple[str, ...] = tuple(
+        ln.strip() for ln in _pf if ln.strip() and not ln.startswith("#")
+    )
 
 
 def load_all() -> dict[str, QuerySpec]:

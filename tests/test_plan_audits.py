@@ -40,6 +40,35 @@ def test_every_unpartitioned_window_is_classified(spark, sf_dir):
     print("window_audit classified-but-clean (prune when stable):", stale)
 
 
+def test_grade_age_closure_exclusions_are_semantics_free():
+    """Every file in ``tools/grade_age.py``'s CLOSURE_EXCLUDE must be
+    pure plumbing — no query registration, no function definitions —
+    so excluding it from import closures can never hide a semantic
+    rewrite from the staleness audit (VERDICT r10 #2). The list is
+    empty by design after the registry_priority.txt move; this pin
+    keeps any future entry an explicit adjudication. The priority
+    order itself must live in a non-Python data file: regenerating it
+    each round must not dirty any query's import closure."""
+    import grade_age
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    for rel in grade_age.CLOSURE_EXCLUDE:
+        text = (repo / rel).read_text(encoding="utf-8")
+        assert "@register" not in text and "def " not in text, (
+            f"CLOSURE_EXCLUDE entry {rel} contains code — excluding it "
+            "would blind the staleness audit to semantic edits"
+        )
+    assert grade_age.PRIORITY_FILE.endswith(".txt"), (
+        "the grading-priority order must be a data file outside every "
+        "import closure (VERDICT r10 #2)"
+    )
+    # and the registry must actually read it (no tuple regression)
+    reg_src = (
+        repo / "ast_data_pipeline_spark" / "registry.py"
+    ).read_text(encoding="utf-8")
+    assert "registry_priority.txt" in reg_src
+
+
 def test_shuffle_ledger_has_no_unadjudicated_watch_rows():
     """The committed SHUFFLE.md must carry an adjudication note on
     every >WATCH_MB shuffle-write row in EVERY section (VERDICT r8 #6:
