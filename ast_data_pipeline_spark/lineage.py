@@ -26,9 +26,14 @@ are semantically identical (``tests/test_lineage_knob.py`` pins
 ``x_dedup_clusters`` byte-equal across modes); the trade is purely
 recovery-vs-IO, documented in SCALING.md ("Recovery story").
 
-Local-mode note: reliable checkpoints are NOT cleaned up on session
-stop by default; ``spark.cleaner.referenceTracking.cleanCheckpoints``
-only covers GC-collected frames. Tests point the dir at a tmpdir.
+Cleanup (VERDICT r10 #4): the session builder sets
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so the
+ContextCleaner removes a checkpoint's files once its frame is GC'd
+on the driver (the steady-state guard for long multi-query
+sessions), and ``sweep_checkpoints(spark)`` deletes the session's
+entire checkpoint dir through the Hadoop FileSystem API (works for
+``file:``, HDFS and object stores alike) for a deterministic
+session-exit sweep. Tests point the dir at a tmpdir.
 """
 
 from __future__ import annotations
@@ -69,3 +74,26 @@ def lineage_cut_lazy(df: DataFrame) -> DataFrame:
     """Lazy lineage cut (materializes on first action) — shared
     intermediates consumed by several downstream branches."""
     return _cut(df, eager=False)
+
+
+def sweep_checkpoints(spark) -> bool:
+    """Delete the session's reliable-checkpoint dir; True if removed.
+
+    Session-exit cleanup for reliable mode: ``setCheckpointDir``
+    appends a per-context UUID, so the installed dir belongs to this
+    SparkContext alone and removing it recursively cannot touch a
+    concurrent session's checkpoints. Goes through the Hadoop
+    FileSystem API so the same call works on ``file:`` (local mode),
+    HDFS and object stores. Safe to call only when no still-live
+    DataFrame depends on a checkpointed block (i.e. at session end);
+    later cuts recreate their rdd-N subdirs via ``mkdirs``. No-op when
+    no checkpoint dir was ever installed (localCheckpoint mode).
+    """
+    sc = spark.sparkContext
+    opt = sc._jsc.sc().getCheckpointDir()  # noqa: SLF001
+    if opt.isEmpty():
+        return False
+    jvm = sc._jvm  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(opt.get())
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    return bool(fs.exists(path) and fs.delete(path, True))

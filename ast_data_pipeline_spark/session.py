@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Reliable-mode checkpoint GC (VERDICT r10 #4): when lineage
+        # cuts go through fault-tolerant checkpoint() (the
+        # SPARK_GRAFT_CKPT_DIR knob in lineage.py), a long-running
+        # session would otherwise leak one checkpoint dir per cut
+        # (~108 sites). With this on, the ContextCleaner deletes a
+        # checkpoint's files as soon as its DataFrame is GC'd on the
+        # driver; lineage.sweep_checkpoints() covers session exit.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # executor-side workers get the same import path (local mode
         # inherits the driver env, but a real cluster needs this set)
         .config("spark.executorEnv.PYTHONPATH", pythonpath)

@@ -83,9 +83,31 @@ def run_stream_to_batch(
             .start()
         )
         q.awaitTermination()
+        _capture_state_parts(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+#: State-operator shuffle-partition count observed on the LAST completed
+#: run_stream_to_batch query (None when the run had no stateful
+#: operator). Pure observability: the SPARK_GRAFT_STREAM_PARTS bound is
+#: load-bearing for 5+ streaming faces (the 19 s -> 2.7 s replay fix,
+#: VERDICT r9 #4) but nothing in the row-level gate would notice a
+#: session-config change silently reintroducing 32-partition state —
+#: tests/test_streaming.py::test_state_partition_bound pins this value.
+LAST_RUN_STATE_PARTS: int | None = None
+
+
+def _capture_state_parts(q) -> None:
+    global LAST_RUN_STATE_PARTS
+    LAST_RUN_STATE_PARTS = None
+    for prog in reversed(q.recentProgress):
+        for op in prog.stateOperators:
+            n = op.get("numShufflePartitions")
+            if n:
+                LAST_RUN_STATE_PARTS = int(n)
+                return
 
 
 def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,3 +56,39 @@ def test_lazy_cut_reliable_mode(spark, sf_dir, tmp_path):
     finally:
         del os.environ["SPARK_GRAFT_CKPT_DIR"]
     assert [r.v for r in cut.orderBy("id").limit(3).collect()] == [0, 2, 4]
+
+
+def test_checkpoint_gc(spark, sf_dir, tmp_path):
+    """Reliable-mode checkpoints are cleanable (VERDICT r10 #4).
+
+    Steady state: the session builder turns on the ContextCleaner's
+    checkpoint GC so frames collected on the driver release their
+    checkpoint files. Session exit: sweep_checkpoints() removes the
+    whole per-context checkpoint dir through the Hadoop FS API.
+    """
+    import pathlib
+
+    assert (
+        spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        == "true"
+    )
+    os.environ["SPARK_GRAFT_CKPT_DIR"] = str(tmp_path / "ckpt_gc")
+    try:
+        cut = lineage.lineage_cut(spark.range(1000).selectExpr("id", "id * 3 AS v"))
+        assert cut.count() == 1000
+        installed = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+        local = pathlib.Path(installed.removeprefix("file:"))
+        assert local.exists() and any(local.rglob("*"))
+        assert lineage.sweep_checkpoints(spark)
+        assert not local.exists(), "sweep left the checkpoint dir behind"
+        # a later cut in the same session recreates its subdirs
+        again = lineage.lineage_cut(spark.range(10).selectExpr("id"))
+        assert again.count() == 10
+        assert local.exists()
+        assert lineage.sweep_checkpoints(spark)
+    finally:
+        del os.environ["SPARK_GRAFT_CKPT_DIR"]
+    # localCheckpoint mode (no dir ever installed) is a no-op — pinned
+    # indirectly: sweep on a fresh context would return False; here the
+    # dir was just removed, so a second sweep is the same no-op shape.
+    assert lineage.sweep_checkpoints(spark) is False

@@ -87,3 +87,29 @@ def test_shuffle_ledger_has_no_unadjudicated_watch_rows():
         "SHUFFLE.md records headline/tail query failures — the ledger "
         "is incomplete; fix the queries and regenerate"
     )
+
+
+def test_every_dsum_site_is_scaled_or_classified():
+    """dsum rounds decimal sums at 4 dp; a small-total sum silently
+    loses significant figures IDENTICALLY in both engines (the r10 PSI
+    trap — oracle-green, value-wrong). Every dsum/dsum_sql/dsum_over
+    call site must either carry an explicit scale factor or belong to
+    an owner reviewed in tools/dsum_audit.py's LARGE/UNIT sets (with
+    the magnitude rationale in that module's docstring)."""
+    import dsum_audit
+
+    bad = dsum_audit.audit()
+    assert not bad, (
+        "unclassified dsum site(s) — scale small-total sums through "
+        "1e6 (the PSI recipe) or classify the owner's magnitude in "
+        f"tools/dsum_audit.py: {bad}"
+    )
+    # reverse direction: classified owners that no longer own any dsum
+    # site should be pruned so the set stays a faithful review ledger
+    owners = set()
+    for path in sorted(dsum_audit.PKG.rglob("*.py")):
+        if path.name == "exact.py":
+            continue
+        owners.update(o for o, *_ in dsum_audit.scan_file(path))
+    stale = sorted((dsum_audit.LARGE | dsum_audit.UNIT) - owners)
+    assert not stale, f"prune stale dsum_audit classifications: {stale}"

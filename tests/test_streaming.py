@@ -182,3 +182,23 @@ def test_agg_maintenance_batch_boundary_independent(spark, tmp_path):
     }
     assert got3 == batch == got1
     assert batch[1] == (4, 3.5)  # the float-order trap case
+
+
+def test_state_partition_bound(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_STREAM_PARTS is load-bearing (VERDICT r9 #4: one
+    state-store task per shuffle partition PER micro-batch made the
+    stream-stream left join 19 s at 32 partitions, 2.7 s at 8). Pin
+    that a stateful run actually executes with the bounded partition
+    count — observed from the query's own StateOperatorProgress, not
+    the conf — and that the session conf is restored afterwards."""
+    from ast_data_pipeline_spark.streaming import workqueue
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTS", "5")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = load_all()["s_stream_stream_left_join"].fn(spark, sf_dir)
+    assert out.count() > 0
+    assert workqueue.LAST_RUN_STATE_PARTS == 5, (
+        "stateful query ran with %s state partitions, not the bound"
+        % workqueue.LAST_RUN_STATE_PARTS
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
