@@ -2185,6 +2185,7 @@ def x_pq_adc_recall(spark, sf_dir):
 
 
 IVFPQ_NPROBE = 2
+IVFPQ_RERANK_C = 10  # exact-rerank shortlist size (~3.3x k, Jegou ADC+R)
 
 
 def _ivfpq_l2(a: str, b: str) -> str:
@@ -2193,27 +2194,14 @@ def _ivfpq_l2(a: str, b: str) -> str:
     return l2sq_sql(a, b)
 
 
-@register(
-    "x_ivfpq_recall",
-    # IVF-PQ (Jegou et al. TPAMI 2011 §IV — the composition FAISS
-    # ships as IndexIVFPQ and the memory layout behind essentially
-    # every billion-vector deployment): a coarse quantizer (the
-    # embedding table's precomputed cells, centroids = exact decimal
-    # means) routes each vector to its cell; the RESIDUAL vector
-    # (x - c_cell) is product-quantized with the SAME deterministic
-    # codebook machinery as x_pq_adc_recall (md5 seeds, one
-    # engine-exact Lloyd step) — residuals are smaller than raw
-    # vectors, so the same 4-bit budget quantizes finer. Queries probe
-    # the nprobe=2 nearest cells, build one ADC lookup table per
-    # probed cell from the QUERY residual, and score only candidates
-    # in probed cells — the report carries n_scanned / scan_fraction
-    # so the IVF pruning is visible next to recall. Truth = exact
-    # brute L2, like every retrieval eval here. At 100 TB: cell
-    # centroids and PQ codebooks broadcast; codes are 4 bytes/vector;
-    # the scan touches nprobe/ncells of the corpus and zero raw
-    # floats.
-    oracle=f"""
-WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+def _ivfpq_base_sql() -> str:
+    """Shared DuckDB chain for the IVF-PQ family: coarse cells ->
+    residual product quantization -> probed-cell candidates scored by
+    ADC (terminal CTEs ``cand``, ``adc``, plus ``e``/``q``/``probed``
+    for downstream use). x_ivfpq_recall ranks ``adist`` directly;
+    x_ivfpq_rerank takes the top-C shortlist and re-ranks it with
+    exact float L2."""
+    return f"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
 celld AS (
   SELECT label, i AS dim, {davg_sql('embedding[i]::DOUBLE')} AS v
   FROM e, generate_series(1, {EMB_DIM}) t(i)
@@ -2271,44 +2259,14 @@ adc AS (
   JOIN lut ON lut.q_id = cand.q_id AND lut.label = cand.label
           AND lut.m = codes.m AND lut.c = codes.c
   GROUP BY cand.q_id, cand.vec_id
-),
-retr AS (
-  SELECT q_id, vec_id,
-         row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
-  FROM adc QUALIFY rk <= {PQ_TOPK}
-),
-truthd AS (
-  SELECT q.q_id, e2.vec_id,
-         {_ivfpq_l2('q.q_vec', 'e2.embedding')} AS d2
-  FROM q JOIN e e2 ON q.q_id <> e2.vec_id
-),
-truth AS (
-  SELECT q_id, vec_id,
-         row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rk
-  FROM truthd QUALIFY rk <= {PQ_TOPK}
-),
-scanned AS (SELECT q_id, count(*)::BIGINT AS n_scanned FROM cand GROUP BY q_id),
-n AS (SELECT count(*)::BIGINT AS n_all FROM e)
-SELECT t.q_id,
-       count(r.vec_id)::BIGINT AS n_hits,
-       count(r.vec_id)::DOUBLE / {PQ_TOPK} AS recall_at_{PQ_TOPK},
-       any_value(s.n_scanned) AS n_scanned,
-       any_value(s.n_scanned)::DOUBLE / (any_value(n.n_all) - 1) AS scan_fraction
-FROM truth t
-LEFT JOIN retr r ON t.q_id = r.q_id AND t.vec_id = r.vec_id
-JOIN scanned s ON t.q_id = s.q_id, n
-GROUP BY t.q_id ORDER BY t.q_id
-""",
-    doc="IVF-PQ: coarse cells route vectors, residuals are "
-    "product-quantized (same deterministic codebook machinery as "
-    "x_pq_adc_recall, finer because residuals are small), queries "
-    "probe the 2 nearest cells with per-cell residual ADC tables and "
-    "score only in-cell candidates — recall@3 AND scan fraction "
-    "reported against brute L2 truth. The FAISS IndexIVFPQ "
-    "architecture with every step under the DuckDB hash gate.",
-    tags=("similarity", "extension"),
-)
-def x_ivfpq_recall(spark, sf_dir):
+)"""
+
+
+def _ivfpq_adc(spark, sf_dir):
+    """Shared Spark chain mirroring ``_ivfpq_base_sql``: returns
+    (emb, q, cand, adc) where ``adc`` carries the ADC distance of
+    every probed-cell candidate. Plans and intermediate names match
+    x_ivfpq_recall's original inline body exactly."""
     from pyspark.sql import Window as W
 
     from ..functions.exact import davg, dsum
@@ -2384,6 +2342,73 @@ def x_ivfpq_recall(spark, sf_dir):
         .groupBy("q_id", "vec_id")
         .agg((dsum(F.col("d2q") * F.lit(1e6)) / 1e6).alias("adist"))
     )
+    return emb, q, cand, adc
+
+
+@register(
+    "x_ivfpq_recall",
+    # IVF-PQ (Jegou et al. TPAMI 2011 §IV — the composition FAISS
+    # ships as IndexIVFPQ and the memory layout behind essentially
+    # every billion-vector deployment): a coarse quantizer (the
+    # embedding table's precomputed cells, centroids = exact decimal
+    # means) routes each vector to its cell; the RESIDUAL vector
+    # (x - c_cell) is product-quantized with the SAME deterministic
+    # codebook machinery as x_pq_adc_recall (md5 seeds, one
+    # engine-exact Lloyd step) — residuals are smaller than raw
+    # vectors, so the same 4-bit budget quantizes finer. Queries probe
+    # the nprobe=2 nearest cells, build one ADC lookup table per
+    # probed cell from the QUERY residual, and score only candidates
+    # in probed cells — the report carries n_scanned / scan_fraction
+    # so the IVF pruning is visible next to recall. Truth = exact
+    # brute L2, like every retrieval eval here. At 100 TB: cell
+    # centroids and PQ codebooks broadcast; codes are 4 bytes/vector;
+    # the scan touches nprobe/ncells of the corpus and zero raw
+    # floats.
+    oracle=f"""
+{_ivfpq_base_sql()},
+retr AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+  FROM adc QUALIFY rk <= {PQ_TOPK}
+),
+truthd AS (
+  SELECT q.q_id, e2.vec_id,
+         {_ivfpq_l2('q.q_vec', 'e2.embedding')} AS d2
+  FROM q JOIN e e2 ON q.q_id <> e2.vec_id
+),
+truth AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rk
+  FROM truthd QUALIFY rk <= {PQ_TOPK}
+),
+scanned AS (SELECT q_id, count(*)::BIGINT AS n_scanned FROM cand GROUP BY q_id),
+n AS (SELECT count(*)::BIGINT AS n_all FROM e)
+SELECT t.q_id,
+       count(r.vec_id)::BIGINT AS n_hits,
+       count(r.vec_id)::DOUBLE / {PQ_TOPK} AS recall_at_{PQ_TOPK},
+       any_value(s.n_scanned) AS n_scanned,
+       any_value(s.n_scanned)::DOUBLE / (any_value(n.n_all) - 1) AS scan_fraction
+FROM truth t
+LEFT JOIN retr r ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+JOIN scanned s ON t.q_id = s.q_id, n
+GROUP BY t.q_id ORDER BY t.q_id
+""",
+    doc="IVF-PQ: coarse cells route vectors, residuals are "
+    "product-quantized (same deterministic codebook machinery as "
+    "x_pq_adc_recall, finer because residuals are small), queries "
+    "probe the 2 nearest cells with per-cell residual ADC tables and "
+    "score only in-cell candidates — recall@3 AND scan fraction "
+    "reported against brute L2 truth. The FAISS IndexIVFPQ "
+    "architecture with every step under the DuckDB hash gate.",
+    tags=("similarity", "extension"),
+)
+def x_ivfpq_recall(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import l2sq
+
+    emb, q, cand, adc = _ivfpq_adc(spark, sf_dir)
+    wq = W.partitionBy("q_id")
     retr = (
         adc.withColumn("rk", F.row_number().over(wq.orderBy("adist", "vec_id")))
         .filter(F.col("rk") <= PQ_TOPK)
@@ -2417,6 +2442,147 @@ def x_ivfpq_recall(spark, sf_dir):
             "n_scanned",
             (F.col("n_scanned").cast("double") / (F.col("n_all") - 1)).alias(
                 "scan_fraction"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+@register(
+    "x_ivfpq_rerank",
+    # IVF-PQ with exact re-ranking (Jegou et al. TPAMI 2011 SV's
+    # "ADC+R" — the refinement every production vector store ships:
+    # FAISS IndexRefineFlat over IndexIVFPQ, ScaNN's reorder stage).
+    # ADC distances are lossy (4-bit codes); instead of trusting their
+    # top-k, take a SHORTLIST of the top-C candidates by ADC, fetch
+    # only those C raw vectors, compute exact float L2, and re-rank.
+    # Candidate generation cost is unchanged (same probed cells, same
+    # code scan as x_ivfpq_recall); the added exact work is C vectors
+    # per query — rerank_fraction reports it next to the recall. The
+    # gated output carries BOTH n_hits (after rerank) and n_hits_adc
+    # (the unreranked ADC top-k on the same shortlist), so the recall
+    # lift the rerank buys is visible inside the oracle-gated row, not
+    # just in a test. At 100 TB: the shortlist fetch is a broadcast
+    # semi-join of C*|Q| ids against the vector table — the only stage
+    # that touches raw floats, by design.
+    # tests/test_lsh_recall.py pins the lift on a corpus built so ADC
+    # ordering degrades (big tight clusters) while the shortlist still
+    # contains the true neighbors.
+    oracle=f"""
+{_ivfpq_base_sql()},
+short AS (
+  SELECT q_id, vec_id, rk FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+    FROM adc) WHERE rk <= {IVFPQ_RERANK_C}
+),
+rr AS (
+  SELECT s.q_id, s.vec_id, {_ivfpq_l2('q.q_vec', 'e2.embedding')} AS d2
+  FROM short s JOIN q ON s.q_id = q.q_id JOIN e e2 ON s.vec_id = e2.vec_id
+),
+retr AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rk
+  FROM rr QUALIFY rk <= {PQ_TOPK}
+),
+retr_adc AS (SELECT q_id, vec_id FROM short WHERE rk <= {PQ_TOPK}),
+truthd AS (
+  SELECT q.q_id, e2.vec_id,
+         {_ivfpq_l2('q.q_vec', 'e2.embedding')} AS d2
+  FROM q JOIN e e2 ON q.q_id <> e2.vec_id
+),
+truth AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rk
+  FROM truthd QUALIFY rk <= {PQ_TOPK}
+),
+nrr AS (SELECT q_id, count(*)::BIGINT AS n_reranked FROM short GROUP BY q_id),
+n AS (SELECT count(*)::BIGINT AS n_all FROM e)
+SELECT t.q_id,
+       count(r.vec_id)::BIGINT AS n_hits,
+       count(r.vec_id)::DOUBLE / {PQ_TOPK} AS recall_at_{PQ_TOPK},
+       count(ra.vec_id)::BIGINT AS n_hits_adc,
+       any_value(nr.n_reranked) AS n_reranked,
+       any_value(nr.n_reranked)::DOUBLE / (any_value(n.n_all) - 1)
+         AS rerank_fraction
+FROM truth t
+LEFT JOIN retr r ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+LEFT JOIN retr_adc ra ON t.q_id = ra.q_id AND t.vec_id = ra.vec_id
+JOIN nrr nr ON t.q_id = nr.q_id, n
+GROUP BY t.q_id ORDER BY t.q_id
+""",
+    doc="IVF-PQ with exact re-ranking (ADC+R): the ADC top-C shortlist "
+    "is re-scored with exact float L2 on just C raw vectors per query "
+    "and re-ranked — the refinement stage of FAISS/ScaNN. Reports "
+    "recall@3 after rerank NEXT TO the unreranked ADC hits on the "
+    "same shortlist (the lift is part of the gated row) and the "
+    "rerank fraction (exact-distance work).",
+    tags=("similarity", "extension"),
+)
+def x_ivfpq_rerank(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import l2sq
+
+    emb, q, cand, adc = _ivfpq_adc(spark, sf_dir)
+    wq = W.partitionBy("q_id")
+    short = (
+        adc.withColumn("rk", F.row_number().over(wq.orderBy("adist", "vec_id")))
+        .filter(F.col("rk") <= IVFPQ_RERANK_C)
+        .select("q_id", "vec_id", "rk")
+        .transform(lineage_cut_lazy)  # consumed by rr, retr_adc, nrr
+    )
+    rr = (
+        short.join(q, "q_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("q_id", "vec_id", l2sq("q_vec", "embedding").alias("d2"))
+    )
+    retr = (
+        rr.withColumn("rk", F.row_number().over(wq.orderBy("d2", "vec_id")))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select(F.col("q_id").alias("r_q_id"), F.col("vec_id").alias("r_vec_id"))
+    )
+    retr_adc = short.filter(F.col("rk") <= PQ_TOPK).select(
+        F.col("q_id").alias("a_q_id"), F.col("vec_id").alias("a_vec_id")
+    )
+    truth = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .withColumn("d2", l2sq("q_vec", "embedding"))
+        .withColumn("rk", F.row_number().over(wq.orderBy("d2", "vec_id")))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("q_id", "vec_id")
+    )
+    nrr = short.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_reranked"))
+    n_all = emb.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        truth.join(
+            retr,
+            (F.col("r_q_id") == F.col("q_id"))
+            & (F.col("r_vec_id") == F.col("vec_id")),
+            "left",
+        )
+        .join(
+            retr_adc,
+            (F.col("a_q_id") == F.col("q_id"))
+            & (F.col("a_vec_id") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("r_vec_id").alias("n_hits"),
+            F.count("a_vec_id").alias("n_hits_adc"),
+        )
+        .join(nrr, "q_id")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "q_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / PQ_TOPK).alias(f"recall_at_{PQ_TOPK}"),
+            "n_hits_adc",
+            "n_reranked",
+            (F.col("n_reranked").cast("double") / (F.col("n_all") - 1)).alias(
+                "rerank_fraction"
             ),
         )
         .orderBy("q_id")

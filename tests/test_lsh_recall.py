@@ -249,3 +249,45 @@ def test_ivfpq_perfect_recall_tiny_scan_on_clustered_corpus(spark, tmp_path):
     max_scan = max(r.scan_fraction for r in out)
     assert mean_recall == 1.0, f"IVF-PQ recall on clustered corpus: {mean_recall}"
     assert max_scan < 0.05, f"IVF-PQ scanned too much: {max_scan}"
+
+
+def test_ivfpq_rerank_lifts_adc_recall(spark, tmp_path):
+    """Honesty pin for x_ivfpq_rerank (the ADC+R refinement): on 50
+    clusters of 10 points with sigma=0.5 noise, the probed cells
+    contain every true neighbor and the top-C ADC shortlist keeps
+    them — but 4-bit residual codes misrank WITHIN the cluster, so
+    the unreranked ADC top-3 reads 0.611 while exact re-ranking of
+    the same 10-candidate shortlist restores recall 1.0 at a 2%
+    exact-distance fraction. The pipeline is deterministic on a fixed
+    fixture, so the values are pinned tight. (On the uniform sf0.01
+    corpus the registered query honestly reports 0.278 reranked vs
+    0.167 unreranked — cell pruning, not ADC ranking, binds there.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ast_data_pipeline_spark.registry import load_all
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, (50, 64)).astype(np.float32)
+    vecs = np.repeat(centers, 10, axis=0) + rng.normal(
+        0, 0.5, (500, 64)
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i // 10 for i in range(500)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = load_all()["x_ivfpq_rerank"].fn(spark, str(tmp_path)).toPandas()
+    assert len(out) > 0
+    rerank = out.recall_at_3.mean()
+    adc = out.n_hits_adc.mean() / 3
+    assert rerank == 1.0, f"reranked recall {rerank}"
+    assert adc <= 0.8, f"ADC recall unexpectedly high ({adc}) — fixture no longer exercises the rerank"
+    assert rerank > adc + 0.2, f"no lift: rerank {rerank} vs adc {adc}"
+    assert (out.rerank_fraction <= 10 / 499 + 1e-12).all()
