@@ -4092,3 +4092,517 @@ def a_cohens_kappa(spark, sf_dir):
         pe.alias("pe"),
         ((po - pe) / (1 - pe)).alias("kappa"),
     )
+
+
+@register(
+    "a_roc_auc",
+    # ROC AUC by the rank statistic (public identity: AUC = U/(n1*n0)
+    # with U the Mann-Whitney statistic — Hanley & McNeil 1982): how
+    # well does `value` separate purchases from clicks? Tie-averaged
+    # ranks come from the same two-level bucket-prefix machinery as
+    # a_mannwhitney_u (exact .0/.5 rationals, no giant single-series
+    # sort partition); the rank sum rides the exact-decimal path; AUC
+    # and the Gini/accuracy-ratio (2*AUC-1) are single IEEE divisions.
+    # This is THE eval number for a binary scorer over a 100 TB event
+    # log, computed with two hash aggregates + windows over the
+    # distinct-value table (bounded by value cardinality, not rows).
+    oracle=f"""
+WITH s AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+vals AS (
+  SELECT value, count(*)::BIGINT AS cnt,
+         sum(y)::BIGINT AS n1v,
+         floor(value)::BIGINT AS bkt
+  FROM s GROUP BY 1
+),
+bt AS (SELECT bkt, sum(cnt)::BIGINT AS bc FROM vals GROUP BY 1),
+off AS (
+  SELECT bkt,
+         coalesce(sum(bc) OVER (ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off_c
+  FROM bt
+),
+ranked AS (
+  SELECT v.value, v.cnt, v.n1v,
+         off.off_c + coalesce(sum(v.cnt) OVER (
+             PARTITION BY v.bkt ORDER BY v.value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_cum
+  FROM vals v JOIN off ON v.bkt = off.bkt
+),
+m AS (
+  SELECT sum(n1v)::BIGINT AS n1,
+         sum(cnt - n1v)::BIGINT AS n0,
+         {dsum_sql('n1v * (prev_cum + (cnt + 1) / 2.0)')} AS r1
+  FROM ranked
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       (r1 - n1 * (n1 + 1) / 2.0) / (n1::DOUBLE * n0) AS auc,
+       2.0 * ((r1 - n1 * (n1 + 1) / 2.0) / (n1::DOUBLE * n0)) - 1.0
+         AS gini_coefficient
+FROM m
+""",
+    doc="ROC AUC of `value` as a purchase-vs-click scorer via the "
+    "rank/Mann-Whitney identity AUC = U/(n1*n0): tie-averaged ranks "
+    "from two-level bucket-prefix sums, exact-decimal rank sum, one "
+    "IEEE division — plus the Gini/accuracy-ratio. The binary-scorer "
+    "eval over an event log at any scale (windows run on the "
+    "distinct-value table, never the fact table).",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_roc_auc(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    vals = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("n1v")
+    ).withColumn("bkt", F.floor("value").cast("long"))
+    bt = vals.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
+    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    off = bt.select(
+        "bkt", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("off_c")
+    )
+    w_l = (
+        W.partitionBy("bkt").orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = vals.join(F.broadcast(off), "bkt").select(
+        "value",
+        "cnt",
+        "n1v",
+        (F.col("off_c") + F.coalesce(F.sum("cnt").over(w_l), F.lit(0))).alias(
+            "prev_cum"
+        ),
+    )
+    m = ranked.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).alias("n0"),
+        dsum(F.col("n1v") * (F.col("prev_cum") + (F.col("cnt") + 1) / 2.0)).alias(
+            "r1"
+        ),
+    )
+    auc = (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0) / (
+        F.col("n1").cast("double") * F.col("n0")
+    )
+    return m.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        auc.alias("auc"),
+        (2.0 * auc - 1.0).alias("gini_coefficient"),
+    )
+
+
+@register(
+    "a_kruskal_wallis",
+    # Kruskal-Wallis H (public 1952 statistic — the k-group extension
+    # of Mann-Whitney, the nonparametric ANOVA twin): do the five
+    # event types draw `value` from the same distribution? GLOBAL
+    # tie-averaged ranks via the two-level bucket prefix (exact
+    # rationals); per-group rank sums through the exact decimal path;
+    # H = 12/(n(n+1)) * sum_g R_g^2/n_g - 3(n+1), divided by the tie
+    # correction 1 - sum(t^3-t)/(n^3-n). R_g^2/n_g grows ~n^3/k, so
+    # the 5-term sum is down-scaled 1e-6 through dsum (inverse of the
+    # small-sum recipe; envelope |sum*1e-6| < 9e11 holds to ~sf3 —
+    # past that, scale 1e-8). One fact-table aggregate to the
+    # (value, type) grid; everything after is bounded by value
+    # cardinality.
+    oracle=f"""
+WITH vals AS (
+  SELECT value, count(*)::BIGINT AS cnt, floor(value)::BIGINT AS bkt
+  FROM events GROUP BY 1
+),
+vt AS (
+  SELECT value, event_type, count(*)::BIGINT AS cnt_vt
+  FROM events GROUP BY 1, 2
+),
+bt AS (SELECT bkt, sum(cnt)::BIGINT AS bc FROM vals GROUP BY 1),
+off AS (
+  SELECT bkt,
+         coalesce(sum(bc) OVER (ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off_c
+  FROM bt
+),
+ranked AS (
+  SELECT v.value, v.cnt,
+         off.off_c + coalesce(sum(v.cnt) OVER (
+             PARTITION BY v.bkt ORDER BY v.value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (v.cnt + 1) / 2.0 AS avg_rank
+  FROM vals v JOIN off ON v.bkt = off.bkt
+),
+g AS (
+  SELECT vt.event_type,
+         sum(vt.cnt_vt)::BIGINT AS n_g,
+         {dsum_sql('vt.cnt_vt * r.avg_rank')} AS r_g
+  FROM vt JOIN ranked r ON vt.value = r.value
+  GROUP BY vt.event_type
+),
+tie AS (
+  SELECT sum(cnt)::BIGINT AS n,
+         sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_sum
+  FROM vals
+),
+h AS (
+  SELECT count(*)::BIGINT AS k,
+         {dsum_sql('(r_g * r_g / n_g) * 1e-6')} / 1e-6 AS s
+  FROM g
+)
+SELECT tie.n, h.k,
+       12.0 / (tie.n * (tie.n + 1.0)) * h.s - 3.0 * (tie.n + 1) AS h_stat,
+       1.0 - tie.tie_sum::DOUBLE
+           / (tie.n::DOUBLE * tie.n * tie.n - tie.n) AS tie_factor,
+       (12.0 / (tie.n * (tie.n + 1.0)) * h.s - 3.0 * (tie.n + 1))
+         / (1.0 - tie.tie_sum::DOUBLE
+                / (tie.n::DOUBLE * tie.n * tie.n - tie.n)) AS h_corrected
+FROM tie, h
+""",
+    doc="Kruskal-Wallis H across the five event types (nonparametric "
+    "one-way ANOVA on value): global tie-averaged ranks via two-level "
+    "bucket prefix sums, exact-decimal per-group rank sums, "
+    "tie-corrected H in one closed-form tree. Completes the rank-test "
+    "family (Mann-Whitney for 2 groups, KW for k).",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_kruskal_wallis(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    vals = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).withColumn(
+        "bkt", F.floor("value").cast("long")
+    )
+    vt = ev.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("cnt_vt"))
+    bt = vals.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
+    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    off = bt.select(
+        "bkt", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("off_c")
+    )
+    w_l = (
+        W.partitionBy("bkt").orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = vals.join(F.broadcast(off), "bkt").select(
+        "value",
+        "cnt",
+        (
+            F.col("off_c")
+            + F.coalesce(F.sum("cnt").over(w_l), F.lit(0))
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    g = (
+        vt.join(ranked.select("value", "avg_rank"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_vt").alias("n_g"),
+            dsum(F.col("cnt_vt") * F.col("avg_rank")).alias("r_g"),
+        )
+    )
+    tie = vals.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie_sum"
+        ),
+    )
+    # R_g^2/n_g ~ n^3/k: down-scale 1e-6 through the exact-decimal sum
+    # (envelope documented in the oracle comment)
+    h = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        (dsum((F.col("r_g") * F.col("r_g") / F.col("n_g")) * F.lit(1e-6)) / 1e-6)
+        .alias("s"),
+    )
+    n = F.col("n")
+    h_stat = 12.0 / (n * (n + F.lit(1.0))) * F.col("s") - 3.0 * (n + 1)
+    tie_factor = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        n.cast("double") * n * n - n
+    )
+    return tie.crossJoin(F.broadcast(h)).select(
+        "n",
+        "k",
+        h_stat.alias("h_stat"),
+        tie_factor.alias("tie_factor"),
+        (h_stat / tie_factor).alias("h_corrected"),
+    )
+
+
+@register(
+    "a_spearman_corr",
+    # Spearman rank correlation with tie-averaged ranks (public:
+    # Pearson over rank variables) between `value` and hour-of-day —
+    # is value seasonal within the day? Both rank vectors are exact
+    # .0/.5 rationals: value ranks from the two-level bucket prefix,
+    # hour ranks from the 24-row hour-count table. The fact table
+    # aggregates ONCE to the (value, hour) grid (bounded by value
+    # cardinality x 24, not rows); every rank moment is a grid sum
+    # weighted by cell count. Rank totals are n(n+1)/2 by identity —
+    # only the three second moments are summed, each ~n^3, so they
+    # carry the 1e-6 down-scale through the exact decimal path
+    # (envelope to ~sf1-3, then re-scale; inverse of the small-sum
+    # recipe). rho is one closed-form IEEE tree.
+    oracle=f"""
+WITH g AS (
+  SELECT value, hour(ts)::BIGINT AS h, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+vals AS (
+  SELECT value, sum(cnt)::BIGINT AS cnt, floor(value)::BIGINT AS bkt
+  FROM g GROUP BY 1
+),
+bt AS (SELECT bkt, sum(cnt)::BIGINT AS bc FROM vals GROUP BY 1),
+off AS (
+  SELECT bkt,
+         coalesce(sum(bc) OVER (ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off_c
+  FROM bt
+),
+rx AS (
+  SELECT v.value,
+         off.off_c + coalesce(sum(v.cnt) OVER (
+             PARTITION BY v.bkt ORDER BY v.value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (v.cnt + 1) / 2.0 AS rxv
+  FROM vals v JOIN off ON v.bkt = off.bkt
+),
+hours AS (SELECT h, sum(cnt)::BIGINT AS cnt FROM g GROUP BY 1),
+ry AS (
+  SELECT h,
+         coalesce(sum(cnt) OVER (ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (cnt + 1) / 2.0 AS ryh
+  FROM hours
+),
+m AS (
+  SELECT sum(g.cnt)::BIGINT AS n,
+         {dsum_sql('g.cnt * rx.rxv * ry.ryh * 1e-6')} / 1e-6 AS sxy,
+         {dsum_sql('g.cnt * rx.rxv * rx.rxv * 1e-6')} / 1e-6 AS sxx,
+         {dsum_sql('g.cnt * ry.ryh * ry.ryh * 1e-6')} / 1e-6 AS syy
+  FROM g JOIN rx ON g.value = rx.value JOIN ry ON g.h = ry.h
+)
+SELECT n,
+       (n * sxy - (n * (n + 1) / 2.0) * (n * (n + 1) / 2.0))
+         / (sqrt(n * sxx - (n * (n + 1) / 2.0) * (n * (n + 1) / 2.0))
+            * sqrt(n * syy - (n * (n + 1) / 2.0) * (n * (n + 1) / 2.0)))
+         AS spearman_rho
+FROM m
+""",
+    doc="Spearman rank correlation (tie-averaged) between value and "
+    "hour-of-day: one fact-table aggregate to the (value, hour) grid, "
+    "exact rational ranks (two-level prefix for value, 24-row table "
+    "for hour), rank totals by the n(n+1)/2 identity, down-scaled "
+    "exact-decimal second moments, closed-form rho. The monotone- "
+    "dependence screen that needs no distributional assumption.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_spearman_corr(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("value", F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).transform(lineage_cut_lazy)  # feeds vals, hours, and the moment join
+    vals = g.groupBy("value").agg(F.sum("cnt").alias("cnt")).withColumn(
+        "bkt", F.floor("value").cast("long")
+    )
+    bt = vals.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
+    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    off = bt.select(
+        "bkt", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("off_c")
+    )
+    w_l = (
+        W.partitionBy("bkt").orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    rx = vals.join(F.broadcast(off), "bkt").select(
+        "value",
+        (
+            F.col("off_c")
+            + F.coalesce(F.sum("cnt").over(w_l), F.lit(0))
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("rxv"),
+    )
+    hours = g.groupBy("h").agg(F.sum("cnt").alias("cnt"))
+    w_h = W.orderBy("h").rowsBetween(W.unboundedPreceding, -1)
+    ry = hours.select(
+        "h",
+        (
+            F.coalesce(F.sum("cnt").over(w_h), F.lit(0))
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("ryh"),
+    )
+    m = (
+        g.join(rx, "value")
+        .join(F.broadcast(ry), "h")
+        .agg(
+            F.sum("cnt").alias("n"),
+            (dsum(F.col("cnt") * F.col("rxv") * F.col("ryh") * F.lit(1e-6)) / 1e-6)
+            .alias("sxy"),
+            (dsum(F.col("cnt") * F.col("rxv") * F.col("rxv") * F.lit(1e-6)) / 1e-6)
+            .alias("sxx"),
+            (dsum(F.col("cnt") * F.col("ryh") * F.col("ryh") * F.lit(1e-6)) / 1e-6)
+            .alias("syy"),
+        )
+    )
+    n = F.col("n")
+    st = n * (n + 1) / 2.0  # exact rank total (tie averages preserve it)
+    return m.select(
+        "n",
+        (
+            (n * F.col("sxy") - st * st)
+            / (F.sqrt(n * F.col("sxx") - st * st) * F.sqrt(n * F.col("syy") - st * st))
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "a_brier_decomposition",
+    # Brier score with the Murphy (1973) decomposition — the standard
+    # audit of a probabilistic binary forecaster: BS = REL - RES + UNC
+    # (reliability: calibration gap; resolution: how much the
+    # forecasts separate outcomes; uncertainty: outcome base-rate
+    # variance). Forecaster under test: Laplace-smoothed purchase
+    # share per hour-of-day LEARNED ON THE FIRST HALF of the time
+    # range, scored on the SECOND half (the PSI train/current split) —
+    # a real temporal-generalization eval, not resubstitution. The
+    # forecast takes 24 distinct values, so every term is a sum over
+    # the 24-row (hour) grid of exact integer counts: BS expands as
+    # [np*(1-f)^2 + (n-np)*f^2] per hour; ECE (the expected
+    # calibration error every model card reports) rides along as
+    # sum (n_h/N)|f_h - ybar_h|. Per-hour terms are O(1e-2): the
+    # small-sum 1e6 scale carries them through the exact decimal path.
+    # The additivity residual BS - (REL - RES + UNC) is part of the
+    # gated row (near zero, bounded by IEEE rounding — the same
+    # self-check discipline as a_theil_decomposition).
+    oracle=f"""
+WITH mid AS (
+  SELECT (floor(epoch(min(ts)))::BIGINT + floor(epoch(max(ts)))::BIGINT) // 2
+           AS mid_epoch
+  FROM events
+),
+s AS (
+  SELECT hour(ts)::BIGINT AS h,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN floor(epoch(ts))::BIGINT < mid.mid_epoch
+              THEN 'train' ELSE 'test' END AS split
+  FROM events, mid
+),
+hh AS (
+  SELECT h,
+         count(*) FILTER (WHERE split = 'train')::BIGINT AS ntr,
+         sum(CASE WHEN split = 'train' THEN y ELSE 0 END)::BIGINT AS ptr,
+         count(*) FILTER (WHERE split = 'test')::BIGINT AS nte,
+         sum(CASE WHEN split = 'test' THEN y ELSE 0 END)::BIGINT AS pte
+  FROM s GROUP BY h
+),
+f AS (
+  SELECT h, ntr, nte, pte,
+         (ptr + 1.0) / (ntr + 2.0) AS fh,
+         pte::DOUBLE / nte AS ybarh
+  FROM hh
+),
+tot AS (SELECT sum(nte)::BIGINT AS n_test, sum(ntr)::BIGINT AS n_train,
+               sum(pte)::BIGINT AS p_test FROM f),
+terms AS (
+  SELECT {dsum_sql('(pte * (1.0 - fh) * (1.0 - fh) + (nte - pte) * fh * fh) / tot.n_test * 1e6')} / 1e6 AS brier,
+         {dsum_sql('nte * (fh - ybarh) * (fh - ybarh) / tot.n_test * 1e6')} / 1e6 AS rel,
+         {dsum_sql('nte * (ybarh - tot.p_test::DOUBLE / tot.n_test) * (ybarh - tot.p_test::DOUBLE / tot.n_test) / tot.n_test * 1e6')} / 1e6 AS res,
+         {dsum_sql('nte::DOUBLE / tot.n_test * abs(fh - ybarh) * 1e6')} / 1e6 AS ece
+  FROM f, tot
+)
+SELECT tot.n_train, tot.n_test,
+       terms.brier,
+       terms.rel AS reliability,
+       terms.res AS resolution,
+       (tot.p_test::DOUBLE / tot.n_test)
+         * (1.0 - tot.p_test::DOUBLE / tot.n_test) AS uncertainty,
+       terms.brier - (terms.rel - terms.res
+         + (tot.p_test::DOUBLE / tot.n_test)
+           * (1.0 - tot.p_test::DOUBLE / tot.n_test)) AS additivity_residual,
+       terms.ece
+FROM tot, terms
+""",
+    doc="Brier score + Murphy decomposition (reliability - resolution "
+    "+ uncertainty) and expected calibration error for an hour-of-day "
+    "purchase forecaster trained on the first time-half and scored on "
+    "the second: exact integer counts on a 24-row grid, Laplace- "
+    "smoothed rational forecasts, 1e6-scaled exact-decimal term sums, "
+    "additivity residual in the gated row. The probabilistic-eval "
+    "counterpart of the threshold-free AUC.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_brier_decomposition(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.floor(F.unix_timestamp(F.min("ts"))).cast("long")
+             + F.floor(F.unix_timestamp(F.max("ts"))).cast("long")) / 2
+        ).cast("long").alias("mid_epoch")
+    )
+    s = ev.crossJoin(F.broadcast(mid)).select(
+        F.hour("ts").cast("long").alias("h"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(
+            F.unix_timestamp("ts").cast("long") < F.col("mid_epoch"), "train"
+        ).otherwise("test").alias("split"),
+    )
+    hh = s.groupBy("h").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("ntr"),
+        F.sum(F.when(F.col("split") == "train", F.col("y")).otherwise(0)).alias(
+            "ptr"
+        ),
+        F.count(F.when(F.col("split") == "test", 1)).alias("nte"),
+        F.sum(F.when(F.col("split") == "test", F.col("y")).otherwise(0)).alias(
+            "pte"
+        ),
+    )
+    f = hh.select(
+        "h",
+        "ntr",
+        "nte",
+        "pte",
+        ((F.col("ptr") + 1.0) / (F.col("ntr") + 2.0)).alias("fh"),
+        (F.col("pte").cast("double") / F.col("nte")).alias("ybarh"),
+    ).transform(lineage_cut_lazy)  # tot + terms both read the 24-row grid
+    tot = f.agg(
+        F.sum("nte").alias("n_test"),
+        F.sum("ntr").alias("n_train"),
+        F.sum("pte").alias("p_test"),
+    )
+    ybar = F.col("p_test").cast("double") / F.col("n_test")
+    fh, yb, nte, pte = F.col("fh"), F.col("ybarh"), F.col("nte"), F.col("pte")
+    nt = F.col("n_test")
+    terms = f.crossJoin(F.broadcast(tot)).agg(
+        (dsum(
+            (pte * (1.0 - fh) * (1.0 - fh) + (nte - pte) * fh * fh)
+            / nt * F.lit(1e6)
+        ) / 1e6).alias("brier"),
+        (dsum(nte * (fh - yb) * (fh - yb) / nt * F.lit(1e6)) / 1e6).alias("rel"),
+        (dsum(nte * (yb - ybar) * (yb - ybar) / nt * F.lit(1e6)) / 1e6).alias(
+            "res"
+        ),
+        (dsum(nte.cast("double") / nt * F.abs(fh - yb) * F.lit(1e6)) / 1e6).alias(
+            "ece"
+        ),
+    )
+    unc = ybar * (1.0 - ybar)
+    return tot.crossJoin(F.broadcast(terms)).select(
+        "n_train",
+        "n_test",
+        "brier",
+        F.col("rel").alias("reliability"),
+        F.col("res").alias("resolution"),
+        unc.alias("uncertainty"),
+        (F.col("brier") - (F.col("rel") - F.col("res") + unc)).alias(
+            "additivity_residual"
+        ),
+        "ece",
+    )

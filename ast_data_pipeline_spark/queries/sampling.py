@@ -1692,3 +1692,108 @@ def x_greedy_coverage(spark, sf_dir):
     return spark.createDataFrame(
         out_rows, "k int, doc_id long, gain long, cum_covered long, coverage_share double"
     )
+
+
+SOURCE_CAP = 15      # max docs kept per source
+SOURCE_CAP_SALTS = 8  # phase-1 prefilter fan-out per source
+
+
+@register(
+    "x_source_cap",
+    # Per-source document cap (the CommonCrawl-pipeline staple: no
+    # single domain may dominate the corpus — C4, Gopher and RefinedWeb
+    # all cap per-domain document counts; here "keep the CAP
+    # best-quality docs per source"). The SKEW problem at 100 TB: a
+    # single hot source holds millions of docs, so one
+    # Window.partitionBy(source) rank puts an entire domain in one
+    # task. The scale-correct plan is TWO-PHASE top-N (the classic
+    # distributed-heap trick): phase 1 ranks within (source, salt)
+    # partitions — doc_id % NSALT splits a hot source across NSALT
+    # tasks — and keeps each local top-CAP (any global top-CAP row is
+    # necessarily in its salt's local top-CAP: a row beaten by >= CAP
+    # rows in its own salt is beaten by >= CAP rows globally); phase 2
+    # ranks the <= NSALT*CAP survivors per source. The quality order
+    # chain (q DESC, doc_id) is unique, so both phases are
+    # deterministic; q is the bit-identical Gopher/C4 composite
+    # (operators/text.quality_score, SQL-mirrored term for term). The
+    # oracle needs no salt: rank <= CAP per source is the semantics,
+    # the salting is pure plan shape. Report grain: per source, kept /
+    # dropped counts, the admission threshold (min kept quality), and
+    # kept token volume.
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_words,
+         (CASE WHEN len(wlist) >= 20 AND len(wlist) <= 400 THEN 1.0 ELSE 0.0 END) * 0.4
+         + least(len(list_filter(wlist, w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))::DOUBLE / len(wlist)::DOUBLE * 2.0, 1.0) * 0.4
+         + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE * 10.0, 1.0)) * 0.2 AS q
+  FROM (SELECT doc_id, source, text,
+               string_split(lower(text), ' ') AS wlist
+        FROM documents)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+  FROM q
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rk <= {SOURCE_CAP} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rk > {SOURCE_CAP} THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       min(CASE WHEN rk <= {SOURCE_CAP} THEN q END) AS admission_threshold,
+       sum(CASE WHEN rk <= {SOURCE_CAP} THEN n_words ELSE 0 END)::BIGINT
+         AS kept_words
+FROM ranked GROUP BY source ORDER BY source
+""",
+    doc="Per-source document cap (keep the CAP best-quality docs per "
+    "source — the C4/Gopher/RefinedWeb domain-cap rule) via two-phase "
+    "top-N: salted local ranks prefilter hot sources across tasks, "
+    "then the bounded survivor set ranks per source. Reports kept/"
+    "dropped counts, the admission quality threshold and kept token "
+    "volume per source.",
+    tags=("sampling", "curation", "extension"),
+)
+def x_source_cap(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        quality_score("w", F.col("text")).alias("q"),
+    )
+    # phase 1: salted local top-CAP (a row with >= CAP better rows in
+    # its own salt has >= CAP better rows globally -> safe to drop)
+    w_salt = W.partitionBy(
+        "source", (F.col("doc_id") % SOURCE_CAP_SALTS)
+    ).orderBy(F.col("q").desc(), "doc_id")
+    local = q.withColumn("lrk", F.row_number().over(w_salt)).filter(
+        F.col("lrk") <= SOURCE_CAP
+    )
+    # phase 2: exact rank over <= NSALT*CAP survivors per source
+    w_src = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    ranked = local.withColumn("rk", F.row_number().over(w_src))
+    kept = ranked.filter(F.col("rk") <= SOURCE_CAP)
+    per_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("q").alias("admission_threshold"),
+        F.sum("n_words").alias("kept_words"),
+    )
+    per_all = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_all.join(per_kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "admission_threshold",
+            "kept_words",
+        )
+        .orderBy("source")
+    )

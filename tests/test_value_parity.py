@@ -311,3 +311,102 @@ def test_graph_assortativity_value_parity(spark, sf_dir):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+# ------------------------------------------------------------------ AUC
+
+
+def test_roc_auc_value_parity(spark, sf_dir):
+    got = _run(spark, sf_dir, "a_roc_auc").iloc[0]
+    ev = _raw(sf_dir, "events")
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    pos = ev.loc[ev.event_type == "purchase", "value"].to_numpy()
+    neg = ev.loc[ev.event_type == "click", "value"].to_numpy()
+    # independent derivation: AUC as the pairwise win probability
+    # P(score_pos > score_neg) + 0.5 P(tie) — no ranks involved
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert _close(got.auc, auc, rel=1e-12), (got.auc, auc)
+    assert _close(got.gini_coefficient, 2 * auc - 1, rel=1e-9)
+
+
+# ---------------------------------------------------------- Kruskal-Wallis
+
+
+def test_kruskal_wallis_value_parity(spark, sf_dir):
+    got = _run(spark, sf_dir, "a_kruskal_wallis").iloc[0]
+    ev = _raw(sf_dir, "events")
+    ranks = ev.value.rank(method="average")
+    n = len(ev)
+    s = sum(
+        float(ranks[ev.event_type == et].sum()) ** 2
+        / int((ev.event_type == et).sum())
+        for et in ev.event_type.unique()
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    counts = ev.value.value_counts().to_numpy(dtype=np.float64)
+    tie = 1.0 - float((counts**3 - counts).sum()) / (n**3 - n)
+    assert got.n == n and got.k == ev.event_type.nunique()
+    # the engine's R_g^2/n_g sum rides a 1e-6 down-scaled decimal sum
+    # whose 4-dp rounding costs up to ~50 absolute on s; through the
+    # 12/(n(n+1)) cancellation that is ~6e-4 on h at sf0.001 and
+    # shrinks as 1/n^2 with scale — abs 2e-3 is the honest floor
+    assert _close(got.h_stat, h, rel=1e-4, abs_=2e-3), (got.h_stat, h)
+    assert _close(got.tie_factor, tie, rel=1e-9)
+    assert _close(got.h_corrected, h / tie, rel=1e-4, abs_=2e-3)
+
+
+# -------------------------------------------------------------- Spearman
+
+
+def test_spearman_value_parity(spark, sf_dir):
+    got = _run(spark, sf_dir, "a_spearman_corr").iloc[0]
+    ev = _raw(sf_dir, "events")
+    rx = ev.value.rank(method="average").to_numpy()
+    ry = ev.ts.dt.hour.rank(method="average").to_numpy()
+    rho = float(np.corrcoef(rx, ry)[0, 1])
+    assert got.n == len(ev)
+    # the three second moments ride a 1e-6 down-scaled decimal sum;
+    # its 4-dp rounding is up to ~50 absolute per moment, i.e. ~12 *
+    # 50/n^2 on rho (6e-7 at n=1e3, vanishing with scale) — and rho
+    # itself is near zero here, so the floor is absolute, not relative
+    assert _close(got.spearman_rho, rho, rel=1e-4, abs_=2e-6), (
+        got.spearman_rho, rho,
+    )
+
+
+# ----------------------------------------------------------------- Brier
+
+
+def test_brier_decomposition_value_parity(spark, sf_dir):
+    got = _run(spark, sf_dir, "a_brier_decomposition").iloc[0]
+    ev = _raw(sf_dir, "events")
+    epoch = ev.ts.astype("int64") // 10**6
+    mid = (int(epoch.min()) + int(epoch.max())) // 2
+    ev["h"] = ev.ts.dt.hour
+    ev["y"] = (ev.event_type == "purchase").astype(float)
+    train = ev[epoch < mid]
+    test = ev[epoch >= mid].copy()
+    f_h = train.groupby("h").y.agg(["sum", "count"])
+    fmap = ((f_h["sum"] + 1.0) / (f_h["count"] + 2.0)).to_dict()
+    test["f"] = test.h.map(fmap)
+    n = len(test)
+    brier = float(((test.f - test.y) ** 2).mean())
+    ybar = test.y.mean()
+    gb = test.groupby("h")
+    rel = float(
+        sum(len(g) * (g.f.iloc[0] - g.y.mean()) ** 2 for _, g in gb) / n
+    )
+    res = float(sum(len(g) * (g.y.mean() - ybar) ** 2 for _, g in gb) / n)
+    ece = float(sum(len(g) * abs(g.f.iloc[0] - g.y.mean()) for _, g in gb) / n)
+    assert got.n_train == len(train) and got.n_test == n
+    assert _close(got.brier, brier, rel=1e-8, abs_=1e-9), (got.brier, brier)
+    assert _close(got.reliability, rel, rel=1e-7, abs_=1e-9)
+    assert _close(got.resolution, res, rel=1e-7, abs_=1e-9)
+    assert _close(got.uncertainty, float(ybar * (1 - ybar)), rel=1e-12)
+    assert _close(got.ece, ece, rel=1e-7, abs_=1e-9)
+    # Murphy additivity, recomputed AND as gated
+    assert abs(brier - (rel - res + ybar * (1 - ybar))) < 1e-9
+    assert abs(got.additivity_residual) < 1e-8

@@ -95,6 +95,10 @@ LARGE: frozenset[str] = frozenset(
         "a_corr_matrix", "a_benford_digits", "a_chi2_independence",
         "a_linreg_trend", "a_anova_oneway", "a_welch_ttest",
         "a_mannwhitney_u", "x_graph_assortativity",
+        # r11 rank statistics: rank sums with per-row magnitude >= 1
+        # (their big second moments carry explicit down-scales and
+        # auto-pass; these are the plain R_1/R_g first-moment sums)
+        "a_roc_auc", "a_kruskal_wallis",
     }
 )
 
