@@ -4606,3 +4606,141 @@ def a_brier_decomposition(spark, sf_dir):
         ),
         "ece",
     )
+
+
+@register(
+    "a_kendall_tau",
+    # Kendall tau-b (public 1945 statistic; the tie-corrected
+    # concordance coefficient) between `value` and hour-of-day — the
+    # pair-counting twin of a_spearman_corr. The naive method is
+    # O(n^2) pairs; the distributed method here exploits that one
+    # variable (hour) has a tiny domain: aggregate the fact table ONCE
+    # to the dense (distinct value x 24 hour) grid (bounded by the
+    # value DOMAIN at any corpus size), then count concordant/
+    # discordant pairs with two cascaded prefix sums —
+    # cumv(v,h) = #rows with value' < v in hour h (window per hour
+    # over the value-sorted grid), then A(v,h) = sum_{h'<h} cumv(v,h')
+    # and B(v,h) = sum_{h'>h} cumv(v,h') (window per value over the
+    # 24 hours). C = sum cnt*A, D = sum cnt*B count each pair exactly
+    # once. Tie terms n1 (value ties) and n2 (hour ties) are exact
+    # BIGINTs; tau_b = (C - D)/sqrt((n0-n1)*(n0-n2)) is one IEEE tree.
+    # C/D summands reach ~n^2 per cell (sum ~n^3/const), so they ride
+    # the 1e-6 down-scaled exact-decimal sum (same envelope note as
+    # a_kruskal_wallis).
+    oracle=f"""
+WITH g0 AS (
+  SELECT value, hour(ts)::BIGINT AS h, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT value FROM g0),
+hrs AS (SELECT DISTINCT h FROM g0),
+g AS (
+  SELECT vals.value, hrs.h, coalesce(g0.cnt, 0)::BIGINT AS cnt
+  FROM vals CROSS JOIN hrs
+  LEFT JOIN g0 ON g0.value = vals.value AND g0.h = hrs.h
+),
+cv AS (
+  SELECT value, h, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY h ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumv
+  FROM g
+),
+ab AS (
+  SELECT value, h, cnt,
+         coalesce(sum(cumv) OVER (PARTITION BY value ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS a,
+         sum(cumv) OVER (PARTITION BY value)
+           - coalesce(sum(cumv) OVER (PARTITION BY value ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           - cumv AS b
+  FROM cv
+),
+cd AS (
+  SELECT {dsum_sql('cnt * a * 1e-6')} / 1e-6 AS c,
+         {dsum_sql('cnt * b * 1e-6')} / 1e-6 AS d
+  FROM ab
+),
+ties AS (
+  SELECT (SELECT sum(cnt)::BIGINT FROM g0) AS n,
+         (SELECT sum(ct * (ct - 1) / 2)::BIGINT FROM
+            (SELECT sum(cnt)::BIGINT AS ct FROM g0 GROUP BY value)) AS n1,
+         (SELECT sum(ct * (ct - 1) / 2)::BIGINT FROM
+            (SELECT sum(cnt)::BIGINT AS ct FROM g0 GROUP BY h)) AS n2
+)
+SELECT ties.n, cd.c AS concordant, cd.d AS discordant,
+       (cd.c - cd.d)
+         / sqrt((ties.n * (ties.n - 1) / 2.0 - ties.n1)
+                * (ties.n * (ties.n - 1) / 2.0 - ties.n2)) AS kendall_tau_b
+FROM ties, cd
+""",
+    doc="Kendall tau-b between value and hour-of-day without the "
+    "O(n^2) pair scan: dense (value x 24) grid, cascaded prefix sums "
+    "count concordant/discordant pairs exactly once, BIGINT tie "
+    "terms, closed-form tau-b. Bounded by the value domain x 24 at "
+    "any corpus size — the pair-counting twin of a_spearman_corr.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_kendall_tau(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    g0 = ev.groupBy("value", F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).transform(lineage_cut_lazy)  # grid + both tie censuses
+    vals = g0.select("value").distinct()
+    hrs = g0.select("h").distinct()
+    g = (
+        vals.crossJoin(F.broadcast(hrs))
+        .join(g0, ["value", "h"], "left")
+        .select("value", "h", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w_v = (
+        W.partitionBy("h").orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cv = g.select(
+        "value",
+        "h",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_v), F.lit(0)).alias("cumv"),
+    )
+    w_h = (
+        W.partitionBy("value").orderBy("h")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = W.partitionBy("value")
+    a = F.coalesce(F.sum("cumv").over(w_h), F.lit(0))
+    ab = cv.select(
+        "cnt",
+        a.alias("a"),
+        (F.sum("cumv").over(w_all) - a - F.col("cumv")).alias("b"),
+    )
+    cd = ab.agg(
+        (dsum(F.col("cnt") * F.col("a") * F.lit(1e-6)) / 1e-6).alias("c"),
+        (dsum(F.col("cnt") * F.col("b") * F.lit(1e-6)) / 1e-6).alias("d"),
+    )
+    vt = g0.groupBy("value").agg(F.sum("cnt").alias("ct")).agg(
+        F.sum(F.col("ct") * (F.col("ct") - 1) / 2).cast("long").alias("n1")
+    )
+    ht = g0.groupBy("h").agg(F.sum("cnt").alias("ct")).agg(
+        F.sum(F.col("ct") * (F.col("ct") - 1) / 2).cast("long").alias("n2")
+    )
+    tot = g0.agg(F.sum("cnt").alias("n"))
+    n = F.col("n")
+    n0 = n * (n - 1) / 2.0
+    return (
+        tot.crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(cd))
+        .select(
+            "n",
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            (
+                (F.col("c") - F.col("d"))
+                / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2")))
+            ).alias("kendall_tau_b"),
+        )
+    )

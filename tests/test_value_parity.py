@@ -410,3 +410,48 @@ def test_brier_decomposition_value_parity(spark, sf_dir):
     # Murphy additivity, recomputed AND as gated
     assert abs(brier - (rel - res + ybar * (1 - ybar))) < 1e-9
     assert abs(got.additivity_residual) < 1e-8
+
+
+# ---------------------------------------------------------------- Kendall
+
+
+def test_kendall_tau_value_parity(spark, sf_dir):
+    got = _run(spark, sf_dir, "a_kendall_tau").iloc[0]
+    ev = _raw(sf_dir, "events")
+    # brute-force O(n^2) pair signs in numpy (fine at sf0.001) — a
+    # fully independent path vs the engine's dense-grid prefix counting
+    # (pandas' kendall needs scipy, absent from this env)
+    x = ev.value.to_numpy()
+    y = ev.ts.dt.hour.to_numpy()
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    prod = dx * dy
+    c = int((prod > 0).sum()) // 2
+    d = int((prod < 0).sum()) // 2
+    n = len(ev)
+    n0 = n * (n - 1) / 2
+    nn1 = n0 - int((dx == 0).sum() - n) // 2
+    nn2 = n0 - int((dy == 0).sum() - n) // 2
+    tau = (c - d) / math.sqrt(nn1 * nn2)
+    assert got.n == n
+    assert _close(got.concordant, c, rel=1e-9, abs_=60)
+    assert _close(got.discordant, d, rel=1e-9, abs_=60)
+    # C/D ride a 1e-6 down-scaled decimal sum (<= 50 absolute each);
+    # near-zero tau makes the floor absolute
+    assert _close(got.kendall_tau_b, tau, rel=1e-4, abs_=2e-6), (
+        got.kendall_tau_b, tau,
+    )
+    # exact pair-count identity: C + D + tied pairs == n(n-1)/2
+    n = int(got.n)
+    vc = ev.value.value_counts().to_numpy(dtype=np.int64)
+    hc = ev.ts.dt.hour.value_counts().to_numpy(dtype=np.int64)
+    # tied-in-either = n1 + n2 - n12 (both-tied counted once)
+    both = (
+        ev.groupby([ev.value, ev.ts.dt.hour]).size().to_numpy(dtype=np.int64)
+    )
+    n1 = int((vc * (vc - 1) // 2).sum())
+    n2 = int((hc * (hc - 1) // 2).sum())
+    n12 = int((both * (both - 1) // 2).sum())
+    assert abs(
+        got.concordant + got.discordant + n1 + n2 - n12 - n * (n - 1) / 2
+    ) <= 120  # the two down-scaled sums' rounding, ~50 each
