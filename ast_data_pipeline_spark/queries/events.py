@@ -2201,3 +2201,179 @@ def e_markov_transitions(spark, sf_dir):
         F.col("n_from").cast("long").alias("n_from"),
         (F.col("n").cast("double") / F.col("n_from")).alias("prob"),
     )
+
+
+@register(
+    "e_diff_in_diff",
+    # Difference-in-differences (public econometrics; the quasi-
+    # experimental estimator when you have treatment/control AND
+    # before/after): did = (T_post - T_pre) - (C_post - C_pre) removes
+    # both the group-level baseline gap and the common time trend.
+    # Panel: every user x {pre, post} with the user's exact-decimal
+    # purchase total in that period (zero-filled — a balanced panel,
+    # no survivorship in the cell means). Treatment is the sticky
+    # md5-byte coin (the e_ab_test_analysis assignment rule, own
+    # salt); pre/post is the integer epoch midpoint (the a_psi_drift
+    # split). The four cell means/variances come from exact-decimal
+    # moments; the interaction SE is the Welch-style sqrt(sum v_i/n_i)
+    # over the four cells and the t statistic one IEEE tree. Two hash
+    # aggregates (user-period totals, then 4-cell combine) — the same
+    # two-pass shape at any scale.
+    oracle="""
+WITH mid AS (
+  SELECT (floor(epoch(min(ts)))::BIGINT + floor(epoch(max(ts)))::BIGINT) // 2
+           AS mid_epoch
+  FROM events
+),
+users AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN ('0x' || substr(md5('did|' || user_id::VARCHAR), 1, 2))::INT < 128
+              THEN 'T' ELSE 'C' END AS grp
+  FROM events
+),
+up AS (
+  SELECT user_id,
+         CASE WHEN floor(epoch(ts))::BIGINT < mid.mid_epoch
+              THEN 'pre' ELSE 'post' END AS period,
+         round(sum(CASE WHEN event_type = 'purchase'
+                        THEN value ELSE 0.0 END::DECIMAL(30,10)), 4)::DOUBLE AS y
+  FROM events, mid GROUP BY 1, 2
+),
+panel AS (
+  SELECT u.user_id, u.grp, p.period, coalesce(up.y, 0.0) AS y
+  FROM users u CROSS JOIN (SELECT unnest(['pre', 'post']) AS period) p
+  LEFT JOIN up ON up.user_id = u.user_id AND up.period = p.period
+),
+cells AS (
+  SELECT grp, period, count(*)::BIGINT AS n,
+         round(sum((y)::DECIMAL(30,10)), 4)::DOUBLE AS s,
+         round(sum((y * y)::DECIMAL(30,10)), 4)::DOUBLE AS q
+  FROM panel GROUP BY 1, 2
+),
+m AS (
+  SELECT grp, period, n, s / n AS mean,
+         (q - (s / n) * s) / (n - 1) AS var
+  FROM cells
+),
+w AS (
+  SELECT
+    max(CASE WHEN grp = 'T' AND period = 'pre' THEN n END) AS n_t,
+    max(CASE WHEN grp = 'C' AND period = 'pre' THEN n END) AS n_c,
+    max(CASE WHEN grp = 'T' AND period = 'pre' THEN mean END) AS m_t_pre,
+    max(CASE WHEN grp = 'T' AND period = 'post' THEN mean END) AS m_t_post,
+    max(CASE WHEN grp = 'C' AND period = 'pre' THEN mean END) AS m_c_pre,
+    max(CASE WHEN grp = 'C' AND period = 'post' THEN mean END) AS m_c_post,
+    max(CASE WHEN grp = 'T' AND period = 'pre' THEN var / n END)
+      + max(CASE WHEN grp = 'T' AND period = 'post' THEN var / n END)
+      + max(CASE WHEN grp = 'C' AND period = 'pre' THEN var / n END)
+      + max(CASE WHEN grp = 'C' AND period = 'post' THEN var / n END) AS se2
+  FROM m
+)
+SELECT n_t AS n_treat, n_c AS n_control,
+       m_t_pre, m_t_post, m_c_pre, m_c_post,
+       (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_estimate,
+       sqrt(se2) AS std_error,
+       ((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / sqrt(se2) AS t_stat
+FROM w
+""",
+    doc="Difference-in-differences on per-user purchase totals: sticky "
+    "md5 treatment assignment, epoch-midpoint pre/post split, balanced "
+    "zero-filled user-period panel, four exact-decimal cell moments, "
+    "Welch-style interaction SE and t — the quasi-experimental "
+    "estimator that removes baseline gaps and common trends. Two hash "
+    "aggregates at any scale.",
+    tags=("events", "stats", "extension"),
+)
+def e_diff_in_diff(spark, sf_dir):
+    from ..functions.exact import DEC, RSCALE
+
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.floor(F.unix_timestamp(F.min("ts"))).cast("long")
+             + F.floor(F.unix_timestamp(F.max("ts"))).cast("long")) / 2
+        ).cast("long").alias("mid_epoch")
+    )
+    grp = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("did|"), F.col("user_id").cast("string"))), 1, 2), 16, 10)
+        .cast("int") < 128,
+        "T",
+    ).otherwise("C")
+    users = ev.select("user_id").distinct().select("user_id", grp.alias("grp"))
+    up = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "user_id",
+            F.when(
+                F.unix_timestamp("ts").cast("long") < F.col("mid_epoch"), "pre"
+            ).otherwise("post").alias("period"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                    .cast(DEC)
+                ),
+                RSCALE,
+            ).cast("double").alias("y")
+        )
+    )
+    periods = ev.sparkSession.createDataFrame(
+        [("pre",), ("post",)], "period string"
+    )
+    panel = (
+        users.crossJoin(F.broadcast(periods))
+        .join(up, ["user_id", "period"], "left")
+        .select("grp", "period", F.coalesce("y", F.lit(0.0)).alias("y"))
+    )
+    cells = panel.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("y").cast(DEC)), RSCALE).cast("double").alias("s"),
+        F.round(F.sum((F.col("y") * F.col("y")).cast(DEC)), RSCALE)
+        .cast("double").alias("q"),
+    )
+    m = cells.select(
+        "grp",
+        "period",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        (
+            (F.col("q") - (F.col("s") / F.col("n")) * F.col("s"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+
+    def cell(g, p, col):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(col))
+        )
+
+    w = m.agg(
+        cell("T", "pre", "n").alias("n_treat"),
+        cell("C", "pre", "n").alias("n_control"),
+        cell("T", "pre", "mean").alias("m_t_pre"),
+        cell("T", "post", "mean").alias("m_t_post"),
+        cell("C", "pre", "mean").alias("m_c_pre"),
+        cell("C", "post", "mean").alias("m_c_post"),
+        (
+            cell("T", "pre", "var") / cell("T", "pre", "n")
+            + cell("T", "post", "var") / cell("T", "post", "n")
+            + cell("C", "pre", "var") / cell("C", "pre", "n")
+            + cell("C", "post", "var") / cell("C", "post", "n")
+        ).alias("se2"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    return w.select(
+        "n_treat",
+        "n_control",
+        "m_t_pre",
+        "m_t_post",
+        "m_c_pre",
+        "m_c_post",
+        did.alias("did_estimate"),
+        F.sqrt(F.col("se2")).alias("std_error"),
+        (did / F.sqrt(F.col("se2"))).alias("t_stat"),
+    )

@@ -455,3 +455,50 @@ def test_kendall_tau_value_parity(spark, sf_dir):
     assert abs(
         got.concordant + got.discordant + n1 + n2 - n12 - n * (n - 1) / 2
     ) <= 120  # the two down-scaled sums' rounding, ~50 each
+
+
+# ------------------------------------------------------------------ DiD
+
+
+def test_diff_in_diff_value_parity(spark, sf_dir):
+    import hashlib
+
+    got = _run(spark, sf_dir, "e_diff_in_diff").iloc[0]
+    ev = _raw(sf_dir, "events")
+    epoch = ev.ts.astype("int64") // 10**6
+    mid = (int(epoch.min()) + int(epoch.max())) // 2
+    ev["period"] = np.where(epoch < mid, "pre", "post")
+    ev["purch"] = np.where(ev.event_type == "purchase", ev.value, 0.0)
+
+    def grp(uid):
+        return (
+            "T"
+            if int(hashlib.md5(f"did|{uid}".encode()).hexdigest()[:2], 16) < 128
+            else "C"
+        )
+
+    users = {u: grp(u) for u in ev.user_id.unique()}
+    up = ev.groupby(["user_id", "period"]).purch.sum()
+    cells = {}
+    for g in ("T", "C"):
+        uids = [u for u, gg in users.items() if gg == g]
+        for p in ("pre", "post"):
+            y = np.array([up.get((u, p), 0.0) for u in uids])
+            cells[(g, p)] = y
+    m = {k: v.mean() for k, v in cells.items()}
+    did = (m[("T", "post")] - m[("T", "pre")]) - (
+        m[("C", "post")] - m[("C", "pre")]
+    )
+    se = math.sqrt(
+        sum(v.var(ddof=1) / len(v) for v in cells.values())
+    )
+    assert got.n_treat == len(cells[("T", "pre")])
+    assert got.n_control == len(cells[("C", "pre")])
+    for col, key in (
+        ("m_t_pre", ("T", "pre")), ("m_t_post", ("T", "post")),
+        ("m_c_pre", ("C", "pre")), ("m_c_post", ("C", "post")),
+    ):
+        assert _close(got[col], m[key], rel=1e-7), (col, got[col], m[key])
+    assert _close(got.did_estimate, did, rel=1e-7, abs_=1e-6)
+    assert _close(got.std_error, se, rel=1e-7)
+    assert _close(got.t_stat, did / se, rel=1e-6)
