@@ -11,6 +11,7 @@ from ast_data_pipeline_spark.lineage import lineage_cut_lazy
 
 from ..functions.exact import davg_sql, dsum, dsum_sql
 from ..operators.aggregates import crosstab_with_margins, pricing_summary
+from ..operators.text import quality_score_sql
 from ..registry import register
 from ..sources.catalog import load
 
@@ -4743,4 +4744,224 @@ def a_kendall_tau(spark, sf_dir):
                 / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2")))
             ).alias("kendall_tau_b"),
         )
+    )
+
+
+@register(
+    "a_mcnemar_test",
+    # McNemar's test (public 1947 statistic — the PAIRED complement of
+    # Cohen's kappa on the same two document-quality raters): kappa
+    # asks "do the raters agree beyond chance?", McNemar asks "do they
+    # DISAGREE symmetrically?" — a systematic bias shows as b != c in
+    # the off-diagonal of the paired 2x2 (rater A high / rater B high).
+    # chi2 = (b-c)^2/(b+c) plus the Edwards continuity-corrected
+    # (|b-c|-1)^2/(b+c); both are single IEEE divisions over exact
+    # integer counts — bit-identical everywhere. Same two hash
+    # aggregates as kappa (word counts, then the 1-row paired table).
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS wlist
+  FROM documents
+),
+qa AS (
+  SELECT doc_id,
+         CASE WHEN ({quality_score_sql('wlist', 'text')}) > {KAPPA_Q_MID}
+              THEN 1 ELSE 0 END AS a_yes
+  FROM d
+),
+tw AS (
+  SELECT doc_id, max(c)::DOUBLE / any_value(n) AS top_share
+  FROM (SELECT doc_id, word, count(*)::BIGINT AS c, any_value(n) AS n
+        FROM (SELECT doc_id, unnest(wlist) AS word, len(wlist) AS n FROM d)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id
+),
+qb AS (
+  SELECT doc_id,
+         CASE WHEN top_share <= {KAPPA_R_MID} THEN 1 ELSE 0 END AS b_yes
+  FROM tw
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN a_yes = 1 AND b_yes = 1 THEN 1 ELSE 0 END)::BIGINT AS both_yes,
+         sum(CASE WHEN a_yes = 0 AND b_yes = 0 THEN 1 ELSE 0 END)::BIGINT AS both_no,
+         sum(CASE WHEN a_yes = 1 AND b_yes = 0 THEN 1 ELSE 0 END)::BIGINT AS b_cell,
+         sum(CASE WHEN a_yes = 0 AND b_yes = 1 THEN 1 ELSE 0 END)::BIGINT AS c_cell
+  FROM qa JOIN qb USING (doc_id)
+)
+SELECT n, both_yes, both_no, b_cell, c_cell,
+       (b_cell - c_cell) * (b_cell - c_cell)
+         / (b_cell + c_cell)::DOUBLE AS chi2,
+       (abs(b_cell - c_cell) - 1) * (abs(b_cell - c_cell) - 1)
+         / (b_cell + c_cell)::DOUBLE AS chi2_corrected
+FROM m
+""",
+    doc="McNemar's paired test on the kappa raters binarized at their "
+    "'high' cuts: off-diagonal disagreement cells b/c from exact "
+    "integer counts, plain and continuity-corrected chi2 — detects "
+    "systematic rater bias that symmetric agreement measures miss.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_mcnemar_test(spark, sf_dir):
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    q = quality_score("w", F.col("text"))
+    qa = docs.select(
+        "doc_id", F.when(q > KAPPA_Q_MID, 1).otherwise(0).alias("a_yes")
+    )
+    words = docs.select(
+        "doc_id", F.size("w").cast("long").alias("n"), F.explode("w").alias("word")
+    )
+    wc = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c"), F.first("n").alias("n")
+    )
+    tw = wc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.first("n")).alias("top_share")
+    )
+    qb = tw.select(
+        "doc_id",
+        F.when(F.col("top_share") <= KAPPA_R_MID, 1).otherwise(0).alias("b_yes"),
+    )
+    m = qa.join(qb, "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("a_yes") == 1) & (F.col("b_yes") == 1), 1).otherwise(0)
+        ).alias("both_yes"),
+        F.sum(
+            F.when((F.col("a_yes") == 0) & (F.col("b_yes") == 0), 1).otherwise(0)
+        ).alias("both_no"),
+        F.sum(
+            F.when((F.col("a_yes") == 1) & (F.col("b_yes") == 0), 1).otherwise(0)
+        ).alias("b_cell"),
+        F.sum(
+            F.when((F.col("a_yes") == 0) & (F.col("b_yes") == 1), 1).otherwise(0)
+        ).alias("c_cell"),
+    )
+    b, c = F.col("b_cell"), F.col("c_cell")
+    return m.select(
+        "n",
+        "both_yes",
+        "both_no",
+        "b_cell",
+        "c_cell",
+        ((b - c) * (b - c) / (b + c).cast("double")).alias("chi2"),
+        (
+            (F.abs(b - c) - 1) * (F.abs(b - c) - 1) / (b + c).cast("double")
+        ).alias("chi2_corrected"),
+    )
+
+
+PERM_R = 40  # deterministic label reassignments for the null
+
+
+@register(
+    "a_permutation_test",
+    # Permutation test of the weekend-vs-weekday mean value gap —
+    # assumption-free significance for the same split the Welch t and
+    # Mann-Whitney queries test parametrically/by ranks. The textbook
+    # method shuffles labels with a RNG; at 100 TB (and under Spark
+    # task retries) rand() breaks determinism, so the null draws come
+    # from R={PERM_R} md5-SALTED sticky reassignments: resample r
+    # flips each event's label by the byte coin md5('perm<r>|' ||
+    # event_id) — uniform, independent across salts, reproducible on
+    # any cluster, and replayed bit-identically by the oracle. Each
+    # resample's mean gap uses exact-decimal sums; p = (1 + #{|d_r| >=
+    # |d_obs|}) / (R + 1) (the add-one form, Phipson & Smyth 2010).
+    # Plan: one explode to R x n rows, ONE map-side-combined hash
+    # aggregate by r (R groups), broadcast 1-row d_obs join — no
+    # shuffle grows with R beyond the R-row group table.
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, value,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+  FROM events
+),
+obs AS (
+  SELECT {dsum_sql('CASE WHEN we = 1 THEN value END')}
+           / count(*) FILTER (WHERE we = 1) -
+         {dsum_sql('CASE WHEN we = 0 THEN value END')}
+           / count(*) FILTER (WHERE we = 0) AS d_obs,
+         count(*)::BIGINT AS n
+  FROM s
+),
+perm AS (
+  SELECT r.r, s.value,
+         CASE WHEN ('0x' || substr(md5('perm' || r.r::VARCHAR || '|' || s.event_id::VARCHAR), 1, 2))::INT < 128
+              THEN 1 ELSE 0 END AS pwe
+  FROM s, (SELECT unnest(range({PERM_R})) AS r) r
+),
+draws AS (
+  SELECT r,
+         {dsum_sql('CASE WHEN pwe = 1 THEN value END')}
+           / count(*) FILTER (WHERE pwe = 1) -
+         {dsum_sql('CASE WHEN pwe = 0 THEN value END')}
+           / count(*) FILTER (WHERE pwe = 0) AS d_r
+  FROM perm GROUP BY r
+),
+tail AS (
+  SELECT count(*)::BIGINT AS n_extreme
+  FROM draws, obs WHERE abs(d_r) >= abs(d_obs)
+)
+SELECT obs.n, obs.d_obs, {PERM_R}::BIGINT AS r_used, tail.n_extreme,
+       (1.0 + tail.n_extreme) / ({PERM_R} + 1.0) AS p_value
+FROM obs, tail
+""",
+    doc="Permutation test of the weekend/weekday mean-value gap with "
+    "deterministic md5-salted label reassignments instead of a RNG "
+    "(reproducible under task retries, replayed bit-identically by "
+    "the oracle): R=40 resamples in one exploded map-side aggregate, "
+    "add-one p-value — the assumption-free member of the "
+    "weekend-split test family (Welch t, Mann-Whitney U).",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_permutation_test(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    we = F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0)
+    s = ev.select("event_id", "value", we.alias("we"))
+
+    def gap(flag):
+        return (
+            dsum(F.when(F.col(flag) == 1, F.col("value")))
+            / F.count(F.when(F.col(flag) == 1, 1))
+            - dsum(F.when(F.col(flag) == 0, F.col("value")))
+            / F.count(F.when(F.col(flag) == 0, 1))
+        )
+
+    obs = s.agg(gap("we").alias("d_obs"), F.count(F.lit(1)).alias("n"))
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("perm"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    perm = s.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_R - 1))).alias("r"),
+    ).select("value", "r", F.when(coin < 128, 1).otherwise(0).alias("pwe"))
+    draws = perm.groupBy("r").agg(gap("pwe").alias("d_r"))
+    tail = (
+        draws.crossJoin(F.broadcast(obs.select("d_obs")))
+        .filter(F.abs(F.col("d_r")) >= F.abs(F.col("d_obs")))
+        .agg(F.count(F.lit(1)).alias("n_extreme"))
+    )
+    return obs.crossJoin(F.broadcast(tail)).select(
+        "n",
+        "d_obs",
+        F.lit(PERM_R).cast("long").alias("r_used"),
+        "n_extreme",
+        ((1.0 + F.col("n_extreme")) / (PERM_R + 1.0)).alias("p_value"),
     )

@@ -502,3 +502,71 @@ def test_diff_in_diff_value_parity(spark, sf_dir):
     assert _close(got.did_estimate, did, rel=1e-7, abs_=1e-6)
     assert _close(got.std_error, se, rel=1e-7)
     assert _close(got.t_stat, did / se, rel=1e-6)
+
+
+# --------------------------------------------------------------- McNemar
+
+
+def test_mcnemar_value_parity(spark, sf_dir):
+    Q_MID, R_MID = 0.655, 0.085
+    STOP = {"the", "a", "of", "and", "to", "in", "is"}
+    PUNCT = set(".,;:!?")
+    got = _run(spark, sf_dir, "a_mcnemar_test").iloc[0]
+    docs = _raw(sf_dir, "documents")
+
+    def a_yes(text):
+        w = text.lower().split(" ")
+        nw = len(w)
+        q = (
+            (1.0 if 20 <= nw <= 400 else 0.0) * 0.4
+            + min(sum(1 for t in w if t in STOP) / nw * 2.0, 1.0) * 0.4
+            + (1.0 - min(sum(1 for ch in text if ch in PUNCT) / len(text) * 10.0, 1.0)) * 0.2
+        )
+        return q > Q_MID
+
+    def b_yes(text):
+        w = text.lower().split(" ")
+        return pd.Series(w).value_counts().iloc[0] / len(w) <= R_MID
+
+    a = docs.text.map(a_yes)
+    b = docs.text.map(b_yes)
+    bb = int((a & ~b).sum())
+    cc = int((~a & b).sum())
+    assert got.n == len(docs)
+    assert got.b_cell == bb and got.c_cell == cc
+    assert got.both_yes == int((a & b).sum())
+    assert _close(got.chi2, (bb - cc) ** 2 / (bb + cc), rel=1e-12)
+    assert _close(
+        got.chi2_corrected, (abs(bb - cc) - 1) ** 2 / (bb + cc), rel=1e-12
+    )
+
+
+# ----------------------------------------------------------- permutation
+
+
+def test_permutation_test_value_parity(spark, sf_dir):
+    import hashlib
+
+    R = 40
+    got = _run(spark, sf_dir, "a_permutation_test").iloc[0]
+    ev = _raw(sf_dir, "events")
+    we = _weekend(ev.ts).to_numpy()
+    v = ev.value.to_numpy()
+    d_obs = v[we].mean() - v[~we].mean()
+
+    def coin(r, eid):
+        return int(
+            hashlib.md5(f"perm{r}|{eid}".encode()).hexdigest()[:2], 16
+        ) < 128
+
+    eids = ev.event_id.to_numpy()
+    n_ext = 0
+    for r in range(R):
+        pwe = np.array([coin(r, e) for e in eids])
+        d_r = v[pwe].mean() - v[~pwe].mean()
+        if abs(d_r) >= abs(d_obs):
+            n_ext += 1
+    assert got.n == len(ev) and got.r_used == R
+    assert _close(got.d_obs, d_obs, rel=1e-7)
+    assert got.n_extreme == n_ext, (got.n_extreme, n_ext)
+    assert _close(got.p_value, (1 + n_ext) / (R + 1), rel=1e-12)

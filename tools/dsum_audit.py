@@ -98,7 +98,7 @@ LARGE: frozenset[str] = frozenset(
         # r11 rank statistics: rank sums with per-row magnitude >= 1
         # (their big second moments carry explicit down-scales and
         # auto-pass; these are the plain R_1/R_g first-moment sums)
-        "a_roc_auc", "a_kruskal_wallis",
+        "a_roc_auc", "a_kruskal_wallis", "a_permutation_test",
     }
 )
 
@@ -154,9 +154,14 @@ def scan_file(path: pathlib.Path) -> list[tuple[str, int, str, str, bool]]:
                 return
             if name in DSUM_FUNCS:
                 arg = ast.get_source_segment(src, n) or ""
+                # attribute to the OUTERMOST function/query (stack[1]):
+                # helper closures nested inside a query body (e.g. a
+                # local `gap(flag)` builder) belong to that query's
+                # review, not to a generic inner name
+                owner = self.stack[1] if len(self.stack) > 1 else self.stack[0]
                 sites.append(
                     (
-                        self.stack[-1],
+                        owner,
                         n.lineno,
                         name,
                         " ".join(arg.split()),
