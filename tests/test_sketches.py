@@ -119,3 +119,48 @@ def test_table_checksum_detects_any_mutation(spark, sf_dir):
     assert checksum(duped) != base  # xor of a dup row cancels ITS hash only
     # reordering/partitioning must NOT move it
     assert checksum(cust.repartition(7)) == base
+
+
+def test_hll_registers_merge_max(spark, sf_dir):
+    """HLL's whole 1000-executor story is that registers MAX-merge:
+    union of shard sketches == the sketch of the union. Shard the
+    hashed tokens two ways (by doc parity via md5 of tok — any
+    partition works), build registers per shard, element-wise MAX the
+    shard registers, and pin byte-equality with the full-corpus
+    registers AND the identical final estimate (KMV/CMS have the same
+    pin; HLL was the one missing it)."""
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.queries.aggregates import (
+        hll_estimate,
+        hll_registers,
+        hll_tokens,
+    )
+    from ast_data_pipeline_spark.sources.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    h = hll_tokens(docs)
+    full = {
+        (r.source, r.bucket): r.m_reg
+        for r in hll_registers(h).collect()
+    }
+    shard_a = hll_registers(h.filter(F.col("hv") % 2 == 0))
+    shard_b = hll_registers(h.filter(F.col("hv") % 2 == 1))
+    merged: dict = {}
+    for shard in (shard_a, shard_b):
+        for r in shard.collect():
+            k = (r.source, r.bucket)
+            merged[k] = max(merged.get(k, 0), r.m_reg)
+    assert merged == full
+    # and the merged registers finalize to the identical estimate
+    mdf = spark.createDataFrame(
+        [(s, b, m) for (s, b), m in sorted(merged.items())],
+        "source string, bucket long, m_reg int",
+    )
+    est_merged = {
+        r.source: r.hll_est for r in hll_estimate(mdf).collect()
+    }
+    est_full = {
+        r.source: r.hll_est for r in hll_estimate(hll_registers(h)).collect()
+    }
+    assert est_merged == est_full
