@@ -539,3 +539,49 @@ def test_r6_additions_plan_claims(spark, sf_dir):
     ]
     assert sd_joins, sd[:2000]
     assert "CartesianProduct" not in sd and "BroadcastNestedLoopJoin" not in sd
+
+
+def test_source_cap_two_phase_equals_single_phase(spark):
+    """x_source_cap's salted two-phase top-N must equal the plain
+    partitioned rank for ANY input — including heavy quality ties at
+    the admission boundary, where only the (q DESC, doc_id) unique
+    chain keeps the phases consistent. Adversarial fixture: 3 sources,
+    60 docs each, quality drawn from just 4 distinct values so ties
+    straddle the cap everywhere."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.queries.sampling import (
+        SOURCE_CAP,
+        SOURCE_CAP_SALTS,
+    )
+
+    rows = [
+        (s, d, float((d * 7 + s * 3) % 4))
+        for s in range(3)
+        for d in range(s * 1000, s * 1000 + 60)
+    ]
+    q = spark.createDataFrame(rows, "source int, doc_id long, q double")
+    # single-phase truth
+    w = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    truth = {
+        (r.source, r.doc_id)
+        for r in q.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .collect()
+    }
+    # two-phase (the x_source_cap plan shape)
+    w_salt = W.partitionBy(
+        "source", (F.col("doc_id") % SOURCE_CAP_SALTS)
+    ).orderBy(F.col("q").desc(), "doc_id")
+    local = q.withColumn("lrk", F.row_number().over(w_salt)).filter(
+        F.col("lrk") <= SOURCE_CAP
+    )
+    got = {
+        (r.source, r.doc_id)
+        for r in local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .collect()
+    }
+    assert got == truth
+    assert len(got) == 3 * SOURCE_CAP
