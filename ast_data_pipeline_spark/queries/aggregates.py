@@ -11,7 +11,7 @@ from ast_data_pipeline_spark.lineage import lineage_cut_lazy
 
 from ..functions.exact import davg_sql, dsum, dsum_sql
 from ..operators.aggregates import crosstab_with_margins, pricing_summary
-from ..operators.text import quality_score_sql
+from ..operators.text import CHAR_ENTROPY_CTES, quality_score_sql
 from ..registry import register
 from ..sources.catalog import load
 
@@ -4964,4 +4964,153 @@ def a_permutation_test(spark, sf_dir):
         F.lit(PERM_R).cast("long").alias("r_used"),
         "n_extreme",
         ((1.0 + F.col("n_extreme")) / (PERM_R + 1.0)).alias("p_value"),
+    )
+
+
+FLEISS_E_LOW, FLEISS_E_MID = 4.084, 4.1354  # char-entropy band cuts
+# (placed in measured inter-doc gaps: every doc sits >= 2.5e-4 away,
+# two decades above the entropy pipeline's ~5e-5 quantization wobble,
+# so banding is stable against the %.7f/4-dp recipe AND an unquantized
+# numpy recompute — tests/test_value_parity.py relies on this)
+
+
+@register(
+    "a_fleiss_kappa",
+    # Fleiss' kappa (public 1971 statistic — inter-rater agreement for
+    # m raters, the generalization Cohen's 2-rater kappa can't do; the
+    # reference's own domain is annotation verification, where >2
+    # annotators per item is the norm): THREE document-quality raters
+    # band every doc low/mid/high — A the Gopher/C4 composite score, B
+    # top-word dominance (both from a_cohens_kappa), C character
+    # entropy (char_entropy_frame's engine-exact bits). With n_ij =
+    # raters assigning category j to doc i, everything reduces to
+    # INTEGERS: S = sum n_ij^2 gives P-bar = (S - 3N)/(6N), category
+    # column totals c_j give P_e = sum c_j^2/(9N^2), kappa =
+    # (P-bar - P_e)/(1 - P_e) — three IEEE divisions at the very end,
+    # no decimal sums at all. Honest reading: the raters measure
+    # different text properties, so kappa sits near 0, same as the
+    # pairwise Cohen's result. Plan: three doc-grain band passes
+    # union-ed, one (doc, cat) count, two 1-row combines.
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS wlist
+  FROM documents
+),
+qa AS (
+  SELECT doc_id,
+         CASE WHEN ({quality_score_sql('wlist', 'text')}) <= {KAPPA_Q_LOW} THEN 'low'
+              WHEN ({quality_score_sql('wlist', 'text')}) <= {KAPPA_Q_MID} THEN 'mid'
+              ELSE 'high' END AS cat
+  FROM d
+),
+tw AS (
+  SELECT doc_id, max(c)::DOUBLE / any_value(n) AS top_share
+  FROM (SELECT doc_id, word, count(*)::BIGINT AS c, any_value(n) AS n
+        FROM (SELECT doc_id, unnest(wlist) AS word, len(wlist) AS n FROM d)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id
+),
+qb AS (
+  SELECT doc_id,
+         CASE WHEN top_share > {KAPPA_R_LOW} THEN 'low'
+              WHEN top_share > {KAPPA_R_MID} THEN 'mid'
+              ELSE 'high' END AS cat
+  FROM tw
+),
+{CHAR_ENTROPY_CTES},
+qc AS (
+  SELECT doc_id,
+         CASE WHEN entropy_bits <= {FLEISS_E_LOW} THEN 'low'
+              WHEN entropy_bits <= {FLEISS_E_MID} THEN 'mid'
+              ELSE 'high' END AS cat
+  FROM ent
+),
+r AS (
+  SELECT doc_id, cat FROM qa
+  UNION ALL SELECT doc_id, cat FROM qb
+  UNION ALL SELECT doc_id, cat FROM qc
+),
+nij AS (SELECT doc_id, cat, count(*)::BIGINT AS nij FROM r GROUP BY 1, 2),
+s AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n,
+         sum(nij * nij)::BIGINT AS s_sq
+  FROM nij
+),
+cj AS (SELECT sum(nij * nij_tot)::BIGINT AS c2 FROM (
+         SELECT 1 AS one, sum(nij)::BIGINT AS nij, sum(nij)::BIGINT AS nij_tot
+         FROM nij GROUP BY cat))
+SELECT s.n,
+       (s.s_sq - 3 * s.n)::DOUBLE / (6 * s.n) AS p_bar,
+       cj.c2::DOUBLE / (9 * s.n * s.n) AS p_e,
+       ((s.s_sq - 3 * s.n)::DOUBLE / (6 * s.n)
+          - cj.c2::DOUBLE / (9 * s.n * s.n))
+         / (1.0 - cj.c2::DOUBLE / (9 * s.n * s.n)) AS fleiss_kappa
+FROM s, cj
+""",
+    doc="Fleiss' kappa over THREE document-quality raters (composite "
+    "score, top-word dominance, character entropy; 3 bands each): "
+    "m-rater chance-corrected agreement from pure integer aggregates "
+    "— S = sum n_ij^2 and category totals — with three IEEE divisions "
+    "at the boundary. Generalizes the pairwise Cohen's kappa audit to "
+    "the multi-annotator pipelines the reference's domain actually "
+    "runs; near-zero here is the honest reading (the raters measure "
+    "different properties).",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_fleiss_kappa(spark, sf_dir):
+    from ..operators.text import char_entropy_frame, quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    q = quality_score("w", F.col("text"))
+    qa = docs.select(
+        "doc_id",
+        F.when(q <= KAPPA_Q_LOW, "low")
+        .when(q <= KAPPA_Q_MID, "mid")
+        .otherwise("high")
+        .alias("cat"),
+    )
+    words = docs.select(
+        "doc_id", F.size("w").cast("long").alias("n"), F.explode("w").alias("word")
+    )
+    wc = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c"), F.first("n").alias("n")
+    )
+    tw = wc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.first("n")).alias("top_share")
+    )
+    qb = tw.select(
+        "doc_id",
+        F.when(F.col("top_share") > KAPPA_R_LOW, "low")
+        .when(F.col("top_share") > KAPPA_R_MID, "mid")
+        .otherwise("high")
+        .alias("cat"),
+    )
+    qc = char_entropy_frame(docs).select(
+        "doc_id",
+        F.when(F.col("entropy_bits") <= FLEISS_E_LOW, "low")
+        .when(F.col("entropy_bits") <= FLEISS_E_MID, "mid")
+        .otherwise("high")
+        .alias("cat"),
+    )
+    r = qa.unionByName(qb).unionByName(qc)
+    nij = r.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("nij"))
+    s = nij.agg(
+        F.countDistinct("doc_id").alias("n"),
+        F.sum(F.col("nij") * F.col("nij")).alias("s_sq"),
+    )
+    cj = (
+        nij.groupBy("cat")
+        .agg(F.sum("nij").alias("cjt"))
+        .agg(F.sum(F.col("cjt") * F.col("cjt")).alias("c2"))
+    )
+    n, s_sq, c2 = F.col("n"), F.col("s_sq"), F.col("c2")
+    p_bar = (s_sq - 3 * n).cast("double") / (6 * n)
+    p_e = c2.cast("double") / (9 * n * n)
+    return s.crossJoin(F.broadcast(cj)).select(
+        "n",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (1.0 - p_e)).alias("fleiss_kappa"),
     )

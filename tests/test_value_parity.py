@@ -570,3 +570,60 @@ def test_permutation_test_value_parity(spark, sf_dir):
     assert _close(got.d_obs, d_obs, rel=1e-7)
     assert got.n_extreme == n_ext, (got.n_extreme, n_ext)
     assert _close(got.p_value, (1 + n_ext) / (R + 1), rel=1e-12)
+
+
+# ---------------------------------------------------------------- Fleiss
+
+
+def test_fleiss_kappa_value_parity(spark, sf_dir):
+    from collections import Counter
+
+    Q_LOW, Q_MID = 0.635, 0.655
+    R_LOW, R_MID = 0.105, 0.085
+    E_LOW, E_MID = 4.084, 4.1354
+    STOP = {"the", "a", "of", "and", "to", "in", "is"}
+    PUNCT = set(".,;:!?")
+    got = _run(spark, sf_dir, "a_fleiss_kappa").iloc[0]
+    docs = _raw(sf_dir, "documents")
+
+    def band_a(text):
+        w = text.lower().split(" ")
+        nw = len(w)
+        q = (
+            (1.0 if 20 <= nw <= 400 else 0.0) * 0.4
+            + min(sum(1 for t in w if t in STOP) / nw * 2.0, 1.0) * 0.4
+            + (1.0 - min(sum(1 for ch in text if ch in PUNCT) / len(text) * 10.0, 1.0)) * 0.2
+        )
+        return "low" if q <= Q_LOW else ("mid" if q <= Q_MID else "high")
+
+    def band_b(text):
+        w = text.lower().split(" ")
+        top = pd.Series(w).value_counts().iloc[0] / len(w)
+        return "low" if top > R_LOW else ("mid" if top > R_MID else "high")
+
+    def band_c(text):
+        # unquantized numpy entropy; the band cuts sit in measured
+        # inter-doc gaps >= 2.5e-4 wide, far above the engine recipe's
+        # ~5e-5 quantization wobble, so banding agrees exactly
+        c = np.array(list(Counter(text).values()), dtype=float)
+        p = c / c.sum()
+        e = float(-(p * np.log2(p)).sum())
+        return "low" if e <= E_LOW else ("mid" if e <= E_MID else "high")
+
+    n = len(docs)
+    m = 3
+    s_sq = 0
+    totals = Counter()
+    for text in docs.text:
+        cats = Counter([band_a(text), band_b(text), band_c(text)])
+        s_sq += sum(v * v for v in cats.values())
+        totals.update(cats)
+    p_bar = (s_sq - m * n) / (m * (m - 1) * n)
+    p_e = sum(v * v for v in totals.values()) / (m * n) ** 2
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert got.n == n
+    assert _close(got.p_bar, p_bar, rel=1e-12)
+    assert _close(got.p_e, p_e, rel=1e-12)
+    assert _close(got.fleiss_kappa, kappa, rel=1e-12), (
+        got.fleiss_kappa, kappa,
+    )
