@@ -2587,3 +2587,148 @@ def x_ivfpq_rerank(spark, sf_dir):
         )
         .orderBy("q_id")
     )
+
+
+IVFPQ_RERANK_CS = (3, 5, 10, 20)  # shortlist sizes on the frontier
+
+
+@register(
+    "x_ivfpq_rerank_sweep",
+    # The rerank TUNING curve (companion to x_ivfpq_rerank the way
+    # x_ivf_nprobe_sweep tunes the probe count and the LSH band sweep
+    # tunes banding): recall@3 as a function of the exact-rerank
+    # shortlist size C in {3, 5, 10, 20}. C=3 is "trust ADC order,
+    # exact-rescore the top-k only"; growing C buys recall with a
+    # linearly growing exact-distance bill until the IVF candidate
+    # ceiling (recall can never exceed the probed-cell bound). ONE
+    # exact-distance pass at C_max=20 serves every C: candidates carry
+    # their ADC rank, each C keeps rk_adc <= C and re-ranks by exact
+    # d2 within (q_id, C) — a <=20-row window per query per C. The
+    # production decision this row answers: what C hits the recall
+    # target at the smallest rerank fraction.
+    oracle=f"""
+{_ivfpq_base_sql()},
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+  FROM adc QUALIFY rk <= {max(IVFPQ_RERANK_CS)}
+),
+rr AS (
+  SELECT s.q_id, s.vec_id, s.rk, {_ivfpq_l2('q.q_vec', 'e2.embedding')} AS d2
+  FROM ranked s JOIN q ON s.q_id = q.q_id JOIN e e2 ON s.vec_id = e2.vec_id
+),
+cs AS (SELECT unnest([{', '.join(str(c) for c in IVFPQ_RERANK_CS)}]) AS c),
+retr AS (
+  SELECT c, q_id, vec_id FROM (
+    SELECT cs.c, rr.q_id, rr.vec_id,
+           row_number() OVER (PARTITION BY cs.c, rr.q_id
+                              ORDER BY rr.d2, rr.vec_id) AS rrk
+    FROM rr JOIN cs ON rr.rk <= cs.c
+  ) WHERE rrk <= {PQ_TOPK}
+),
+truthd AS (
+  SELECT q.q_id, e2.vec_id,
+         {_ivfpq_l2('q.q_vec', 'e2.embedding')} AS d2
+  FROM q JOIN e e2 ON q.q_id <> e2.vec_id
+),
+truth AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rk
+  FROM truthd QUALIFY rk <= {PQ_TOPK}
+),
+nq AS (SELECT count(DISTINCT q_id)::BIGINT AS n_queries FROM q),
+nrr AS (
+  SELECT cs.c, sum(least(cnt, cs.c))::BIGINT AS n_reranked
+  FROM (SELECT q_id, count(*)::BIGINT AS cnt FROM ranked GROUP BY q_id)
+  JOIN cs ON true GROUP BY cs.c
+)
+SELECT cs.c, nq.n_queries,
+       count(r.vec_id)::BIGINT AS n_hits,
+       count(r.vec_id)::DOUBLE / (nq.n_queries * {PQ_TOPK}) AS recall_at_{PQ_TOPK},
+       any_value(nrr.n_reranked) AS n_reranked
+FROM cs
+CROSS JOIN truth t
+LEFT JOIN retr r ON r.c = cs.c AND t.q_id = r.q_id AND t.vec_id = r.vec_id
+JOIN nrr ON nrr.c = cs.c, nq
+GROUP BY cs.c, nq.n_queries ORDER BY cs.c
+""",
+    doc="IVF-PQ rerank tuning sweep: recall@3 vs exact-rerank shortlist "
+    "size C in {3,5,10,20} from ONE exact-distance pass at C_max "
+    "(candidates carry their ADC rank; each C re-ranks its prefix) — "
+    "the cost/recall frontier that picks the production C, next to "
+    "the nprobe and LSH band sweeps.",
+    tags=("similarity", "extension"),
+)
+def x_ivfpq_rerank_sweep(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import l2sq
+
+    emb, q, cand, adc = _ivfpq_adc(spark, sf_dir)
+    wq = W.partitionBy("q_id")
+    c_max = max(IVFPQ_RERANK_CS)
+    ranked = (
+        adc.withColumn("rk", F.row_number().over(wq.orderBy("adist", "vec_id")))
+        .filter(F.col("rk") <= c_max)
+        .transform(lineage_cut_lazy)  # rr + nrr
+    )
+    rr = (
+        ranked.join(q, "q_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("q_id", "vec_id", "rk", l2sq("q_vec", "embedding").alias("d2"))
+    )
+    cs = spark.createDataFrame([(c,) for c in IVFPQ_RERANK_CS], "c int")
+    w_cq = W.partitionBy("c", "q_id")
+    retr = (
+        rr.join(F.broadcast(cs), rr.rk <= F.col("c"))
+        .withColumn("rrk", F.row_number().over(w_cq.orderBy("d2", "vec_id")))
+        .filter(F.col("rrk") <= PQ_TOPK)
+        # fresh alias: the outer join below reuses the cs frame, and
+        # Spark would resolve retr's own "c" and cs's "c" to the same
+        # attribute (trivially-true predicate warning)
+        .select(
+            F.col("c").alias("r_c"),
+            F.col("q_id").alias("r_q_id"),
+            F.col("vec_id").alias("r_vec_id"),
+        )
+    )
+    truth = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .withColumn("d2", l2sq("q_vec", "embedding"))
+        .withColumn("rk", F.row_number().over(wq.orderBy("d2", "vec_id")))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("q_id", "vec_id")
+    )
+    nq = q.agg(F.countDistinct("q_id").alias("n_queries"))
+    nrr = (
+        ranked.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(cs))
+        .groupBy("c")
+        .agg(F.sum(F.least(F.col("cnt"), F.col("c"))).alias("n_reranked"))
+    )
+    return (
+        cs.crossJoin(truth)
+        .join(
+            retr,
+            (F.col("r_q_id") == F.col("q_id"))
+            & (F.col("r_vec_id") == F.col("vec_id"))
+            & (F.col("r_c") == F.col("c")),
+            "left",
+        )
+        .groupBy("c")
+        .agg(F.count("r_vec_id").alias("n_hits"))
+        .crossJoin(F.broadcast(nq))
+        .join(nrr, "c")
+        .select(
+            "c",
+            "n_queries",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / (F.col("n_queries") * PQ_TOPK)
+            ).alias(f"recall_at_{PQ_TOPK}"),
+            "n_reranked",
+        )
+        .orderBy("c")
+    )

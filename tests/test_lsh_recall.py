@@ -291,3 +291,52 @@ def test_ivfpq_rerank_lifts_adc_recall(spark, tmp_path):
     assert adc <= 0.8, f"ADC recall unexpectedly high ({adc}) — fixture no longer exercises the rerank"
     assert rerank > adc + 0.2, f"no lift: rerank {rerank} vs adc {adc}"
     assert (out.rerank_fraction <= 10 / 499 + 1e-12).all()
+
+
+def test_ivfpq_rerank_sweep_frontier(spark, tmp_path):
+    """The rerank-sweep frontier on the 50x10 sigma=0.5 fixture: recall
+    must be non-decreasing in C (a larger shortlist can only add
+    candidates to the exact re-rank) and reach 1.0 once C covers the
+    cluster (C=10 equals x_ivfpq_rerank's pinned 1.0); C=3 — exact
+    re-scoring of ADC's own top-3 — cannot beat ADC's ordering and so
+    stays at the degraded ADC level. n_reranked must grow exactly
+    linearly in C (every query has >= 20 candidates here)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ast_data_pipeline_spark.registry import load_all
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, (50, 64)).astype(np.float32)
+    vecs = np.repeat(centers, 10, axis=0) + rng.normal(
+        0, 0.5, (500, 64)
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i // 10 for i in range(500)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = (
+        load_all()["x_ivfpq_rerank_sweep"].fn(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("c")
+    )
+    rec = out.recall_at_3.to_numpy()
+    assert (np.diff(rec) >= -1e-12).all(), f"frontier not monotone: {rec}"
+    assert rec[-1] == 1.0 and out.iloc[-1].c == 20
+    assert out.set_index("c").recall_at_3[10] == 1.0  # matches x_ivfpq_rerank's pin
+    assert rec[0] < 0.8  # C=3 is ADC-order rescoring, still degraded
+    nq = int(out.n_queries.iloc[0])
+    # every query has exactly 19 probed candidates here (9 cluster
+    # mates + 10 in the second-nearest cell), so n_reranked is C*nq
+    # up to the candidate ceiling and min(19, C)*nq past it
+    expect = out.c.clip(upper=19) * nq
+    assert (out.n_reranked == expect).all(), (
+        out.n_reranked.tolist(), expect.tolist(),
+    )
