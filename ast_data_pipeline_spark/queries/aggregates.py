@@ -5114,3 +5114,122 @@ def a_fleiss_kappa(spark, sf_dir):
         p_e.alias("p_e"),
         ((p_bar - p_e) / (1.0 - p_e)).alias("fleiss_kappa"),
     )
+
+
+@register(
+    "a_levene_test",
+    # Levene's test, Brown-Forsythe variant (public: Brown & Forsythe
+    # 1974 — the robust homogeneity-of-variance check that guards the
+    # one-way ANOVA's equal-variance assumption; the median-centered
+    # form is the recommendation in every stats handbook): per event
+    # type compute z = |value - median_g| with the EXACT rank-selected
+    # group median (lower-element convention, unique (value, event_id)
+    # chain — the a_winsorized_mean machinery, per group), then run
+    # the one-way ANOVA F on z (the a_anova_oneway recipe: exact-
+    # decimal moments, %.7f-quantized S_g^2/n_g terms). W > F_crit
+    # means variances differ and the plain ANOVA's F is suspect —
+    # reported next to each other, this is the assumption audit.
+    # Plan: the median selection touches only per-group bucket counts
+    # + the two selected buckets; z is a broadcast-join expression;
+    # one map-side-combined pass builds the moments.
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         min(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN value END) AS med
+  FROM ranked GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type, abs(e.value - med.med) AS z
+  FROM events e JOIN med ON e.event_type = med.event_type
+),
+g AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_g,
+         {dsum_sql('z')} AS s_g,
+         {dsum_sql('(z * z)')} AS ss_g
+  FROM z GROUP BY event_type
+),
+terms AS (
+  SELECT event_type, n_g, s_g, ss_g,
+         printf('%.7f', s_g * s_g / n_g)::DOUBLE AS t_g
+  FROM g
+),
+tot AS (
+  SELECT sum(n_g)::BIGINT AS n,
+         round(sum((s_g)::DECIMAL(30,10)), 4)::DOUBLE AS s,
+         round(sum((ss_g)::DECIMAL(30,10)), 4)::DOUBLE AS ss,
+         round(sum((t_g)::DECIMAL(30,10)), 4)::DOUBLE AS sum_t,
+         count(*)::BIGINT AS k
+  FROM terms
+)
+SELECT k, n,
+       ((sum_t - s * s / n) / (k - 1))
+         / ((ss - sum_t) / (n - k)) AS w_stat,
+       sum_t - s * s / n AS ss_between,
+       ss - sum_t AS ss_within
+FROM tot
+""",
+    doc="Brown-Forsythe / Levene homogeneity-of-variance test across "
+    "event types: exact rank-selected group medians, z = |x - med_g| "
+    "as a broadcast-join expression, then the one-way ANOVA F on z "
+    "from decimal-exact moments — the assumption audit that decides "
+    "whether a_anova_oneway's equal-variance F (vs a_welch_ttest's "
+    "unequal-variance path) is trustworthy.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_levene_test(spark, sf_dir):
+    from ..functions.exact import DEC, RSCALE
+    from ..operators.quantiles import exact_group_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    med = exact_group_quantiles(
+        ev,
+        "event_type",
+        "value",
+        "event_id",
+        [("med", 50, 100)],
+        F.floor(F.col("value") / 50).cast("long"),
+    ).select("event_type", F.col("med").alias("med"))
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        dsum("z").alias("s_g"),
+        dsum(F.col("z") * F.col("z")).alias("ss_g"),
+    )
+    terms = g.withColumn(
+        "t_g",
+        F.format_string(
+            "%.7f", F.col("s_g") * F.col("s_g") / F.col("n_g")
+        ).cast("double"),
+    )
+
+    def dsum_simple(c):
+        return F.round(F.sum(F.col(c).cast(DEC)), RSCALE).cast("double")
+
+    tot = terms.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        dsum_simple("s_g").alias("s"),
+        dsum_simple("ss_g").alias("ss"),
+        dsum_simple("t_g").alias("sum_t"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ssb = F.col("sum_t") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sum_t")
+    return tot.select(
+        "k",
+        "n",
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))).alias(
+            "w_stat"
+        ),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+    )

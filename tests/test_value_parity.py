@@ -627,3 +627,30 @@ def test_fleiss_kappa_value_parity(spark, sf_dir):
     assert _close(got.fleiss_kappa, kappa, rel=1e-12), (
         got.fleiss_kappa, kappa,
     )
+
+
+# ---------------------------------------------------------------- Levene
+
+
+def test_levene_brownforsythe_value_parity(spark, sf_dir):
+    got = _run(spark, sf_dir, "a_levene_test").iloc[0]
+    ev = _raw(sf_dir, "events")
+    groups = []
+    for _, grp in ev.groupby("event_type"):
+        v = np.sort(grp.value.to_numpy())
+        # engine convention: exact LOWER-element median (rank
+        # ((n-1)*50)//100 + 1) — any consistent median estimator is a
+        # valid Brown-Forsythe center; mirror the convention, verify
+        # the ANOVA-on-z machinery independently
+        med = v[((len(v) - 1) * 50) // 100]
+        groups.append(np.abs(grp.value.to_numpy() - med))
+    n = sum(len(z) for z in groups)
+    k = len(groups)
+    grand = sum(z.sum() for z in groups) / n
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in groups)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in groups)
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got.k == k and got.n == n
+    assert _close(got.ss_between, ssb, rel=1e-6)
+    assert _close(got.ss_within, ssw, rel=1e-6)
+    assert _close(got.w_stat, w, rel=1e-6), (got.w_stat, w)

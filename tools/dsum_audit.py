@@ -99,6 +99,7 @@ LARGE: frozenset[str] = frozenset(
         # (their big second moments carry explicit down-scales and
         # auto-pass; these are the plain R_1/R_g first-moment sums)
         "a_roc_auc", "a_kruskal_wallis", "a_permutation_test",
+        "a_levene_test",  # z = |value - median| keeps value magnitudes
     }
 )
 
