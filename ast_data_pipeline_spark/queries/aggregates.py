@@ -5233,3 +5233,122 @@ def a_levene_test(spark, sf_dir):
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
     )
+
+
+@register(
+    "a_tukey_hsd",
+    # Tukey's HSD post-hoc (public 1949 method — the pairwise
+    # follow-up every ANOVA needs: the omnibus F says "some means
+    # differ", HSD says WHICH pairs): for every pair of event types,
+    # the studentized-range statistic q = |m_i - m_j| /
+    # sqrt(MSW/2 * (1/n_i + 1/n_j)) (the Tukey-Kramer unequal-n
+    # form), with MSW the within-group mean square from the SAME
+    # decimal-exact moments as a_anova_oneway. Critical values of the
+    # studentized range distribution need tables, so the gated output
+    # reports the q statistics and mean differences (the ranking and
+    # effect sizes), not p-values — completing the workflow
+    # a_anova_oneway (omnibus) -> a_levene_test (assumption) ->
+    # a_tukey_hsd (which pairs). Plan: one map-side-combined pass to
+    # the 5-row group table, a broadcast k x k self-join (k*(k-1)/2 =
+    # 10 pairs), pure closed-form doubles.
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_g,
+         {dsum_sql('value')} AS s_g,
+         {dsum_sql('(value * value)')} AS ss_g
+  FROM events GROUP BY event_type
+),
+terms AS (
+  SELECT event_type, n_g, s_g, ss_g,
+         printf('%.7f', s_g * s_g / n_g)::DOUBLE AS t_g
+  FROM g
+),
+tot AS (
+  SELECT sum(n_g)::BIGINT AS n,
+         round(sum((ss_g)::DECIMAL(30,10)), 4)::DOUBLE AS ss,
+         round(sum((t_g)::DECIMAL(30,10)), 4)::DOUBLE AS sum_t,
+         count(*)::BIGINT AS k
+  FROM terms
+),
+msw AS (SELECT (ss - sum_t) / (n - k) AS msw, n, k FROM tot),
+pairs AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b,
+         a.n_g AS n_a, b.n_g AS n_b,
+         a.s_g / a.n_g - b.s_g / b.n_g AS mean_diff
+  FROM g a JOIN g b ON a.event_type < b.event_type
+)
+SELECT p.group_a, p.group_b, p.n_a, p.n_b, p.mean_diff,
+       abs(p.mean_diff)
+         / sqrt(msw.msw / 2.0 * (1.0 / p.n_a + 1.0 / p.n_b)) AS q_stat
+FROM pairs p, msw
+ORDER BY p.group_a, p.group_b
+""",
+    doc="Tukey-Kramer HSD post-hoc: studentized-range q for every "
+    "event-type pair from the ANOVA's decimal-exact moments (MSW "
+    "shared with a_anova_oneway) — completes the workflow omnibus F "
+    "-> Levene assumption audit -> which-pairs post-hoc. Reports q "
+    "and mean differences; critical values are table lookups outside "
+    "the engine.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_tukey_hsd(spark, sf_dir):
+    from ..functions.exact import DEC, RSCALE
+
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        dsum("value").alias("s_g"),
+        dsum(F.col("value") * F.col("value")).alias("ss_g"),
+    ).transform(lineage_cut_lazy)  # msw + both self-join sides
+    terms = g.withColumn(
+        "t_g",
+        F.format_string(
+            "%.7f", F.col("s_g") * F.col("s_g") / F.col("n_g")
+        ).cast("double"),
+    )
+
+    def dsum_simple(c):
+        return F.round(F.sum(F.col(c).cast(DEC)), RSCALE).cast("double")
+
+    tot = terms.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        dsum_simple("ss_g").alias("ss"),
+        dsum_simple("t_g").alias("sum_t"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    msw = tot.select(
+        ((F.col("ss") - F.col("sum_t")) / (F.col("n") - F.col("k"))).alias(
+            "msw"
+        )
+    )
+    a = g.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n_g").alias("n_a"),
+        (F.col("s_g") / F.col("n_g")).alias("m_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n_g").alias("n_b"),
+        (F.col("s_g") / F.col("n_g")).alias("m_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    diff = F.col("m_a") - F.col("m_b")
+    return (
+        pairs.crossJoin(F.broadcast(msw))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            diff.alias("mean_diff"),
+            (
+                F.abs(diff)
+                / F.sqrt(
+                    F.col("msw") / 2.0
+                    * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+                )
+            ).alias("q_stat"),
+        )
+        .orderBy("group_a", "group_b")
+    )

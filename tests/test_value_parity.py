@@ -654,3 +654,32 @@ def test_levene_brownforsythe_value_parity(spark, sf_dir):
     assert _close(got.ss_between, ssb, rel=1e-6)
     assert _close(got.ss_within, ssw, rel=1e-6)
     assert _close(got.w_stat, w, rel=1e-6), (got.w_stat, w)
+
+
+# ------------------------------------------------------------- Tukey HSD
+
+
+def test_tukey_hsd_value_parity(spark, sf_dir):
+    got = _run(spark, sf_dir, "a_tukey_hsd").set_index(["group_a", "group_b"])
+    ev = _raw(sf_dir, "events")
+    groups = {et: g.value.to_numpy() for et, g in ev.groupby("event_type")}
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    msw = sum(((v - v.mean()) ** 2).sum() for v in groups.values()) / (n - k)
+    names = sorted(groups)
+    count = 0
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            a, b = groups[ga], groups[gb]
+            diff = a.mean() - b.mean()
+            q = abs(diff) / math.sqrt(msw / 2 * (1 / len(a) + 1 / len(b)))
+            row = got.loc[(ga, gb)]
+            assert row.n_a == len(a) and row.n_b == len(b)
+            assert _close(row.mean_diff, diff, rel=1e-8, abs_=1e-9)
+            assert _close(row.q_stat, q, rel=1e-7), (ga, gb, row.q_stat, q)
+            count += 1
+    assert count == len(got) == k * (k - 1) // 2
+    # consistency with the omnibus family: the ANOVA on the same data
+    # uses the identical MSW (cross-query invariant)
+    anova = _run(spark, sf_dir, "a_anova_oneway").iloc[0]
+    assert _close(anova.ss_within / (anova.n - anova.k), msw, rel=1e-7)

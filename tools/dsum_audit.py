@@ -100,6 +100,7 @@ LARGE: frozenset[str] = frozenset(
         # auto-pass; these are the plain R_1/R_g first-moment sums)
         "a_roc_auc", "a_kruskal_wallis", "a_permutation_test",
         "a_levene_test",  # z = |value - median| keeps value magnitudes
+        "a_tukey_hsd",  # same value/value^2 moments as a_anova_oneway
     }
 )
 
