@@ -5352,3 +5352,148 @@ def a_tukey_hsd(spark, sf_dir):
         )
         .orderBy("group_a", "group_b")
     )
+
+
+@register(
+    "a_dunn_test",
+    # Dunn's test (public 1964 — the post-hoc that follows a
+    # significant Kruskal-Wallis, exactly as Tukey HSD follows the
+    # ANOVA; using it after KW keeps the whole workflow rank-based):
+    # pairwise z_ij = (rbar_i - rbar_j) / sqrt(((n(n+1))/12 -
+    # tie_sum/(12(n-1))) * (1/n_i + 1/n_j)) over the SAME global
+    # tie-averaged ranks as a_kruskal_wallis (two-level bucket
+    # prefix). Mean ranks come from decimal-exact rank sums; the tie
+    # term is an exact BIGINT; each z is one closed-form IEEE tree.
+    # Reports z per pair (critical values with Bonferroni/Holm
+    # adjustment are lookups outside the engine). Plan: the KW
+    # machinery to a 5-row group table, broadcast self-join for the
+    # 10 pairs.
+    oracle=f"""
+WITH vals AS (
+  SELECT value, count(*)::BIGINT AS cnt, floor(value)::BIGINT AS bkt
+  FROM events GROUP BY 1
+),
+vt AS (
+  SELECT value, event_type, count(*)::BIGINT AS cnt_vt
+  FROM events GROUP BY 1, 2
+),
+bt AS (SELECT bkt, sum(cnt)::BIGINT AS bc FROM vals GROUP BY 1),
+off AS (
+  SELECT bkt,
+         coalesce(sum(bc) OVER (ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off_c
+  FROM bt
+),
+ranked AS (
+  SELECT v.value, v.cnt,
+         off.off_c + coalesce(sum(v.cnt) OVER (
+             PARTITION BY v.bkt ORDER BY v.value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (v.cnt + 1) / 2.0 AS avg_rank
+  FROM vals v JOIN off ON v.bkt = off.bkt
+),
+g AS (
+  SELECT vt.event_type,
+         sum(vt.cnt_vt)::BIGINT AS n_g,
+         {dsum_sql('vt.cnt_vt * r.avg_rank')} AS r_g
+  FROM vt JOIN ranked r ON vt.value = r.value
+  GROUP BY vt.event_type
+),
+tie AS (
+  SELECT sum(cnt)::BIGINT AS n,
+         sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_sum
+  FROM vals
+),
+pairs AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b,
+         a.n_g AS n_a, b.n_g AS n_b,
+         a.r_g / a.n_g - b.r_g / b.n_g AS mean_rank_diff
+  FROM g a JOIN g b ON a.event_type < b.event_type
+)
+SELECT p.group_a, p.group_b, p.n_a, p.n_b, p.mean_rank_diff,
+       p.mean_rank_diff
+         / sqrt((tie.n * (tie.n + 1) / 12.0
+                 - tie.tie_sum / (12.0 * (tie.n - 1)))
+                * (1.0 / p.n_a + 1.0 / p.n_b)) AS z_stat
+FROM pairs p, tie
+ORDER BY p.group_a, p.group_b
+""",
+    doc="Dunn's post-hoc after Kruskal-Wallis: pairwise z from global "
+    "tie-averaged mean ranks with the tie-corrected variance — the "
+    "rank-based which-pairs follow-up mirroring Tukey HSD on the "
+    "parametric side. Same two-level prefix rank machinery as KW to "
+    "a 5-row group table, broadcast pair join; multiplicity "
+    "adjustment (Bonferroni/Holm) is a lookup outside the engine.",
+    tags=("aggregates", "stats", "extension"),
+)
+def a_dunn_test(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    vals = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).withColumn(
+        "bkt", F.floor("value").cast("long")
+    )
+    vt = ev.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("cnt_vt"))
+    bt = vals.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
+    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    off = bt.select(
+        "bkt", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("off_c")
+    )
+    w_l = (
+        W.partitionBy("bkt").orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = vals.join(F.broadcast(off), "bkt").select(
+        "value",
+        "cnt",
+        (
+            F.col("off_c")
+            + F.coalesce(F.sum("cnt").over(w_l), F.lit(0))
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    g = (
+        vt.join(ranked.select("value", "avg_rank"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_vt").alias("n_g"),
+            dsum(F.col("cnt_vt") * F.col("avg_rank")).alias("r_g"),
+        )
+        .transform(lineage_cut_lazy)  # both self-join sides
+    )
+    tie = vals.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie_sum"
+        ),
+    )
+    a = g.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n_g").alias("n_a"),
+        (F.col("r_g") / F.col("n_g")).alias("rb_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n_g").alias("n_b"),
+        (F.col("r_g") / F.col("n_g")).alias("rb_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    n = F.col("n")
+    var = (
+        n * (n + 1) / 12.0
+        - F.col("tie_sum") / (12.0 * (n - 1))
+    ) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    diff = F.col("rb_a") - F.col("rb_b")
+    return (
+        pairs.crossJoin(F.broadcast(tie))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            diff.alias("mean_rank_diff"),
+            (diff / F.sqrt(var)).alias("z_stat"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -683,3 +683,37 @@ def test_tukey_hsd_value_parity(spark, sf_dir):
     # uses the identical MSW (cross-query invariant)
     anova = _run(spark, sf_dir, "a_anova_oneway").iloc[0]
     assert _close(anova.ss_within / (anova.n - anova.k), msw, rel=1e-7)
+
+
+# ------------------------------------------------------------------ Dunn
+
+
+def test_dunn_test_value_parity(spark, sf_dir):
+    got = _run(spark, sf_dir, "a_dunn_test").set_index(["group_a", "group_b"])
+    ev = _raw(sf_dir, "events")
+    ranks = ev.value.rank(method="average")
+    n = len(ev)
+    counts = ev.value.value_counts().to_numpy(dtype=np.float64)
+    tie_sum = float((counts**3 - counts).sum())
+    mean_rank = {
+        et: float(ranks[ev.event_type == et].mean())
+        for et in ev.event_type.unique()
+    }
+    n_g = ev.event_type.value_counts().to_dict()
+    names = sorted(mean_rank)
+    checked = 0
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            diff = mean_rank[ga] - mean_rank[gb]
+            var = (n * (n + 1) / 12.0 - tie_sum / (12.0 * (n - 1))) * (
+                1.0 / n_g[ga] + 1.0 / n_g[gb]
+            )
+            z = diff / math.sqrt(var)
+            row = got.loc[(ga, gb)]
+            assert row.n_a == n_g[ga] and row.n_b == n_g[gb]
+            assert _close(row.mean_rank_diff, diff, rel=1e-9, abs_=1e-7)
+            assert _close(row.z_stat, z, rel=1e-7, abs_=1e-9), (
+                ga, gb, row.z_stat, z,
+            )
+            checked += 1
+    assert checked == len(got)

@@ -98,7 +98,8 @@ LARGE: frozenset[str] = frozenset(
         # r11 rank statistics: rank sums with per-row magnitude >= 1
         # (their big second moments carry explicit down-scales and
         # auto-pass; these are the plain R_1/R_g first-moment sums)
-        "a_roc_auc", "a_kruskal_wallis", "a_permutation_test",
+        "a_roc_auc", "a_kruskal_wallis", "a_dunn_test",
+        "a_permutation_test",
         "a_levene_test",  # z = |value - median| keeps value magnitudes
         "a_tukey_hsd",  # same value/value^2 moments as a_anova_oneway
     }

@@ -19,10 +19,10 @@ global window shipped unclassified). Rationale per class:
   exact_group_quantiles bucket-count table; its lit-constant group col
   is constant-folded out of the partition spec, so it prints as
   un-partitioned — the frame is the ~bucket-count rows, not the fact),
-  a_roc_auc / a_kruskal_wallis / a_spearman_corr (r11 rank statistics:
-  the global prefix runs over the floor(value) bucket table — ~500
-  rows — and, for spearman, the 24-row hour table; the fact-scale
-  work is the local window partitioned by bkt)
+  a_roc_auc / a_kruskal_wallis / a_spearman_corr / a_dunn_test (r11
+  rank statistics: the global prefix runs over the floor(value)
+  bucket table — ~500 rows — and, for spearman, the 24-row hour
+  table; the fact-scale work is the local window partitioned by bkt)
 - daily-series frames (<= one row per calendar day): t_rolling_corr,
   t_seasonal_decompose (centered 7-day trend + full-window count over
   the daily grain — the fact table aggregated away first),
@@ -63,6 +63,7 @@ CLASSIFIED: frozenset[str] = frozenset(
         "a_roc_auc",
         "a_kruskal_wallis",
         "a_spearman_corr",
+        "a_dunn_test",
         "a_skyline_2d",
         "a_quantile_sketch_eval",
         "x_range_partition_bounds",
