@@ -3873,7 +3873,7 @@ m AS (
          sum(n1v)::BIGINT AS n1,
          sum(cnt - n1v)::BIGINT AS n2,
          {dsum_sql('n1v * (prev_cum + (cnt + 1) / 2.0)')} AS r1,
-         sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_sum
+         sum(cnt::HUGEINT * cnt * cnt - cnt)::DOUBLE AS tie_sum
   FROM ranked GROUP BY event_type
 )
 SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
@@ -3931,9 +3931,15 @@ def a_mannwhitney_u(spark, sf_dir):
         F.sum("n1v").alias("n1"),
         F.sum(F.col("cnt") - F.col("n1v")).alias("n2"),
         dsum(F.col("n1v") * (F.col("prev_cum") + (F.col("cnt") + 1) / 2.0)).alias("r1"),
+        # t^3 in int64 wraps silently once one value's cnt > ~2.09e6
+        # (Spark non-ANSI) while DuckDB errors — so the cube runs in
+        # exact decimal(38,0) (Spark) / HUGEINT (DuckDB): both exact to
+        # ~1e38, and the final double cast is correctly rounded in both
+        # engines (bit-parity verified past 2^53 in the r12 probe).
         F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
-        ).alias("tie_sum"),
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).cast("double").alias("tie_sum"),
     )
     u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     n = F.col("n1") + F.col("n2")
@@ -4250,7 +4256,7 @@ g AS (
 ),
 tie AS (
   SELECT sum(cnt)::BIGINT AS n,
-         sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_sum
+         sum(cnt::HUGEINT * cnt * cnt - cnt)::DOUBLE AS tie_sum
   FROM vals
 ),
 h AS (
@@ -4310,9 +4316,12 @@ def a_kruskal_wallis(spark, sf_dir):
     )
     tie = vals.agg(
         F.sum("cnt").alias("n"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
-            "tie_sum"
-        ),
+        # exact decimal cube / HUGEINT oracle twin: no int64 wrap at
+        # cnt > ~2.09e6 (see a_mannwhitney_u tie_sum note)
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).cast("double").alias("tie_sum"),
     )
     # R_g^2/n_g ~ n^3/k: down-scale 1e-6 through the exact-decimal sum
     # (envelope documented in the oracle comment)
@@ -4505,13 +4514,17 @@ hh AS (
   FROM s GROUP BY h
 ),
 f AS (
+  -- nte > 0 guard: an hour empty in the test half would make ybarh a
+  -- div-by-zero whose NULL propagates differently in Spark vs DuckDB;
+  -- its brier term is identically 0, so dropping the hour changes no
+  -- value (totals still come from the unfiltered hh)
   SELECT h, ntr, nte, pte,
          (ptr + 1.0) / (ntr + 2.0) AS fh,
          pte::DOUBLE / nte AS ybarh
-  FROM hh
+  FROM hh WHERE nte > 0
 ),
 tot AS (SELECT sum(nte)::BIGINT AS n_test, sum(ntr)::BIGINT AS n_train,
-               sum(pte)::BIGINT AS p_test FROM f),
+               sum(pte)::BIGINT AS p_test FROM hh),
 terms AS (
   SELECT {dsum_sql('(pte * (1.0 - fh) * (1.0 - fh) + (nte - pte) * fh * fh) / tot.n_test * 1e6')} / 1e6 AS brier,
          {dsum_sql('nte * (fh - ybarh) * (fh - ybarh) / tot.n_test * 1e6')} / 1e6 AS rel,
@@ -4564,16 +4577,18 @@ def a_brier_decomposition(spark, sf_dir):
         F.sum(F.when(F.col("split") == "test", F.col("y")).otherwise(0)).alias(
             "pte"
         ),
-    )
-    f = hh.select(
+    ).transform(lineage_cut_lazy)  # tot + terms both read the 24-row grid
+    # nte > 0 guard (oracle comment): empty-test hours contribute 0 to
+    # every term but NULL-poison ybarh — drop them here, total from hh
+    f = hh.filter(F.col("nte") > 0).select(
         "h",
         "ntr",
         "nte",
         "pte",
         ((F.col("ptr") + 1.0) / (F.col("ntr") + 2.0)).alias("fh"),
         (F.col("pte").cast("double") / F.col("nte")).alias("ybarh"),
-    ).transform(lineage_cut_lazy)  # tot + terms both read the 24-row grid
-    tot = f.agg(
+    )
+    tot = hh.agg(
         F.sum("nte").alias("n_test"),
         F.sum("ntr").alias("n_train"),
         F.sum("pte").alias("p_test"),
@@ -4866,13 +4881,20 @@ PERM_R = 40  # deterministic label reassignments for the null
     # task retries) rand() breaks determinism, so the null draws come
     # from R={PERM_R} md5-SALTED sticky reassignments: resample r
     # flips each event's label by the byte coin md5('perm<r>|' ||
-    # event_id) — uniform, independent across salts, reproducible on
-    # any cluster, and replayed bit-identically by the oracle. Each
-    # resample's mean gap uses exact-decimal sums; p = (1 + #{|d_r| >=
-    # |d_obs|}) / (R + 1) (the add-one form, Phipson & Smyth 2010).
-    # Plan: one explode to R x n rows, ONE map-side-combined hash
-    # aggregate by r (R groups), broadcast 1-row d_obs join — no
-    # shuffle grows with R beyond the R-row group table.
+    # event_id) — independent across salts, reproducible on any
+    # cluster, and replayed bit-identically by the oracle. The coin
+    # THRESHOLD matches the OBSERVED weekend marginal w = n_we/n
+    # (thr = round(256*w) via exact integer floor-division
+    # (512*n_we + n) div (2n), identical in both engines): a balanced
+    # P=1/2 coin would draw null splits with w(1-w)=0.25 instead of
+    # the design's ~0.204, making null |d_r| stochastically smaller
+    # than d_obs's H0 distribution and the p-value anti-conservative
+    # (r11 ADVICE). Each resample's mean gap uses exact-decimal sums;
+    # p = (1 + #{|d_r| >= |d_obs|}) / (R + 1) (the add-one form,
+    # Phipson & Smyth 2010). Plan: one explode to R x n rows, ONE
+    # map-side-combined hash aggregate by r (R groups), broadcast
+    # 1-row threshold + d_obs joins — no shuffle grows with R beyond
+    # the R-row group table.
     oracle=f"""
 WITH s AS (
   SELECT event_id, value,
@@ -4884,14 +4906,16 @@ obs AS (
            / count(*) FILTER (WHERE we = 1) -
          {dsum_sql('CASE WHEN we = 0 THEN value END')}
            / count(*) FILTER (WHERE we = 0) AS d_obs,
-         count(*)::BIGINT AS n
+         count(*)::BIGINT AS n,
+         count(*) FILTER (WHERE we = 1)::BIGINT AS n_we
   FROM s
 ),
+thr AS (SELECT (512 * n_we + n) // (2 * n) AS thr FROM obs),
 perm AS (
   SELECT r.r, s.value,
-         CASE WHEN ('0x' || substr(md5('perm' || r.r::VARCHAR || '|' || s.event_id::VARCHAR), 1, 2))::INT < 128
+         CASE WHEN ('0x' || substr(md5('perm' || r.r::VARCHAR || '|' || s.event_id::VARCHAR), 1, 2))::INT < thr.thr
               THEN 1 ELSE 0 END AS pwe
-  FROM s, (SELECT unnest(range({PERM_R})) AS r) r
+  FROM s, (SELECT unnest(range({PERM_R})) AS r) r, thr
 ),
 draws AS (
   SELECT r,
@@ -4912,9 +4936,11 @@ FROM obs, tail
     doc="Permutation test of the weekend/weekday mean-value gap with "
     "deterministic md5-salted label reassignments instead of a RNG "
     "(reproducible under task retries, replayed bit-identically by "
-    "the oracle): R=40 resamples in one exploded map-side aggregate, "
-    "add-one p-value — the assumption-free member of the "
-    "weekend-split test family (Welch t, Mann-Whitney U).",
+    "the oracle), coin threshold matched to the observed weekend "
+    "marginal so the null preserves the ~2/7 split-size distribution: "
+    "R=40 resamples in one exploded map-side aggregate, add-one "
+    "p-value — the assumption-free member of the weekend-split test "
+    "family (Welch t, Mann-Whitney U).",
     tags=("aggregates", "stats", "extension"),
 )
 def a_permutation_test(spark, sf_dir):
@@ -4930,7 +4956,14 @@ def a_permutation_test(spark, sf_dir):
             / F.count(F.when(F.col(flag) == 0, 1))
         )
 
-    obs = s.agg(gap("we").alias("d_obs"), F.count(F.lit(1)).alias("n"))
+    obs = s.agg(
+        gap("we").alias("d_obs"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("we").alias("n_we"),
+    )
+    # marginal-matched coin threshold round(256 * n_we/n) as exact
+    # integer floor-division — identical arithmetic in both engines
+    thr = obs.select(F.expr("(512 * n_we + n) div (2 * n)").alias("thr"))
     coin = F.conv(
         F.substring(
             F.md5(
@@ -4947,11 +4980,19 @@ def a_permutation_test(spark, sf_dir):
         16,
         10,
     ).cast("int")
-    perm = s.select(
-        "event_id",
-        "value",
-        F.explode(F.sequence(F.lit(0), F.lit(PERM_R - 1))).alias("r"),
-    ).select("value", "r", F.when(coin < 128, 1).otherwise(0).alias("pwe"))
+    perm = (
+        s.crossJoin(F.broadcast(thr))
+        .select(
+            "event_id",
+            "value",
+            "thr",
+            F.explode(F.sequence(F.lit(0), F.lit(PERM_R - 1))).alias("r"),
+        )
+        .select(
+            "value", "r",
+            F.when(coin < F.col("thr"), 1).otherwise(0).alias("pwe"),
+        )
+    )
     draws = perm.groupBy("r").agg(gap("pwe").alias("d_r"))
     tail = (
         draws.crossJoin(F.broadcast(obs.select("d_obs")))
@@ -4967,11 +5008,16 @@ def a_permutation_test(spark, sf_dir):
     )
 
 
-FLEISS_E_LOW, FLEISS_E_MID = 4.084, 4.1354  # char-entropy band cuts
-# (placed in measured inter-doc gaps: every doc sits >= 2.5e-4 away,
-# two decades above the entropy pipeline's ~5e-5 quantization wobble,
-# so banding is stable against the %.7f/4-dp recipe AND an unquantized
-# numpy recompute — tests/test_value_parity.py relies on this)
+FLEISS_E_LOW, FLEISS_E_MID = 4.076745, 4.122895  # char-entropy band cuts
+# (placed at midpoints of measured inter-doc entropy gaps in the UNION
+# of the sf0.001/sf0.01/sf0.1 corpora: every doc sits >= 1.6e-4 (LOW) /
+# 8.8e-5 (MID) away — above the recipe's dominant wobble, the dsum 4-dp
+# final round (5e-5) plus the %.7f ln term quantization (5e-8) — so
+# banding agrees between the engine's quantized bits AND an unquantized
+# numpy recompute at every gated SF. r12 re-placement: the r11 cuts
+# held 2.5e-4 only at sf0.001 and collapsed to 5.8e-6 at sf0.1.
+# EXECUTABLE: tests/test_band_margins.py recomputes the margins from
+# raw parquet each run; a TESTDATA regen that collapses one fails.
 
 
 @register(
@@ -5363,7 +5409,8 @@ def a_tukey_hsd(spark, sf_dir):
     # tie_sum/(12(n-1))) * (1/n_i + 1/n_j)) over the SAME global
     # tie-averaged ranks as a_kruskal_wallis (two-level bucket
     # prefix). Mean ranks come from decimal-exact rank sums; the tie
-    # term is an exact BIGINT; each z is one closed-form IEEE tree.
+    # term cubes in exact decimal(38,0)/HUGEINT (no int64 wrap past
+    # cnt ~2.09e6); each z is one closed-form IEEE tree.
     # Reports z per pair (critical values with Bonferroni/Holm
     # adjustment are lookups outside the engine). Plan: the KW
     # machinery to a 5-row group table, broadcast self-join for the
@@ -5402,7 +5449,7 @@ g AS (
 ),
 tie AS (
   SELECT sum(cnt)::BIGINT AS n,
-         sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_sum
+         sum(cnt::HUGEINT * cnt * cnt - cnt)::DOUBLE AS tie_sum
   FROM vals
 ),
 pairs AS (
@@ -5464,9 +5511,12 @@ def a_dunn_test(spark, sf_dir):
     )
     tie = vals.agg(
         F.sum("cnt").alias("n"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
-            "tie_sum"
-        ),
+        # exact decimal cube / HUGEINT oracle twin: no int64 wrap at
+        # cnt > ~2.09e6 (see a_mannwhitney_u tie_sum note)
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).cast("double").alias("tie_sum"),
     )
     a = g.select(
         F.col("event_type").alias("group_a"),

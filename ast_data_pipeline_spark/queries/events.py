@@ -2214,21 +2214,19 @@ def e_markov_transitions(spark, sf_dir):
     # no survivorship in the cell means). Treatment is the sticky
     # md5-byte coin (the e_ab_test_analysis assignment rule, own
     # salt); pre/post is the integer epoch midpoint (the a_psi_drift
-    # split). The four cell means/variances come from exact-decimal
-    # moments; the interaction SE is the Welch-style sqrt(sum v_i/n_i)
-    # over the four cells and the t statistic one IEEE tree. Two hash
-    # aggregates (user-period totals, then 4-cell combine) — the same
-    # two-pass shape at any scale.
+    # split). Because the panel is the SAME users pre and post, a
+    # four-cell independent-variance SE would ignore the within-user
+    # cov(y_pre, y_post) (r11 ADVICE): the SE here is the correct
+    # paired form — per-user d = y_post - y_pre, then a two-sample
+    # Welch t of d between T and C (did == mean_T(d) - mean_C(d) by
+    # balance, so the estimate is unchanged; only its SE tightens).
+    # Cell means and d-moments all come from exact-decimal sums. Two
+    # hash aggregates (user-period totals -> user-grain pivot, then
+    # 2-group combine) — the same two-pass shape at any scale.
     oracle="""
 WITH mid AS (
   SELECT (floor(epoch(min(ts)))::BIGINT + floor(epoch(max(ts)))::BIGINT) // 2
            AS mid_epoch
-  FROM events
-),
-users AS (
-  SELECT DISTINCT user_id,
-         CASE WHEN ('0x' || substr(md5('did|' || user_id::VARCHAR), 1, 2))::INT < 128
-              THEN 'T' ELSE 'C' END AS grp
   FROM events
 ),
 up AS (
@@ -2239,34 +2237,37 @@ up AS (
                         THEN value ELSE 0.0 END::DECIMAL(30,10)), 4)::DOUBLE AS y
   FROM events, mid GROUP BY 1, 2
 ),
-panel AS (
-  SELECT u.user_id, u.grp, p.period, coalesce(up.y, 0.0) AS y
-  FROM users u CROSS JOIN (SELECT unnest(['pre', 'post']) AS period) p
-  LEFT JOIN up ON up.user_id = u.user_id AND up.period = p.period
+ud AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5('did|' || user_id::VARCHAR), 1, 2))::INT < 128
+              THEN 'T' ELSE 'C' END AS grp,
+         coalesce(max(CASE WHEN period = 'pre' THEN y END), 0.0) AS y_pre,
+         coalesce(max(CASE WHEN period = 'post' THEN y END), 0.0) AS y_post
+  FROM up GROUP BY 1, 2
 ),
-cells AS (
-  SELECT grp, period, count(*)::BIGINT AS n,
-         round(sum((y)::DECIMAL(30,10)), 4)::DOUBLE AS s,
-         round(sum((y * y)::DECIMAL(30,10)), 4)::DOUBLE AS q
-  FROM panel GROUP BY 1, 2
+g AS (
+  SELECT grp, count(*)::BIGINT AS n,
+         round(sum((y_pre)::DECIMAL(30,10)), 4)::DOUBLE AS s_pre,
+         round(sum((y_post)::DECIMAL(30,10)), 4)::DOUBLE AS s_post,
+         round(sum((y_post - y_pre)::DECIMAL(30,10)), 4)::DOUBLE AS sd,
+         round(sum(((y_post - y_pre) * (y_post - y_pre))::DECIMAL(30,10)), 4)::DOUBLE AS qd
+  FROM ud GROUP BY 1
 ),
 m AS (
-  SELECT grp, period, n, s / n AS mean,
-         (q - (s / n) * s) / (n - 1) AS var
-  FROM cells
+  SELECT grp, n, s_pre / n AS m_pre, s_post / n AS m_post,
+         (qd - (sd / n) * sd) / (n - 1) AS var_d
+  FROM g
 ),
 w AS (
   SELECT
-    max(CASE WHEN grp = 'T' AND period = 'pre' THEN n END) AS n_t,
-    max(CASE WHEN grp = 'C' AND period = 'pre' THEN n END) AS n_c,
-    max(CASE WHEN grp = 'T' AND period = 'pre' THEN mean END) AS m_t_pre,
-    max(CASE WHEN grp = 'T' AND period = 'post' THEN mean END) AS m_t_post,
-    max(CASE WHEN grp = 'C' AND period = 'pre' THEN mean END) AS m_c_pre,
-    max(CASE WHEN grp = 'C' AND period = 'post' THEN mean END) AS m_c_post,
-    max(CASE WHEN grp = 'T' AND period = 'pre' THEN var / n END)
-      + max(CASE WHEN grp = 'T' AND period = 'post' THEN var / n END)
-      + max(CASE WHEN grp = 'C' AND period = 'pre' THEN var / n END)
-      + max(CASE WHEN grp = 'C' AND period = 'post' THEN var / n END) AS se2
+    max(CASE WHEN grp = 'T' THEN n END) AS n_t,
+    max(CASE WHEN grp = 'C' THEN n END) AS n_c,
+    max(CASE WHEN grp = 'T' THEN m_pre END) AS m_t_pre,
+    max(CASE WHEN grp = 'T' THEN m_post END) AS m_t_post,
+    max(CASE WHEN grp = 'C' THEN m_pre END) AS m_c_pre,
+    max(CASE WHEN grp = 'C' THEN m_post END) AS m_c_post,
+    max(CASE WHEN grp = 'T' THEN var_d / n END)
+      + max(CASE WHEN grp = 'C' THEN var_d / n END) AS se2
   FROM m
 )
 SELECT n_t AS n_treat, n_c AS n_control,
@@ -2278,9 +2279,10 @@ FROM w
 """,
     doc="Difference-in-differences on per-user purchase totals: sticky "
     "md5 treatment assignment, epoch-midpoint pre/post split, balanced "
-    "zero-filled user-period panel, four exact-decimal cell moments, "
-    "Welch-style interaction SE and t — the quasi-experimental "
-    "estimator that removes baseline gaps and common trends. Two hash "
+    "zero-filled user-period panel, exact-decimal cell means, and the "
+    "paired SE — a two-sample Welch t of per-user d = y_post - y_pre "
+    "between T and C, which accounts for within-user cov(pre, post) "
+    "that a four-cell independent-variance SE would ignore. Two hash "
     "aggregates at any scale.",
     tags=("events", "stats", "extension"),
 )
@@ -2299,7 +2301,6 @@ def e_diff_in_diff(spark, sf_dir):
         .cast("int") < 128,
         "T",
     ).otherwise("C")
-    users = ev.select("user_id").distinct().select("user_id", grp.alias("grp"))
     up = (
         ev.crossJoin(F.broadcast(mid))
         .groupBy(
@@ -2319,48 +2320,51 @@ def e_diff_in_diff(spark, sf_dir):
             ).cast("double").alias("y")
         )
     )
-    periods = ev.sparkSession.createDataFrame(
-        [("pre",), ("post",)], "period string"
-    )
-    panel = (
-        users.crossJoin(F.broadcast(periods))
-        .join(up, ["user_id", "period"], "left")
-        .select("grp", "period", F.coalesce("y", F.lit(0.0)).alias("y"))
-    )
-    cells = panel.groupBy("grp", "period").agg(
+    # user-grain pivot: every user has >= 1 event, so the zero-filled
+    # balanced panel is one coalesce'd max-when per period — no
+    # distinct-users frame or periods cross join needed
+    ud = up.groupBy("user_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("period") == "pre", F.col("y"))), F.lit(0.0)
+        ).alias("y_pre"),
+        F.coalesce(
+            F.max(F.when(F.col("period") == "post", F.col("y"))), F.lit(0.0)
+        ).alias("y_post"),
+    ).select("user_id", grp.alias("grp"), "y_pre", "y_post")
+    d = F.col("y_post") - F.col("y_pre")
+    g = ud.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("y").cast(DEC)), RSCALE).cast("double").alias("s"),
-        F.round(F.sum((F.col("y") * F.col("y")).cast(DEC)), RSCALE)
-        .cast("double").alias("q"),
+        F.round(F.sum(F.col("y_pre").cast(DEC)), RSCALE)
+        .cast("double").alias("s_pre"),
+        F.round(F.sum(F.col("y_post").cast(DEC)), RSCALE)
+        .cast("double").alias("s_post"),
+        F.round(F.sum(d.cast(DEC)), RSCALE).cast("double").alias("sd"),
+        F.round(F.sum((d * d).cast(DEC)), RSCALE).cast("double").alias("qd"),
     )
-    m = cells.select(
+    m = g.select(
         "grp",
-        "period",
         "n",
-        (F.col("s") / F.col("n")).alias("mean"),
+        (F.col("s_pre") / F.col("n")).alias("m_pre"),
+        (F.col("s_post") / F.col("n")).alias("m_post"),
         (
-            (F.col("q") - (F.col("s") / F.col("n")) * F.col("s"))
+            (F.col("qd") - (F.col("sd") / F.col("n")) * F.col("sd"))
             / (F.col("n") - 1)
-        ).alias("var"),
+        ).alias("var_d"),
     )
 
-    def cell(g, p, col):
-        return F.max(
-            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(col))
-        )
+    def cell(grp_name, col):
+        return F.max(F.when(F.col("grp") == grp_name, F.col(col)))
 
     w = m.agg(
-        cell("T", "pre", "n").alias("n_treat"),
-        cell("C", "pre", "n").alias("n_control"),
-        cell("T", "pre", "mean").alias("m_t_pre"),
-        cell("T", "post", "mean").alias("m_t_post"),
-        cell("C", "pre", "mean").alias("m_c_pre"),
-        cell("C", "post", "mean").alias("m_c_post"),
+        cell("T", "n").alias("n_treat"),
+        cell("C", "n").alias("n_control"),
+        cell("T", "m_pre").alias("m_t_pre"),
+        cell("T", "m_post").alias("m_t_post"),
+        cell("C", "m_pre").alias("m_c_pre"),
+        cell("C", "m_post").alias("m_c_post"),
         (
-            cell("T", "pre", "var") / cell("T", "pre", "n")
-            + cell("T", "post", "var") / cell("T", "post", "n")
-            + cell("C", "pre", "var") / cell("C", "pre", "n")
-            + cell("C", "post", "var") / cell("C", "post", "n")
+            cell("T", "var_d") / cell("T", "n")
+            + cell("C", "var_d") / cell("C", "n")
         ).alias("se2"),
     )
     did = (F.col("m_t_post") - F.col("m_t_pre")) - (

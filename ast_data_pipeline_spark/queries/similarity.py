@@ -289,31 +289,13 @@ def x_kmeans_assign(spark, sf_dir):
     )
 
 
-@register(
-    "x_kmeans_lloyd",
-    doc="Full Lloyd k-means (iterative): literal-folded assignment "
-    "(no shuffle, no UDF) + one partial-agg shuffle per iteration; "
-    "only the K x dim centroid matrix crosses the driver. Output is "
-    "the converged cluster census (cid, n). Iterated float means are "
-    "not bit-reproducible across engines, so this is rows-only; the "
-    "single assignment step is oracled as x_kmeans_assign, and "
-    "tests/test_clustering.py pins inertia monotonicity, convergence "
-    "and determinism.",
-    tags=("similarity", "extension", "iterative"),
-)
-def x_kmeans_lloyd(spark, sf_dir):
-    from ..operators.clustering import kmeans_lloyd
-
-    emb = load(spark, sf_dir, "embeddings")
-    assigned, _cents, _iters = kmeans_lloyd(
-        emb, k=K_CENTROIDS, dim=EMB_DIM, max_iter=5
-    )
-    return (
-        assigned.groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("cid")
-    )
-
+# The convergence-based Lloyd variant (operators/clustering.kmeans_lloyd)
+# is deliberately NOT a registered query: iterated float means aren't
+# bit-reproducible across engines, so its registry face was rows-only
+# noise next to the fully-oracled x_kmeans_lloyd_exact below, which
+# proves the same iterated algorithm bit-exactly (deregistered in r12
+# per VERDICT r11 #4). tests/test_clustering.py pins the operator's
+# inertia monotonicity, convergence and determinism directly.
 
 _LLOYD_ITERS = 3
 
@@ -365,10 +347,11 @@ QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
     doc="Bit-exact iterated Lloyd k-means: 3 full assignment+update "
     "rounds with exact-decimal centroid means, verified end-to-end "
     "against a DuckDB recursive-CTE twin (the first ITERATIVE "
-    "algorithm under the hash gate — x_kmeans_lloyd remains the "
-    "convergence-based production variant, rows-only by design). "
-    "Scale shape unchanged: literal-folded assignment in codegen, one "
-    "partial-agg shuffle per round, K x dim doubles to the driver.",
+    "algorithm under the hash gate; the convergence-based operator "
+    "kmeans_lloyd stays unregistered with direct pytest pins — "
+    "tests/test_clustering.py). Scale shape unchanged: literal-folded "
+    "assignment in codegen, one partial-agg shuffle per round, K x "
+    "dim doubles to the driver.",
     tags=("similarity", "extension", "iterative"),
 )
 def x_kmeans_lloyd_exact(spark, sf_dir):

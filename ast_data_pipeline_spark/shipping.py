@@ -13,6 +13,7 @@ a real cluster.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -43,19 +44,40 @@ def ensure_shipped(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
+    # Collect sources deterministically and name the zip by CONTENT
+    # hash, not pid: pid-named zips outlive their process, and pid
+    # reuse then ships a stale snapshot of the package (r12: a reused
+    # pid resurrected a zip from an earlier session mid-edit). A hash
+    # name is immune — same content reuses the file, changed content
+    # gets a fresh name. Written via tmp+rename so a concurrent
+    # process producing the same hash never exposes a partial file.
+    entries: list[tuple[str, str]] = []
+    hasher = hashlib.sha1()
+    for root, dirs, files in sorted(
+        (r, d, f) for r, d, f in os.walk(pkg_dir)
+    ):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if not f.endswith((".py", ".txt")):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+            entries.append((full, rel))
+            hasher.update(rel.encode())
+            with open(full, "rb") as fh:
+                hasher.update(fh.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"{pkg_name}_{hasher.hexdigest()[:12]}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
+        tmp_fd, tmp_path = tempfile.mkstemp(
+            suffix=".zip", dir=tempfile.gettempdir()
+        )
+        os.close(tmp_fd)
+        with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full, rel in entries:
+                zf.write(full, rel)
+        os.replace(tmp_path, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(key)

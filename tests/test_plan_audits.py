@@ -113,3 +113,19 @@ def test_every_dsum_site_is_scaled_or_classified():
         owners.update(o for o, *_ in dsum_audit.scan_file(path))
     stale = sorted((dsum_audit.LARGE | dsum_audit.UNIT) - owners)
     assert not stale, f"prune stale dsum_audit classifications: {stale}"
+
+
+def test_sf1_gate_names_exist_in_registry():
+    """tools/sf1_gate.py's ENVELOPE_RISK set is an explicit review
+    ledger (which queries get the one-decade-up oracle gate); a
+    renamed or deregistered query must be noticed here, not silently
+    skipped by the gate."""
+    import sf1_gate
+
+    from ast_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    missing = [n for n in sf1_gate.ENVELOPE_RISK if n not in specs]
+    assert not missing, f"ENVELOPE_RISK names not in registry: {missing}"
+    unknown = [n for n in sf1_gate.EXPECTED_BREACH if n not in sf1_gate.ENVELOPE_RISK]
+    assert not unknown, f"EXPECTED_BREACH entries outside the gate: {unknown}"

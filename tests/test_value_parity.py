@@ -489,8 +489,14 @@ def test_diff_in_diff_value_parity(spark, sf_dir):
     did = (m[("T", "post")] - m[("T", "pre")]) - (
         m[("C", "post")] - m[("C", "pre")]
     )
+    # paired SE (r11 ADVICE): Welch t of per-user d = y_post - y_pre
+    # between T and C — same users pre/post, so the four-cell
+    # independent-variance form would ignore within-user covariance
+    dcells = {
+        g: cells[(g, "post")] - cells[(g, "pre")] for g in ("T", "C")
+    }
     se = math.sqrt(
-        sum(v.var(ddof=1) / len(v) for v in cells.values())
+        sum(v.var(ddof=1) / len(v) for v in dcells.values())
     )
     assert got.n_treat == len(cells[("T", "pre")])
     assert got.n_control == len(cells[("C", "pre")])
@@ -553,11 +559,15 @@ def test_permutation_test_value_parity(spark, sf_dir):
     we = _weekend(ev.ts).to_numpy()
     v = ev.value.to_numpy()
     d_obs = v[we].mean() - v[~we].mean()
+    # null coin matched to the observed weekend marginal (r11 ADVICE):
+    # thr = round(256 * n_we/n) via exact integer floor-division
+    n_rows = len(v)
+    thr = (512 * int(we.sum()) + n_rows) // (2 * n_rows)
 
     def coin(r, eid):
         return int(
             hashlib.md5(f"perm{r}|{eid}".encode()).hexdigest()[:2], 16
-        ) < 128
+        ) < thr
 
     eids = ev.event_id.to_numpy()
     n_ext = 0
@@ -580,7 +590,7 @@ def test_fleiss_kappa_value_parity(spark, sf_dir):
 
     Q_LOW, Q_MID = 0.635, 0.655
     R_LOW, R_MID = 0.105, 0.085
-    E_LOW, E_MID = 4.084, 4.1354
+    E_LOW, E_MID = 4.076745, 4.122895
     STOP = {"the", "a", "of", "and", "to", "in", "is"}
     PUNCT = set(".,;:!?")
     got = _run(spark, sf_dir, "a_fleiss_kappa").iloc[0]
@@ -603,8 +613,9 @@ def test_fleiss_kappa_value_parity(spark, sf_dir):
 
     def band_c(text):
         # unquantized numpy entropy; the band cuts sit in measured
-        # inter-doc gaps >= 2.5e-4 wide, far above the engine recipe's
-        # ~5e-5 quantization wobble, so banding agrees exactly
+        # inter-doc gaps (>= 8.8e-5 margin across every testdata SF,
+        # above the recipe's ~5e-5 dsum-round wobble), so banding
+        # agrees exactly — margins enforced by tests/test_band_margins
         c = np.array(list(Counter(text).values()), dtype=float)
         p = c / c.sum()
         e = float(-(p * np.log2(p)).sum())

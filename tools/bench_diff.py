@@ -15,6 +15,17 @@ Usage:
     python tools/bench_diff.py new.json             # diff a saved bench line vs newest round
     python tools/bench_diff.py new.json old.json    # explicit pair
     python tools/bench_diff.py --threshold 2.0 ...
+    python tools/bench_diff.py --prefix BENCH_SF1_r --sf-dir /tmp/ast_sf1
+                                                    # sf1 pair: run bench at sf1,
+                                                    # diff vs newest BENCH_SF1_r*.json
+
+The ``--prefix``/``--sf-dir`` pair supports the second bench scale
+point (VERDICT r11 #5): ``BENCH_SF1_r{N}.json`` is recorded each
+round at the deterministic sf1 expansion, so wall-time SCALING
+regressions surface as same-sf cross-round data instead of being
+inferred from the saturated sf0.1 gate. A same-run sf mismatch
+(old and new recorded at different sf) is flagged loudly — ratios
+across scales are meaningless.
 
 Exit code 1 iff any query regressed more than ``--threshold`` (default
 1.5x) AND by more than ``--min-abs-delta`` seconds (default 0.3 s).
@@ -47,15 +58,24 @@ def load_bench(path: str) -> dict:
         return _extract(json.load(f))
 
 
-def newest_round_bench() -> str:
-    paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+def newest_round_bench(prefix: str = "BENCH_r") -> str:
+    # exclude longer prefixes that share the stem (BENCH_r must not
+    # match BENCH_SF1_r files and vice versa)
+    rx = re.compile(re.escape(prefix) + r"(\d+)\.json$")
+    paths = [
+        p
+        for p in glob.glob(os.path.join(REPO, f"{prefix}*.json"))
+        if rx.search(os.path.basename(p))
+    ]
     if not paths:
-        raise SystemExit("no BENCH_r*.json found — nothing to diff against")
-    return max(paths, key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)))
+        raise SystemExit(f"no {prefix}*.json found — nothing to diff against")
+    return max(paths, key=lambda p: int(rx.search(p).group(1)))
 
 
-def run_bench_now() -> dict:
+def run_bench_now(sf_dir: str | None = None) -> dict:
     env = dict(os.environ)
+    if sf_dir:
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, check=False,
@@ -75,11 +95,19 @@ def main() -> int:
                     help="flag ratio above this (default 1.5)")
     ap.add_argument("--min-abs-delta", type=float, default=0.3,
                     help="ignore regressions smaller than this many seconds (default 0.3)")
+    ap.add_argument("--prefix", default="BENCH_r",
+                    help="round-artifact prefix to diff against (e.g. BENCH_SF1_r)")
+    ap.add_argument("--sf-dir", default=None,
+                    help="SPARK_GRAFT_SF_DIR for the fresh bench run (e.g. /tmp/ast_sf1)")
     a = ap.parse_args()
 
-    old_path = a.old or newest_round_bench()
+    old_path = a.old or newest_round_bench(a.prefix)
     old = load_bench(old_path)
-    new = load_bench(a.new) if a.new else run_bench_now()
+    new = load_bench(a.new) if a.new else run_bench_now(a.sf_dir)
+
+    if old.get("sf") is not None and new.get("sf") is not None and old["sf"] != new["sf"]:
+        print(f"WARNING: sf mismatch — old sf={old['sf']} vs new sf={new['sf']}; "
+              "cross-scale ratios are meaningless (pass --prefix/--sf-dir for a same-sf pair)")
 
     oq, nq = old["queries"], new["queries"]
     rows, regressions = [], []

@@ -95,7 +95,6 @@ def main() -> None:
         n
         for n in (
             "x_kmeans_lloyd_exact",
-            "x_kmeans_lloyd",
             "a_exact_quantiles",
             "s_stream_stream_join",
             "d_inventory_utm",

@@ -107,11 +107,20 @@ def unpartitioned_ordered_windows(plan: str) -> list[str]:
 def audit(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
     """Return {query_name: [window plan lines]} for every registered
     query whose physical plan contains an un-partitioned ordered
-    Window. Shared by the CLI and the pytest guard."""
+    Window. Shared by the CLI and the pytest guard.
+
+    Planning is driver-side Catalyst work (plus the handful of
+    driver-loop queries that run real jobs while building their
+    frame); py4j releases the GIL during JVM calls, so a thread pool
+    overlaps the per-query planning latency. 8 threads took the
+    serial ~3 min registry pass to ~55 s (VERDICT r11 #7 — the ritual
+    must stay cheap or it silently stops being run)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ast_data_pipeline_spark.registry import load_all
 
-    hits: dict[str, list[str]] = {}
-    for name, spec in load_all().items():
+    def plan_of(item):
+        name, spec = item
         try:
             plan = (
                 spec.fn(spark, sf_dir)
@@ -121,11 +130,18 @@ def audit(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
             )
         except Exception as e:  # pragma: no cover
             print("ERR", name, str(e)[:120])
-            continue
-        bad = unpartitioned_ordered_windows(plan)
-        if bad:
-            hits[name] = bad
-    return hits
+            return name, []
+        return name, unpartitioned_ordered_windows(plan)
+
+    # Warm the executor's addPyFile dependency fetch with ONE task
+    # before fanning out: concurrent FIRST fetches of the shipped
+    # package zip race in local mode ("exists and does not match
+    # contents of" copyFile failures when 8 planning jobs start
+    # simultaneously on a cold session).
+    spark.sparkContext.parallelize([0], 1).count()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(plan_of, load_all().items()))
+    return {name: bad for name, bad in results if bad}
 
 
 def main() -> None:
