@@ -66,3 +66,32 @@ def davg_sql(expr: str) -> str:
 def dsum_over_sql(expr: str, over: str) -> str:
     """DuckDB oracle text for ``dsum_over``; ``over`` is the OVER (...) body."""
     return f"round(sum(({expr})::DECIMAL(30,10)) OVER ({over}), {RSCALE})::DOUBLE"
+
+
+# ---------------------------------------------------------------------
+# Grid snapping — engine-identical decimal quantization of doubles.
+#
+# '%.7f' string formatting is NOT engine-identical on boundary inputs:
+# Java's Formatter rounds the SHORTEST-REPR digits (half-up), DuckDB's
+# fmt rounds the EXACT binary expansion (half-even), so a double whose
+# shortest repr ends exactly on the half-grid formats differently
+# (probability ~7e-8 per value — the r12 sf1 gate caught 2 flips in
+# the flagship's 29M formatted lon/lats). floor(x*1e7 + 0.5)/1e7 is
+# pure IEEE arithmetic — multiply, add, floor, divide are all
+# correctly-rounded in every engine — so the snapped double is
+# bit-identical everywhere, and once ON the grid a subsequent '%.7f'
+# format is 5e-8 from any rounding boundary in BOTH formatters.
+# Valid while |x|*1e7 < 2^52 (|x| < 4.5e8; lon/lat/ln-scores are far
+# inside). Snap BEFORE any '%.7f' format or use the snapped double
+# directly in place of the format->parse quantizer recipe.
+Q7 = 1.0e7
+
+
+def q7(col: Column | str) -> Column:
+    """Quantize a double column to the 1e-7 grid, engine-identically."""
+    return F.floor(_c(col) * F.lit(Q7) + F.lit(0.5)) / F.lit(Q7)
+
+
+def q7_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`q7` — token-for-token op order."""
+    return f"(floor(({expr}) * 10000000.0 + 0.5) / 10000000.0)"

@@ -31,6 +31,77 @@ _E2 = _F * (2 - _F)
 _EP2 = _E2 / (1 - _E2)
 _FALSE_EASTING = 500000.0
 
+# ---------------------------------------------------------------------
+# Deterministic elementary trig for the hash-gated boundary.
+#
+# +,-,*,/,sqrt are IEEE-correctly-rounded in every engine, but built-in
+# sin/cos/tan are only ~1-ulp (JVM Math vs DuckDB libm vs numpy), and a
+# 1-ulp wobble crosses the flagship's %.7f output grid with probability
+# ~1e-7 per formatted value. That held at sf0.1 (2.9M values) and broke
+# at sf1: the r12 sf1 gate caught 2-in-29M grid straddles. Rather than
+# coarsen the boundary, the engine carries its OWN sin/cos as Taylor-
+# Horner polynomials in t = x^2 — every term a literal double constant,
+# every op an exact IEEE +/*, so Spark codegen, the DuckDB oracle and
+# any future engine produce identical BITS on every input. Valid for
+# |x| <= ~1.47 rad (UTM's 84N latitude cap; truncation < 7e-17 there,
+# at the double rounding floor). sin(2mu)..sin(8mu) come from the
+# double-angle recurrences on (sin mu, cos mu) — products and sums
+# only. tan = sin/cos (one exact division). Accuracy vs libm is ~5e-16
+# abs (pinned in tests/test_geo.py), far below the 1e-9 rad Snyder
+# truncation already accepted; reproducibility becomes exact instead
+# of probabilistic — green at one SF now means green at every SF.
+#
+# Coefficients: sin x = x * (1 + sum_k t^k * (-1)^k/(2k+1)!),
+#               cos x =      1 + sum_k t^k * (-1)^k/(2k)!.
+_SIN_P = (
+    -1 / 6, 1 / 120, -1 / 5040, 1 / 362880, -1 / 39916800,
+    1 / 6227020800, -1 / 1307674368000, 1 / 355687428096000,
+    -1 / 121645100408832000,
+)
+_COS_P = (
+    -1 / 2, 1 / 24, -1 / 720, 1 / 40320, -1 / 3628800,
+    1 / 479001600, -1 / 87178291200, 1 / 20922789888000,
+    -1 / 6402373705728000, 1 / 2432902008176640000,
+)
+
+
+def _horner_col(t, coefs):
+    p = F.lit(coefs[-1])
+    for c in reversed(coefs[:-1]):
+        p = F.lit(c) + t * p
+    return F.lit(1.0) + t * p
+
+
+def psin_col(x):
+    """Deterministic sin as a Spark column (|x| <= ~1.47 rad)."""
+    t = x * x
+    return x * _horner_col(t, _SIN_P)
+
+
+def pcos_col(x):
+    """Deterministic cos as a Spark column (|x| <= ~1.47 rad)."""
+    t = x * x
+    return _horner_col(t, _COS_P)
+
+
+def _horner_sql(t: str, coefs) -> str:
+    expr = repr(coefs[-1])
+    for c in reversed(coefs[:-1]):
+        expr = f"({c!r} + {t} * ({expr}))"
+    return f"(1.0 + {t} * {expr})"
+
+
+def psin_sql(x: str) -> str:
+    """DuckDB mirror of :func:`psin_col` — token-for-token op order."""
+    t = f"({x} * {x})"
+    return f"({x} * {_horner_sql(t, _SIN_P)})"
+
+
+def pcos_sql(x: str) -> str:
+    """DuckDB mirror of :func:`pcos_col` — token-for-token op order."""
+    t = f"({x} * {x})"
+    return _horner_sql(t, _COS_P)
+
 
 def utm_to_lonlat_np(easting: np.ndarray, northing: np.ndarray, zone: np.ndarray):
     """Inverse transverse Mercator (Snyder 1987, eqs. 8-17..8-25),
@@ -112,23 +183,34 @@ def utm_to_lonlat_cols(easting, northing, zone):
     the flagship when six lon/lat outputs each re-derived phi1/d) —
     DataFrame callers should use :func:`with_utm_lonlat`, which stages
     the shared subterms as named columns so each is computed once.
-    Double-precision math
-    throughout; JVM Math.sin/cos are 1-ulp, so agreement with the
-    numpy path is far below the 0.6 m pixel scale.
+    Double-precision math throughout; trig comes from the
+    deterministic :func:`psin_col`/:func:`pcos_col` polynomials (plus
+    the double-angle recurrences for sin 2mu..8mu), so the result is
+    BIT-identical to the DuckDB mirror on every input — no libm at
+    the boundary (r12; see the module-level trig note).
     """
     sqrt1e2 = math.sqrt(1 - _E2)
     e1 = (1 - sqrt1e2) / (1 + sqrt1e2)
     x = easting - F.lit(_FALSE_EASTING)
     m = northing / F.lit(_K0)
     mu = m / F.lit(_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    smu, cmu = psin_col(mu), pcos_col(mu)
+    sin2 = F.lit(2.0) * (smu * cmu)
+    cos2 = F.lit(1.0) - F.lit(2.0) * (smu * smu)
+    sin4 = F.lit(2.0) * (sin2 * cos2)
+    cos4 = F.lit(1.0) - F.lit(2.0) * (sin2 * sin2)
+    sin6 = sin4 * cos2 + cos4 * sin2
+    sin8 = F.lit(2.0) * (sin4 * cos4)
     phi1 = (
         mu
-        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(mu * 2)
-        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(mu * 4)
-        + F.lit(151 * e1**3 / 96) * F.sin(mu * 6)
-        + F.lit(1097 * e1**4 / 512) * F.sin(mu * 8)
+        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * sin2
+        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * sin4
+        + F.lit(151 * e1**3 / 96) * sin6
+        + F.lit(1097 * e1**4 / 512) * sin8
     )
-    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    sin1 = psin_col(phi1)
+    cos1 = pcos_col(phi1)
+    tan1 = sin1 / cos1
     c1 = F.lit(_EP2) * cos1 * cos1
     t1 = tan1 * tan1
     one_m_e2sin2 = F.lit(1.0) - F.lit(_E2) * sin1 * sin1
@@ -169,31 +251,53 @@ def with_utm_lonlat(df, out_lon: str, out_lat: str, easting, northing, zone):
     duplicated series blew the generated method past JIT limits.
     """
     p = f"_tm_{out_lon}_"  # unique temp prefix per call site
-    mu, phi1, sin1, cos1, tan1, c1, t1, n1, d = (p + s for s in
-        ("mu", "phi1", "sin1", "cos1", "tan1", "c1", "t1", "n1", "d"))
+    (mu, smu, cmu, sin2, cos2, sin4, cos4,
+     phi1, sin1, cos1, tan1, c1, t1, n1, d) = (p + s for s in
+        ("mu", "smu", "cmu", "sin2", "cos2", "sin4", "cos4",
+         "phi1", "sin1", "cos1", "tan1", "c1", "t1", "n1", "d"))
     sqrt1e2 = math.sqrt(1 - _E2)
     e1 = (1 - sqrt1e2) / (1 + sqrt1e2)
     C = F.col
+    # Staging protocol: one withColumns (ONE Project) per dependency
+    # level — the r12 flagship bench showed per-column withColumn
+    # chains stacking ~18 Projects per call site (x3 sites), which the
+    # optimizer and codegen then re-walk; batching levels claws most
+    # of that back. Single-use terms (sin6/sin8) are inlined into
+    # phi1 — same expression tree, same doubles, one less column.
     df = df.withColumn(mu, northing / F.lit(_K0 * _A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256)))
+    # Deterministic trig (module-level note): polynomial sin/cos of mu,
+    # double-angle recurrences for the 2mu..8mu terms, tan = sin/cos —
+    # bit-identical to the DuckDB mirror (utm_lonlat_staged_sql stages
+    # the SAME names in the SAME op order).
+    df = df.withColumns({smu: psin_col(C(mu)), cmu: pcos_col(C(mu))})
+    df = df.withColumns({
+        sin2: F.lit(2.0) * (C(smu) * C(cmu)),
+        cos2: F.lit(1.0) - F.lit(2.0) * (C(smu) * C(smu)),
+    })
+    df = df.withColumns({
+        sin4: F.lit(2.0) * (C(sin2) * C(cos2)),
+        cos4: F.lit(1.0) - F.lit(2.0) * (C(sin2) * C(sin2)),
+    })
+    sin6 = C(sin4) * C(cos2) + C(cos4) * C(sin2)
+    sin8 = F.lit(2.0) * (C(sin4) * C(cos4))
     df = df.withColumn(
         phi1,
         C(mu)
-        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(C(mu) * 2)
-        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(C(mu) * 4)
-        + F.lit(151 * e1**3 / 96) * F.sin(C(mu) * 6)
-        + F.lit(1097 * e1**4 / 512) * F.sin(C(mu) * 8),
+        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * C(sin2)
+        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * C(sin4)
+        + F.lit(151 * e1**3 / 96) * sin6
+        + F.lit(1097 * e1**4 / 512) * sin8,
     )
-    df = (
-        df.withColumn(sin1, F.sin(C(phi1)))
-        .withColumn(cos1, F.cos(C(phi1)))
-        .withColumn(tan1, F.tan(C(phi1)))
-    )
-    df = (
-        df.withColumn(c1, F.lit(_EP2) * C(cos1) * C(cos1))
-        .withColumn(t1, C(tan1) * C(tan1))
-        .withColumn(n1, F.lit(_A) / F.sqrt(F.lit(1.0) - F.lit(_E2) * C(sin1) * C(sin1)))
-    )
-    df = df.withColumn(d, (easting - F.lit(_FALSE_EASTING)) / (C(n1) * F.lit(_K0)))
+    df = df.withColumns({sin1: psin_col(C(phi1)), cos1: pcos_col(C(phi1))})
+    df = df.withColumns({
+        tan1: C(sin1) / C(cos1),
+        c1: F.lit(_EP2) * C(cos1) * C(cos1),
+        n1: F.lit(_A) / F.sqrt(F.lit(1.0) - F.lit(_E2) * C(sin1) * C(sin1)),
+    })
+    df = df.withColumns({
+        t1: C(tan1) * C(tan1),
+        d: (easting - F.lit(_FALSE_EASTING)) / (C(n1) * F.lit(_K0)),
+    })
     d2 = C(d) * C(d)
     d4 = d2 * d2
     # r1 is single-use -> safe to inline into lat. x^1.5 is computed as
@@ -215,8 +319,9 @@ def with_utm_lonlat(df, out_lon: str, out_lat: str, easting, northing, zone):
         + (F.lit(5.0) - 2 * C(c1) + 28 * C(t1) - 3 * C(c1) * C(c1) + F.lit(8 * _EP2) + 24 * C(t1) * C(t1))
         * (d4 * C(d)) / 120
     ) / C(cos1)
-    df = df.withColumn(out_lon, F.degrees(lon)).withColumn(out_lat, F.degrees(lat))
-    return df.drop(mu, phi1, sin1, cos1, tan1, c1, t1, n1, d)
+    df = df.withColumns({out_lon: F.degrees(lon), out_lat: F.degrees(lat)})
+    return df.drop(mu, smu, cmu, sin2, cos2, sin4, cos4,
+                   phi1, sin1, cos1, tan1, c1, t1, n1, d)
 
 
 _LONLAT_SCHEMA = StructType(
@@ -262,18 +367,23 @@ def utm_lonlat_staged_sql(
     in staged subselects computing ``lon_<sfx>``/``lat_<sfx>`` (degrees,
     DOUBLE) for each ``(sfx, easting_expr, northing_expr)`` point.
 
-    Bit-exactness contract (what makes a hash-gated oracle possible for
-    a trig-heavy pipeline): every +,-,*,/,sqrt is IEEE-exact in both
-    engines, so the ONLY cross-engine risk is sin/cos/tan (~1-ulp libm
-    vs JVM differences on ~0.3% of inputs — measured). The series is
-    transcribed with the exact association order of the Spark column
-    tree, pow() is avoided (sqrt-cube on both sides), and radians/
-    degrees are expanded to the JVM's literal order (x / 180.0 * pi(),
-    x * 180.0 / pi()) rather than DuckDB's builtins. Residual 1-ulp
-    trig wobble (~1e-14 deg) is absorbed by the %.7f boundary format
-    the flagship emits — a 1-ulp difference crosses a 1e-7 grid with
-    probability ~1e-8 per value, and deterministically: green once at
-    a given SF means green forever.
+    Bit-exactness contract (what makes a hash-gated oracle possible
+    for a trig-heavy pipeline): every +,-,*,/,sqrt is IEEE-exact in
+    both engines, and — since r12 — so is the trig: sin/cos come from
+    the deterministic psin/pcos polynomials (identical literal
+    coefficients, identical Horner order on both sides; see the
+    module-level note) and tan is one exact division, so there is NO
+    libm at the boundary at all. (The previous design let built-in
+    sin/cos through and relied on the flagship's %.7f output format to
+    absorb their ~1-ulp cross-engine wobble; at sf1 the ~1e-7
+    straddle-per-value probability finally paid out — 2 flipped
+    values in 29M formatted — caught by the r12 sf1 gate.) The series
+    is transcribed with the exact association order of the Spark
+    column tree, pow() is avoided (sqrt-cube on both sides), and
+    radians/degrees are expanded to the JVM's literal order
+    (x / 180.0 * pi(), x * 180.0 / pi()) rather than DuckDB's
+    builtins. Green is now deterministic at EVERY scale, not
+    probabilistically at one.
 
     Staging mirrors Spark's named-column staging only for DuckDB parse
     economy — textual duplication would be value-identical but blows
@@ -302,15 +412,40 @@ def utm_lonlat_staged_sql(
         + [f"({n}) / {MU_DEN} AS mu_{s}" for s, _e, n in points]
         + [f"({e}) AS _tme_{s}" for s, e, _n in points]
     )
+    # Mirror of with_utm_lonlat's staged columns, same names, same op
+    # order: polynomial sin/cos of mu, double-angle recurrences for
+    # 2mu..8mu, phi1, polynomial sin/cos of phi1, tan1 = sin1/cos1.
+    lvl2a = ", ".join(
+        f"{psin_sql(f'mu_{s}')} AS smu_{s}, {pcos_sql(f'mu_{s}')} AS cmu_{s}"
+        for s, _e, _n in points
+    )
+    lvl2b = ", ".join(
+        f"2.0 * (smu_{s} * cmu_{s}) AS sin2_{s}, "
+        f"1.0 - 2.0 * (smu_{s} * smu_{s}) AS cos2_{s}"
+        for s, _e, _n in points
+    )
+    lvl2c = ", ".join(
+        f"2.0 * (sin2_{s} * cos2_{s}) AS sin4_{s}, "
+        f"1.0 - 2.0 * (sin2_{s} * sin2_{s}) AS cos4_{s}"
+        for s, _e, _n in points
+    )
+    lvl2d = ", ".join(
+        f"sin4_{s} * cos2_{s} + cos4_{s} * sin2_{s} AS sin6_{s}, "
+        f"2.0 * (sin4_{s} * cos4_{s}) AS sin8_{s}"
+        for s, _e, _n in points
+    )
     lvl2 = ", ".join(
-        f"mu_{s} + {C2}*sin(mu_{s}*2) + {C4}*sin(mu_{s}*4) "
-        f"+ {C6}*sin(mu_{s}*6) + {C8}*sin(mu_{s}*8) AS phi1_{s}"
+        f"mu_{s} + {C2}*sin2_{s} + {C4}*sin4_{s} "
+        f"+ {C6}*sin6_{s} + {C8}*sin8_{s} AS phi1_{s}"
         for s, _e, _n in points
     )
     lvl3 = ", ".join(
-        f"sin(phi1_{s}) AS sin1_{s}, cos(phi1_{s}) AS cos1_{s}, "
-        f"tan(phi1_{s}) AS tan1_{s}"
+        f"{psin_sql(f'phi1_{s}')} AS sin1_{s}, "
+        f"{pcos_sql(f'phi1_{s}')} AS cos1_{s}"
         for s, _e, _n in points
+    )
+    lvl3b = ", ".join(
+        f"sin1_{s} / cos1_{s} AS tan1_{s}" for s, _e, _n in points
     )
     lvl4 = ", ".join(
         f"{EP2} * cos1_{s} * cos1_{s} AS c1_{s}, "
@@ -348,8 +483,10 @@ def utm_lonlat_staged_sql(
     return f"""
 SELECT *, {', '.join(outs)}
 FROM (SELECT *, {lvl5} FROM (SELECT *, {lvl4}
-FROM (SELECT *, {lvl3} FROM (SELECT *, {lvl2}
-FROM (SELECT *, {lvl1} FROM ({inner_sql}))))))
+FROM (SELECT *, {lvl3b} FROM (SELECT *, {lvl3} FROM (SELECT *, {lvl2}
+FROM (SELECT *, {lvl2d} FROM (SELECT *, {lvl2c} FROM (SELECT *, {lvl2b}
+FROM (SELECT *, {lvl2a}
+FROM (SELECT *, {lvl1} FROM ({inner_sql})))))))))))
 """
 
 

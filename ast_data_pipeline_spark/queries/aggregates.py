@@ -2374,13 +2374,23 @@ WITH daily AS (
   FROM events GROUP BY event_type, x
 ),
 m AS (
+  -- syy_k: the one sum that grows QUADRATICALLY with sf (y ~ 3e5 at
+  -- sf1 -> y^2 ~ 1e11, 30 days -> 3.4e12, past the 9e11 dsum->double
+  -- envelope; the r12 sf1 gate caught the last-bit r2 divergence).
+  -- Down-scale y by 1e-2 per factor BEFORE squaring (the rank-stats
+  -- convention): syy_k ~ 3.4e8 at sf1, envelope holds to ~sf51 —
+  -- syy_k is the first breach (sxy ~sf6000, sy ~sf8.6e4). 1e-2, not
+  -- 1e-3: the 4-dp quantization of syy_k must stay small against the
+  -- CANCELLED deny = n*syy - sy^2 (~3e3 at sf0.001 in 1e-4 units);
+  -- at 1e-2 the induced r2 error is ~5e-7 rel at sf0.001, inside the
+  -- value-parity tolerance (tests/test_value_parity.py derivation).
   SELECT event_type,
          count(*)::BIGINT AS n,
          sum(x)::BIGINT AS sx,
          sum(x * x)::BIGINT AS sxx,
          {dsum_sql('y')} AS sy,
          {dsum_sql('(x::DOUBLE * y)')} AS sxy,
-         {dsum_sql('(y * y)')} AS syy
+         {dsum_sql('((y * 1e-2) * (y * 1e-2))')} AS syy_k
   FROM daily GROUP BY event_type
 )
 SELECT event_type, n,
@@ -2389,11 +2399,13 @@ SELECT event_type, n,
        (sy - (n::DOUBLE * sxy - sx::DOUBLE * sy)
                / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
              * sx::DOUBLE) / n AS intercept,
-       CASE WHEN n::DOUBLE * syy - sy * sy > 0.0::DOUBLE
-            THEN ((n::DOUBLE * sxy - sx::DOUBLE * sy)
-                  * (n::DOUBLE * sxy - sx::DOUBLE * sy))
+       -- scale-consistent: num_k = num*1e-2 pairs with deny_k =
+       -- deny*1e-4, so num_k^2/(denx*deny_k) == num^2/(denx*deny)
+       CASE WHEN n::DOUBLE * syy_k - (sy * 1e-2) * (sy * 1e-2) > 0.0::DOUBLE
+            THEN (((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1e-2)
+                  * ((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1e-2))
                  / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                    * (n::DOUBLE * syy - sy * sy))
+                    * (n::DOUBLE * syy_k - (sy * 1e-2) * (sy * 1e-2)))
             ELSE NULL END AS r2
 FROM m
 """,
@@ -2415,27 +2427,41 @@ def a_linreg_trend(spark, sf_dir):
         .cast("long")
         .alias("x"),
     ).agg(dsum("value").alias("y"))
+    # syy is the one moment that grows quadratically with sf (daily y
+    # ~ 3e5 at sf1 -> sum(y^2) ~ 3.4e12 > the 9e11 dsum->double
+    # envelope; the r12 sf1 gate caught the last-bit r2 divergence).
+    # Rank-stats convention: down-scale y by 1e-2 per squared factor —
+    # syy_k ~ 3.4e8 at sf1, envelope holds to ~sf51 (first breach is
+    # syy_k; sxy breaches ~sf6000, sy ~sf8.6e4). 1e-2 rather than a
+    # deeper scale because syy_k's 4-dp quantization must stay small
+    # against the CANCELLED deny = n*syy - sy^2 — at 1e-2 the induced
+    # r2 error is ~5e-7 rel at sf0.001 (tests/test_value_parity.py
+    # carries the derivation). r2 algebra then uses the
+    # scale-consistent pieces num_k = num*1e-2, deny_k = deny*1e-4.
+    ys = F.col("y") * F.lit(1.0e-2)
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         dsum("y").alias("sy"),
         dsum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
-        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(ys * ys).alias("syy_k"),
     )
     n_d = F.col("n").cast("double")
     sx_d = F.col("sx").cast("double")
     sxx_d = F.col("sxx").cast("double")
+    sy_k = F.col("sy") * F.lit(1.0e-2)
     num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    num_k = num * F.lit(1.0e-2)
     denx = n_d * sxx_d - sx_d * sx_d
-    deny = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    deny_k = n_d * F.col("syy_k") - sy_k * sy_k
     slope = num / denx
     return m.select(
         "event_type",
         "n",
         slope.alias("slope"),
         ((F.col("sy") - slope * sx_d) / F.col("n")).alias("intercept"),
-        F.when(deny > F.lit(0.0), (num * num) / (denx * deny)).alias("r2"),
+        F.when(deny_k > F.lit(0.0), (num_k * num_k) / (denx * deny_k)).alias("r2"),
     )
 
 

@@ -108,7 +108,15 @@ def _flagship_oracle() -> str:
     # published lon/lat columns (self-consistent row, and no second
     # format boundary to straddle — %.9f of the raw doubles hit the
     # predicted ~1-in-100k grid straddle twice at sf0.01).
-    f7 = lambda c: f"printf('%.7f', {c})"
+    # GRID-SNAP before formatting (r12): Java %.7f rounds shortest-repr
+    # digits half-up, DuckDB's fmt rounds the exact expansion half-even
+    # — identical DOUBLES still formatted differently 2-in-29M at sf1
+    # (the second sf1-gate flagship catch, after the libm one). The
+    # arithmetic snap (functions/exact.q7) puts the value ON the grid,
+    # 5e-8 from either formatter's decision boundary.
+    from ..functions.exact import q7_sql
+
+    f7 = lambda c: f"printf('%.7f', {q7_sql(c)})"
     wkt = (
         f"'POLYGON ((' || {f7('lon_nw')} || ' ' || {f7('lat_se')} || ', ' "
         f"|| {f7('lon_se')} || ' ' || {f7('lat_se')} || ', ' "
@@ -141,22 +149,28 @@ FROM ({proj})
     "(P9, native codegen columns) -> P19 derivations + P11 WKT. "
     "One job, ~4 shuffles. Fully hash-gated (VERDICT r4 #6): the "
     "Snyder series is mirrored op-for-op in DuckDB "
-    "(functions/geo.utm_lonlat_staged_sql), and lon/lat cross the "
-    "contract boundary as %.7f strings (cm precision, 60x below the "
-    "0.6 m pixel) so ~1-ulp cross-engine libm trig wobble cannot flip "
-    "the hash. The raw-double plan (plans/tank_inventory.tank_inventory) "
-    "is unchanged for sinks.",
+    "(functions/geo.utm_lonlat_staged_sql) INCLUDING the trig — "
+    "deterministic psin/pcos polynomials on both sides since r12, "
+    "after the sf1 gate caught built-in sin/cos 1-ulp wobble flipping "
+    "2-in-29M %.7f-formatted values. lon/lat still cross the contract "
+    "boundary as %.7f strings (cm precision, 60x below the 0.6 m "
+    "pixel), now backed by bit-identical doubles at every scale. The "
+    "raw-double plan (plans/tank_inventory.tank_inventory) is "
+    "unchanged for sinks.",
     tags=("domain", "pipeline", "bench"),
 )
 def flagship_tank_inventory(spark, sf_dir):
     # Contract boundary: the driver's canonicalizer sort_values-crashes
     # on list cells, so the array column goes out sorted + ';'-joined;
     # lon/lat quantize to %.7f strings (see _flagship_oracle).
+    from ..functions.exact import q7
+
     inv = tank_inventory(spark, sf_dir).withColumn(
         "image_names", F.array_join(F.array_sort("image_names"), ";")
     )
+    # q7 grid-snap before %.7f — see _flagship_oracle's f7 note.
     for c in ("nw_lon", "nw_lat", "se_lon", "se_lat", "centroid_lon", "centroid_lat"):
-        inv = inv.withColumn(c, F.format_string("%.7f", F.col(c)))
+        inv = inv.withColumn(c, F.format_string("%.7f", q7(F.col(c))))
     L = F.lit
     return inv.withColumn(
         "geometry_wkt",

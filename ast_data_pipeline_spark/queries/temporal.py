@@ -871,13 +871,19 @@ WITH daily AS (
   FROM events GROUP BY 1
 ),
 w AS (
+  -- moments on the DOWN-SCALED series (x * 1e-2): Pearson is scale-
+  -- invariant, and the unscaled squares (~1.1e11 per day at sf1)
+  -- summed over 7-day windows to ~7.7e11 — brushing the 9e11
+  -- dsum->double envelope, where the decimal->double cast diverges
+  -- per engine (the r12 sf1 gate caught it). Scaled, sxx ~ 7.6e7 at
+  -- sf1 and the envelope holds to ~sf100.
   SELECT day,
          row_number() OVER (ORDER BY day) AS rn,
-         round(sum((x)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sx,
-         round(sum((y)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sy,
-         round(sum((x * y)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sxy,
-         round(sum((x * x)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sxx,
-         round(sum((y * y)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS syy
+         round(sum((x * 1e-2)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sx,
+         round(sum((y * 1e-2)::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sy,
+         round(sum(((x * 1e-2) * (y * 1e-2))::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sxy,
+         round(sum(((x * 1e-2) * (x * 1e-2))::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS sxx,
+         round(sum(((y * 1e-2) * (y * 1e-2))::DECIMAL(30,10)) OVER win, 4)::DOUBLE AS syy
   FROM daily
   WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
@@ -916,14 +922,20 @@ def t_rolling_corr(spark, sf_dir):
     def rs(col):
         return F.round(F.sum(col.cast(DEC)).over(win), 4).cast("double")
 
+    # Moments on the DOWN-SCALED daily series (x * 1e-2): Pearson is
+    # scale-invariant, and the unscaled 7-day square sums brushed the
+    # 9e11 dsum->double envelope at sf1 (r12 sf1-gate catch); scaled,
+    # the envelope holds to ~sf100. Mirrors the oracle token-for-token.
+    xs = F.col("x") * F.lit(1.0e-2)
+    ys = F.col("y") * F.lit(1.0e-2)
     w = daily.select(
         "day",
         F.row_number().over(Window.orderBy("day")).alias("rn"),
-        rs(F.col("x")).alias("sx"),
-        rs(F.col("y")).alias("sy"),
-        rs(F.col("x") * F.col("y")).alias("sxy"),
-        rs(F.col("x") * F.col("x")).alias("sxx"),
-        rs(F.col("y") * F.col("y")).alias("syy"),
+        rs(xs).alias("sx"),
+        rs(ys).alias("sy"),
+        rs(xs * ys).alias("sxy"),
+        rs(xs * xs).alias("sxx"),
+        rs(ys * ys).alias("syy"),
     )
     seven = F.lit(7.0)
     # A (near-)constant window can round 7*sxx - sx*sx to a tiny
@@ -1317,11 +1329,14 @@ def _acf_arms_sql() -> str:
     """One UNION ALL arm per lag (DuckDB's lag() needs a constant
     offset, so the lag fan-out is generated, not parameterized)."""
     arms = []
+    # v * 1e-2: Pearson is scale-invariant, and the down-scaled series
+    # keeps the squared moments inside the dsum->double envelope (see
+    # the sxx/syy note in the t_autocorrelation oracle).
     for k in range(1, ACF_MAX_LAG + 1):
         arms.append(f"""
 SELECT event_type, {k} AS lag,
-       v AS x,
-       lag(v, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y
+       v * 1e-2 AS x,
+       lag(v * 1e-2, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y
 FROM daily""")
     return " UNION ALL ".join(arms)
 
@@ -1351,11 +1366,13 @@ m AS (
          count(*)::BIGINT AS n,
          {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
          {dsum_sql('x * y')} AS sxy,
-         -- sxx/syy square the per-day dsum totals (~1e5 at sf1), so
-         -- the summand grows QUADRATICALLY with sf: sum ~ 3e12 at
-         -- sf10 breaches the 9e11 dsum envelope (functions/exact.py).
-         -- Beyond ~sf3, down-scale the squares (dsum(x*x*1e-4)*1e4,
-         -- the inverse of the small-sum 1e6 trick). (r10 ADVICE)
+         -- sxx/syy square per-day dsum totals (~3e5 at sf1), growing
+         -- QUADRATICALLY with sf — the UNSCALED squares summed to
+         -- ~3e12 at sf1, past the 9e11 dsum->double envelope
+         -- (functions/exact.py); the r12 sf1 gate caught the last-bit
+         -- acf divergence. Fix: the lagged arms feed x = v * 1e-2
+         -- (Pearson is scale-invariant), so sxx ~ 3e8*sf^2 now holds
+         -- to ~sf53 — sxx/syy stay the first breach.
          {dsum_sql('x * x')} AS sxx, {dsum_sql('y * y')} AS syy
   FROM lagged WHERE y IS NOT NULL
   GROUP BY 1, 2
@@ -1381,6 +1398,11 @@ def t_autocorrelation(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(dsum("value").alias("v"))
+        # vs = v * 1e-2: Pearson is scale-invariant and the down-scale
+        # keeps sxx/syy inside the dsum envelope to ~sf53 (the
+        # unscaled squares breached it at sf1 — r12 sf1-gate catch;
+        # derivation in the oracle text and the value-parity twin).
+        .withColumn("vs", F.col("v") * F.lit(1.0e-2))
         .transform(lineage_cut_lazy)  # 7 lag passes read it
     )
     w = W.partitionBy("event_type").orderBy("day")
@@ -1388,8 +1410,8 @@ def t_autocorrelation(spark, sf_dir):
         daily.select(
             "event_type",
             F.lit(k).alias("lag"),
-            F.col("v").alias("x"),
-            F.lag("v", k).over(w).alias("y"),
+            F.col("vs").alias("x"),
+            F.lag("vs", k).over(w).alias("y"),
         )
         for k in range(1, ACF_MAX_LAG + 1)
     ]

@@ -53,6 +53,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        # Collected-result cap: Spark's 1g default is right for the
+        # engine (queries should never collect big frames — the 14
+        # engine collect() sites are all scalar/k-row), but the GRADING
+        # harnesses intentionally toPandas() whole results to hash
+        # them, and at sf1 the flagship's 4.8M-row frame serializes
+        # past 1g (r12 sf1-gate catch). Gates raise this via env; the
+        # default stays at Spark's own so a runaway engine collect
+        # still fails loudly.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),
+        )
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

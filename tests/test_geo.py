@@ -74,3 +74,92 @@ def test_known_point():
     lon1, lat1 = utm_to_lonlat_np(e, n, z)
     assert abs(lon1[0] - lon0[0]) < 1e-8
     assert abs(lat1[0] - lat0[0]) < 1e-8
+
+
+def test_polynomial_trig_vs_libm(spark):
+    # The r12 deterministic-trig pin: psin/pcos (the Taylor-Horner
+    # polynomials BOTH engines evaluate at the hash boundary — no libm)
+    # must agree with numpy's correctly-rounded-ish libm to ~the double
+    # floor over the full valid domain |x| <= 1.47 rad (UTM's 84N
+    # latitude cap). 5e-16 abs = a few ulp of sin(1.47); anything
+    # looser would mean a coefficient or Horner-order regression.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.functions.geo import pcos_col, psin_col
+
+    x = np.linspace(-1.47, 1.47, 4001)
+    df = spark.createDataFrame(pd.DataFrame({"x": x}))
+    got = df.select(
+        psin_col(F.col("x")).alias("s"), pcos_col(F.col("x")).alias("c")
+    ).toPandas()
+    assert np.abs(got["s"].to_numpy() - np.sin(x)).max() < 5e-16
+    assert np.abs(got["c"].to_numpy() - np.cos(x)).max() < 5e-16
+
+
+def test_polynomial_trig_sql_mirror_bit_exact(spark):
+    # Token-for-token contract: the DuckDB text form of psin/pcos must
+    # produce IDENTICAL BITS to the Spark column form on every input —
+    # this is the property that makes the flagship hash-gateable at
+    # any scale (the %.7f grid-straddle class died with libm).
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.functions.geo import (
+        pcos_col,
+        pcos_sql,
+        psin_col,
+        psin_sql,
+    )
+
+    x = np.linspace(-1.47, 1.47, 4001)
+    pdf = pd.DataFrame({"x": x})
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        psin_col(F.col("x")).alias("s"), pcos_col(F.col("x")).alias("c")
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        f"SELECT {psin_sql('x')} AS s, {pcos_sql('x')} AS c FROM t"
+    ).df()
+    assert (got["s"].to_numpy() == exp["s"].to_numpy()).all()
+    assert (got["c"].to_numpy() == exp["c"].to_numpy()).all()
+
+
+def test_q7_snap_format_engine_identical(spark):
+    # The r12 formatter-boundary pin. Java %.7f rounds SHORTEST-REPR
+    # digits half-up; DuckDB's fmt rounds the EXACT binary expansion
+    # half-even — so identical doubles can format differently when the
+    # shortest repr lands exactly on the half grid (2-in-29M flagship
+    # values at sf1). functions/exact.q7 snaps to the grid with pure
+    # IEEE ops first; this test feeds BOTH formatters a dense brush of
+    # adversarial near-half-grid values (k+0.5 +/- eps ticks) plus the
+    # two sf1 culprits and asserts string equality.
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.functions.exact import q7, q7_sql
+
+    ks = np.arange(-817604170, -817604100, dtype=np.float64)
+    vals = []
+    for half in (ks + 0.5) * 1e-7:
+        for eps in (-5e-9, -1e-12, 0.0, 1e-12, 5e-9):
+            vals.append(half + eps)
+    # the two observed sf1 straddles (nw_lon / centroid_lat)
+    vals += [-81.76041405, 36.01366915]
+    pdf = pd.DataFrame({"x": np.array(vals, dtype=np.float64)})
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        F.format_string("%.7f", q7(F.col("x"))).alias("s")
+    ).toPandas()["s"]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        f"SELECT printf('%.7f', {q7_sql('x')}) AS s FROM t"
+    ).df()["s"]
+    assert (got.to_numpy() == exp.to_numpy()).all(), (
+        pdf.x[got.to_numpy() != exp.to_numpy()].tolist()[:5]
+    )

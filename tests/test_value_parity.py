@@ -175,9 +175,14 @@ def test_autocorrelation_value_parity(spark, sf_dir):
         assert row.n == len(x)
         if len(x) >= 2 and x.std() > 0 and y.std() > 0:
             acf = float(np.corrcoef(x, y)[0, 1])
-            # daily sums go through dsum 4-dp rounding before the
-            # moment algebra — rel 1e-5 is the honest floor here
-            assert _close(row.acf, acf, rel=1e-5, abs_=1e-7), (
+            # Tolerance derivation (r12 envelope fix): the moments run
+            # on the 1e-2-down-scaled daily series (scale-invariant
+            # Pearson; unscaled squares breached the 9e11 dsum envelope
+            # at sf1), so the 4-dp rounding of the scaled sums puts
+            # ~n*0.5e-4 absolute error against the CANCELLED variance
+            # terms (~3e3 in 1e-4 units at sf0.001) -> acf abs error
+            # <= ~8e-7 measured; assert at abs 3e-6 (~4x margin).
+            assert _close(row.acf, acf, rel=1e-5, abs_=3e-6), (
                 et, lag, row.acf, acf,
             )
 
@@ -278,7 +283,13 @@ def test_linreg_trend_value_parity(spark, sf_dir):
         assert row.n == len(x)
         assert _close(row.slope, slope, rel=1e-6), (et, row.slope, slope)
         assert _close(row.intercept, intercept, rel=1e-6)
-        assert _close(row.r2, r * r, rel=1e-6)
+        # r2 tolerance derivation (r12 envelope fix): syy_k sums
+        # (y*1e-2)^2 and is 4-dp rounded, so deny_k = n*syy_k - sy_k^2
+        # carries abs error <= n*0.5e-4 = 1.5e-3 against a CANCELLED
+        # value (~2.5e3 at sf0.001) -> r2 rel error <= ~6e-7; assert at
+        # 2e-6 (3x margin). Slope/intercept skip syy entirely and stay
+        # at the plain dsum-moment tolerance.
+        assert _close(row.r2, r * r, rel=2e-6), (et, row.r2, r * r)
 
 
 # ----------------------------------------------------------- winsorized

@@ -35,6 +35,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("round", type=int)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    # Cross-scale sweeps (r12+): --prefix SWEEP_SF01 --sf .../sf0.1
+    # records the SAME full-surface compare one decade up, in its own
+    # artifact, without clobbering the canonical sf0.01 SWEEP_r{N}
+    # ledger that grade_age.py consumes as the self-reported tier.
+    ap.add_argument("--prefix", default="SWEEP")
     args = ap.parse_args()
 
     from ast_data_pipeline_spark.oracle import canonical_rows, run_oracle_sql
@@ -72,7 +77,7 @@ def main() -> None:
         print(f"{name} {rec['spark_rows']} {status}", flush=True)
     spark.stop()
 
-    path = os.path.join(REPO, f"SWEEP_r{args.round:02d}.json")
+    path = os.path.join(REPO, f"{args.prefix}_r{args.round:02d}.json")
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=2)
     print(f"SWEEP DONE, bad = {bad}, wrote {os.path.basename(path)}")

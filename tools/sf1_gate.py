@@ -25,9 +25,16 @@ inputs -> byte-stable content, so runs are reproducible across
 rounds). Output: ``SWEEP_SF1_r{N}.json`` in CORRECTNESS_r*.json
 shape. ``bad = 0`` is the pass; a query expected to breach its
 envelope at some sf must instead carry an inline sf-bound annotation
-at its dsum site and an entry in ``EXPECTED_BREACH`` here (empty as
-of r12 — at sf1 every gated family is inside its envelope; the first
-expected breaches are ~sf3-sf10 per the site notes).
+at its dsum site and an entry in ``EXPECTED_BREACH`` here.
+
+The gate's first run (r12) caught three REAL breaches the site notes
+had estimated at "~sf10": a_linreg_trend, t_autocorrelation and
+t_rolling_corr all crossed the envelope with their daily
+second moments already at sf1 (last-bit r2/acf divergence). All
+three were fixed with the rank-stats 1e-2 down-scale (the statistics
+are scale-invariant in the offending moment), pushing their first
+breach to ~sf51-sf108; EXPECTED_BREACH is empty again and the next
+quadratic site gets caught a decade early instead of in production.
 
 Usage::
 
@@ -102,8 +109,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("round", type=int)
     ap.add_argument("--sf", default="/tmp/ast_sf1")
+    # --only q1,q2: re-run just those queries and MERGE into the
+    # existing artifact (iterating on one fix shouldn't cost a full
+    # 44-query sf1 pass). The final bad count is recomputed over the
+    # merged file, so a stale FAIL can't hide.
+    ap.add_argument("--only", default=None)
     args = ap.parse_args()
     ensure_sf1(args.sf)
+
+    # The gate hashes WHOLE results driver-side (the driver-gate
+    # shape); at sf1 the flagship's 4.8M-row frame serializes past
+    # Spark's 1g maxResultSize default, so raise it for this harness
+    # only — engine queries keep the loud 1g guard (session.py).
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT_SIZE", "16g")
 
     from ast_data_pipeline_spark.oracle import canonical_rows, run_oracle_sql
     from ast_data_pipeline_spark.registry import load_all
@@ -116,9 +134,17 @@ def main() -> None:
         {n for n, s in specs.items() if "bench" in s.tags} | set(ENVELOPE_RISK)
     )
 
-    spark = get_spark("sf1-gate")
+    path = os.path.join(REPO, f"SWEEP_SF1_r{args.round:02d}.json")
     out: dict[str, dict] = {}
-    bad = 0
+    if args.only:
+        only = {n.strip() for n in args.only.split(",") if n.strip()}
+        unknown = only - set(names)
+        assert not unknown, f"--only names not in the gate set: {unknown}"
+        if os.path.exists(path):
+            out = json.load(open(path, encoding="utf-8"))
+        names = sorted(only)
+
+    spark = get_spark("sf1-gate")
     for name in names:
         spec = specs[name]
         rec: dict = {
@@ -139,23 +165,27 @@ def main() -> None:
                     rec["schema_match"] and canonical_rows(got) == canonical_rows(exp)
                 )
                 ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
-                if not ok and name not in EXPECTED_BREACH:
-                    bad += 1
                 if not ok and name in EXPECTED_BREACH:
                     rec["err"] = f"expected_breach: {EXPECTED_BREACH[name]}"
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
-            if name not in EXPECTED_BREACH:
-                bad += 1
         out[name] = rec
         status = "OK" if rec["hash_match"] else (rec["err"] or "FAIL")
         print(f"{name} {rec['spark_rows']} {status}", flush=True)
     spark.stop()
 
-    path = os.path.join(REPO, f"SWEEP_SF1_r{args.round:02d}.json")
+    # bad is recomputed over the FULL (possibly merged) artifact so a
+    # --only rerun can't hide a stale FAIL elsewhere in the file.
+    bad = sum(
+        1
+        for n, rec in out.items()
+        if n not in EXPECTED_BREACH
+        and not rec["hash_match"]
+        and rec["err"] != "no_oracle"
+    )
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=2)
-    print(f"SF1 GATE DONE, {len(names)} queries, bad = {bad}, wrote {os.path.basename(path)}")
+    print(f"SF1 GATE DONE, {len(out)} queries, bad = {bad}, wrote {os.path.basename(path)}")
     sys.exit(1 if bad else 0)
 
 
