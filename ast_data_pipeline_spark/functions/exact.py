@@ -84,6 +84,20 @@ def dsum_over_sql(expr: str, over: str) -> str:
 # Valid while |x|*1e7 < 2^52 (|x| < 4.5e8; lon/lat/ln-scores are far
 # inside). Snap BEFORE any '%.7f' format or use the snapped double
 # directly in place of the format->parse quantizer recipe.
+#
+# SCOPE (r12 adjudication): q7 fully fixes sites whose formatted value
+# is PURE ARITHMETIC on bit-identical inputs (the flagship lon/lats —
+# deterministic polynomial trig upstream). The ln/log2/pow quantizer
+# sites are different: their INPUT already wobbles ~1 ulp across
+# engines (libm), so any rounding — format or floor-snap — straddles
+# its boundary with the same ~wobble/grid probability; the '%.7f'
+# format-quantize recipe remains their best available absorber and
+# stays, with its documented tolerances. Those sites also format only
+# a handful of values per query (entropy/PMI/score grids), putting
+# their per-round flip exposure orders below the flagship's 29M
+# formatted values. A deterministic polynomial ln (the psin/pcos
+# treatment applied to log) would retire the class completely; left
+# as the known follow-up.
 Q7 = 1.0e7
 
 
