@@ -48,8 +48,22 @@ _ATANH_P = tuple(1.0 / (2 * k + 1) for k in range(1, 17))
 
 
 def _mantissa_exponent(x: Column) -> tuple[Column, Column]:
-    """Engine-identical (el, m) with x = m * 2**el, m in [1, 2)."""
-    el0 = F.floor(F.log2(x))  # libm: may be off by one near 2**k
+    """Engine-identical (el, m) with x = m * 2**el, m in [1, 2).
+
+    The CASE correction below absorbs a +/-1 libm error in the seed —
+    but only if ``pow(2.0, el0)`` stays finite and nonzero. At the
+    domain edges a 1-ulp-high log2 near DBL_MAX yields el0 = 1024 ->
+    pow = inf -> m0 = 0, and a 1-ulp-low log2 at the smallest
+    subnormal yields el0 = -1075 -> pow = 0 -> m0 = inf (ADVICE r12).
+    Clamping the seed to the true exponent range of a positive double,
+    [-1074, 1023], is a no-op everywhere else (the true el is always
+    inside it, so a clamped seed is still within +/-1 of truth) and
+    makes the correction total over the full positive-double domain.
+    """
+    el0 = F.greatest(
+        F.least(F.floor(F.log2(x)), F.lit(1023).cast("long")),
+        F.lit(-1074).cast("long"),
+    )  # libm seed, clamped; may be off by one near 2**k
     m0 = x / F.pow(F.lit(2.0), el0)  # exact: power-of-two division
     el = (
         F.when(m0 >= F.lit(2.0), el0 + F.lit(1).cast("long"))
@@ -86,7 +100,8 @@ def plog2_col(x: Column) -> Column:
 
 
 def _mantissa_exponent_sql(x: str) -> tuple[str, str]:
-    el0 = f"floor(log2({x}))"
+    # same [-1074, 1023] seed clamp as _mantissa_exponent (ADVICE r12)
+    el0 = f"greatest(least(floor(log2({x})), 1023), -1074)"
     m0 = f"(({x}) / pow(2.0, {el0}))"
     el = (
         f"(CASE WHEN {m0} >= 2.0 THEN {el0} + 1 "

@@ -46,22 +46,37 @@ _FALSE_EASTING = 500000.0
 # |x| <= ~1.47 rad (UTM's 84N latitude cap; truncation < 7e-17 there,
 # at the double rounding floor). sin(2mu)..sin(8mu) come from the
 # double-angle recurrences on (sin mu, cos mu) — products and sums
-# only. tan = sin/cos (one exact division). Accuracy vs libm is ~5e-16
-# abs (pinned in tests/test_geo.py), far below the 1e-9 rad Snyder
-# truncation already accepted; reproducibility becomes exact instead
-# of probabilistic — green at one SF now means green at every SF.
+# only. tan = sin/cos (one exact division). Reproducibility is exact
+# instead of probabilistic — green at one SF now means green at every
+# SF.
+#
+# Term count (r13, VERDICT r12 #1): the r12 polynomials carried the
+# full ~5e-16 libm-parity term count (sin to x^19, cos to x^20), but
+# the output boundary's accuracy budget is set by the Snyder inverse
+# series itself (~1e-9 rad truncation, module docstring) and the
+# d_reproject_roundtrip <1 mm pin (1 mm ~ 1.57e-10 rad of latitude).
+# Both series alternate with strictly decreasing terms for
+# |x| <= 1.47 (x^2/((2k+2)(2k+3)) < 1), so the truncation error is
+# bounded by the FIRST OMITTED TERM. With sin cut after x^15/15! and
+# cos after x^14/14!, the worst-case bounds at the 1.47-rad domain
+# edge are
+#     sin: 1.47^17/17! = 1.97e-12 rad   (80x under the 1.57e-10 budget)
+#     cos: 1.47^16/16! = 2.27e-11 rad   (6.9x under)
+# and at the data's actual latitudes (<= 0.86 rad, CONUS) they fall
+# to ~2e-16 / 4e-15 — the double rounding floor. Bit-identity across
+# engines is unaffected by the cut (both sides evaluate the SAME
+# literal tuple in the SAME Horner order); tests/test_geo.py pins the
+# per-x truncation bound across the whole domain.
 #
 # Coefficients: sin x = x * (1 + sum_k t^k * (-1)^k/(2k+1)!),
 #               cos x =      1 + sum_k t^k * (-1)^k/(2k)!.
 _SIN_P = (
     -1 / 6, 1 / 120, -1 / 5040, 1 / 362880, -1 / 39916800,
-    1 / 6227020800, -1 / 1307674368000, 1 / 355687428096000,
-    -1 / 121645100408832000,
+    1 / 6227020800, -1 / 1307674368000,
 )
 _COS_P = (
     -1 / 2, 1 / 24, -1 / 720, 1 / 40320, -1 / 3628800,
-    1 / 479001600, -1 / 87178291200, 1 / 20922789888000,
-    -1 / 6402373705728000, 1 / 2432902008176640000,
+    1 / 479001600, -1 / 87178291200,
 )
 
 
@@ -192,8 +207,12 @@ def utm_to_lonlat_cols(easting, northing, zone):
     sqrt1e2 = math.sqrt(1 - _E2)
     e1 = (1 - sqrt1e2) / (1 + sqrt1e2)
     x = easting - F.lit(_FALSE_EASTING)
-    m = northing / F.lit(_K0)
-    mu = m / F.lit(_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    # ONE division by the fused constant — the same op order as
+    # with_utm_lonlat and the SQL mirror's MU_DEN (ADVICE r12: the
+    # previous two-division form (n/_K0)/(A*...) could differ in the
+    # last ulp of mu from the staged/mirror path, silently voiding the
+    # bit-identity claim below for anyone hash-gating this form).
+    mu = northing / F.lit(_K0 * _A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
     smu, cmu = psin_col(mu), pcos_col(mu)
     sin2 = F.lit(2.0) * (smu * cmu)
     cos2 = F.lit(1.0) - F.lit(2.0) * (smu * smu)

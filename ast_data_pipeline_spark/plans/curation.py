@@ -63,7 +63,7 @@ def curate(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
     # 3. near-dup drop (greedy keep-lowest within verified pairs)
     docsets = exact.filter(F.size("w") >= 2).select(
-        "doc_id", word_shingles(F.col("text"), 2)
+        "doc_id", word_shingles("w", 2)
     )
     pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()

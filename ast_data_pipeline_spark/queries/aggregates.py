@@ -178,31 +178,86 @@ def q18_large_volume_customers(spark, sf_dir):
 
 @register(
     "a4_approx_profile",
-    oracle=None,  # HLL/KLL sketches are engine-specific; bounds pytest-checked
+    # Error-band oracle (VERDICT r12 #4, closing the registry's last
+    # no_oracle row): the sketch VALUES are engine-specific (Spark
+    # HLL++/GK vs DuckDB HLL/t-digest), so EACH ENGINE computes its
+    # own sketch AND its own exact statistic and the gated row carries
+    # only the exact anchors plus within-band booleans — the same
+    # recipe a_kmv_distinct_sketch / a_hyperloglog_eval use for their
+    # from-scratch sketches. Bands, vs measured behavior (both engines
+    # deterministic per input): cardinality rel-err < 5% (Spark
+    # rsd=0.02 -> observed <= 1.0%; DuckDB HLL observed <= 0.5%);
+    # quantile estimates within the exact [p-0.01, p+0.01] (median)
+    # and [p-0.03, p+0.03] (quartiles) rank bands — theoretical rank
+    # error is 1e-4 (accuracy=10000) for Spark's GK and ~1e-3 for
+    # DuckDB's t-digest at the quartiles.
+    oracle="""
+WITH s AS (
+  SELECT count(DISTINCT l_partkey)::BIGINT        AS n_parts_exact,
+         count(DISTINCT l_orderkey)::BIGINT       AS n_orders_exact,
+         approx_count_distinct(l_partkey)::BIGINT  AS ap,
+         approx_count_distinct(l_orderkey)::BIGINT AS ao,
+         approx_quantile(l_extendedprice, 0.5)  AS mp,
+         quantile_cont(l_extendedprice, 0.49)   AS p_lo,
+         quantile_cont(l_extendedprice, 0.51)   AS p_hi,
+         approx_quantile(l_quantity, 0.25)      AS q25,
+         approx_quantile(l_quantity, 0.75)      AS q75,
+         quantile_cont(l_quantity, 0.22)        AS q25_lo,
+         quantile_cont(l_quantity, 0.28)        AS q25_hi,
+         quantile_cont(l_quantity, 0.72)        AS q75_lo,
+         quantile_cont(l_quantity, 0.78)        AS q75_hi
+  FROM lineitem
+)
+SELECT n_parts_exact, n_orders_exact,
+       abs(ap - n_parts_exact)  < 0.05 * n_parts_exact  AS parts_in_band,
+       abs(ao - n_orders_exact) < 0.05 * n_orders_exact AS orders_in_band,
+       (mp  BETWEEN p_lo   AND p_hi)   AS median_in_band,
+       (q25 BETWEEN q25_lo AND q25_hi) AS q25_in_band,
+       (q75 BETWEEN q75_lo AND q75_hi) AS q75_in_band
+FROM s
+""",
     doc="Approximate profiling: approx_count_distinct (HyperLogLog++) and "
     "percentile_approx over lineitem — the sketch-based face of A4 for "
     "cardinalities where exact distinct is too expensive at 100 TB. "
-    "Accuracy bounds asserted in tests/test_approx.py.",
+    "Gated as exact anchors + error-band booleans (each engine checks "
+    "its own native sketch against its own exact statistic); raw "
+    "accuracy bounds additionally asserted in tests/test_approx.py.",
     tags=("aggregate", "approx"),
 )
 def a4_approx_profile(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    # One KLL sketch for both quantity quantiles (array form), unpacked
-    # to scalar columns: the driver canonicalizer sorts the pandas frame
-    # and cannot hash list cells, and two separate percentile_approx
-    # calls would build two sketches over the same column.
-    qq = F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.75)), 10000)
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
-        qq.alias("_qq"),
-    ).select(
-        "approx_parts",
-        "approx_orders",
-        "median_price_approx",
-        F.element_at("_qq", 1).alias("qty_p25"),
-        F.element_at("_qq", 2).alias("qty_p75"),
+    # One GK sketch for both quantity quantiles (array form), unpacked
+    # inline: two separate percentile_approx calls would build two
+    # sketches over the same column.
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_mp"),
+        F.expr("percentile(l_extendedprice, array(0.49, 0.51))").alias("_pb"),
+        F.percentile_approx(
+            "l_quantity", F.array(F.lit(0.25), F.lit(0.75)), 10000
+        ).alias("_qq"),
+        F.expr(
+            "percentile(l_quantity, array(0.22, 0.28, 0.72, 0.78))"
+        ).alias("_qb"),
+    )
+    e = F.element_at
+    return agg.select(
+        "n_parts_exact",
+        "n_orders_exact",
+        (
+            F.abs(F.col("_ap") - F.col("n_parts_exact"))
+            < 0.05 * F.col("n_parts_exact")
+        ).alias("parts_in_band"),
+        (
+            F.abs(F.col("_ao") - F.col("n_orders_exact"))
+            < 0.05 * F.col("n_orders_exact")
+        ).alias("orders_in_band"),
+        F.col("_mp").between(e("_pb", 1), e("_pb", 2)).alias("median_in_band"),
+        e("_qq", 1).between(e("_qb", 1), e("_qb", 2)).alias("q25_in_band"),
+        e("_qq", 2).between(e("_qb", 3), e("_qb", 4)).alias("q75_in_band"),
     )
 
 

@@ -132,7 +132,7 @@ def x_minhash_lsh_neardup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     docsets = (
         docs.filter(F.size("w") >= 2)
-        .select("doc_id", word_shingles(F.col("text"), 2))
+        .select("doc_id", word_shingles("w", 2))
     )
     return minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
 
@@ -178,7 +178,7 @@ def x_dedup_clusters(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     docsets = (
         docs.filter(F.size("w") >= 2)
-        .select("doc_id", word_shingles(F.col("text"), 2))
+        .select("doc_id", word_shingles("w", 2))
     )
     pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
     return neardup_clusters(pairs)
@@ -204,7 +204,7 @@ def x_dedup_clusters_star(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     docsets = (
         docs.filter(F.size("w") >= 2)
-        .select("doc_id", word_shingles(F.col("text"), 2))
+        .select("doc_id", word_shingles("w", 2))
     )
     pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
     return neardup_clusters_star(pairs)
@@ -495,7 +495,7 @@ def x_minhash_est_quality(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     docsets = (
         docs.filter(F.size("w") >= 2)
-        .select("doc_id", word_shingles(F.col("text"), 2))
+        .select("doc_id", word_shingles("w", 2))
     )
     exploded = docsets.select("doc_id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(exploded, NUM_HASHES).transform(lineage_cut_lazy)
@@ -563,7 +563,7 @@ def x_dedup_transitivity(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     docsets = (
         docs.filter(F.size("w") >= 2)
-        .select("doc_id", word_shingles(F.col("text"), 2))
+        .select("doc_id", word_shingles("w", 2))
     )
     e = (
         minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
@@ -1201,7 +1201,7 @@ def x_dedup_keep_best(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     docsets = (
         docs.filter(F.size("w") >= 2)
-        .select("doc_id", word_shingles(F.col("text"), 2))
+        .select("doc_id", word_shingles("w", 2))
     )
     pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
     clusters = neardup_clusters(pairs).select("doc_id", "cluster_id")
@@ -1482,7 +1482,7 @@ def x_split_leakage_check(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     docsets = (
         docs.filter(F.size("w") >= 2)
-        .select("doc_id", word_shingles(F.col("text"), 2))
+        .select("doc_id", word_shingles("w", 2))
     )
     pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
 
@@ -1645,7 +1645,7 @@ def x_prefix_filter_join(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
     d = docs.filter(F.size("w") >= 2).select(
-        "doc_id", word_shingles(F.col("text"), 2).alias("sh")
+        "doc_id", word_shingles("w", 2).alias("sh")
     ).transform(lineage_cut_lazy)
     tok = d.select("doc_id", F.explode("sh").alias("t"))
     dfq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))

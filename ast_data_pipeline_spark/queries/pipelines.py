@@ -436,10 +436,10 @@ def x_training_assembly(spark, sf_dir):
     bench = wds.filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 18)).select(
         F.slice("w", 4, 15).alias("w")
     )
-    bsh = bench.select(F.explode(word_shingles(F.col("w"), 13)).alias("shingle"))
+    bsh = bench.select(F.explode(word_shingles("w", 13)).alias("shingle"))
     contam = (
         wds.filter(F.size("w") >= 13)
-        .select("doc_id", F.explode(word_shingles(F.col("w"), 13)).alias("shingle"))
+        .select("doc_id", F.explode(word_shingles("w", 13)).alias("shingle"))
         .join(F.broadcast(bsh), "shingle")
         .select("doc_id")
         .distinct()

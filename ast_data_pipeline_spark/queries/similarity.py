@@ -57,10 +57,17 @@ QUALIFY rank <= {TOPK}
 @register(
     "x_cosine_topk",
     oracle=_TOPK_ORACLE,
-    doc="Brute-force cosine top-k (the ANN baseline): queries broadcast, "
-    "one corpus scan, per-query window rank. Exact-decimal dot products "
-    "make scores bit-identical across engines.",
-    tags=("similarity", "bench"),
+    doc="Brute-force cosine top-k (the ANN recall-truth baseline): "
+    "queries broadcast, one corpus scan, per-query window rank. "
+    "Exact-decimal dot products make scores bit-identical across "
+    "engines. NOT a bench headliner (r13, VERDICT r12 #2): the query "
+    "set scales with the corpus (vec_id % 97), so total work is "
+    "O(n^2/97) — 49% of the whole sf1 bench was this one documented "
+    "off-at-scale path. The bench tag lives on the two scale paths "
+    "(x_cosine_topk_ivf / x_cosine_topk_lsh); this stays registered, "
+    "oracled and sweep-graded as the truth twin the recall evals pin "
+    "against.",
+    tags=("similarity",),
 )
 def x_cosine_topk(spark, sf_dir):
     return cosine_topk(_queries(spark, sf_dir, False), load(spark, sf_dir, "embeddings"), TOPK)
@@ -87,8 +94,10 @@ QUALIFY rank <= {IVF_TOPK}
     oracle=_IVF_ORACLE,
     doc="IVF-style bucketed top-k: search restricted to the query's "
     "coarse cluster (the ``label`` column as the precomputed assignment) "
-    "— the 100 TB path where brute force is off the table.",
-    tags=("similarity",),
+    "— the 100 TB path where brute force is off the table. Bench "
+    "headliner since r13 (with the LSH twin), replacing the quadratic "
+    "brute-force baseline in the headline set.",
+    tags=("similarity", "bench"),
 )
 def x_cosine_topk_ivf(spark, sf_dir):
     return cosine_topk(
@@ -125,8 +134,9 @@ QUALIFY rank <= {IVF_TOPK}
     doc="Random-hyperplane LSH top-k: 6 deterministic md5-derived "
     "hyperplanes hash every vector to a sign-pattern bucket; search is "
     "restricted to the query's bucket (approximate by design, exact "
-    "within the candidate set). The other ANN scale path next to IVF.",
-    tags=("similarity",),
+    "within the candidate set). The other ANN scale path next to IVF; "
+    "bench headliner since r13 (see x_cosine_topk's doc).",
+    tags=("similarity", "bench"),
 )
 def x_cosine_topk_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").withColumn(

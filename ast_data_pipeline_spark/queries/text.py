@@ -503,10 +503,10 @@ def x_decontaminate(spark, sf_dir):
         F.col("doc_id").alias("bench_id"), F.slice("w", 4, 15).alias("w")
     )
     bsh = bench.select(
-        "bench_id", F.explode(word_shingles(F.col("w"), _DECON_K)).alias("shingle")
+        "bench_id", F.explode(word_shingles("w", _DECON_K)).alias("shingle")
     )
     csh = wds.filter(F.size("w") >= _DECON_K).select(
-        "doc_id", F.explode(word_shingles(F.col("w"), _DECON_K)).alias("shingle")
+        "doc_id", F.explode(word_shingles("w", _DECON_K)).alias("shingle")
     )
     return (
         csh.join(F.broadcast(bsh), "shingle")

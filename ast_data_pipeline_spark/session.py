@@ -65,7 +65,28 @@ def get_spark(
             "spark.driver.maxResultSize",
             os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),
         )
-        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+        # -XX:-DontCompileHugeMethods: HotSpot refuses to JIT-compile
+        # any method over 8000 bytecode bytes by default, and Spark's
+        # whole-stage-codegen output for wide expression pipelines
+        # (the flagship's staged Snyder reprojection is ~3 call sites
+        # x ~15 staged terms) routinely exceeds that — the hot loop
+        # then runs INTERPRETED. Measured on the 3M-row reprojection
+        # microbench (r13): 5.65 s -> 0.54 s with the flag. This is
+        # the standard Spark-SQL-codegen tuning knob (it is what
+        # spark.sql.codegen.hugeMethodLimit exists to interact with);
+        # on a real cluster the same flags go in
+        # spark.executor.extraJavaOptions. The bigger code cache
+        # absorbs the extra compiled-huge-method footprint.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:-DontCompileHugeMethods"
+            " -XX:ReservedCodeCacheSize=512m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UseG1GC -XX:-DontCompileHugeMethods"
+            " -XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Reliable-mode checkpoint GC (VERDICT r10 #4): when lineage

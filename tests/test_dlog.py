@@ -38,9 +38,12 @@ def _adversarial_values() -> np.ndarray:
 
 def test_pow2_range_reduction_is_exact(spark):
     # pow(2.0, k) must be EXACTLY 2**k in both engines over the whole
-    # exponent range the reduction can produce for double inputs —
-    # the premise that makes m = x / pow(2.0, el) an exact division.
-    ks = np.arange(-300, 301, dtype=np.int64)
+    # exponent range the CLAMPED reduction can produce for positive
+    # double inputs, [-1074, 1023] (ADVICE r12: previously pinned only
+    # -300..300) — the premise that makes m = x / pow(2.0, el) an
+    # exact division. Subnormal powers (k < -1022) are exactly
+    # representable down to 2^-1074, so the pin covers them too.
+    ks = np.arange(-1074, 1024, dtype=np.int64)
     exact = np.array([float(2.0**int(k)) for k in ks])
     pdf = pd.DataFrame({"k": ks.astype(np.float64)})
     got = (
@@ -54,6 +57,46 @@ def test_pow2_range_reduction_is_exact(spark):
     con.register("t", pdf)
     duck = con.execute("SELECT pow(2.0, k) AS p FROM t").df()["p"].to_numpy()
     assert (duck == exact).all()
+
+
+def test_domain_edges_clamped_seed(spark):
+    # ADVICE r12: the el0 seed clamp must make the reduction total at
+    # the edges of the positive-double domain — DBL_MAX (a 1-ulp-high
+    # libm log2 would otherwise seed el0=1024 -> pow=inf -> m0=0), the
+    # smallest normal, and deep subnormals (a 1-ulp-low seed would hit
+    # pow(2.0,-1075)=0 -> m0=inf). Both engines must return finite,
+    # bit-identical, libm-accurate values.
+    import math
+    import sys
+
+    edges = np.array(
+        [
+            sys.float_info.max,                       # 2^1024 - ulp
+            np.nextafter(sys.float_info.max, 0.0),
+            sys.float_info.min,                       # 2^-1022
+            np.nextafter(sys.float_info.min, 0.0),    # largest subnormal
+            5e-324,                                   # 2^-1074
+            2.0**-1074 * 3,
+        ],
+        dtype=np.float64,
+    )
+    pdf = pd.DataFrame({"x": edges})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(pln_col(F.col("x")).alias("l"), plog2_col(F.col("x")).alias("g"))
+        .toPandas()
+    )
+    assert np.isfinite(got["l"].to_numpy()).all()
+    assert np.isfinite(got["g"].to_numpy()).all()
+    assert np.allclose(got["l"], np.log(edges), rtol=1e-13, atol=2e-11)
+    assert np.allclose(got["g"], np.log2(edges), rtol=1e-13, atol=2e-11)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        f"SELECT {pln_sql('x')} AS l, {plog2_sql('x')} AS g FROM t"
+    ).df()
+    assert (got["l"].to_numpy() == exp["l"].to_numpy()).all()
+    assert (got["g"].to_numpy() == exp["g"].to_numpy()).all()
 
 
 def test_pln_accuracy_vs_libm(spark):

@@ -77,12 +77,18 @@ def test_known_point():
 
 
 def test_polynomial_trig_vs_libm(spark):
-    # The r12 deterministic-trig pin: psin/pcos (the Taylor-Horner
-    # polynomials BOTH engines evaluate at the hash boundary — no libm)
-    # must agree with numpy's correctly-rounded-ish libm to ~the double
-    # floor over the full valid domain |x| <= 1.47 rad (UTM's 84N
-    # latitude cap). 5e-16 abs = a few ulp of sin(1.47); anything
-    # looser would mean a coefficient or Horner-order regression.
+    # The deterministic-trig accuracy pin, r13 form (VERDICT r12 #1):
+    # psin/pcos are cut to the output boundary's error budget (sin to
+    # x^15/15!, cos to x^14/14!; budget derivation in the geo.py
+    # module note), so the pin is the TRUNCATION BOUND itself. Both
+    # series alternate with strictly decreasing terms on |x| <= 1.47,
+    # so |poly - libm| <= first omitted term + a few ulp of rounding:
+    #     sin: |x|^17/17!,  cos: |x|^16/16!   (+5e-16 floor)
+    # asserted POINTWISE over the whole domain — a coefficient or
+    # Horner-order regression breaks this immediately, and a future
+    # term-count change must re-derive the bound here.
+    import math
+
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -93,8 +99,21 @@ def test_polynomial_trig_vs_libm(spark):
     got = df.select(
         psin_col(F.col("x")).alias("s"), pcos_col(F.col("x")).alias("c")
     ).toPandas()
-    assert np.abs(got["s"].to_numpy() - np.sin(x)).max() < 5e-16
-    assert np.abs(got["c"].to_numpy() - np.cos(x)).max() < 5e-16
+    sin_bound = np.abs(x) ** 17 / math.factorial(17) + 5e-16
+    cos_bound = np.abs(x) ** 16 / math.factorial(16) + 5e-16
+    assert (np.abs(got["s"].to_numpy() - np.sin(x)) <= sin_bound).all()
+    assert (np.abs(got["c"].to_numpy() - np.cos(x)) <= cos_bound).all()
+    # At the data's actual latitudes (CONUS, |x| <= 0.86 rad) the
+    # truncation terms are 2.2e-16 (sin) / 4.3e-15 (cos) — ~0.03 um of
+    # latitude, i.e. libm parity to within 1e-14 abs.
+    m = np.abs(x) <= 0.86
+    assert np.abs(got["s"].to_numpy()[m] - np.sin(x[m])).max() < 1e-14
+    assert np.abs(got["c"].to_numpy()[m] - np.cos(x[m])).max() < 1e-14
+    # Worst-case geodetic claim: the domain-edge truncation stays >=6x
+    # under the 1 mm roundtrip budget (1 mm ~ 1.57e-10 rad of lat);
+    # measured margins: sin 80x, cos 6.9x.
+    assert 1.47**17 / math.factorial(17) < 1.57e-10 / 6
+    assert 1.47**16 / math.factorial(16) < 1.57e-10 / 6
 
 
 def test_polynomial_trig_sql_mirror_bit_exact(spark):

@@ -109,38 +109,56 @@ def main() -> int:
         print(f"WARNING: sf mismatch — old sf={old['sf']} vs new sf={new['sf']}; "
               "cross-scale ratios are meaningless (pass --prefix/--sf-dir for a same-sf pair)")
 
+    # Box-drift normalization (VERDICT r12 #8): when both runs carry
+    # the fixed-work calib probe, their ratio measures BOX speed drift
+    # (co-tenant load, CPU steal), not engine change. Per-query ratios
+    # are reported both raw and divided by the drift factor, and the
+    # regression flag uses the NORMALIZED ratio — a round where every
+    # query moved +30% together with calib is a slow box, not a slow
+    # engine.
+    drift = None
+    if old.get("calib_sec") and new.get("calib_sec"):
+        drift = new["calib_sec"] / old["calib_sec"]
+
     oq, nq = old["queries"], new["queries"]
     rows, regressions = [], []
     for name in sorted(set(oq) | set(nq)):
         if name not in oq:
-            rows.append((name, None, nq[name], None, "NEW"))
+            rows.append((name, None, nq[name], None, None, "NEW"))
             continue
         if name not in nq:
-            rows.append((name, oq[name], None, None, "DROPPED"))
+            rows.append((name, oq[name], None, None, None, "DROPPED"))
             continue
         ratio = nq[name] / oq[name] if oq[name] > 0 else float("inf")
+        norm = ratio / drift if drift else None
+        eff = norm if norm is not None else ratio
         flag = ""
-        if ratio > a.threshold and (nq[name] - oq[name]) > a.min_abs_delta:
+        if eff > a.threshold and (nq[name] - oq[name]) > a.min_abs_delta:
             flag = "REGRESSION"
             regressions.append(name)
-        elif ratio > a.threshold:
+        elif eff > a.threshold:
             flag = "noise"  # ratio tripped but absolute delta is jitter-scale
-        rows.append((name, oq[name], nq[name], ratio, flag))
+        rows.append((name, oq[name], nq[name], ratio, norm, flag))
 
     w = max(len(r[0]) for r in rows)
     print(f"baseline: {old_path}")
+    if drift is not None:
+        print(f"box drift (new calib {new['calib_sec']:.3f}s / old calib "
+              f"{old['calib_sec']:.3f}s): {drift:.2f}x — 'norm' column and "
+              "regression flags are drift-normalized")
     # box context (VERDICT r8 #10): loadavg recorded in the bench JSON
     # separates co-tenant drift from plan regressions at read time
     for label, doc in (("old", old), ("new", new)):
         la_b, la_a = doc.get("loadavg_before"), doc.get("loadavg_after")
         if la_b or la_a:
             print(f"{label} loadavg: before={la_b} after={la_a}")
-    print(f"{'query'.ljust(w)}  {'old':>7}  {'new':>7}  {'ratio':>6}  flag")
-    for name, o, n, ratio, flag in rows:
+    print(f"{'query'.ljust(w)}  {'old':>7}  {'new':>7}  {'ratio':>6}  {'norm':>6}  flag")
+    for name, o, n, ratio, norm, flag in rows:
         os_ = f"{o:.3f}" if o is not None else "-"
         ns_ = f"{n:.3f}" if n is not None else "-"
         rs = f"{ratio:.2f}" if ratio is not None else "-"
-        print(f"{name.ljust(w)}  {os_:>7}  {ns_:>7}  {rs:>6}  {flag}")
+        nrs = f"{norm:.2f}" if norm is not None else "-"
+        print(f"{name.ljust(w)}  {os_:>7}  {ns_:>7}  {rs:>6}  {nrs:>6}  {flag}")
     tot_o = sum(v for v in oq.values())
     tot_n = sum(v for v in nq.values())
     print(f"{'TOTAL'.ljust(w)}  {tot_o:>7.3f}  {tot_n:>7.3f}  {tot_n / tot_o:>6.2f}")

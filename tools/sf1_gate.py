@@ -130,9 +130,20 @@ def main() -> None:
     specs = load_all()
     missing = [n for n in ENVELOPE_RISK if n not in specs]
     assert not missing, f"ENVELOPE_RISK names not in registry: {missing}"
-    names = sorted(
-        {n for n, s in specs.items() if "bench" in s.tags} | set(ENVELOPE_RISK)
-    )
+    core = {n for n, s in specs.items() if "bench" in s.tags} | set(ENVELOPE_RISK)
+
+    # Rotation slice (VERDICT r12 #7): the core set is bench headliners
+    # + envelope-risk owners, but the gate's first run caught 4 real
+    # cross-scale bugs in its first 44 queries — the residual ~300
+    # plausibly hide more. Each round adds a deterministic ~40-query
+    # slice of the rest of the registry (sorted pool, chunked, chunk =
+    # round mod n_chunks), so consecutive rounds cover DISJOINT slices
+    # and the whole registry gets an sf1 compare every ~8 rounds.
+    SLICE = 40
+    pool = sorted(set(specs) - core)
+    n_chunks = max(1, -(-len(pool) // SLICE))
+    rotation = pool[(args.round % n_chunks) * SLICE:(args.round % n_chunks) * SLICE + SLICE]
+    names = sorted(core | set(rotation))
 
     path = os.path.join(REPO, f"SWEEP_SF1_r{args.round:02d}.json")
     out: dict[str, dict] = {}
@@ -140,8 +151,22 @@ def main() -> None:
         only = {n.strip() for n in args.only.split(",") if n.strip()}
         unknown = only - set(names)
         assert not unknown, f"--only names not in the gate set: {unknown}"
-        if os.path.exists(path):
-            out = json.load(open(path, encoding="utf-8"))
+        # ADVICE r12: a --only merge is only meaningful INTO a full
+        # artifact — without one, a subset file would print 'bad = 0'
+        # and masquerade as a full gate pass in the round evidence.
+        assert os.path.exists(path), (
+            f"--only requires an existing full artifact at {path}; "
+            "run the full gate first"
+        )
+        out = {
+            k: v for k, v in json.load(open(path, encoding="utf-8")).items()
+            if not k.startswith("_")
+        }
+        not_covered = (set(names) - only) - set(out)
+        assert not not_covered, (
+            "--only merge would leave gate members with no recorded "
+            f"result (partial artifact): {sorted(not_covered)[:10]}"
+        )
         names = sorted(only)
 
     spark = get_spark("sf1-gate")
@@ -179,10 +204,18 @@ def main() -> None:
     bad = sum(
         1
         for n, rec in out.items()
-        if n not in EXPECTED_BREACH
+        if not n.startswith("_")
+        and n not in EXPECTED_BREACH
         and not rec["hash_match"]
         and rec["err"] != "no_oracle"
     )
+    # provenance: which names were the round's rotation slice vs core,
+    # so a reader can audit disjointness across rounds
+    out["_meta"] = {
+        "round": args.round,
+        "core": sorted(core),
+        "rotation_slice": rotation,
+    }
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=2)
     print(f"SF1 GATE DONE, {len(out)} queries, bad = {bad}, wrote {os.path.basename(path)}")
