@@ -29,7 +29,26 @@ from ..operators.text import EN_STOPWORDS, hit_ratio, punct_ratio
 
 QUALITY_MIN = 0.5
 NUM_HASHES = 12
-ROWS_PER_BAND = 2
+# 4 bands of 3 (r13; was 6 bands of 2). Two reasons, one measured and
+# one structural:
+# - VERDICT r12 #3's sf1 profile (tools/profile_curation.py): with
+#   r=2 the band-collision candidates grew 64k -> 6.48M for 10x docs
+#   (quadratic — background bigram-Jaccard collides on 2-row bands;
+#   max bucket 571, 3.1M pairs from buckets >100) and the exact-
+#   Jaccard verify over them ate 48 s of the 19 s+ sf1 runtime while
+#   finding the same 208 true pairs. queries/dedup.py hit the
+#   identical wall in r8 and moved to r=3; this site missed it.
+# - The DuckDB oracle (_curation_ctes in queries/dedup.py) builds its
+#   bands from THAT module's ROWS_PER_BAND = 3, so the Spark plan and
+#   its oracle were banding differently and agreed only because the
+#   verified-loser sets coincide on this corpus. Aligning removes the
+#   latent divergence: same bands, same candidates, same losers by
+#   construction.
+# Detection probability at the JACCARD_T=0.5 verify floor drops
+# (0.82 -> 0.41 for a borderline J=0.5 pair), but the planted
+# near-dups sit at J~0.8-1.0 where 4x3 banding detects ~0.94-1.0 —
+# kept-set parity verified at sf0.01/sf0.1/sf1 after the change.
+ROWS_PER_BAND = 3
 JACCARD_T = 0.5
 
 

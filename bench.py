@@ -103,21 +103,27 @@ def main() -> None:
     view_build = round(time.perf_counter() - t0, 3)
 
     # Box-drift calibration (VERDICT r12 #8): a FIXED-WORK pure-codegen
-    # loop — no IO, no shuffle, sf-independent — timed min-of-3. The
-    # bench box shows co-tenant bursts that move every query 15-50%
-    # between rounds; dividing per-query ratios by the calib ratio
-    # (automatic in tools/bench_diff.py whenever both runs carry
-    # calib_sec) separates box drift from plan regressions instead of
-    # re-litigating it per round. Not summed
-    # into the headline total (it measures the box, not the engine).
-    calib_samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(400_000_000).selectExpr(
-            "sum(id * 3 + 7) AS s", "sum(id % 11) AS m"
-        ).collect()
-        calib_samples.append(time.perf_counter() - t0)
-    calib = round(min(calib_samples), 3)
+    # loop — no IO, no shuffle, sf-independent — timed min-of-3 BEFORE
+    # and AFTER the query loop (a single pre-loop point can miss a
+    # burst that arrives mid-run; bracketing the timed region samples
+    # the same wall-clock window the queries saw). The bench box shows
+    # co-tenant bursts that move every query 15-50% between rounds;
+    # dividing per-query ratios by the calib ratio (automatic in
+    # tools/bench_diff.py whenever both runs carry calib_sec)
+    # separates box drift from plan regressions instead of
+    # re-litigating it per round. Not summed into the headline total
+    # (it measures the box, not the engine).
+    def _calib_probe() -> list[float]:
+        out = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(400_000_000).selectExpr(
+                "sum(id * 3 + 7) AS s", "sum(id % 11) AS m"
+            ).collect()
+            out.append(time.perf_counter() - t0)
+        return out
+
+    calib_samples = _calib_probe()
 
     # timed runs per query, keep the min — the bench box shows
     # co-tenant jitter (2-5x outliers on single queries, confirmed by
@@ -153,6 +159,10 @@ def main() -> None:
                     break
             timings[name] = round(min(samples), 3)
             raw_samples[name] = [round(s, 3) for s in samples]
+
+    # post-loop calib bracket: catches contention that arrived mid-run
+    calib_samples += _calib_probe()
+    calib = round(min(calib_samples), 3)
 
     # Timed region over — restore scheduler diagnostics (ADVICE r7).
     jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
