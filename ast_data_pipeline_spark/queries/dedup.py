@@ -123,9 +123,10 @@ def _minhash_oracle() -> str:
     oracle=_minhash_oracle(),
     doc="MinHash+LSH near-dup: word-bigram shingles -> 12 double-hashed "
     "32-bit minhashes (ONE md5 per shingle, Kirsch-Mitzenmacher "
-    "h1+i*(2*h2+1) strides) -> 6 bands of 2 -> bucket self-join "
-    "candidates -> exact-Jaccard verify on candidates only. Shuffles: "
-    "shingle agg + band join — never the full O(n^2) pair space.",
+    "h1+i*(2*h2+1) strides) -> 4 bands of 3 (see the ROWS_PER_BAND "
+    "note) -> bucket self-join candidates -> exact-Jaccard verify on "
+    "candidates only. Shuffles: shingle agg + band join — never the "
+    "full O(n^2) pair space.",
     tags=("dedup", "bench"),
 )
 def x_minhash_lsh_neardup(spark, sf_dir):
@@ -135,6 +136,58 @@ def x_minhash_lsh_neardup(spark, sf_dir):
         .select("doc_id", word_shingles("w", 2))
     )
     return minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
+
+
+@register(
+    "x_lsh_bucket_stats",
+    # Only the CTEs through `bands` are referenced; DuckDB leaves the
+    # unreferenced cand/pairs CTEs unevaluated.
+    oracle=f"""
+WITH {_minhash_ctes()},
+occ AS (
+  SELECT band_id, band_val, count(*)::BIGINT AS s
+  FROM bands GROUP BY 1, 2
+)
+SELECT band_id::INT AS band_id,
+       count(*)::BIGINT AS n_buckets,
+       max(s)::BIGINT AS max_bucket,
+       sum(s * (s - 1) / 2)::BIGINT AS candidate_pairs,
+       sum(CASE WHEN s > 100 THEN s * (s - 1) / 2 ELSE 0 END)::BIGINT
+         AS pairs_from_hot_buckets
+FROM occ GROUP BY band_id
+""",
+    doc="LSH band-bucket occupancy health: per band, the bucket count, "
+    "max bucket size, implied candidate pairs (sum of s*(s-1)/2 over "
+    "buckets), and the share of pairs coming from hot (>100-doc) "
+    "buckets. This is the metric that catches a banding config going "
+    "quadratic BEFORE the verify stage pays for it (the r13 curation "
+    "profile found 3.1M of 6.5M candidate pairs hiding in >100-doc "
+    "buckets under 2-row bands; see tools/profile_curation.py and "
+    "SCALING.md r13) — at 100 TB this query runs per corpus to size "
+    "rows-per-band so bucket occupancy stays O(1) per doc. Pure "
+    "groupBy chain over the band frame: two shuffles, output rows = "
+    "band count.",
+    tags=("dedup",),
+)
+def x_lsh_bucket_stats(spark, sf_dir):
+    from ..operators.dedup import lsh_bands, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    docsets = docs.filter(F.size("w") >= 2).select("doc_id", word_shingles("w", 2))
+    exploded = docsets.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = minhash_signatures(exploded, NUM_HASHES)
+    bands = lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND)
+    occ = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("s"))
+    # s*(s-1) is even and < 2^52, so the double division is exact
+    pair_cnt = (F.col("s") * (F.col("s") - 1) / 2).cast("long")
+    return occ.groupBy(F.col("band_id").cast("int").alias("band_id")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("s").alias("max_bucket"),
+        F.sum(pair_cnt).alias("candidate_pairs"),
+        F.sum(
+            F.when(F.col("s") > 100, pair_cnt).otherwise(F.lit(0).cast("long"))
+        ).alias("pairs_from_hot_buckets"),
+    )
 
 
 def _cc_ctes() -> str:

@@ -340,3 +340,54 @@ def test_ivfpq_rerank_sweep_frontier(spark, tmp_path):
     assert (out.n_reranked == expect).all(), (
         out.n_reranked.tolist(), expect.tolist(),
     )
+
+
+def test_lsh_bucket_stats_recompute_from_bands(spark, sf_dir):
+    # Independent twin for x_lsh_bucket_stats (family-pytest practice):
+    # pull the raw band frame to pandas and recompute every output
+    # column with numpy groupbys — the query's groupBy chain must
+    # match, and candidate_pairs must also equal the NON-distinct
+    # band-join pair count (sum of C(s,2) IS the per-band join output
+    # by definition, so a drift between the stats query and the real
+    # candidate generator would surface here).
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        word_shingles,
+        words_col,
+    )
+    from ast_data_pipeline_spark.queries.dedup import NUM_HASHES, ROWS_PER_BAND
+    from ast_data_pipeline_spark.registry import load_all
+    from ast_data_pipeline_spark.sources.catalog import load
+
+    got = (
+        load_all()["x_lsh_bucket_stats"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("band_id")
+        .reset_index(drop=True)
+    )
+    docs = load(spark, sf_dir, "documents").withColumn("w", words_col(F.col("text")))
+    docsets = docs.filter(F.size("w") >= 2).select("doc_id", word_shingles("w", 2))
+    sig = minhash_signatures(
+        docsets.select("doc_id", F.explode("shingles").alias("shingle")), NUM_HASHES
+    )
+    bands = lsh_bands(sig, NUM_HASHES, ROWS_PER_BAND).toPandas()
+    occ = bands.groupby(["band_id", "band_val"]).size().rename("s").reset_index()
+    exp = (
+        occ.groupby("band_id")
+        .agg(
+            n_buckets=("s", "size"),
+            max_bucket=("s", "max"),
+            candidate_pairs=("s", lambda s: int((s * (s - 1) // 2).sum())),
+            pairs_from_hot_buckets=(
+                "s", lambda s: int((s[s > 100] * (s[s > 100] - 1) // 2).sum())
+            ),
+        )
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"), check_names=False
+    )
