@@ -124,8 +124,19 @@ def cosine_topk(
         q = queries.select("q_id", "q_vec", F.col(bucket).alias(f"q_{bucket}"))
     else:
         q = queries.select("q_id", "q_vec")
+    # Precompute each side's norm ONCE PER VECTOR before the join
+    # (r13): inlining norm() into the post-join sim expression
+    # re-folded both 64-element arrays for every (query, candidate)
+    # row — for a 1000-vector bucket that is 1000x redundant work on
+    # the corpus side. The staged columns evaluate the IDENTICAL
+    # sequential fold on the identical input, so every bit of sim is
+    # unchanged (measured: 0 mismatches over the full sf1 join;
+    # 8.3 s -> 3.2 s on the sf1 IVF shape). The DuckDB oracles keep
+    # their inline norms — same values, so hash parity holds.
+    q = q.withColumn("_q_norm", norm("q_vec"))
+    corpus = corpus.withColumn("_e_norm", norm("embedding"))
     j = corpus.join(F.broadcast(q), cond)
-    sim = dot("q_vec", "embedding") / (norm("q_vec") * norm("embedding"))
+    sim = dot("q_vec", "embedding") / (F.col("_q_norm") * F.col("_e_norm"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         j.withColumn("sim", sim)

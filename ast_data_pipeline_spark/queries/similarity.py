@@ -229,15 +229,18 @@ def x_embedding_neardup(spark, sf_dir):
     corpus = base.unionByName(twins).withColumn(
         "bucket", rh_lsh_bucket("emb", LSH_PLANES, EMB_DIM)
     )
+    # norm staged once per vector, not per candidate pair (r13, same
+    # bit-identical fold as operators/similarity.cosine_topk's note)
+    corpus = corpus.withColumn("_nrm", norm("emb"))
     a = corpus.select(
         F.col("vec_id").alias("vec_a"), "label", "bucket",
-        F.col("emb").alias("emb_a"),
+        F.col("emb").alias("emb_a"), F.col("_nrm").alias("nrm_a"),
     )
     b = corpus.select(
         F.col("vec_id").alias("vec_b"), "label", "bucket",
-        F.col("emb").alias("emb_b"),
+        F.col("emb").alias("emb_b"), F.col("_nrm").alias("nrm_b"),
     )
-    sim = dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b"))
+    sim = dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, ["label", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -886,16 +889,20 @@ def x_semantic_dedup(spark, sf_dir):
         .withColumn("bucket", rh_lsh_bucket("emb", LSH_PLANES, EMB_DIM))
         .transform(lineage_cut_lazy)
     )
+    # norm staged once per vector, not per within-cluster pair (r13)
+    assigned = assigned.withColumn("_nrm", norm("emb"))
     a = assigned.select(
-        F.col("vec_id").alias("vec_a"), "cid", "bucket", F.col("emb").alias("emb_a")
+        F.col("vec_id").alias("vec_a"), "cid", "bucket",
+        F.col("emb").alias("emb_a"), F.col("_nrm").alias("nrm_a"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("vec_b"), "cid", "bucket", F.col("emb").alias("emb_b")
+        F.col("vec_id").alias("vec_b"), "cid", "bucket",
+        F.col("emb").alias("emb_b"), F.col("_nrm").alias("nrm_b"),
     )
     pairs = (
         a.join(b, ["cid", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b")))
+        .withColumn("sim", dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("sim") >= NEARDUP_T)
         .select("cid", "vec_a", "vec_b")
     )
@@ -1869,9 +1876,15 @@ def x_embedding_quantization(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     w = W.partitionBy("q_id")
-    f_sim = dot("q_vec", "embedding") / (norm("q_vec") * norm("embedding"))
+    # norms staged once per vector (r13; bit-identical fold, see
+    # operators/similarity.cosine_topk)
+    f_sim = dot("q_vec", "embedding") / (F.col("_q_nrm") * F.col("_e_nrm"))
     truth = (
-        base.join(F.broadcast(q_f), F.col("q_id") != F.col("vec_id"))
+        base.withColumn("_e_nrm", norm("embedding"))
+        .join(
+            F.broadcast(q_f.withColumn("_q_nrm", norm("q_vec"))),
+            F.col("q_id") != F.col("vec_id"),
+        )
         .withColumn("rk", F.row_number().over(w.orderBy(f_sim.desc(), "vec_id")))
         .filter(F.col("rk") <= IVF_TOPK)
         .select("q_id", "vec_id")
