@@ -69,90 +69,62 @@ def assign_county_argmax(
     payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """J8 (ref: src/form_calcs.py:992-1037): tank bbox x county polygon
-    intersect "join"; on multi-county overlap keep the county with max
-    intersection-area / tank-area, ties -> smallest county id.
+    intersect join; on multi-county overlap keep the county with max
+    intersection-area / tank-area. Counties broadcast; argmax via
+    row_number over (tank, overlap desc).
 
-    Expects tanks with utm_minx/miny/maxx/maxy and a ROW-UNIQUE key
-    column ``annot_id`` (one output row per input row); counties with
-    c_minx/c_miny/c_maxx/c_maxy + fips.
+    Expects tanks with utm_minx/miny/maxx/maxy and a unique key column
+    ``annot_id``; counties with c_minx/c_miny/c_maxx/c_maxy + fips.
 
-    ``payload_cols``: kept for output-shape compatibility with the
-    pre-r14 groupBy form — it narrows the returned tank columns to
-    annot_id + payload + the county fields (full-row mode additionally
-    returns county_name + overlap_frac). Since the r14 fold shape the
-    choice no longer affects any shuffle (there is none).
+    ``payload_cols``: optional narrowed list of tank columns to carry
+    through the argmax — the max_by payload is this operator's ONLY
+    fact-width shuffle, so callers that need just a column or two cut
+    shuffle bytes proportionally (the r6 shuffle audit measured
+    d_distribution_by_county at 30.7 MB/sf0.1 with the default
+    full-row payload — utm doubles, annot_id, overlap_frac and
+    county_name all riding along for a query that keeps only
+    object_class + fips). Default keeps the original full-row
+    behavior; narrowed mode returns annot_id (the group key) +
+    payload_cols + the county fields.
     """
-    # r14 shape: per-row fold over a broadcast county ARRAY — zero
-    # shuffles (guide §2.4 "remove shuffles outright"). The previous
-    # form (broadcast theta join -> groupBy(annot_id) max_by) was
-    # already single-fact-pass, but the argmax groupBy re-shuffled
-    # every matched row (10.7 MB at sf0.1 for d_distribution, and the
-    # flagship's ONE row shuffle) even though every candidate for a
-    # tank is produced inside the same task from the same input row —
-    # annot_id is unique per input row (asserted for every caller:
-    # gann's annot_id and the merge's component_id are row keys), so
-    # the argmax is a row-local reduction, not a grouping. The fold
-    # evaluates the IDENTICAL intersect predicate and overlap_frac
-    # arithmetic per county (same flops the broadcast nested-loop join
-    # spent), and picks the max by the IDENTICAL (overlap_frac,
-    # -county_num) struct ordering max_by used, so the winning county
-    # and its overlap_frac are bit-identical; tanks with no overlapping
-    # county drop out exactly as the inner join dropped them.
-    # At 100 TB the trade also improves: the 3.2k-county array is one
-    # broadcast row instead of a per-row join fan-out + re-shuffle of
-    # the matched fact.
-    carr = counties_df.agg(
-        F.collect_list(
-            F.struct(
-                "c_minx", "c_miny", "c_maxx", "c_maxy",
-                "county_name", "state_fips", "county_fips",
-            )
-        ).alias("_counties")
+    t, c = tanks.alias("t"), F.broadcast(counties_df).alias("c")
+    inter_w = F.least(F.col("t.utm_maxx"), F.col("c.c_maxx")) - F.greatest(
+        F.col("t.utm_minx"), F.col("c.c_minx")
     )
-    cand = (
-        "transform(filter(_counties, c -> "
-        "least(utm_maxx, c.c_maxx) > greatest(utm_minx, c.c_minx) AND "
-        "least(utm_maxy, c.c_maxy) > greatest(utm_miny, c.c_miny)), "
-        "c -> struct("
-        "(least(utm_maxx, c.c_maxx) - greatest(utm_minx, c.c_minx)) * "
-        "(least(utm_maxy, c.c_maxy) - greatest(utm_miny, c.c_miny)) / "
-        "((utm_maxx - utm_minx) * (utm_maxy - utm_miny)) AS overlap_frac, "
-        "cast(concat(c.state_fips, c.county_fips) as int) AS county_num, "
-        "c.county_name AS county_name, c.state_fips AS state_fips, "
-        "c.county_fips AS county_fips))"
+    inter_h = F.least(F.col("t.utm_maxy"), F.col("c.c_maxy")) - F.greatest(
+        F.col("t.utm_miny"), F.col("c.c_miny")
     )
-    acc_type = (
-        "struct<overlap_frac:double,county_num:int,county_name:string,"
-        "state_fips:string,county_fips:string>"
+    tank_area = (F.col("t.utm_maxx") - F.col("t.utm_minx")) * (
+        F.col("t.utm_maxy") - F.col("t.utm_miny")
     )
-    # fold keeps the max by the same struct ordering max_by applied
-    # (frac desc, then smallest county_num); the comparison result is
-    # order-independent because (frac, -num) is a strict total order
-    # over distinct counties, so collect_list's arbitrary array order
-    # cannot change the winner.
-    best = (
-        f"aggregate({cand}, cast(null as {acc_type}), (acc, c) -> "
-        "CASE WHEN acc IS NULL OR struct(c.overlap_frac, -c.county_num) > "
-        "struct(acc.overlap_frac, -acc.county_num) THEN c ELSE acc END)"
+    joined = t.join(c, (inter_w > 0) & (inter_h > 0)).withColumn(
+        "overlap_frac", inter_w * inter_h / tank_area
     )
-    located = (
-        tanks.crossJoin(F.broadcast(carr))
-        .withColumn("_best", F.expr(best))
-        .filter(F.col("_best").isNotNull())
-    )
+    # argmax via max_by hash aggregate (no per-key sort window): max
+    # overlap_frac, ties -> smallest county_id, matching the oracle's
+    # row_number(ORDER BY frac DESC, county_id) exactly.
+    county_num = F.concat(F.col("c.state_fips"), F.col("c.county_fips")).cast("int")
+    # single pass, grouped on the narrow unique key only: hashing the
+    # full tank row (wide strings/arrays) as the group key cost ~3x the
+    # whole join at sf0.1, so the tank columns ride inside the max_by
+    # payload instead — the buffer copies them only on a new max, ~1.07
+    # candidate rows per tank.
     keep = tanks.columns if payload_cols is None else list(payload_cols)
-    fields = [F.col(name) for name in keep] + [
-        F.col("_best.state_fips").alias("state_fips"),
-        F.col("_best.county_fips").alias("county_fips"),
+    fields = [F.col(f"t.{name}").alias(name) for name in keep] + [
+        F.col("c.state_fips").alias("state_fips"),
+        F.col("c.county_fips").alias("county_fips"),
     ]
     if payload_cols is None:
         # full-row mode also carries the display name + the winning
         # fraction (narrowed mode keeps the fips pair only)
-        fields.insert(len(keep), F.col("_best.county_name").alias("county_name"))
-        fields.append(F.col("_best.overlap_frac").alias("overlap_frac"))
-    elif "annot_id" not in keep:
-        fields.insert(0, F.col("annot_id"))
-    return located.select(*fields)
+        fields.insert(len(keep), F.col("c.county_name").alias("county_name"))
+        fields.append(F.col("overlap_frac").alias("overlap_frac"))
+    best = joined.groupBy(F.col("t.annot_id")).agg(
+        F.max_by(F.struct(*fields), F.struct(F.col("overlap_frac"), -county_num)).alias("r")
+    )
+    if payload_cols is None:
+        return best.select("r.*")
+    return best.select("annot_id", "r.*")
 
 
 ARGMAX_COUNTY_SQL_BODY = """

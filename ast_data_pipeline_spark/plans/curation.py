@@ -86,7 +86,17 @@ def curate(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
     pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    kept = exact.join(losers, "doc_id", "left_anti")
+    # r14: broadcast the loser set. Both anti-join inputs sit behind
+    # localCheckpoint cuts (ExistingRDD, no size stats), so Catalyst
+    # fell back to a SortMergeJoin that shuffled+sorted BOTH sides
+    # (plans/r14/x_curation_pipeline_before.txt: Exchange(3)+Sort on
+    # 5k kept docs, Exchange+Sort on the losers). The loser side is the
+    # verified near-dup set — a few hundred doc_ids (~0.2% of the
+    # corpus by the banding design) — the textbook broadcast-anti case
+    # (guide §3.1). At 100 TB losers stay O(dup-rate x corpus) keys,
+    # 8 B each; if a corpus ever breaks the broadcast cap the hint
+    # degrades to the pre-r14 SMJ, losing nothing.
+    kept = exact.join(F.broadcast(losers), "doc_id", "left_anti")
     return kept.select("doc_id", "lang", "source", "quality_score", "n_tokens")
 
 

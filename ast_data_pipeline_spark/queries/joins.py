@@ -212,13 +212,25 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
     lineitem = load(spark, sf_dir, "lineitem")
     supplier = load(spark, sf_dir, "supplier")
+    # r14: reduce the dimension chain FIRST and broadcast the result.
+    # Catalyst's size estimate for the 3-table dim join is inflated, so
+    # without the hint it planned a SortMergeJoin that shuffled the
+    # whole lineitem x orders fact by custkey (plans/r14/
+    # q5_local_supplier_volume_before.txt: 2 Exchanges + 2 Sorts on the
+    # fact path). The reduced chain is just (c_custkey, n_nationkey,
+    # n_name) for ASIA customers — broadcast it (guide §3.1: hint when
+    # estimates are wrong) and the fact is never row-shuffled. At the
+    # 100 TB point the same hint still holds to ~sf1000 (150M custkeys
+    # x 16 B ~ 2.4 GB, inside the 8 GB broadcast cap); past that the
+    # documented fallback is the Bloom-prefiltered SMJ (SCALING.md).
     dims = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_nationkey", "n_name")
     )
     j = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(dims, orders.o_custkey == dims.c_custkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .join(
             F.broadcast(supplier),
             (lineitem.l_suppkey == supplier.s_suppkey)

@@ -178,10 +178,24 @@ def w_percent_of_total(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
+    # r14: collapse the 3-probe chain into ONE probe. The old shape had
+    # lineitem probe three broadcast tables in sequence (orders 150k,
+    # customer 15k, nation 25 at sf0.1); pre-joining the dims into an
+    # o_orderkey -> n_name map moves the two cheap probes onto the
+    # 150k-row orders side, so the 600k-row fact pays a single hash
+    # lookup per row (guide §2.3 "shuffle keys and metadata instead of
+    # payloads" applied to probes). At 100 TB the same shape saves a
+    # fact shuffle outright: lineitem joins once on l_orderkey instead
+    # of once on l_orderkey and again on o_custkey. Join reordering
+    # only — the joined multiset, group keys and dsum are unchanged.
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    omap = orders.join(
+        F.broadcast(cust_nation), orders.o_custkey == cust_nation.c_custkey
+    ).select("o_orderkey", "n_name")
     rev = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        li.join(F.broadcast(omap), li.l_orderkey == omap.o_orderkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
