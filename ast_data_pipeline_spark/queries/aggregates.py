@@ -42,7 +42,18 @@ ORDER BY l_returnflag, l_linestatus
     tags=("aggregate", "bench"),
 )
 def a8_pricing_summary(spark, sf_dir):
-    return pricing_summary(load(spark, sf_dir, "lineitem"))
+    # r14: scan-parallelism floor (sources/parallel.py). The Q1 shape
+    # fuses 9 decimal partial aggregates into the scan stage; on the
+    # single-row-group testdata layout that stage is capped at ONE
+    # task, so the whole query ran on one core (1.20 s at sf0.1).
+    # The gated repartition costs one narrow shuffle of the fact and
+    # buys full-width parallel aggregation (0.61 s measured); on a
+    # healthy multi-row-group warehouse layout it is a no-op. dsum
+    # aggregates exact decimals, so partitioning cannot move results.
+    from ..sources.parallel import scan_floor
+
+    li = scan_floor(spark, sf_dir, "lineitem", load(spark, sf_dir, "lineitem"))
+    return pricing_summary(li)
 
 
 def _crosstab_oracle(normalize: bool) -> str:
