@@ -67,6 +67,7 @@ def assign_county_argmax(
     tanks: DataFrame,
     counties_df: DataFrame,
     payload_cols: list[str] | None = None,
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """J8 (ref: src/form_calcs.py:992-1037): tank bbox x county polygon
     intersect join; on multi-county overlap keep the county with max
@@ -86,6 +87,16 @@ def assign_county_argmax(
     object_class + fips). Default keeps the original full-row
     behavior; narrowed mode returns annot_id (the group key) +
     payload_cols + the county fields.
+
+    ``extra_group_cols`` (r14): columns prepended to the argmax group
+    key. annot_id is row-unique, so adding columns it functionally
+    determines (its tile_key) cannot change the groups or the output —
+    but it lets the aggregation's ClusteredDistribution be satisfied
+    by an existing HashPartitioning on those columns: callers reading
+    the tile_key-bucketed gann table pass ("tile_key",) and the argmax
+    EXCHANGE DISAPPEARS (guide §2.4 "two operations keyed the same way
+    can share one exchange" — here the bucketed layout is the first
+    key). Raw-lineage callers simply keep the one exchange they had.
     """
     t, c = tanks.alias("t"), F.broadcast(counties_df).alias("c")
     inter_w = F.least(F.col("t.utm_maxx"), F.col("c.c_maxx")) - F.greatest(
@@ -119,7 +130,8 @@ def assign_county_argmax(
         # fraction (narrowed mode keeps the fips pair only)
         fields.insert(len(keep), F.col("c.county_name").alias("county_name"))
         fields.append(F.col("overlap_frac").alias("overlap_frac"))
-    best = joined.groupBy(F.col("t.annot_id")).agg(
+    gcols = [F.col(f"t.{c}") for c in extra_group_cols] + [F.col("t.annot_id")]
+    best = joined.groupBy(*gcols).agg(
         F.max_by(F.struct(*fields), F.struct(F.col("overlap_frac"), -county_num)).alias("r")
     )
     if payload_cols is None:

@@ -127,11 +127,16 @@ WHERE rn = 1
 def d_j8_county_argmax(spark, sf_dir):
     # slim the tank side before the join: the argmax groups by the full
     # tank row, so carrying only the needed columns keeps the shuffle narrow
+    # r14: carry tile_key and group the argmax on (tile_key, annot_id)
+    # — annot_id determines its tile, so the groups are unchanged, but
+    # the bench profile's tile_key-bucketed gann scan now satisfies the
+    # aggregation's distribution and the argmax Exchange disappears
+    # (see assign_county_argmax docstring).
     g = g_annotations(spark, sf_dir).select(
-        "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy"
+        "tile_key", "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy"
     )
     c = counties(spark, sf_dir)
-    out = assign_county_argmax(g, c)
+    out = assign_county_argmax(g, c, extra_group_cols=("tile_key",))
     return out.select(
         "annot_id",
         "county_name",
@@ -187,12 +192,16 @@ SELECT * FROM (
     tags=("domain", "spatial", "pivot", "bench"),
 )
 def d_distribution_by_county(spark, sf_dir):
+    # r14: same (tile_key, annot_id) group-key trick as d_j8 — the
+    # bucketed gann scan absorbs the argmax exchange in the bench
+    # profile (groups unchanged: annot_id is row-unique).
     g = g_annotations(spark, sf_dir).select(
-        "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy",
+        "tile_key", "annot_id", "utm_minx", "utm_miny", "utm_maxx", "utm_maxy",
         standardize_label(F.col("raw_label"), "undefined_object").alias("object_class"),
     )
     located = assign_county_argmax(
-        g, counties(spark, sf_dir), payload_cols=["object_class"]
+        g, counties(spark, sf_dir), payload_cols=["object_class"],
+        extra_group_cols=("tile_key",),
     ).select(
         F.concat("state_fips", "county_fips").alias("county_id"), "object_class"
     )
