@@ -592,9 +592,12 @@ def x_ann_recall_eval(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", rh_lsh_bucket("embedding", LSH_PLANES, EMB_DIM)
     )
+    # r14: same shared-subtree cut as x_ann_recall_multiprobe — truth
+    # and retr each feed three branches; without the cut the brute
+    # topk / bucketed retrieval re-execute per branch.
     truth = cosine_topk(
         _queries(spark, sf_dir, False), emb.drop("bucket"), IVF_TOPK
-    ).select("q_id", "vec_id")
+    ).select("q_id", "vec_id").transform(lineage_cut_lazy)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
@@ -602,7 +605,7 @@ def x_ann_recall_eval(spark, sf_dir):
     )
     retr = cosine_topk(q, emb, IVF_TOPK, bucket="bucket").select(
         "q_id", "vec_id"
-    )
+    ).transform(lineage_cut_lazy)
     hits = (
         truth.alias("t")
         .join(
@@ -756,12 +759,20 @@ def x_ann_recall_multiprobe(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", rh_lsh_bucket("embedding", LSH_PLANES, EMB_DIM)
     )
+    # r14: both the brute-force truth and the multiprobe retrieval are
+    # consumed by THREE downstream branches each (hits join, n_truth /
+    # n_retrieved counts) — without a lineage cut the all-pairs truth
+    # topk and the Hamming-1 fan-out join are re-executed per branch
+    # (this query was the PROFILE.md tail at 58.5 s on sf0.01; the
+    # shared-subtree re-execution was the dominant term after codegen
+    # compile). The cut materializes each side once — a few hundred
+    # (q_id, vec_id) pairs — exactly the curation-pipeline pattern.
     truth = cosine_topk(
         _queries(spark, sf_dir, False), emb.drop("bucket"), IVF_TOPK
-    ).select("q_id", "vec_id")
+    ).select("q_id", "vec_id").transform(lineage_cut_lazy)
     retr = cosine_topk(
         _multiprobe_queries(emb), emb, IVF_TOPK, bucket="bucket"
-    ).select("q_id", "vec_id")
+    ).select("q_id", "vec_id").transform(lineage_cut_lazy)
     hits = (
         truth.alias("t")
         .join(
