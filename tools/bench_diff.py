@@ -133,7 +133,12 @@ def main() -> int:
         norm = ratio / drift if drift else None
         eff = norm if norm is not None else ratio
         flag = ""
-        if eff > a.threshold and (nq[name] - oq[name]) > a.min_abs_delta:
+        # Jitter guard on the DRIFT-NORMALIZED absolute delta (ADVICE
+        # r13): comparing the raw delta on a drifted box can suppress a
+        # real regression (box got faster) or admit pure drift (box got
+        # slower) inconsistently with the normalized ratio test above.
+        abs_delta = nq[name] - oq[name] * (drift if drift else 1.0)
+        if eff > a.threshold and abs_delta > a.min_abs_delta:
             flag = "REGRESSION"
             regressions.append(name)
         elif eff > a.threshold:
