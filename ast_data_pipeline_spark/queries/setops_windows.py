@@ -174,7 +174,15 @@ FROM rev
     tags=("window", "bench"),
 )
 def w_percent_of_total(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    from ..sources.parallel import scan_floor
+
+    # r14: scan-parallelism floor on the fact side (guide §2.5 input
+    # skew; same per-call-site A/B discipline as a8 — see
+    # sources/parallel.py). The fused probe+decimal partial agg
+    # otherwise runs inside the one-row-group lineitem scan on a
+    # single core. Interleaved min-of-6 A/B at sf0.1: 1.124 s without
+    # -> 0.643 s with the floor. No-op on healthy row-group layouts.
+    li = scan_floor(spark, sf_dir, "lineitem", load(spark, sf_dir, "lineitem"))
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
