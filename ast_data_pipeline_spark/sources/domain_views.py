@@ -102,11 +102,23 @@ def annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every derived column is a function of these four keys, so dedup
     # happens BEFORE the join on the narrowest possible projection —
     # at scale this is a 4-int-column shuffle instead of a wide-row one.
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        .dropDuplicates()
+    # r14 scan-parallelism floor (sources/parallel.dedup_floor): on the
+    # one-row-group testdata layout the dedup's partial aggregate — a
+    # hash table over every annotation key — runs fused into the
+    # single-core lineitem scan; pre-partitioning on the dedup columns
+    # moves it post-exchange (32-way) without adding an exchange (the
+    # distinct reuses this partitioning). Keys are unique in practice,
+    # so the shuffle carries the same bytes either way; gate is footer-
+    # metadata-driven and a no-op on healthy layouts.
+    from .parallel import dedup_floor
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
+    li = dedup_floor(
+        spark, sf_dir, "lineitem", li,
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    ).dropDuplicates()
     t = tiles(spark, sf_dir)
     j = li.join(t, li.l_partkey == t.tile_key)
     ok, ln, sk = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_suppkey")

@@ -88,3 +88,25 @@ def scan_floor(spark, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
         return df
     keys = _TABLE_KEYS[name]
     return df.repartition(par, F.xxhash64(*keys))
+
+
+def dedup_floor(spark, sf_dir: str, name: str, df: DataFrame, cols) -> DataFrame:
+    """``scan_floor`` variant for scans whose first exchange is a
+    distinct/groupBy on ``cols``: hash-repartition on those PLAIN
+    columns (not a synthetic xxhash64 key) so the downstream
+    aggregation's ClusteredDistribution is satisfied by THIS exchange
+    and no second one is added — the exchange count is unchanged; what
+    moves is the partial aggregation, from inside the one-row-group
+    single-core scan stage to the post-exchange parallel stage.
+
+    Trade-off vs the un-floored shape: the exchange carries pre-dedup
+    rows (map-side partial dedup no longer collapses duplicates before
+    the shuffle), which is why this, too, is gated on the parquet
+    footer proving the scan cannot parallelize — on a healthy layout
+    the partial agg is already parallel and collapsing first is
+    strictly better, so the gate returns df untouched.
+    """
+    par = spark.sparkContext.defaultParallelism
+    if _row_groups(table_path(sf_dir, name)) * 2 >= par:
+        return df
+    return df.repartition(par, *[F.col(c) for c in cols])
