@@ -48,3 +48,38 @@ def test_floor_preserves_rows_exactly(spark):
     assert out.count() == df.count()
     assert out.exceptAll(df).count() == 0
     assert df.exceptAll(out).count() == 0
+
+
+def test_dedup_floor_shares_the_distinct_exchange(spark):
+    """dedup_floor's whole point: the pre-partitioning on the dedup
+    columns must SATISFY the downstream distinct's required
+    distribution, so the plan has exactly one hash exchange (the
+    repartition), not two — and the partial aggregate runs after it."""
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    df = load(spark, SF, "lineitem").select(*cols)
+    out = parallel.dedup_floor(spark, SF, "lineitem", df, cols).dropDuplicates()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_dedup_floor_noop_on_healthy_layout(spark):
+    path = table_path(SF, "orders")
+    parallel._RG_CACHE[path] = 10_000
+    try:
+        df = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+        out = parallel.dedup_floor(
+            spark, SF, "orders", df, ["o_orderkey"]
+        )
+        assert out is df
+    finally:
+        del parallel._RG_CACHE[path]
+
+
+def test_dedup_floor_preserves_distinct_rows(spark):
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    base = load(spark, SF, "lineitem").select(*cols).dropDuplicates()
+    floored = parallel.dedup_floor(
+        spark, SF, "lineitem", load(spark, SF, "lineitem").select(*cols), cols
+    ).dropDuplicates()
+    assert floored.count() == base.count()
+    assert floored.exceptAll(base).count() == 0
