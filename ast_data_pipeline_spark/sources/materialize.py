@@ -56,7 +56,22 @@ def materialize_domain_views(
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             _clear_stale_location(spark, table)
             (
+                # Cluster on the BUCKET KEY before the bucketed write
+                # (guide §6 "small files hurt twice"): the bucketBy
+                # writer emits one file per (task, bucket) pair, so a
+                # builder that arrives partitioned on anything else
+                # fans out to tasks x buckets tiny files — r14's
+                # dedup_floor left annotations 32-way partitioned on
+                # the dedup columns and mat_annotations ballooned to
+                # 1025 files / mat_gann to 539, doubling every
+                # consumer's scan input bytes (the SHUFFLE.md r14
+                # input-MB regression). repartition uses the same
+                # murmur3 hash as the bucket assignment, so each task
+                # holds exactly one bucket and writes exactly one
+                # file; the extra exchange is part of the one-time
+                # amortized build, not any query's timed path.
                 DV.BUILDERS[view](spark, sf_dir)
+                .repartition(buckets, "tile_key")
                 .write.mode("overwrite")
                 .bucketBy(buckets, "tile_key")
                 .sortBy("tile_key")
