@@ -162,6 +162,111 @@ _OUT_COLS = (
     "gxmin", "gymin", "gxmax", "gymax", "n_members", "merged_bbox",
 )
 
+# Max padded (tile, i, j) cells per batched-adjacency chunk: bounds the
+# chunk's numpy allocations (~8 MB per float64 intermediate) regardless
+# of how many tiles a partition holds.
+_CELL_BUDGET = 1 << 20
+
+
+def _adjacency_batched(p: np.ndarray, dist_limit: int) -> np.ndarray:
+    """``_adjacency_matrix`` with a leading tile axis: ``p`` is
+    (T, m, 4) padded boxes; returns (T, m, m). Axis -2 is i (rows),
+    axis -1 is j (cols), mirroring the 2-D form term for term —
+    tests/test_merge_properties.py pins batched == per-tile."""
+    x0, y0, x1, y1 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    x_dist = np.minimum(
+        np.abs(x0[:, None, :] - x1[:, :, None]), np.abs(x1[:, None, :] - x0[:, :, None])
+    )
+    y_dist = np.minimum(
+        np.abs(y0[:, None, :] - y1[:, :, None]), np.abs(y1[:, None, :] - y0[:, :, None])
+    )
+    a_in_b = (
+        (x0[:, None, :] <= x0[:, :, None]) & (y0[:, None, :] <= y0[:, :, None])
+        & (x1[:, None, :] >= x1[:, :, None]) & (y1[:, None, :] >= y1[:, :, None])
+    )
+    b_in_a = a_in_b.transpose(0, 2, 1)
+    x_close_a_covers = (x_dist <= dist_limit) & (
+        (y0[:, :, None] <= y0[:, None, :]) & (y1[:, :, None] >= y1[:, None, :])
+    )
+    y_close_a_covers = (y_dist <= dist_limit) & (
+        (x0[:, :, None] <= x0[:, None, :]) & (x1[:, :, None] >= x1[:, None, :])
+    )
+    return (
+        a_in_b | b_in_a
+        | x_close_a_covers | x_close_a_covers.transpose(0, 2, 1)
+        | y_close_a_covers | y_close_a_covers.transpose(0, 2, 1)
+    )
+
+
+def _component_labels(boxes_all: np.ndarray, bounds: np.ndarray, dist_limit: int) -> np.ndarray:
+    """Component label (min member row index) for every row of a
+    tile-sorted partition, all tiles at once.
+
+    Replaces the per-tile ``_components(_adjacency_matrix(...))`` loop:
+    at ~10 rows/tile that loop ran ~10 small numpy ops per TILE (~60 us
+    x 20k tiles = the partition's dominant Python cost, measured 1.9 s
+    single-thread at sf0.1). Here size-sorted CHUNKS of tiles get one
+    padded (T, m, m) adjacency evaluation (guide §4.2: hand whole
+    batches to vectorized code), a single union-find consumes the
+    sparse edge list, and labels come from vectorized pointer-jumping.
+    Labels are identical: the union rule (larger root under smaller)
+    makes every component's root its minimum member index regardless
+    of edge order, which is exactly what the per-tile form emitted
+    (local min + slice offset). Mega-tiles (> SPLIT_THRESHOLD) keep
+    the bounded-memory gridded edge build.
+    """
+    parent = np.arange(len(boxes_all))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    starts = bounds[:-1]
+    sizes = np.diff(bounds)
+    multi = np.flatnonzero(sizes > 1)
+    small = multi[sizes[multi] <= SPLIT_THRESHOLD]
+    # ascending size order: each chunk pads to ITS max tile size, so a
+    # lone big tile cannot inflate every small tile's padding
+    sm = small[np.argsort(sizes[small], kind="stable")]
+    pos = 0
+    while pos < len(sm):
+        end = pos + 1
+        m_first = int(sizes[sm[pos]])
+        while end < len(sm):
+            m_next = int(sizes[sm[end]])
+            # cap chunk cells AND keep sizes within 2x of the chunk's
+            # smallest so padding waste stays bounded
+            if (end - pos + 1) * m_next * m_next > _CELL_BUDGET or m_next > 2 * m_first:
+                break
+            end += 1
+        chunk = sm[pos:end]
+        pos = end
+        cs = starts[chunk]
+        m = int(sizes[chunk].max())
+        k = np.arange(m)
+        valid = k[None, :] < sizes[chunk][:, None]
+        idx = np.where(valid, cs[:, None] + k[None, :], 0)
+        adj = _adjacency_batched(boxes_all[idx], dist_limit)
+        pair_ok = valid[:, :, None] & valid[:, None, :] & (k[:, None] < k[None, :])
+        t, i, j = np.nonzero(adj & pair_ok)
+        for a, b in zip((cs[t] + i).tolist(), (cs[t] + j).tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # vectorized find: pointer-jump every row to its root (acyclic,
+    # parents always point to smaller indices -> converges in O(log))
+    while True:
+        hop = parent[parent]
+        if np.array_equal(hop, parent):
+            break
+        parent = hop
+    for ti in multi[sizes[multi] > SPLIT_THRESHOLD].tolist():
+        s, e = int(starts[ti]), int(bounds[ti + 1])
+        parent[s:e] = s + _components_gridded(boxes_all[s:e], dist_limit)
+    return parent
+
 
 def _merge_partition(batches, dist_limit: int):
     """mapInPandas body: all tiles hash-assigned to this partition.
@@ -184,26 +289,19 @@ def _merge_partition(batches, dist_limit: int):
     pdf = pdf.sort_values(["tile_key", "annot_id"], kind="mergesort").reset_index(drop=True)
     tk = pdf["tile_key"].to_numpy()
     bounds = np.flatnonzero(np.r_[True, tk[1:] != tk[:-1], True])
-    boxes_all = pdf[["gxmin", "gymin", "gxmax", "gymax"]].to_numpy(np.int64)
+    # int32: tile-global px coords are < 2^15, and halving the element
+    # width halves the batched-adjacency memory traffic (its cost is
+    # allocation/bandwidth-bound, not ALU-bound)
+    boxes_all = pdf[["gxmin", "gymin", "gxmax", "gymax"]].to_numpy(np.int32)
     ids = pdf["annot_id"].to_numpy()
     names = pdf["image_name"].to_numpy()
     classes = pdf["object_class"].to_numpy()
     tnames = pdf["tile_name"].to_numpy()
 
-    # Component labels, globally unique across tiles: local root index
-    # offset by the tile's slice start.
-    comp_global = np.empty(len(pdf), dtype=np.int64)
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        n = e - s
-        if n == 1:
-            comp_global[s] = s
-            continue
-        if n > SPLIT_THRESHOLD:
-            # mega-tile: grid-partitioned edge build, bounded memory
-            comp = _components_gridded(boxes_all[s:e], dist_limit)
-        else:
-            comp = _components(_adjacency_matrix(boxes_all[s:e], dist_limit))
-        comp_global[s:e] = s + comp
+    # Component labels, globally unique across tiles (= min member row
+    # index): batched adjacency over size-sorted tile chunks + one
+    # union-find, see _component_labels.
+    comp_global = _component_labels(boxes_all, bounds, dist_limit)
 
     _, inverse, counts = np.unique(comp_global, return_inverse=True, return_counts=True)
     single = counts[inverse] == 1
@@ -215,7 +313,9 @@ def _merge_partition(batches, dist_limit: int):
             "tile_name": tnames[single],
             "component_id": ids[single],
             "object_class": classes[single],
-            "image_names": [[nm] for nm in names[single]],
+            # reshape->tolist builds the 1-element lists in C, ~6x the
+            # per-row python listcomp
+            "image_names": names[single].reshape(-1, 1).tolist(),
             "gxmin": boxes_all[single, 0],
             "gymin": boxes_all[single, 1],
             "gxmax": boxes_all[single, 2],

@@ -182,3 +182,58 @@ def test_mega_tile_does_not_trip_max_group(monkeypatch):
     baseline = run()                                   # full-matrix path
     monkeypatch.setattr(M, "SPLIT_THRESHOLD", 50)      # force gridded path
     assert run() == baseline
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 400))
+def test_component_labels_match_per_tile_loop(seed, n_tiles):
+    # r15: the batched (chunk-padded) adjacency + single union-find
+    # must emit EXACTLY the labels of the old per-tile
+    # _components(_adjacency_matrix(...)) loop — min member row index
+    # per component, mega-tiles routed through the gridded path.
+    import ast_data_pipeline_spark.operators.merge as M
+
+    rng = np.random.RandomState(seed)
+    sizes = rng.randint(1, 30, n_tiles)
+    bounds = np.r_[0, np.cumsum(sizes)]
+    n = bounds[-1]
+    x0 = rng.randint(0, 2000, n)
+    y0 = rng.randint(0, 2000, n)
+    b = np.stack(
+        [x0, y0, x0 + rng.randint(1, 80, n), y0 + rng.randint(1, 80, n)], axis=1
+    ).astype(np.int32)
+    ref = np.empty(n, dtype=np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s == 1:
+            ref[s] = s
+        elif e - s > M.SPLIT_THRESHOLD:
+            ref[s:e] = s + M._components_gridded(b[s:e], DIST)
+        else:
+            ref[s:e] = s + M._components(M._adjacency_matrix(b[s:e], DIST))
+    assert np.array_equal(ref, M._component_labels(b, bounds, DIST))
+
+
+def test_component_labels_mega_tile_routes_gridded(monkeypatch):
+    # mixed partition with one tile over SPLIT_THRESHOLD: labels still
+    # equal the reference composition (gridded for the big slice)
+    import ast_data_pipeline_spark.operators.merge as M
+
+    monkeypatch.setattr(M, "SPLIT_THRESHOLD", 50)
+    rng = np.random.RandomState(3)
+    sizes = np.r_[rng.randint(1, 20, 40), 120, rng.randint(1, 20, 40)]
+    bounds = np.r_[0, np.cumsum(sizes)]
+    n = bounds[-1]
+    x0 = rng.randint(0, 3000, n)
+    y0 = rng.randint(0, 3000, n)
+    b = np.stack(
+        [x0, y0, x0 + rng.randint(1, 60, n), y0 + rng.randint(1, 60, n)], axis=1
+    ).astype(np.int32)
+    ref = np.empty(n, dtype=np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s == 1:
+            ref[s] = s
+        elif e - s > 50:
+            ref[s:e] = s + M._components_gridded(b[s:e], DIST)
+        else:
+            ref[s:e] = s + M._components(M._adjacency_matrix(b[s:e], DIST))
+    assert np.array_equal(ref, M._component_labels(b, bounds, DIST))
