@@ -109,3 +109,25 @@ def q7(col: Column | str) -> Column:
 def q7_sql(expr: str) -> str:
     """DuckDB mirror of :func:`q7` — token-for-token op order."""
     return f"(floor(({expr}) * 10000000.0 + 0.5) / 10000000.0)"
+
+
+def fmt7(col: Column | str) -> Column:
+    """q7-snap then render with exactly 7 decimals — byte-identical to
+    ``format_string('%.7f', q7(col))`` but ~5x cheaper (r15 flagship
+    tail: java.util.Formatter allocates a locale-aware formatter per
+    value; the decimal cast is a codegen setScale + toPlainString).
+
+    Why the strings are equal for every finite |x| < 1e11: the q7
+    output is the correctly-rounded double nearest k/1e7, i.e. within
+    ~1e-13 of the grid point — 5e-8 away from either HALF_UP decision
+    boundary at scale 7 — so the Formatter path (exact binary
+    expansion, HALF_UP to 7 places) and the decimal-cast path
+    (shortest-repr BigDecimal, setScale(7, HALF_UP)) both land on k;
+    decimal(18,7).toPlainString keeps the same trailing zeros, and q7
+    never emits -0.0 (floor output -0.0 is impossible for any input
+    that snaps to 0). Swept 80M structured grid/ulp-neighbour/random
+    values with zero byte diffs (OPTIMIZATION_r15.md) and pinned by
+    tests/test_value_parity.py::test_fmt7_matches_format_string; the
+    oracle side keeps printf('%.7f', ...) untouched.
+    """
+    return q7(col).cast("decimal(18,7)").cast("string")

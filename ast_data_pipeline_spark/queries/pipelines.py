@@ -163,14 +163,16 @@ def flagship_tank_inventory(spark, sf_dir):
     # Contract boundary: the driver's canonicalizer sort_values-crashes
     # on list cells, so the array column goes out sorted + ';'-joined;
     # lon/lat quantize to %.7f strings (see _flagship_oracle).
-    from ..functions.exact import q7
+    from ..functions.exact import fmt7
 
     inv = tank_inventory(spark, sf_dir).withColumn(
         "image_names", F.array_join(F.array_sort("image_names"), ";")
     )
-    # q7 grid-snap before %.7f — see _flagship_oracle's f7 note.
+    # q7 grid-snap + 7-decimal render (fmt7 = byte-identical decimal
+    # cast, ~5x cheaper than format_string — see functions/exact.fmt7;
+    # the oracle keeps printf('%.7f', q7(...)) verbatim).
     for c in ("nw_lon", "nw_lat", "se_lon", "se_lat", "centroid_lon", "centroid_lat"):
-        inv = inv.withColumn(c, F.format_string("%.7f", q7(F.col(c))))
+        inv = inv.withColumn(c, fmt7(F.col(c)))
     L = F.lit
     return inv.withColumn(
         "geometry_wkt",

@@ -739,3 +739,40 @@ def test_dunn_test_value_parity(spark, sf_dir):
             )
             checked += 1
     assert checked == len(got)
+
+
+def test_fmt7_matches_format_string(spark):
+    # r15: the flagship's 7-decimal render switched from
+    # format_string('%.7f', q7(x)) to a decimal(18,7) cast
+    # (functions/exact.fmt7) for speed; this pins BYTE equality of the
+    # two renders over grid points, their ulp-neighbours, and
+    # random doubles across the lon/lat range, plus the edge cases the
+    # derivation in fmt7's docstring calls out (0, -0.0 inputs,
+    # half-grid points, +-180).
+    from pyspark.sql import functions as F
+
+    from ast_data_pipeline_spark.functions.exact import fmt7, q7
+
+    df = spark.range(2_000_000).selectExpr(
+        "(-1800000000 + (id * 1811) % 3600000000) * 1e-7 AS grid",
+        "(-180.0 + ((xxhash64(id) % 3600000000 + 3600000000) % 3600000000) * 1e-7"
+        " + (xxhash64(id, id) % 1000) * 1e-13) AS rnd",
+        "(-1800000000 + (id * 733) % 3600000000) * 1e-7 + 5e-8 AS halfgrid",
+    )
+    aggs = [
+        F.sum(
+            (F.format_string("%.7f", q7(F.col(c))) != fmt7(F.col(c))).cast("long")
+        ).alias(f"mm_{c}")
+        for c in ("grid", "rnd", "halfgrid")
+    ]
+    row = df.agg(*aggs).collect()[0]
+    assert row.mm_grid == 0 and row.mm_rnd == 0 and row.mm_halfgrid == 0
+
+    edge = spark.createDataFrame(
+        [(0.0,), (-0.0,), (180.0,), (-180.0,), (1e-8,), (-1e-8,), (-5e-8,), (5e-8,)],
+        "x double",
+    )
+    bad = edge.select(
+        F.format_string("%.7f", q7(F.col("x"))).alias("a"), fmt7(F.col("x")).alias("b")
+    ).filter("a <> b")
+    assert bad.count() == 0
