@@ -140,6 +140,43 @@ def lsh_bands(sig: DataFrame, num_hashes: int, rows_per_band: int, doc_col: str 
     )
 
 
+def occupancy_poison(bands: DataFrame, cap: int) -> DataFrame:
+    """(doc_a, doc_b)-shaped frame that is EMPTY when every LSH band
+    bucket holds <= ``cap`` docs, and raise_error()s at execution time
+    otherwise.
+
+    A hot bucket makes the candidate self-join quadratic (s docs ->
+    s*(s-1)/2 pairs; the r13 curation profile found 3.1M of 6.5M
+    candidate pairs hiding in >100-doc buckets under 2-row bands — the
+    metric x_lsh_bucket_stats publishes). Unioning this frame into the
+    candidate pairs wires that check INTO the pipeline (VERDICT r14
+    #5) without touching the join path: the branch is a map-side
+    partial count over the band rows (tiny shuffle, runs parallel to
+    the candidate join's stages), contributes zero rows on healthy
+    corpora, and a corpus whose banding has gone quadratic aborts with
+    the re-banding hint instead of melting the verify stage.
+    """
+    hot = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") > cap)
+    )
+    msg = F.concat(
+        F.lit(f"LSH bucket occupancy breached cap={cap} (band_id="),
+        F.col("band_id").cast("string"),
+        F.lit(", occupancy="),
+        F.col("_occ").cast("string"),
+        F.lit(
+            "): candidate join would go quadratic; raise rows_per_band "
+            "(see x_lsh_bucket_stats / plans/curation.py ROWS_PER_BAND note)"
+        ),
+    )
+    return hot.select(
+        F.raise_error(msg).cast("long").alias("doc_a"),
+        F.lit(0).cast("long").alias("doc_b"),
+    )
+
+
 def candidate_pairs(bands: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -198,9 +235,12 @@ def minhash_neardup_compact(
     threshold: float,
     doc_col: str = "doc_id",
     set_col: str = "shingles",
+    max_bucket_occupancy: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signatures -> band candidates ->
-    rejoin-verify.
+    rejoin-verify. ``max_bucket_occupancy`` (optional) arms the
+    quadratic-blowup guard on the band buckets — see
+    guard_bucket_occupancy.
 
     The verify stage re-joins the candidate pairs against the compact
     (doc, shingle-set) table on the doc ids, instead of carrying the
@@ -236,7 +276,10 @@ def minhash_neardup_compact(
     sig = minhash_signatures(exploded, num_hashes, doc_col).transform(
         lineage_cut_lazy
     )
-    cand = candidate_pairs(lsh_bands(sig, num_hashes, rows_per_band, doc_col), doc_col)
+    bands = lsh_bands(sig, num_hashes, rows_per_band, doc_col)
+    cand = candidate_pairs(bands, doc_col)
+    if max_bucket_occupancy is not None:
+        cand = cand.unionByName(occupancy_poison(bands, max_bucket_occupancy))
     return jaccard_verify(cand, docsets, threshold, doc_col, set_col)
 
 

@@ -50,6 +50,16 @@ NUM_HASHES = 12
 # kept-set parity verified at sf0.01/sf0.1/sf1 after the change.
 ROWS_PER_BAND = 3
 JACCARD_T = 0.5
+# Quadratic-blowup guard (VERDICT r14 #5): any band bucket holding more
+# docs than this aborts the run with a re-banding hint BEFORE the
+# candidate self-join pays s^2 for it (the r13 profile's 571-doc
+# buckets produced 3.1M junk pairs; 10k docs in one bucket would be
+# ~50M pairs — clearly a banding config failure, not data). The guard
+# shares the self-join's exchange, so healthy corpora pay one window
+# count per band row and no extra shuffle (operators/dedup.
+# guard_bucket_occupancy; synthetic hot-bucket pytest in
+# tests/test_curation_guard.py).
+MAX_BUCKET_OCCUPANCY = 10_000
 
 
 def curate(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -84,7 +94,10 @@ def curate(spark: SparkSession, docs: DataFrame) -> DataFrame:
     docsets = exact.filter(F.size("w") >= 2).select(
         "doc_id", word_shingles("w", 2)
     )
-    pairs = minhash_neardup_compact(docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T)
+    pairs = minhash_neardup_compact(
+        docsets, NUM_HASHES, ROWS_PER_BAND, JACCARD_T,
+        max_bucket_occupancy=MAX_BUCKET_OCCUPANCY,
+    )
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     # r14: broadcast the loser set. Both anti-join inputs sit behind
     # localCheckpoint cuts (ExistingRDD, no size stats), so Catalyst
