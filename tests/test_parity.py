@@ -26,7 +26,23 @@ def test_oracle_parity(spark, sf_dir, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", NO_ORACLE)
+# NO_ORACLE is empty today (100% oracle coverage) — pytest would report
+# an opaque "got empty parameter set" skip. The explicit placeholder
+# keeps the harness ready for a future oracle-less query while making
+# the one skip in the suite self-documenting (VERDICT r14 #8).
+@pytest.mark.parametrize(
+    "name",
+    NO_ORACLE
+    or [
+        pytest.param(
+            None,
+            marks=pytest.mark.skip(
+                reason="every registered query carries a DuckDB oracle; "
+                "the rows-only smoke set is empty by design"
+            ),
+        )
+    ],
+)
 def test_rows_only_smoke(spark, sf_dir, name):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
